@@ -1,0 +1,243 @@
+"""Distributed interval algebra: islands, gaps, interval subtraction.
+
+Replaces the reference's ``RangeBag`` (``/root/reference/src/archiver/
+range_bag.rs:7-95``) and gap detection (``src/storage/mod.rs:143-207``) with
+gaps-and-islands SQL.
+
+Scale design
+------------
+A naive islands query is ``Window.orderBy(col)`` over the whole table — a
+single-partition global sort that dies at 100 TB. ``islands`` therefore runs
+two-level:
+
+1. per-bucket islands with ``Window.partitionBy(bucket)`` — fully parallel,
+   shuffle on a high-cardinality key;
+2. a second islands pass over the per-bucket summaries (≤ islands+1 rows per
+   bucket, i.e. metadata-scale) to stitch islands that cross bucket borders.
+
+The stage-2 input is orders of magnitude smaller than the data, so its global
+window is cheap. All expressions are native Catalyst (no UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKET = 1_000_000
+
+
+def _islands_single_pass(df: DataFrame, start: str, end: str, keys: list[str]) -> DataFrame:
+    """Merge connected [start,end] rows into maximal disjoint islands.
+
+    Classic gaps-and-islands: a row opens a new island iff its start exceeds
+    the running max of previous ends + 1.
+    """
+    w = Window.partitionBy(*keys).orderBy(start, end) if keys else Window.orderBy(start, end)
+    prev_max_end = F.max(F.col(end)).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = F.when(
+        prev_max_end.isNull() | (F.col(start) > prev_max_end + 1), F.lit(1)
+    ).otherwise(F.lit(0))
+    df = df.withColumn("_new", new_island)
+    df = df.withColumn(
+        "_island", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    grp = keys + ["_island"]
+    return (
+        df.groupBy(*grp)
+        .agg(F.min(start).alias("start"), F.max(end).alias("end"))
+        .drop("_island")
+    )
+
+
+def islands(
+    df: DataFrame,
+    col: str = "height",
+    keys: list[str] | None = None,
+    bucket: int = DEFAULT_BUCKET,
+) -> DataFrame:
+    """Distinct integer ``col`` values -> maximal contiguous ``[start, end]`` ranges.
+
+    Reference semantics: ``RangeBag.compact()`` over single heights.
+    Output columns: ``keys... , start, end, n_heights``.
+    """
+    keys = keys or []
+    pts = df.select(*keys, F.col(col).cast("long").alias("h")).distinct()
+    # stage 1: islands within each bucket (parallel window)
+    pts = pts.withColumn("_b", F.floor(F.col("h") / bucket))
+    w1 = Window.partitionBy(*keys, "_b").orderBy("h")
+    frag = (
+        pts.withColumn("_prev", F.lag("h").over(w1))
+        .withColumn(
+            "_new",
+            F.when(F.col("_prev").isNull() | (F.col("h") > F.col("_prev") + 1), 1).otherwise(0),
+        )
+        .withColumn("_island", F.sum("_new").over(w1.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(*keys, "_b", "_island")
+        .agg(F.min("h").alias("start"), F.max("h").alias("end"))
+        .drop("_b", "_island")
+    )
+    # stage 2: stitch fragments across bucket borders (metadata-scale input)
+    out = _islands_single_pass(frag, "start", "end", keys)
+    return out.withColumn("n_heights", F.col("end") - F.col("start") + 1)
+
+
+def merge_range_rows(
+    df: DataFrame, start: str = "start", end: str = "end", keys: list[str] | None = None
+) -> DataFrame:
+    """Union of [start,end] interval rows -> maximal disjoint intervals.
+
+    Interval rows are metadata (file inventories, chunk lists) — already
+    small; one windowed pass suffices.
+    """
+    keys = keys or []
+    return _islands_single_pass(df.select(*keys, start, end), start, end, keys)
+
+
+def complement_ranges(
+    islands_df: DataFrame,
+    lo: int,
+    hi: int,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Gaps of an island set within [lo, hi] — closed form, no explode.
+
+    This is the reference's missing-range detection
+    (``storage/mod.rs:148-160``: requested − covered): the gap before each
+    island, plus the tail gap after the last island. Works on island rows
+    (metadata-scale), so the global window is cheap at any data size.
+    """
+    keys = keys or []
+    spark = islands_df.sparkSession
+    w = Window.partitionBy(*keys).orderBy("start") if keys else Window.orderBy("start")
+    clipped = islands_df.filter((F.col("end") >= lo) & (F.col("start") <= hi))
+    # keys (or the whole input, when unkeyed) with zero coverage inside
+    # [lo,hi] -> the entire window is one gap
+    if keys:
+        domain = islands_df.select(*keys).distinct()
+    else:
+        domain = spark.range(1).select(F.lit(1).alias("_one")).drop("_one")
+    uncovered = (
+        domain.join(clipped.select(*keys).distinct(), on=keys, how="left_anti")
+        if keys
+        else domain.join(clipped.limit(1), F.lit(True), "left_anti")
+    ).select(
+        *keys,
+        F.lit(lo).cast("long").alias("gap_start"),
+        F.lit(hi).cast("long").alias("gap_end"),
+    )
+    gaps = (
+        clipped.withColumn("_prev_end", F.lag("end").over(w))
+        .select(
+            *keys,
+            F.when(F.col("_prev_end").isNull(), F.lit(lo))
+            .otherwise(F.col("_prev_end") + 1)
+            .alias("gap_start"),
+            (F.col("start") - 1).alias("gap_end"),
+        )
+        .filter(F.col("gap_start") <= F.col("gap_end"))
+    )
+    tail = (
+        clipped.groupBy(*keys)
+        .agg(F.max("end").alias("_max_end"))
+        .select(
+            *keys,
+            (F.col("_max_end") + 1).alias("gap_start"),
+            F.lit(hi).cast("long").alias("gap_end"),
+        )
+        .filter(F.col("gap_start") <= F.col("gap_end"))
+    )
+    out = gaps.unionByName(tail).unionByName(uncovered)
+    return out.select(
+        *keys,
+        F.greatest(F.col("gap_start"), F.lit(lo)).alias("start"),
+        F.least(F.col("gap_end"), F.lit(hi)).alias("end"),
+    )
+
+
+def missing_ranges(
+    covered: DataFrame,
+    lo: int,
+    hi: int,
+    col: str = "height",
+    keys: list[str] | None = None,
+    is_ranges: bool = False,
+) -> DataFrame:
+    """Requested [lo,hi] minus covered heights/ranges -> missing [start,end] rows.
+
+    ``is_ranges=True`` treats ``covered`` as interval rows (start/end cols);
+    otherwise as a height column. When a key column is given and some key has
+    no coverage at all, that key is absent from the output (callers
+    cross-join the expected key domain first — see inventory.find_incomplete).
+    """
+    isl = (
+        merge_range_rows(covered, keys=keys or [])
+        if is_ranges
+        else islands(covered, col, keys=keys or [])
+    )
+    return complement_ranges(isl, lo, hi, keys=keys or [])
+
+
+def subtract_intervals(
+    base: DataFrame,
+    cuts: DataFrame,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Interval-set subtraction ``base − cuts`` on [start,end] rows.
+
+    Closed form: merge both sides to disjoint islands, range-join base
+    islands to overlapping cut islands, and emit the per-base leftover
+    pieces via a sweep over each base island's cuts. Metadata-scale inputs
+    (file ranges), so the range join is tiny; for aligned data AQE handles it.
+    """
+    keys = keys or []
+    b = merge_range_rows(base, keys=keys).withColumnRenamed("start", "b_start").withColumnRenamed(
+        "end", "b_end"
+    )
+    c = merge_range_rows(cuts, keys=keys).withColumnRenamed("start", "c_start").withColumnRenamed(
+        "end", "c_end"
+    )
+    cond = (F.col("b.b_start") <= F.col("c.c_end")) & (F.col("c.c_start") <= F.col("b.b_end"))
+    for k in keys:
+        cond = cond & (F.col(f"b.{k}") == F.col(f"c.{k}"))
+    joined = b.alias("b").join(c.alias("c"), cond, "left")
+    key_cols = [F.col(f"b.{k}").alias(k) for k in keys]
+    # For each base island: clip cuts to the island, then gaps between
+    # consecutive clipped cuts (plus head/tail pieces) are the remainder.
+    w = Window.partitionBy(*[F.col(f"b.{k}") for k in keys], "b.b_start").orderBy("c.c_start")
+    clipped = joined.select(
+        *key_cols,
+        F.col("b.b_start").alias("b_start"),
+        F.col("b.b_end").alias("b_end"),
+        F.greatest(F.col("c.c_start"), F.col("b.b_start")).alias("cc_start"),
+        F.least(F.col("c.c_end"), F.col("b.b_end")).alias("cc_end"),
+        F.lag(F.least(F.col("c.c_end"), F.col("b.b_end"))).over(w).alias("prev_cc_end"),
+        F.row_number().over(w).alias("rn"),
+        F.count("c.c_start").over(
+            Window.partitionBy(*[F.col(f"b.{k}") for k in keys], "b.b_start")
+        ).alias("n_cuts"),
+    )
+    untouched = clipped.filter(F.col("cc_start").isNull() | (F.col("n_cuts") == 0)).select(
+        *keys, F.col("b_start").alias("start"), F.col("b_end").alias("end")
+    ).distinct()
+    head = clipped.filter((F.col("rn") == 1) & F.col("cc_start").isNotNull()).select(
+        *keys, F.col("b_start").alias("start"), (F.col("cc_start") - 1).alias("end")
+    )
+    mid = clipped.filter(F.col("prev_cc_end").isNotNull()).select(
+        *keys, (F.col("prev_cc_end") + 1).alias("start"), (F.col("cc_start") - 1).alias("end")
+    )
+    tail = (
+        clipped.filter(F.col("cc_start").isNotNull())
+        .groupBy(*keys, "b_start", "b_end")
+        .agg(F.max("cc_end").alias("max_cc_end"))
+        .select(*keys, (F.col("max_cc_end") + 1).alias("start"), F.col("b_end").alias("end"))
+    )
+    pieces = untouched.unionByName(head).unionByName(mid).unionByName(tail)
+    return pieces.filter(F.col("start") <= F.col("end"))
+
+
+def sequence_heights(spark_col_lo: Column | int, hi: Column | int) -> Column:
+    """Dense height array for explode-based checks (bounded: per-chunk ≤ 1000)."""
+    lo_c = F.lit(spark_col_lo) if isinstance(spark_col_lo, int) else spark_col_lo
+    hi_c = F.lit(hi) if isinstance(hi, int) else hi
+    return F.sequence(lo_c.cast("long"), hi_c.cast("long"))

@@ -1,0 +1,87 @@
+"""Distributed interval kernel vs the plain-Python kernel (same semantics)."""
+
+from dshackle_archive_spark.core import Range, merge_ranges, subtract_ranges
+from dshackle_archive_spark.operators import intervals as I
+
+
+def rows_to_ranges(df):
+    return sorted((r["start"], r["end"]) for r in df.collect())
+
+
+def test_islands_basic(spark):
+    heights = [1, 2, 3, 7, 8, 10, 100, 101]
+    df = spark.createDataFrame([(h,) for h in heights], "height long")
+    got = rows_to_ranges(I.islands(df))
+    assert got == [(1, 3), (7, 8), (10, 10), (100, 101)]
+
+
+def test_islands_dedup_and_buckets(spark):
+    # duplicates collapse; islands crossing bucket borders stitch (bucket=5)
+    heights = [3, 4, 5, 6, 7, 9, 9, 9, 14, 15, 16]
+    df = spark.createDataFrame([(h,) for h in heights], "height long")
+    got = rows_to_ranges(I.islands(df, bucket=5))
+    assert got == [(3, 7), (9, 9), (14, 16)]
+
+
+def test_islands_keyed(spark):
+    rows = [("a", 1), ("a", 2), ("a", 5), ("b", 2), ("b", 3)]
+    df = spark.createDataFrame(rows, "k string, height long")
+    got = sorted((r["k"], r["start"], r["end"]) for r in I.islands(df, keys=["k"]).collect())
+    assert got == [("a", 1, 2), ("a", 5, 5), ("b", 2, 3)]
+
+
+def test_merge_range_rows(spark):
+    rows = [(5, 9), (1, 3), (4, 4), (20, 25), (22, 30)]
+    df = spark.createDataFrame(rows, "start long, end long")
+    got = rows_to_ranges(I.merge_range_rows(df))
+    expect = [(r.start, r.end) for r in merge_ranges([Range(a, b) for a, b in rows])]
+    assert got == expect == [(1, 9), (20, 30)]
+
+
+def test_complement_ranges(spark):
+    df = spark.createDataFrame([(10, 20), (30, 40)], "start long, end long")
+    got = rows_to_ranges(I.complement_ranges(df, 0, 100))
+    assert got == [(0, 9), (21, 29), (41, 100)]
+
+
+def test_complement_total_gap(spark):
+    # no coverage at all inside [lo,hi]
+    df = spark.createDataFrame([(200, 300)], "start long, end long")
+    got = rows_to_ranges(I.complement_ranges(df, 0, 100))
+    assert got == [(0, 100)]
+
+
+def test_missing_ranges_from_heights(spark):
+    present = [0, 1, 2, 5, 6, 99]
+    df = spark.createDataFrame([(h,) for h in present], "height long")
+    got = rows_to_ranges(I.missing_ranges(df, 0, 100))
+    assert got == [(3, 4), (7, 98), (100, 100)]
+
+
+def test_subtract_intervals_matches_python(spark):
+    base = [(0, 100), (200, 250)]
+    cuts = [(10, 20), (30, 40), (90, 210), (250, 250)]
+    bdf = spark.createDataFrame(base, "start long, end long")
+    cdf = spark.createDataFrame(cuts, "start long, end long")
+    got = rows_to_ranges(I.subtract_intervals(bdf, cdf))
+    expect = [
+        (r.start, r.end)
+        for r in subtract_ranges(
+            [Range(a, b) for a, b in base], [Range(a, b) for a, b in cuts]
+        )
+    ]
+    assert got == expect == [(0, 9), (21, 29), (41, 89), (211, 249)]
+
+
+def test_subtract_intervals_no_cuts(spark):
+    bdf = spark.createDataFrame([(0, 10)], "start long, end long")
+    cdf = spark.createDataFrame([], "start long, end long")
+    got = rows_to_ranges(I.subtract_intervals(bdf, cdf))
+    assert got == [(0, 10)]
+
+
+def test_subtract_intervals_disjoint_cut(spark):
+    bdf = spark.createDataFrame([(0, 10)], "start long, end long")
+    cdf = spark.createDataFrame([(50, 60)], "start long, end long")
+    got = rows_to_ranges(I.subtract_intervals(bdf, cdf))
+    assert got == [(0, 10)]
