@@ -1,0 +1,784 @@
+"""Query registry: every SURVEY §2 operator as a (Spark builder, oracle SQL) pair.
+
+Keys are prefixed with the SURVEY §2 operator id they exercise (p1_, j1_,
+a3_, w1_, ...), so the coverage checklist maps 1:1 onto this registry. Each
+Spark builder takes ``(spark, sf_dir)`` and returns a DataFrame; the oracle
+is equivalent ANSI SQL run by DuckDB over the same parquet tables.
+
+Determinism rules (the driver hash-compares values):
+- monetary/quantity aggregations go through DECIMAL casts (exact, order-
+  independent) and only convert to DOUBLE at the end;
+- no raw TIMESTAMP outputs (ns vs us precision) — dates become strings,
+  buckets become epoch longs;
+- every top-k has a total tiebreak order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, QueryFn] = {}
+_ORACLE: dict[str, str] = {}
+
+
+def query(name: str, sql: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = fn
+        if sql is not None:
+            _ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def registry() -> dict[str, QueryFn]:
+    return dict(_REGISTRY)
+
+
+def oracles() -> dict[str, str]:
+    return dict(_ORACLE)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+DEC = "decimal(18,2)"
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+@query(
+    "p1_height_range_filter",
+    """
+    SELECT event_id, event_type, value
+    FROM events WHERE event_id BETWEEN 200 AND 400
+    """,
+)
+def p1_height_range_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """P1: keep records with height ∈ [start, end] (compact.rs:371-383).
+
+    At scale the BETWEEN predicate reaches the parquet scan (PushedFilters)
+    and, on the archive layout, prunes l1/l2 partitions.
+    """
+    ev = _t(spark, sf, "events")
+    return ev.filter((F.col("event_id") >= 200) & (F.col("event_id") <= 400)).select(
+        "event_id", "event_type", "value"
+    )
+
+
+@query(
+    "p3_projection",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                AS DOUBLE) AS net_price
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+)
+def p3_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """P3: narrow field projection + computed column (avros.rs:252-260 shape)."""
+    li = _t(spark, sf, "lineitem")
+    net = (
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    ).cast("double")
+    return li.filter(F.col("l_orderkey") < 100).select(
+        "l_orderkey", "l_linenumber", net.alias("net_price")
+    )
+
+
+@query(
+    "p4_json_extract",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events WHERE event_id < 500
+    """,
+)
+def p4_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """P4: schema-on-read projection out of an embedded JSON payload
+    (compact.rs:330-341, verify.rs:838-861)."""
+    ev = _t(spark, sf, "events")
+    return ev.filter(F.col("event_id") < 500).select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+
+
+@query(
+    "p5_null_empty_checks",
+    """
+    SELECT
+      CASE WHEN text IS NULL OR length(text) = 0 OR lower(text) = 'null'
+           THEN 'invalid' ELSE 'valid' END AS status,
+      count(*) AS n
+    FROM documents GROUP BY 1
+    """,
+)
+def p5_null_empty_checks(spark: SparkSession, sf: str) -> DataFrame:
+    """P5: payload must exist, be non-empty, and not literal "null"
+    (verify.rs:579-621)."""
+    docs = _t(spark, sf, "documents")
+    status = F.when(
+        F.col("text").isNull() | (F.length("text") == 0) | (F.lower("text") == "null"),
+        F.lit("invalid"),
+    ).otherwise(F.lit("valid"))
+    return docs.groupBy(status.alias("status")).agg(F.count("*").alias("n"))
+
+
+@query(
+    "p7_hex_roundtrip",
+    "SELECT event_id, event_id AS parsed FROM events WHERE event_id < 1000",
+)
+def p7_hex_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """P7: 0x-hex quantity parsing (ethereum.rs:369-372) — encode then parse
+    back; the oracle states the semantic identity."""
+    ev = _t(spark, sf, "events")
+    return ev.filter(F.col("event_id") < 1000).select(
+        "event_id",
+        F.conv(F.hex(F.col("event_id")), 16, 10).cast("long").alias("parsed"),
+    )
+
+
+@query(
+    "p8_zero_pad_format",
+    """
+    SELECT event_id, lpad(CAST(event_id AS VARCHAR), 9, '0') AS padded
+    FROM events WHERE event_id < 100
+    """,
+)
+def p8_zero_pad_format(spark: SparkSession, sf: str) -> DataFrame:
+    """P8: 9-digit zero-padded height formatting (filenames.rs:120-122)."""
+    ev = _t(spark, sf, "events")
+    return ev.filter(F.col("event_id") < 100).select(
+        "event_id", F.lpad(F.col("event_id").cast("string"), 9, "0").alias("padded")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+@query(
+    "j1_integrity_anti_join",
+    """
+    SELECT c.c_custkey, c.c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j1_integrity_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J1 shape: left-anti integrity join — expected vs present
+    (verify.rs:648-703). Here: customers with no orders."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "j2_semi_join",
+    """
+    SELECT p.p_partkey, p.p_brand FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    """,
+)
+def j2_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J1/J2 positive direction as a semi join: parts referenced by lineitem."""
+    p = _t(spark, sf, "part")
+    li = _t(spark, sf, "lineitem")
+    return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_brand"
+    )
+
+
+@query(
+    "j3_group_pivot_completeness",
+    """
+    SELECT user_id,
+           max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+           max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+    FROM events GROUP BY user_id
+    HAVING max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) = 0
+        OR max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) = 0
+        OR max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 0
+    """,
+)
+def j3_group_pivot_completeness(spark: SparkSession, sf: str) -> DataFrame:
+    """J3/A4: group-by-range assembly + incomplete-kind flags
+    (range_group.rs:84-112): which users lack one of the expected kinds."""
+    ev = _t(spark, sf, "events")
+    flags = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("has_click"),
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("has_view"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "has_purchase"
+        ),
+    )
+    return flags.filter(
+        (F.col("has_click") == 0) | (F.col("has_view") == 0) | (F.col("has_purchase") == 0)
+    )
+
+
+@query(
+    "j4_fork_choice_join",
+    """
+    WITH head AS (
+      SELECT o_custkey, max(o_totalprice) AS head_price
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o.o_custkey, o.o_orderkey, CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders o JOIN head h
+      ON o.o_custkey = h.o_custkey AND o.o_totalprice = h.head_price
+    """,
+)
+def j4_fork_choice_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J4 shape: among competing candidates per key, keep the one matching
+    the live-chain lookup (verify.rs:328-369). The lookup side is broadcast."""
+    o = _t(spark, sf, "orders").alias("o")
+    head = (
+        _t(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("h_custkey"))
+        .agg(F.max("o_totalprice").alias("head_price"))
+        .alias("h")
+    )
+    return o.join(
+        F.broadcast(head),
+        (F.col("o.o_custkey") == F.col("h.h_custkey"))
+        & (F.col("o.o_totalprice") == F.col("h.head_price")),
+    ).select(
+        "o.o_custkey",
+        "o.o_orderkey",
+        F.col("o.o_totalprice").cast("double").alias("o_totalprice"),
+    )
+
+
+@query(
+    "j7_range_chunk_assignment",
+    """
+    WITH spans AS (
+      SELECT o_custkey, min(o_orderkey) AS span_start, max(o_orderkey) AS span_end
+      FROM orders GROUP BY o_custkey
+    ), chunks AS (
+      SELECT DISTINCT CAST(floor(o_orderkey / 100) AS BIGINT) AS chunk_id,
+             CAST(floor(o_orderkey / 100) AS BIGINT) * 100 AS chunk_start,
+             CAST(floor(o_orderkey / 100) AS BIGINT) * 100 + 99 AS chunk_end
+      FROM orders
+    )
+    SELECT s.o_custkey, c.chunk_id FROM spans s JOIN chunks c
+      ON s.span_start <= c.chunk_end AND c.chunk_start <= s.span_end
+    """,
+)
+def j7_range_chunk_assignment(spark: SparkSession, sf: str) -> DataFrame:
+    """J7: interval-overlap join of file ranges to work chunks
+    (compact.rs:56-113). The chunk side is tiny → broadcast range join."""
+    o = _t(spark, sf, "orders")
+    spans = o.groupBy("o_custkey").agg(
+        F.min("o_orderkey").alias("span_start"), F.max("o_orderkey").alias("span_end")
+    )
+    chunks = (
+        o.select(F.floor(F.col("o_orderkey") / 100).cast("long").alias("chunk_id"))
+        .distinct()
+        .select(
+            "chunk_id",
+            (F.col("chunk_id") * 100).alias("chunk_start"),
+            (F.col("chunk_id") * 100 + 99).alias("chunk_end"),
+        )
+    )
+    return spans.join(
+        F.broadcast(chunks),
+        (spans.span_start <= chunks.chunk_end) & (chunks.chunk_start <= spans.span_end),
+    ).select("o_custkey", "chunk_id")
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations / interval algebra
+# ---------------------------------------------------------------------------
+
+_ISLANDS_SQL = """
+    WITH present AS (
+      SELECT DISTINCT event_id AS h FROM events WHERE value > 50
+    ), tagged AS (
+      SELECT h, h - ROW_NUMBER() OVER (ORDER BY h) AS grp FROM present
+    )
+    SELECT min(h) AS start, max(h) AS "end", count(*) AS n_heights
+    FROM tagged GROUP BY grp
+"""
+
+
+@query("a1_islands", _ISLANDS_SQL)
+def a1_islands(spark: SparkSession, sf: str) -> DataFrame:
+    """A1: RangeBag.compact — merge covered heights into maximal ranges
+    (range_bag.rs:51-86), via the two-level distributed islands kernel."""
+    from .operators.intervals import islands
+
+    ev = _t(spark, sf, "events")
+    present = ev.filter(F.col("value") > 50).select(F.col("event_id").alias("height"))
+    return islands(present, "height")
+
+
+@query(
+    "a2_interval_subtraction",
+    """
+    WITH s1 AS (SELECT DISTINCT event_id AS h FROM events WHERE value > 50),
+         s2 AS (SELECT DISTINCT event_id AS h FROM events WHERE event_type = 'error'),
+         diff AS (SELECT h FROM s1 EXCEPT SELECT h FROM s2),
+         tagged AS (SELECT h, h - ROW_NUMBER() OVER (ORDER BY h) AS grp FROM diff)
+    SELECT min(h) AS start, max(h) AS "end" FROM tagged GROUP BY grp
+    """,
+)
+def a2_interval_subtraction(spark: SparkSession, sf: str) -> DataFrame:
+    """A2: RangeBag.remove — interval-set subtraction (range_bag.rs:32-49),
+    closed-form on islands (no height explode)."""
+    from .operators.intervals import islands, subtract_intervals
+
+    ev = _t(spark, sf, "events")
+    base = islands(ev.filter(F.col("value") > 50).select(F.col("event_id").alias("height")))
+    cuts = islands(
+        ev.filter(F.col("event_type") == "error").select(F.col("event_id").alias("height"))
+    )
+    return subtract_intervals(
+        base.select("start", "end"), cuts.select("start", "end")
+    ).select("start", "end")
+
+
+@query(
+    "a3_gap_detection",
+    """
+    WITH present AS (
+      SELECT DISTINCT event_id AS h FROM events WHERE NOT (value > 50)
+    ), tagged AS (
+      SELECT h, h - ROW_NUMBER() OVER (ORDER BY h) AS grp FROM present
+    ), islands AS (
+      SELECT min(h) AS s, max(h) AS e FROM tagged GROUP BY grp
+    ), g AS (
+      SELECT s, e, lag(e) OVER (ORDER BY s) AS prev_e FROM islands
+    ), gaps AS (
+      SELECT CASE WHEN prev_e IS NULL THEN 0 ELSE prev_e + 1 END AS start,
+             s - 1 AS "end"
+      FROM g
+      UNION ALL
+      SELECT (SELECT max(e) + 1 FROM islands) AS start,
+             (SELECT max(event_id) FROM events) AS "end"
+    )
+    SELECT start, "end" FROM gaps WHERE start <= "end"
+    """,
+)
+def a3_gap_detection(spark: SparkSession, sf: str) -> DataFrame:
+    """A3: missing-range detection — requested − covered
+    (storage/mod.rs:143-207), closed-form complement over islands."""
+    from .operators.intervals import missing_ranges
+
+    ev = _t(spark, sf, "events")
+    hi = ev.agg(F.max("event_id")).collect()[0][0]
+    present = ev.filter(~(F.col("value") > 50)).select(F.col("event_id").alias("height"))
+    return missing_ranges(present, 0, int(hi)).select("start", "end")
+
+
+@query(
+    "a5_duplicate_detection",
+    """
+    SELECT o_custkey, count(*) AS n FROM orders
+    GROUP BY o_custkey HAVING count(*) > 1
+    """,
+)
+def a5_duplicate_detection(spark: SparkSession, sf: str) -> DataFrame:
+    """A5: duplicate-height detection (verify.rs:832-836)."""
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_custkey").agg(F.count("*").alias("n")).filter(F.col("n") > 1)
+
+
+@query(
+    "a6_distinct_count_completeness",
+    """
+    SELECT l_orderkey,
+           count(DISTINCT l_linenumber) AS n_distinct,
+           count(*) AS n_rows,
+           max(l_linenumber) AS max_ln,
+           CASE WHEN count(DISTINCT l_linenumber) = max(l_linenumber)
+                 AND min(l_linenumber) = 1 THEN 1 ELSE 0 END AS complete
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def a6_distinct_count_completeness(spark: SparkSession, sf: str) -> DataFrame:
+    """A6: distinct-count == expected-size completeness (verify.rs:869-877):
+    per order, linenumbers must be exactly 1..max with no dup/gap."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_linenumber").alias("n_distinct"),
+        F.count("*").alias("n_rows"),
+        F.max("l_linenumber").alias("max_ln"),
+        F.when(
+            (F.countDistinct("l_linenumber") == F.max("l_linenumber"))
+            & (F.min("l_linenumber") == 1),
+            1,
+        )
+        .otherwise(0)
+        .alias("complete"),
+    )
+
+
+@query(
+    "a8_stats_rollup",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def a8_stats_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """A8: per-kind processed/deleted stats rollup (verify.rs:62-96)."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+    )
+
+
+@query(
+    "a9_throughput_window",
+    """
+    SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket_start,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def a9_throughput_window(spark: SparkSession, sf: str) -> DataFrame:
+    """A9: sliding/tumbling throughput windows (progress.rs:135-181) as
+    event-time hour buckets (epoch math keeps the bucket type portable)."""
+    ev = _t(spark, sf, "events")
+    bucket = (F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 3600) * 3600).cast(
+        "long"
+    )
+    return ev.groupBy(bucket.alias("bucket_start")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 window / sequence operators
+# ---------------------------------------------------------------------------
+
+@query(
+    "w1_chain_linkage",
+    """
+    WITH linked AS (
+      SELECT l_orderkey, l_linenumber,
+             lag(l_linenumber) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS prev
+      FROM lineitem
+    )
+    SELECT l_orderkey,
+           sum(CASE WHEN prev IS NOT NULL AND l_linenumber <> prev + 1
+                    THEN 1 ELSE 0 END) AS broken_links,
+           count(*) AS chain_len
+    FROM linked GROUP BY l_orderkey
+    """,
+)
+def w1_chain_linkage(spark: SparkSession, sf: str) -> DataFrame:
+    """W1: parent-hash chain validation (block_seq.rs:58-150) — each element
+    must link to its predecessor; count broken links per chain."""
+    li = _t(spark, sf, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return (
+        li.withColumn("prev", F.lag("l_linenumber").over(w))
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("prev").isNotNull() & (F.col("l_linenumber") != F.col("prev") + 1),
+                    1,
+                ).otherwise(0)
+            ).alias("broken_links"),
+            F.count("*").alias("chain_len"),
+        )
+    )
+
+
+@query(
+    "w3_dedup_largest_covering",
+    """
+    SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) = 1
+    """,
+)
+def w3_dedup_largest_covering(spark: SparkSession, sf: str) -> DataFrame:
+    """W3: among competing entries keep the largest-covering one
+    (verify.rs:373-404) — ranking window with deterministic tiebreak."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("o_custkey", "o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 sorts / limits / chunking
+# ---------------------------------------------------------------------------
+
+@query(
+    "c1_chunk_split",
+    """
+    SELECT CAST(floor(event_id / 100) AS BIGINT) AS chunk,
+           count(*) AS n, min(event_id) AS lo, max(event_id) AS hi
+    FROM events GROUP BY 1
+    """,
+)
+def c1_chunk_split(spark: SparkSession, sf: str) -> DataFrame:
+    """C1: split the height domain into absolute chunk-aligned pieces
+    (range.rs:220-261) — floor-div bucketing."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy(F.floor(F.col("event_id") / 100).cast("long").alias("chunk")).agg(
+        F.count("*").alias("n"), F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    )
+
+
+@query(
+    "c3_tail_n",
+    """
+    SELECT event_id, event_type, value FROM events
+    ORDER BY event_id DESC LIMIT 20
+    """,
+)
+def c3_tail_n(spark: SparkSession, sf: str) -> DataFrame:
+    """C3: --tail N — the last N heights (blocks_config.rs:27-46)."""
+    ev = _t(spark, sf, "events")
+    return ev.orderBy(F.desc("event_id")).limit(20).select("event_id", "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set operations
+# ---------------------------------------------------------------------------
+
+@query(
+    "e3_union_of_listings",
+    """
+    SELECT event_id, event_type FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT event_id, event_type FROM events WHERE event_type = 'error'
+    """,
+)
+def e3_union_of_listings(spark: SparkSession, sf: str) -> DataFrame:
+    """E3/S5: union of two ordered listings — Catalyst handles merge order
+    (sorted_files.rs:6-44 is unnecessary as an operator in Spark)."""
+    ev = _t(spark, sf, "events")
+    a = ev.filter(F.col("event_type") == "click").select("event_id", "event_type")
+    b = ev.filter(F.col("event_type") == "error").select("event_id", "event_type")
+    return a.unionByName(b)
+
+
+@query(
+    "e4_set_equality_check",
+    """
+    WITH expected AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+         actual   AS (SELECT DISTINCT l_orderkey AS k FROM lineitem)
+    SELECT 'missing' AS side, k FROM expected WHERE k NOT IN (SELECT k FROM actual)
+    UNION ALL
+    SELECT 'unexpected' AS side, k FROM actual WHERE k NOT IN (SELECT k FROM expected)
+    """,
+)
+def e4_set_equality_check(spark: SparkSession, sf: str) -> DataFrame:
+    """E4: tx-id set equality via two anti-joins (verify.rs:689-700) —
+    both directions must be empty for a verified range."""
+    o = _t(spark, sf, "orders").select(F.col("o_orderkey").alias("k")).distinct()
+    li = _t(spark, sf, "lineitem").select(F.col("l_orderkey").alias("k")).distinct()
+    missing = o.join(li, "k", "left_anti").select(F.lit("missing").alias("side"), "k")
+    unexpected = li.join(o, "k", "left_anti").select(F.lit("unexpected").alias("side"), "k")
+    return missing.unionByName(unexpected)
+
+
+# ---------------------------------------------------------------------------
+# headline analytic queries (bench drivers; classic shapes over the archive)
+# ---------------------------------------------------------------------------
+
+@query(
+    "h1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def h1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy grouped aggregation; exercises map-side
+    partial aggregation and decimal-exact sums."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "h3_shipping_priority",
+    """
+    SELECT o.o_orderkey,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderkey ASC LIMIT 10
+    """,
+)
+def h3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + grouped top-k with total tiebreak."""
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+    )
+
+
+@query(
+    "h5_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def h5_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: star join with small dims broadcast; region filter
+    pushes through the dim chain."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming-adjacent batch shapes (T-series have pytest coverage; this is the
+# batch-expressible part)
+# ---------------------------------------------------------------------------
+
+@query(
+    "t8_sessionization",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), marked AS (
+      SELECT user_id,
+             CASE WHEN prev_ts IS NULL
+                       OR CAST(floor(epoch(ts)) AS BIGINT)
+                          - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM ordered
+    )
+    SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+    FROM marked GROUP BY user_id
+    """,
+)
+def t8_sessionization(spark: SparkSession, sf: str) -> DataFrame:
+    """T8: session windows (free in Spark, absent in the reference) — 30-min
+    inactivity gap sessionization per user."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn("prev_ts", F.lag("ts").over(w)).select(
+        "user_id",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (
+                F.unix_timestamp(F.col("ts").cast("timestamp"))
+                - F.unix_timestamp(F.col("prev_ts").cast("timestamp"))
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    return marked.groupBy("user_id").agg(
+        F.sum("new_s").alias("n_sessions"), F.count("*").alias("n_events")
+    )

@@ -1,0 +1,161 @@
+"""Gap/completeness detection over archive-tree fixtures.
+
+Mirrors the reference's e2e scenarios (``storage/mod.rs:290-610`` — 13 gap
+cases; ``verify.rs:373-457`` dup/overlap handling) with golden assertions on
+the resulting work lists.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dshackle_archive_spark.core import DataKind, Range, range_file_path, single_file_path
+from dshackle_archive_spark.operators import inventory as INV
+from dshackle_archive_spark.sources import archive as ARC
+
+
+def make_tree(root, specs):
+    """specs: list of (height_or_range, kind, hash?) -> touch files."""
+    for spec in specs:
+        rng, kind = spec[0], spec[1]
+        h = spec[2] if len(spec) > 2 else None
+        if isinstance(rng, int):
+            rel = single_file_path(rng, kind, block_hash=h)
+        else:
+            rel = range_file_path(rng, kind)
+        p = os.path.join(root, "eth", rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        open(p, "w").close()
+
+
+def inv_for(spark, tmp_path, specs):
+    make_tree(str(tmp_path), specs)
+    return ARC.inventory_df(spark, str(tmp_path), "eth")
+
+
+def missing(spark, tmp_path, specs, lo, hi, kinds=("blocks", "transactions")):
+    inv = inv_for(spark, tmp_path, specs)
+    rows = INV.find_incomplete_tables(inv, lo, hi, kinds=kinds).collect()
+    return sorted((r["kind"], r["start"], r["end"]) for r in rows)
+
+
+B, T, R = DataKind.BLOCKS, DataKind.TRANSACTIONS, DataKind.TRACES
+
+
+def test_complete_singles_no_gaps(spark, tmp_path):
+    # scenario 1: fully complete range, singles only
+    specs = [(h, k) for h in range(100, 110) for k in (B, T)]
+    assert missing(spark, tmp_path, specs, 100, 109) == []
+
+
+def test_missing_one_table_one_height(spark, tmp_path):
+    # scenario 2
+    specs = [(h, B) for h in range(100, 110)] + [(h, T) for h in range(100, 110) if h != 105]
+    assert missing(spark, tmp_path, specs, 100, 109) == [("transactions", 105, 105)]
+
+
+def test_full_gap(spark, tmp_path):
+    # scenario 3: height with no files at all
+    specs = [(h, k) for h in (100, 101, 103) for k in (B, T)]
+    assert missing(spark, tmp_path, specs, 100, 103) == [
+        ("blocks", 102, 102),
+        ("transactions", 102, 102),
+    ]
+
+
+def test_large_gap_across_level2_dirs(spark, tmp_path):
+    # scenario 4: gap spanning level-2 dirs (999..2001)
+    specs = [(h, B) for h in (998, 999, 2002)]
+    assert missing(spark, tmp_path, specs, 998, 2002, kinds=("blocks",)) == [
+        ("blocks", 1000, 2001)
+    ]
+
+
+def test_range_file_missing_twin(spark, tmp_path):
+    # scenario 5: range file missing its txes twin
+    specs = [(Range(1000, 1999), B)]
+    assert missing(spark, tmp_path, specs, 1000, 1999) == [("transactions", 1000, 1999)]
+
+
+def test_mixed_single_and_range_coverage(spark, tmp_path):
+    # scenario 6
+    specs = [(Range(1000, 1999), B), (Range(1000, 1999), T)] + [
+        (h, k) for h in range(2000, 2003) for k in (B, T)
+    ]
+    assert missing(spark, tmp_path, specs, 1000, 2004) == [
+        ("blocks", 2003, 2004),
+        ("transactions", 2003, 2004),
+    ]
+
+
+def test_empty_archive_everything_missing(spark, tmp_path):
+    os.makedirs(tmp_path / "eth", exist_ok=True)
+    assert missing(spark, tmp_path, [], 5, 9) == [
+        ("blocks", 5, 9),
+        ("transactions", 5, 9),
+    ]
+
+
+def test_foreign_files_ignored(spark, tmp_path):
+    make_tree(str(tmp_path), [(100, B)])
+    os.makedirs(tmp_path / "eth" / "000000000", exist_ok=True)
+    open(tmp_path / "eth" / "README.md", "w").close()
+    open(tmp_path / "eth" / "000000000" / "notes.txt", "w").close()
+    inv = ARC.inventory_df(spark, str(tmp_path), "eth")
+    assert inv.count() == 1
+
+
+def test_duplicate_same_kind_same_range(spark, tmp_path):
+    # scenario 7: duplicate same-kind file for one range (fork singles carry
+    # distinct hashes → not duplicates; same (range,hash) twice is)
+    specs = [(100, B), (100, T)]
+    inv = inv_for(spark, tmp_path, specs)
+    # inject a duplicate row for the same (range, hash, kind) as a second path
+    dup = inv.filter(F.col("kind") == "blocks").withColumn(
+        "path", F.concat(F.col("path"), F.lit(".copy"))
+    )
+    groups = INV.group_ranges(inv.unionByName(dup), kinds=("blocks", "transactions"))
+    dups = INV.duplicate_groups(groups, kinds=("blocks", "transactions")).collect()
+    assert len(dups) == 1 and dups[0]["n_blocks"] == 2
+
+
+def test_incomplete_groups_flags(spark, tmp_path):
+    specs = [(100, B), (100, T), (101, B)]
+    inv = inv_for(spark, tmp_path, specs)
+    groups = INV.group_ranges(inv, kinds=("blocks", "transactions"))
+    inc = INV.incomplete_groups(groups, kinds=("blocks", "transactions")).collect()
+    assert len(inc) == 1
+    assert inc[0]["start"] == 101 and inc[0]["missing_transactions"] is True
+
+
+def test_dedup_largest_covering(spark, tmp_path):
+    # scenario 8: overlapping ranges → keep the widest
+    specs = [(Range(1000, 1999), B), (Range(1000, 1099), B), (Range(1050, 1149), B)]
+    inv = inv_for(spark, tmp_path, specs)
+    groups = INV.group_ranges(inv, kinds=("blocks",))
+    marked = INV.dedup_largest_covering(groups)
+    keep = sorted((r["start"], r["end"]) for r in marked.filter("keep").collect())
+    drop = sorted((r["start"], r["end"]) for r in marked.filter("NOT keep").collect())
+    assert keep == [(1000, 1999)]
+    assert drop == [(1000, 1099), (1050, 1149)]
+
+
+def test_merge_small_ranges(spark, tmp_path):
+    specs = [(Range(100, 104), B), (Range(105, 109), B), (Range(200, 204), B), (Range(300, 1299), B)]
+    inv = inv_for(spark, tmp_path, specs)
+    groups = INV.group_ranges(inv, kinds=("blocks",))
+    isl = INV.merge_small_ranges(groups, threshold=10)
+    got = sorted(
+        (r["island_start"], r["island_end"], len(r["members"])) for r in isl.collect()
+    )
+    assert got == [(100, 109, 2), (200, 204, 1), (300, 1299, 1)]
+
+
+def test_delete_files_dry_run(spark, tmp_path):
+    make_tree(str(tmp_path), [(100, B)])
+    rel = "eth/" + single_file_path(100, B)
+    res = ARC.delete_files(str(tmp_path), [rel], dry_run=True)
+    assert res.deleted == [rel] and os.path.exists(tmp_path / rel)
+    res = ARC.delete_files(str(tmp_path), [rel], dry_run=False)
+    assert res.deleted == [rel] and not os.path.exists(tmp_path / rel)
