@@ -27,16 +27,21 @@ from pyspark.sql import functions as F
 DEFAULT_BUCKET = 1_000_000
 
 
-def _islands_single_pass(df: DataFrame, start: str, end: str, keys: list[str]) -> DataFrame:
+def _islands_single_pass(
+    df: DataFrame, start: str, end: str, keys: list[str], adjacency: bool = True
+) -> DataFrame:
     """Merge connected [start,end] rows into maximal disjoint islands.
 
     Classic gaps-and-islands: a row opens a new island iff its start exceeds
-    the running max of previous ends + 1.
+    the running max of previous ends (+1 when ``adjacency`` counts touching
+    ranges as connected; without it only true overlap connects — needed for
+    overlap-dedup, where adjacent ranges are NOT rivals).
     """
     w = Window.partitionBy(*keys).orderBy(start, end) if keys else Window.orderBy(start, end)
     prev_max_end = F.max(F.col(end)).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    slack = 1 if adjacency else 0
     new_island = F.when(
-        prev_max_end.isNull() | (F.col(start) > prev_max_end + 1), F.lit(1)
+        prev_max_end.isNull() | (F.col(start) > prev_max_end + slack), F.lit(1)
     ).otherwise(F.lit(0))
     df = df.withColumn("_new", new_island)
     df = df.withColumn(
@@ -83,15 +88,19 @@ def islands(
 
 
 def merge_range_rows(
-    df: DataFrame, start: str = "start", end: str = "end", keys: list[str] | None = None
+    df: DataFrame,
+    start: str = "start",
+    end: str = "end",
+    keys: list[str] | None = None,
+    adjacency: bool = True,
 ) -> DataFrame:
     """Union of [start,end] interval rows -> maximal disjoint intervals.
 
     Interval rows are metadata (file inventories, chunk lists) — already
-    small; one windowed pass suffices.
-    """
+    small; one windowed pass suffices. ``adjacency=False`` merges only
+    truly-overlapping ranges (overlap-island detection for dedup)."""
     keys = keys or []
-    return _islands_single_pass(df.select(*keys, start, end), start, end, keys)
+    return _islands_single_pass(df.select(*keys, start, end), start, end, keys, adjacency)
 
 
 def complement_ranges(

@@ -112,7 +112,9 @@ def dedup_largest_covering(groups: DataFrame) -> DataFrame:
     Returns the input with ``keep`` boolean added.
     """
     ranges = groups.select("start", "end").distinct()
-    isl = merge_range_rows(ranges).select(
+    # adjacency=False: only truly-overlapping ranges compete; adjacent
+    # groups are legitimate neighbors
+    isl = merge_range_rows(ranges, adjacency=False).select(
         F.col("start").alias("i_start"), F.col("end").alias("i_end")
     )
     joined = groups.join(

@@ -1,0 +1,316 @@
+"""``verify`` — integrity audit with destructive repair (reference
+``src/command/verify.rs:409-477`` lifecycle, SURVEY §3.3).
+
+Pipeline (every check is a DataFrame predicate; the only driver-side data is
+metadata-scale: group lists, delete lists, chain-head lookups):
+
+1. inventory in scope (P2 range-intersection filter)
+2. duplicate same-kind files per (range, hash) → both deleted (J3 dup rule)
+3. fork resolution for single-block groups: keep the hash matching the live
+   chain, delete losers (J4)
+4. overlapping ranges → keep largest covering (W3)
+5. completeness: groups missing expected kinds → skipped (or deleted with
+   ``fix_clean``) (A4)
+6. content verification per surviving group:
+   blocks — dup heights (A5), count==range (A6), parent-hash chain linkage
+   (W1), payload non-empty/non-"null" (P5), head hash vs live chain (J5);
+   txes/traces — txid set equality both directions vs the tx lists parsed
+   out of the blocks' JSON (J1/J2), payload null checks
+7. failing groups → file delete list, honoring dry-run
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..core.filenames import DataKind
+from ..core.ranges import Range
+from ..operators.inventory import group_ranges
+from ..sources.archive import delete_files, inventory_df
+
+
+@dataclass
+class VerifyReport:
+    scope: Range
+    groups_total: int = 0
+    groups_ok: int = 0
+    failures: list[dict] = field(default_factory=list)  # per failing group
+    deleted: list[str] = field(default_factory=list)
+    dry_run: bool = False
+
+
+def _payload_invalid(col: str) -> F.Column:
+    c = F.col(col)
+    return c.isNull() | (F.length(c) == 0) | (c.cast("string") == "null")
+
+
+def _read_kind(spark, base: str, inv: DataFrame, kind: str) -> DataFrame | None:
+    paths = [r["path"] for r in inv.filter(F.col("kind") == kind).collect()]
+    if not paths:
+        return None
+    full = [os.path.join(base, p) for p in paths]
+    df = spark.read.parquet(*full).withColumn("_path", F.input_file_name())
+    # attach the owning group's range via the inventory (suffix match on path)
+    inv_k = inv.filter(F.col("kind") == kind).select(
+        F.col("path").alias("_rel"), F.col("start").alias("g_start"), F.col("end").alias("g_end")
+    )
+    return df.join(
+        F.broadcast(inv_k), F.expr("_path LIKE concat('%', _rel)"), "left"
+    ).drop("_rel")
+
+
+def verify(
+    spark: SparkSession,
+    provider,
+    root: str,
+    rng: Range,
+    tables: tuple[DataKind, ...] = (DataKind.BLOCKS, DataKind.TRANSACTIONS),
+    fix_clean: bool = False,
+    dry_run: bool = False,
+) -> VerifyReport:
+    blockchain = provider.blockchain_id
+    base = os.path.join(root, blockchain.lower())
+    kinds = tuple(k.value for k in tables)
+    report = VerifyReport(scope=rng, dry_run=dry_run)
+    to_delete: set[str] = set()
+
+    inv_all = inventory_df(spark, root, blockchain)
+    # P2: files whose range intersects the scope. The fork-hash qualifier is
+    # normalized to '' so (start, end, hash) joins are null-safe.
+    inv = (
+        inv_all.filter((F.col("end") >= rng.start) & (F.col("start") <= rng.end))
+        .withColumn("hash", F.coalesce(F.col("hash"), F.lit("")))
+        .cache()
+    )
+
+    groups = group_ranges(inv, kinds=kinds).cache()
+    report.groups_total = groups.count()
+
+    # 2. duplicate same-kind files for one (range, hash) → delete every copy
+    dup_cond = None
+    for k in kinds:
+        c = F.col(f"n_{k}") > 1
+        dup_cond = c if dup_cond is None else (dup_cond | c)
+    dup_groups = groups.filter(dup_cond)
+    dup_keys = dup_groups.select("start", "end", "hash")
+    dup_files = inv.join(dup_keys, ["start", "end"], "left_semi")
+    for r in dup_files.collect():
+        to_delete.add(r["path"])
+        report.failures.append({"start": r["start"], "end": r["end"], "reason": "duplicate"})
+    groups = groups.join(dup_keys, ["start", "end"], "left_anti")
+
+    # 3. fork resolution (J4): single-height groups with >1 hash variant
+    singles = groups.filter(F.col("start") == F.col("end"))
+    forked_heights = (
+        singles.groupBy("start").agg(F.countDistinct("hash").alias("n")).filter("n > 1")
+    )
+    fork_list = [r["start"] for r in forked_heights.collect()]
+    if fork_list:
+        lookup = spark.createDataFrame(
+            [(h, provider.block_hash(h)) for h in fork_list], "start long, live_hash string"
+        )
+        losers = singles.join(F.broadcast(lookup), "start").filter(
+            (F.col("hash") != "") & (F.col("hash") != F.col("live_hash"))
+        )
+        loser_files = inv.join(losers.select("start", "end", "hash"), ["start", "end", "hash"], "left_semi")
+        for r in loser_files.collect():
+            to_delete.add(r["path"])
+            report.failures.append({"start": r["start"], "end": r["end"], "reason": "fork_loser"})
+        groups = groups.join(
+            losers.select("start", "end", "hash"), ["start", "end", "hash"], "left_anti"
+        )
+
+    # 4. overlapping ranges → keep the largest covering (W3)
+    from ..operators.inventory import dedup_largest_covering
+
+    marked = dedup_largest_covering(groups)
+    overlap_losers = marked.filter(~F.col("keep")).select("start", "end", "hash")
+    # only ranges that genuinely overlap another survivor are losers; solo
+    # ranges always "keep". Delete loser files.
+    loser_files = inv.join(overlap_losers, ["start", "end"], "left_semi")
+    n_overlap = 0
+    for r in loser_files.collect():
+        to_delete.add(r["path"])
+        n_overlap += 1
+    if n_overlap:
+        report.failures.append({"reason": "overlap_loser", "n_files": n_overlap})
+    groups = marked.filter(F.col("keep")).drop("keep")
+
+    # 5. completeness (A4)
+    inc_cond = None
+    for k in kinds:
+        c = F.col(f"n_{k}") == 0
+        inc_cond = c if inc_cond is None else (inc_cond | c)
+    incomplete = groups.filter(inc_cond)
+    inc_keys = incomplete.select("start", "end", "hash")
+    if fix_clean:
+        inc_files = inv.join(inc_keys, ["start", "end"], "left_semi")
+        for r in inc_files.collect():
+            to_delete.add(r["path"])
+            report.failures.append({"start": r["start"], "end": r["end"], "reason": "incomplete"})
+    else:
+        for r in inc_keys.collect():
+            report.failures.append({"start": r["start"], "end": r["end"], "reason": "incomplete"})
+    groups = groups.join(inc_keys, ["start", "end", "hash"], "left_anti")
+
+    # hash participates in the key: a pruned fork twin at the same height must
+    # not leak its file into the surviving group's content check
+    surviving_inv = inv.join(
+        groups.select("start", "end", "hash"), ["start", "end", "hash"], "left_semi"
+    ).cache()
+
+    # 6. content verification
+    bad_groups: DataFrame | None = None
+    bdf = _read_kind(spark, base, surviving_inv, "blocks") if "blocks" in kinds else None
+    expected = None
+    if bdf is not None:
+        w = Window.partitionBy("g_start", "g_end").orderBy("height")
+        linked = bdf.withColumn("prev_id", F.lag("blockId").over(w)).withColumn(
+            "broken",
+            F.when(
+                F.col("prev_id").isNotNull() & (F.col("parentId") != F.col("prev_id")), 1
+            ).otherwise(0),
+        )
+        # J5 head-hash confirmation against the live chain
+        ends = [r["g_end"] for r in bdf.select("g_end").distinct().collect() if r["g_end"] is not None]
+        head_lookup = spark.createDataFrame(
+            [(h, provider.block_hash(h)) for h in ends], "g_end long, live_hash string"
+        )
+        blocks_stat = (
+            linked.groupBy("g_start", "g_end")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.countDistinct("height").alias("n_heights"),
+                F.sum("broken").alias("broken_links"),
+                F.sum(F.when(_payload_invalid("json"), 1).otherwise(0)).alias("bad_json"),
+                F.max(F.struct("height", "blockId")).alias("top"),
+            )
+            .join(F.broadcast(head_lookup), "g_end", "left")
+            .withColumn(
+                "blocks_ok",
+                (F.col("n_rows") == F.col("n_heights"))  # A5 no dup heights
+                & (F.col("n_heights") == F.col("g_end") - F.col("g_start") + 1)  # A6
+                & (F.col("broken_links") == 0)  # W1
+                & (F.col("bad_json") == 0)  # P5
+                & (F.col("top.blockId") == F.col("live_hash")),  # J5
+            )
+        )
+        bad_groups = blocks_stat.filter(~F.col("blocks_ok"))
+        # expected txids from the blocks' own JSON payloads (P4)
+        expected = (
+            bdf.select(
+                "g_start",
+                "g_end",
+                F.explode_outer(
+                    F.from_json(F.col("json").cast("string"), provider.block_json_schema)[
+                        "transactions"
+                    ]
+                ).alias("txid"),
+            )
+            .filter(F.col("txid").isNotNull())
+            .cache()
+        )
+
+    def tx_check(kind: str, payload_cols: list[str]) -> DataFrame | None:
+        tdf = _read_kind(spark, base, surviving_inv, kind)
+        if tdf is None or expected is None:
+            return None
+        actual = tdf.select("g_start", "g_end", "txid", *payload_cols)
+        missing = (
+            expected.join(actual, ["g_start", "g_end", "txid"], "left_anti")
+            .groupBy("g_start", "g_end")
+            .agg(F.count("*").alias("n_missing"))
+        )
+        unexpected = (
+            actual.join(expected, ["g_start", "g_end", "txid"], "left_anti")
+            .groupBy("g_start", "g_end")
+            .agg(F.count("*").alias("n_unexpected"))
+        )
+        bad_payload_cond = None
+        for c in payload_cols:
+            cc = _payload_invalid(c)
+            bad_payload_cond = cc if bad_payload_cond is None else (bad_payload_cond | cc)
+        dups = (
+            actual.groupBy("g_start", "g_end", "txid")
+            .agg(F.count("*").alias("c"))
+            .filter("c > 1")
+            .groupBy("g_start", "g_end")
+            .agg(F.count("*").alias("n_dup"))
+        )
+        payload = (
+            actual.groupBy("g_start", "g_end")
+            .agg(F.sum(F.when(bad_payload_cond, 1).otherwise(0)).alias("n_bad_payload"))
+        )
+        stat = (
+            expected.select("g_start", "g_end")
+            .distinct()
+            .join(missing, ["g_start", "g_end"], "left")
+            .join(unexpected, ["g_start", "g_end"], "left")
+            .join(dups, ["g_start", "g_end"], "left")
+            .join(payload, ["g_start", "g_end"], "left")
+            .fillna(0, ["n_missing", "n_unexpected", "n_dup", "n_bad_payload"])
+        )
+        return stat.filter(
+            (F.col("n_missing") > 0)
+            | (F.col("n_unexpected") > 0)
+            | (F.col("n_dup") > 0)
+            | (F.col("n_bad_payload") > 0)
+        )
+
+    failing_keys: list[tuple[int, int]] = []
+    if bad_groups is not None:
+        for r in bad_groups.collect():
+            failing_keys.append((r["g_start"], r["g_end"]))
+            report.failures.append(
+                {
+                    "start": r["g_start"],
+                    "end": r["g_end"],
+                    "reason": "blocks_content",
+                    "broken_links": r["broken_links"],
+                    "bad_json": r["bad_json"],
+                }
+            )
+    if "transactions" in kinds:
+        bad_tx = tx_check("transactions", ["json", "raw"])
+        if bad_tx is not None:
+            for r in bad_tx.collect():
+                failing_keys.append((r["g_start"], r["g_end"]))
+                report.failures.append(
+                    {
+                        "start": r["g_start"],
+                        "end": r["g_end"],
+                        "reason": "txes_content",
+                        "n_missing": r["n_missing"],
+                        "n_unexpected": r["n_unexpected"],
+                    }
+                )
+    if "traces" in kinds:
+        bad_tr = tx_check("traces", ["traceJson", "stateDiffJson"])
+        if bad_tr is not None:
+            for r in bad_tr.collect():
+                failing_keys.append((r["g_start"], r["g_end"]))
+                report.failures.append(
+                    {"start": r["g_start"], "end": r["g_end"], "reason": "traces_content"}
+                )
+
+    # 7. failing groups → delete all their files
+    if failing_keys:
+        keys_df = spark.createDataFrame(sorted(set(failing_keys)), "start long, end long")
+        fail_files = surviving_inv.join(keys_df, ["start", "end"], "left_semi")
+        for r in fail_files.collect():
+            to_delete.add(r["path"])
+
+    report.groups_ok = report.groups_total - len(
+        {(f.get("start"), f.get("end")) for f in report.failures if "start" in f}
+    )
+    res = delete_files(base, sorted(to_delete), dry_run=dry_run)
+    report.deleted = res.deleted
+    inv.unpersist()
+    surviving_inv.unpersist()
+    if expected is not None:
+        expected.unpersist()
+    return report

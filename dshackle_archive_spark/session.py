@@ -10,8 +10,32 @@ for the (rare) Pandas-UDF stages.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``dshackle_archive_spark`` importable on executor Python workers.
+
+    mapInPandas/applyInPandas closures are pickled by reference to this
+    module, so workers must import it; on a real cluster this is the
+    ``--py-files`` mechanism, done here programmatically."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    # rebuilt on every session start so edits are never shipped stale
+    zip_path = os.path.join(tempfile.gettempdir(), "dshackle_archive_spark_pkg.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for base, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(base, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # already added in this context
 
 
 def get_spark(app_name: str = "dshackle-archive-spark", master: str | None = None) -> SparkSession:
@@ -33,4 +57,6 @@ def get_spark(app_name: str = "dshackle-archive-spark", master: str | None = Non
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ship_package(spark)
+    return spark

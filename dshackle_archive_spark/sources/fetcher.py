@@ -1,0 +1,168 @@
+"""Partition-parallel chain fetch stage (S6-S8 in SURVEY §2.1).
+
+The reference fans out per-height RPC calls under semaphore caps
+(``global.rs:59-97``: api=16, blocks=api/2, tx=api/2, trace=api/4) with
+10 s timeouts and exponential-backoff retries (``ethereum.rs:27-30,
+104-202``). In Spark the fan-out is task parallelism: the height domain is
+repartitioned to the rate cap, and each task runs a bounded fetch loop.
+Rows are built in Arrow batches via ``mapInPandas`` — the fetch is the only
+Python-side stage in the engine; everything downstream is Catalyst-native.
+
+With the mock provider the "RPC" is a pure function; the real-chain path
+plugs an HTTP/gRPC client into the same ``FetchPolicy`` loop, which is where
+the retry/backoff/timeout logic lives (Spark task retries are too coarse —
+SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from datetime import datetime, timezone
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..core.ranges import Range
+from ..schemas import BLOCKS_SCHEMA, TRACES_SCHEMA, TRANSACTIONS_SCHEMA
+
+
+@dataclass(frozen=True)
+class FetchPolicy:
+    """Retry/backoff envelope mirroring the reference's RPC policy."""
+
+    parallel: int = 16
+    attempts: int = 10
+    backoff_base_s: float = 0.1
+    backoff_factor: float = 1.75
+    backoff_cap_s: float = 2.0
+    timeout_s: float = 10.0
+
+    def call(self, fn: Callable, *args):
+        delay = self.backoff_base_s
+        last: Exception | None = None
+        for _ in range(self.attempts):
+            try:
+                return fn(*args)
+            except Exception as e:  # retryable transport error
+                last = e
+                time.sleep(min(delay, self.backoff_cap_s))
+                delay *= self.backoff_factor
+        raise last  # exhausted
+
+
+def _now_utc() -> datetime:
+    return datetime.now(timezone.utc).replace(tzinfo=None)
+
+
+def heights_df(spark: SparkSession, rng: Range, parallel: int) -> DataFrame:
+    """The dense height domain as a DataFrame, pre-partitioned to the rate cap."""
+    n_parts = max(1, min(parallel, len(rng)))
+    return spark.range(rng.start, rng.end + 1, 1, n_parts).withColumnRenamed("id", "height")
+
+
+def fetch_blocks(
+    spark: SparkSession,
+    provider,
+    rng: Range,
+    policy: FetchPolicy = FetchPolicy(),
+    forks: bool = False,
+) -> DataFrame:
+    """Fetch the blocks table for a height range (reference block.rs:20-94).
+
+    ``forks=True`` additionally emits the provider's fork variant at fork
+    heights (stream-mode behavior T5: both versions co-exist keyed by
+    (height, blockId) until verify prunes losers).
+    """
+    cap = max(1, policy.parallel // 2)  # blocks = api/2 (global.rs:78-97)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for h in pdf["height"].tolist():
+                variants = [False] + ([True] if forks and h in provider.fork_at else [])
+                for fork in variants:
+                    blk = policy.call(provider.block, h, fork)
+                    rows.append(
+                        {
+                            "blockchainType": provider.blockchain_type,
+                            "blockchainId": provider.blockchain_id,
+                            "archiveTimestamp": _now_utc(),
+                            "height": h,
+                            "blockId": blk["hash"],
+                            "parentId": blk["parent"],
+                            "timestamp": pd.Timestamp(
+                                provider.block_timestamp_ms(h), unit="ms"
+                            ),
+                            "json": policy.call(provider.block_json, h, fork),
+                            "unclesCount": 0,
+                            "uncle0Json": None,
+                            "uncle1Json": None,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in BLOCKS_SCHEMA.fields])
+
+    hs = heights_df(spark, rng, cap)
+    return hs.mapInPandas(gen, schema=BLOCKS_SCHEMA)
+
+
+def _tx_rows_for_block(provider, h: int, blk_hash: str, with_traces: bool) -> list[dict]:
+    ts = pd.Timestamp(provider.block_timestamp_ms(h), unit="ms")
+    out = []
+    for i, txid in enumerate(provider.tx_ids(h)):
+        base = {
+            "blockchainType": provider.blockchain_type,
+            "blockchainId": provider.blockchain_id,
+            "archiveTimestamp": _now_utc(),
+            "height": h,
+            "blockId": blk_hash,
+            "timestamp": ts,
+            "index": i,
+            "txid": txid,
+        }
+        if with_traces:
+            base.update(
+                {
+                    "traceJson": provider.trace_json(txid),
+                    "stateDiffJson": provider.state_diff_json(txid),
+                }
+            )
+        else:
+            base.update(
+                {
+                    "json": provider.tx_json(h, txid),
+                    "raw": provider.tx_raw(txid),
+                    "from": None,
+                    "to": None,
+                    "receiptJson": provider.receipt_json(txid),
+                }
+            )
+        out.append(base)
+    return out
+
+
+def fetch_table_for_heights(
+    spark: SparkSession,
+    provider,
+    rng: Range,
+    kind: str,  # "transactions" | "traces"
+    policy: FetchPolicy = FetchPolicy(),
+) -> DataFrame:
+    """Fetch txes/traces for a range (reference table.rs:17-150): per-height
+    fan-out at the kind's rate cap, one row per (block, tx-index)."""
+    with_traces = kind == "traces"
+    cap = max(1, policy.parallel // (4 if with_traces else 2))
+    schema = TRACES_SCHEMA if with_traces else TRANSACTIONS_SCHEMA
+    cols = [f.name for f in schema.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for h in pdf["height"].tolist():
+                blk = policy.call(provider.block, h)
+                rows.extend(_tx_rows_for_block(provider, h, blk["hash"], with_traces))
+            yield pd.DataFrame(rows, columns=cols)
+
+    hs = heights_df(spark, rng, cap)
+    return hs.mapInPandas(gen, schema=schema)

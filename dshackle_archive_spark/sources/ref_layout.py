@@ -1,0 +1,182 @@
+"""Reference-layout file sink: one file per (range|height, kind), written
+distributed (S11-S13 in SURVEY §2.1).
+
+The reference appends records into exactly-named Avro files
+(``fs.rs:135-219``); Spark's native ``df.write`` produces opaque part-files,
+so the layout-compatible sink groups rows by their target file and lets each
+*task* write its file via pyarrow inside ``applyInPandas`` — no driver
+collect, one task per output file, horizontally scalable to any number of
+files. Parquet is used in this environment (no spark-avro jar); the path
+codec accepts both extensions.
+
+Idempotent writes (S13, ``create(overwrite=false)``): a task that finds its
+target file already present skips it and reports ``skipped`` — the
+reference's keep-existing semantics for stream/fix.
+
+Each written file yields one notification row (S15, ``notify/mod.rs:12-35``).
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..core.filenames import DataKind, range_file_path, single_file_path
+from ..core.ranges import Range
+
+WRITE_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("version", T.StringType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("blockchain", T.StringType(), False),
+        T.StructField("type", T.StringType(), False),
+        T.StructField("run", T.StringType(), False),
+        T.StructField("heightStart", T.LongType(), False),
+        T.StructField("heightEnd", T.LongType(), False),
+        T.StructField("location", T.StringType(), False),
+        T.StructField("maturity", T.StringType(), True),
+        T.StructField("skipped", T.BooleanType(), False),
+        T.StructField("n_rows", T.LongType(), False),
+    ]
+)
+
+VERSION = "https://schema.emrld.io/dshackle-archive/notify"
+
+
+def _write_group_fn(
+    base_dir: str,
+    kind: DataKind,
+    blockchain: str,
+    run: str,
+    chunk: int | None,
+    overwrite: bool,
+    maturity: str | None,
+    hash_in_name: bool,
+    fmt: str,
+):
+    sort_cols = ["height"] if kind == DataKind.BLOCKS else ["height", "index"]
+
+    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo = int(pdf["height"].min())
+        hi = int(pdf["height"].max())
+        if chunk is None:
+            block_hash = (
+                str(pdf["blockId"].iloc[0]) if hash_in_name and "blockId" in pdf else None
+            )
+            rel = single_file_path(lo, kind, block_hash=block_hash, fmt=fmt)
+            lo_r, hi_r = lo, hi
+        else:
+            lo_r = lo // chunk * chunk
+            hi_r = lo_r + chunk - 1
+            rel = range_file_path(Range(lo_r, hi_r), kind, fmt=fmt)
+        path = os.path.join(base_dir, rel)
+        skipped = os.path.exists(path) and not overwrite
+        if not skipped:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = path + ".inprogress"
+            out = pdf.drop(columns=["_file_group"], errors="ignore").sort_values(sort_cols)
+            # delete-on-failure commit: write to a temp name, rename on success
+            # (the reference's delete-on-drop, fs.rs:204-219)
+            try:
+                # parquet TIMESTAMP(MICROS): Spark's reader rejects NANOS
+                out.to_parquet(
+                    tmp,
+                    index=False,
+                    coerce_timestamps="us",
+                    allow_truncated_timestamps=True,
+                )
+                os.replace(tmp, path)
+            finally:
+                if os.path.exists(tmp):
+                    os.remove(tmp)
+        return pd.DataFrame(
+            [
+                {
+                    "version": VERSION,
+                    "ts": datetime.now(timezone.utc).replace(tzinfo=None),
+                    "blockchain": blockchain,
+                    "type": kind.value,
+                    "run": run,
+                    "heightStart": lo_r,
+                    "heightEnd": hi_r,
+                    "location": path,
+                    "maturity": maturity,
+                    "skipped": skipped,
+                    "n_rows": 0 if skipped else len(pdf),
+                }
+            ]
+        )
+
+    return write_group
+
+
+def write_range_files(
+    df: DataFrame,
+    root: str,
+    blockchain: str,
+    kind: DataKind,
+    chunk: int = 1000,
+    run: str = "archive",
+    overwrite: bool = False,
+    maturity: str | None = None,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Write ``df`` as reference-layout range files, one per aligned chunk.
+
+    Returns the write-result/notification DataFrame (action runs on count/
+    collect). One shuffle on the chunk key; each output file is produced by
+    exactly one task.
+    """
+    base = os.path.join(root, blockchain.lower())
+    grouped = df.withColumn("_file_group", F.floor(F.col("height") / chunk))
+    return grouped.groupBy("_file_group").applyInPandas(
+        _write_group_fn(base, kind, blockchain, run, chunk, overwrite, maturity, False, fmt),
+        schema=WRITE_RESULT_SCHEMA,
+    )
+
+
+def write_single_files(
+    df: DataFrame,
+    root: str,
+    blockchain: str,
+    kind: DataKind,
+    run: str = "stream",
+    overwrite: bool = False,
+    maturity: str | None = None,
+    hash_in_name: bool = False,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Write one file per (height[, blockId]) — stream mode's fork-tolerant
+    single-block files (T5: the hash qualifier keeps both fork versions)."""
+    base = os.path.join(root, blockchain.lower())
+    keys = ["height", "blockId"] if hash_in_name else ["height"]
+    grouped = df.withColumn("_file_group", F.concat_ws("_", *[F.col(k) for k in keys]))
+    return grouped.groupBy("_file_group").applyInPandas(
+        _write_group_fn(base, kind, blockchain, run, None, overwrite, maturity, hash_in_name, fmt),
+        schema=WRITE_RESULT_SCHEMA,
+    )
+
+
+def notifications_df(write_results: DataFrame) -> DataFrame:
+    """Notification rows for files actually written (skips excluded)."""
+    return write_results.filter(~F.col("skipped")).drop("skipped", "n_rows")
+
+
+def write_notifications(write_results: DataFrame, root: str, run_ts: str) -> str:
+    """S15: JSONL notification sink — one line per archived file."""
+    out_dir = os.path.join(root, "notifications", f"dshackle-archive-{run_ts}")
+    notifications_df(write_results).coalesce(1).write.mode("append").json(out_dir)
+    return out_dir
+
+
+def read_archive_files(spark, root: str, blockchain: str, paths: Iterable[str]) -> DataFrame:
+    """Read a set of reference-layout files with their source path attached."""
+    base = os.path.join(root, blockchain.lower())
+    full = [os.path.join(base, p) for p in paths]
+    return spark.read.parquet(*full).withColumn("_path", F.input_file_name())

@@ -1,0 +1,204 @@
+"""End-to-end workflow tests: archive → verify → compact → fix on the mock
+chain, with golden file-inventory assertions (the reference's e2e test style,
+``compact.rs:798-1119``, ``verify.rs:950-1212``, ``storage/mod.rs:290-610``).
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dshackle_archive_spark.core import DataKind, Range, parse_filename
+from dshackle_archive_spark.plans.archive_plan import archive, archive_single_blocks
+from dshackle_archive_spark.plans.compact_plan import compact
+from dshackle_archive_spark.plans.fix_plan import fix
+from dshackle_archive_spark.plans.verify_plan import verify
+from dshackle_archive_spark.sources.archive import delete_files, inventory_df, list_archive_files
+from dshackle_archive_spark.sources.fetcher import FetchPolicy
+from dshackle_archive_spark.sources.mock_chain import MockChain
+
+BT = (DataKind.BLOCKS, DataKind.TRANSACTIONS)
+POLICY = FetchPolicy(parallel=4)
+CHAIN = MockChain(head_height=10_000)
+
+
+def tree(root, chain=CHAIN):
+    return list_archive_files(os.path.join(str(root), chain.blockchain_id.lower()))
+
+
+def test_archive_range(spark, tmp_path):
+    res = archive(spark, CHAIN, str(tmp_path), Range(100, 349), tables=BT, chunk=100, policy=POLICY)
+    assert res.written == 6 and res.skipped == 0  # 3 chunks × 2 kinds
+    got = tree(tmp_path)
+    assert got == [
+        "000000000/range-000000100_000000199.blocks.parquet",
+        "000000000/range-000000100_000000199.txes.parquet",
+        "000000000/range-000000200_000000299.blocks.parquet",
+        "000000000/range-000000200_000000299.txes.parquet",
+        "000000000/range-000000300_000000399.blocks.parquet",
+        "000000000/range-000000300_000000399.txes.parquet",
+    ]
+    # content: blocks have the right heights; txes match the mock tx lists
+    bdf = spark.read.parquet(str(tmp_path / "eth" / "000000000" / "range-000000100_000000199.blocks.parquet"))
+    assert bdf.count() == 100
+    heights = [r["height"] for r in bdf.select("height").orderBy("height").collect()]
+    assert heights == list(range(100, 200))
+    tdf = spark.read.parquet(str(tmp_path / "eth" / "000000000" / "range-000000100_000000199.txes.parquet"))
+    expected_tx = sum(len(CHAIN.tx_ids(h)) for h in range(100, 200))
+    assert tdf.count() == expected_tx
+    # notifications: one per written file
+    assert res.notifications.count() == 6
+    n = res.notifications.filter(F.col("type") == "blocks").orderBy("heightStart").collect()
+    assert [(r["heightStart"], r["heightEnd"], r["run"]) for r in n] == [
+        (100, 199, "archive"), (200, 299, "archive"), (300, 399, "archive")
+    ]
+
+
+def test_archive_idempotent_no_overwrite(spark, tmp_path):
+    archive(spark, CHAIN, str(tmp_path), Range(100, 199), tables=BT, chunk=100, policy=POLICY)
+    res2 = archive(spark, CHAIN, str(tmp_path), Range(100, 199), tables=BT, chunk=100, policy=POLICY)
+    assert res2.written == 0 and res2.skipped == 2  # S13 keep-existing
+
+
+def test_verify_clean_archive_ok(spark, tmp_path):
+    archive(spark, CHAIN, str(tmp_path), Range(100, 299), tables=BT, chunk=100, policy=POLICY)
+    rep = verify(spark, CHAIN, str(tmp_path), Range(100, 299), tables=BT)
+    assert rep.failures == [] and rep.deleted == []
+    assert rep.groups_total == 2 and rep.groups_ok == 2
+
+
+def test_verify_detects_missing_txes_file(spark, tmp_path):
+    archive(spark, CHAIN, str(tmp_path), Range(100, 299), tables=BT, chunk=100, policy=POLICY)
+    delete_files(str(tmp_path / "eth"), ["000000000/range-000000200_000000299.txes.parquet"])
+    rep = verify(spark, CHAIN, str(tmp_path), Range(100, 299), tables=BT)
+    assert any(f["reason"] == "incomplete" and f["start"] == 200 for f in rep.failures)
+    # without fix_clean nothing is deleted
+    assert rep.deleted == []
+    rep2 = verify(spark, CHAIN, str(tmp_path), Range(100, 299), tables=BT, fix_clean=True)
+    assert rep2.deleted == ["000000000/range-000000200_000000299.blocks.parquet"]
+
+
+def test_verify_detects_broken_chain(spark, tmp_path):
+    class BrokenChain(MockChain):
+        def block(self, height, fork=False):
+            blk = super().block(height, fork)
+            if height == 150:
+                blk["parent"] = "WRONG"
+            return blk
+
+    chain = BrokenChain(head_height=10_000)
+    archive(spark, chain, str(tmp_path), Range(100, 199), tables=BT, chunk=100, policy=POLICY)
+    # the blocks file carries the wrong parent; verify against the TRUE chain
+    rep = verify(spark, CHAIN, str(tmp_path), Range(100, 199), tables=BT, dry_run=True)
+    bad = [f for f in rep.failures if f["reason"] == "blocks_content"]
+    assert len(bad) == 1 and bad[0]["broken_links"] == 1
+    # dry-run: delete list reported but files kept
+    assert rep.dry_run and len(rep.deleted) == 2
+    assert len(tree(tmp_path)) == 2
+
+
+def test_verify_detects_missing_tx_rows(spark, tmp_path):
+    class ShortTxChain(MockChain):
+        def tx_ids(self, height):
+            ids = super().tx_ids(height)
+            return ids[:-1] if height == 120 else ids
+
+    # archive with a provider that drops one tx; blocks json still promises it
+    class ShortTxOnlyForTxes(MockChain):
+        pass
+
+    chain = MockChain(head_height=10_000)
+    archive(spark, chain, str(tmp_path), Range(100, 199), tables=(DataKind.BLOCKS,), chunk=100, policy=POLICY)
+    short = ShortTxChain(head_height=10_000)
+    archive(spark, short, str(tmp_path), Range(100, 199), tables=(DataKind.TRANSACTIONS,), chunk=100, policy=POLICY)
+    rep = verify(spark, CHAIN, str(tmp_path), Range(100, 199), tables=BT, dry_run=True)
+    bad = [f for f in rep.failures if f["reason"] == "txes_content"]
+    assert len(bad) == 1 and bad[0]["n_missing"] == 1 and bad[0]["n_unexpected"] == 0
+
+
+def test_verify_fork_resolution(spark, tmp_path):
+    fork_chain = MockChain(head_height=10_000, fork_at=frozenset({205}))
+    archive_single_blocks(
+        spark, fork_chain, str(tmp_path), Range(200, 209),
+        tables=(DataKind.BLOCKS,), policy=POLICY, forks=True,
+    )
+    files = tree(tmp_path)
+    assert len(files) == 11  # 10 heights + 1 fork twin at 205
+    rep = verify(spark, CHAIN, str(tmp_path), Range(200, 209), tables=(DataKind.BLOCKS,))
+    assert any(f["reason"] == "fork_loser" for f in rep.failures)
+    assert len(tree(tmp_path)) == 10
+    # the losing (F205) file is gone, canonical B205 kept
+    survivors = [parse_filename(p) for p in tree(tmp_path)]
+    h205 = [fi for fi in survivors if fi.range.start == 205]
+    assert len(h205) == 1
+
+
+def test_compact_singles_to_range(spark, tmp_path):
+    archive_single_blocks(
+        spark, CHAIN, str(tmp_path), Range(100, 299), tables=BT, policy=POLICY
+    )
+    assert len(tree(tmp_path)) == 400  # 200 heights × 2 kinds
+    res = compact(spark, str(tmp_path), "ETH", Range(100, 299), tables=BT, chunk=100,
+                  block_json_schema=CHAIN.block_json_schema)
+    assert res.compacted_chunks == [(100, 199), (200, 299)]
+    got = tree(tmp_path)
+    assert got == [
+        "000000000/range-000000100_000000199.blocks.parquet",
+        "000000000/range-000000100_000000199.txes.parquet",
+        "000000000/range-000000200_000000299.blocks.parquet",
+        "000000000/range-000000200_000000299.txes.parquet",
+    ]
+    # rewritten content is complete and ordered
+    bdf = spark.read.parquet(str(tmp_path / "eth" / "000000000" / "range-000000100_000000199.blocks.parquet"))
+    assert bdf.count() == 100
+    rep = verify(spark, CHAIN, str(tmp_path), Range(100, 299), tables=BT)
+    assert rep.failures == []
+
+
+def test_compact_refuses_partial_chunk(spark, tmp_path):
+    # scenario 12: partial trailing chunk must remain uncompacted
+    archive_single_blocks(
+        spark, CHAIN, str(tmp_path), Range(100, 249), tables=BT, policy=POLICY
+    )
+    res = compact(spark, str(tmp_path), "ETH", Range(100, 299), tables=BT, chunk=100)
+    assert res.compacted_chunks == [(100, 199)]
+    assert [(s, e) for s, e, _ in res.skipped_chunks] == [(200, 299)]
+    # 200..249 singles still there
+    singles_left = [p for p in tree(tmp_path) if "range-" not in p]
+    assert len(singles_left) == 100  # 50 heights × 2 kinds
+
+
+def test_compact_skips_gap_chunk(spark, tmp_path):
+    archive_single_blocks(spark, CHAIN, str(tmp_path), Range(100, 149), tables=BT, policy=POLICY)
+    archive_single_blocks(spark, CHAIN, str(tmp_path), Range(151, 199), tables=BT, policy=POLICY)
+    res = compact(spark, str(tmp_path), "ETH", Range(100, 199), tables=BT, chunk=100)
+    assert res.compacted_chunks == []
+    assert "does not exactly cover" in res.skipped_chunks[0][2]
+
+
+def test_fix_rearchives_missing(spark, tmp_path):
+    archive(spark, CHAIN, str(tmp_path), Range(100, 499), tables=BT, chunk=100, policy=POLICY)
+    delete_files(str(tmp_path / "eth"), [
+        "000000000/range-000000200_000000299.txes.parquet",
+        "000000000/range-000000300_000000399.blocks.parquet",
+        "000000000/range-000000300_000000399.txes.parquet",
+    ])
+    res = fix(spark, CHAIN, str(tmp_path), Range(100, 499), tables=BT, chunk=100, policy=POLICY)
+    assert sorted(res.missing) == [
+        ("blocks", 300, 399),
+        ("transactions", 200, 399),
+    ]
+    # archive tree fully restored
+    assert len(tree(tmp_path)) == 8
+    rep = verify(spark, CHAIN, str(tmp_path), Range(100, 499), tables=BT)
+    assert rep.failures == []
+
+
+def test_fix_dry_run_reports_only(spark, tmp_path):
+    archive(spark, CHAIN, str(tmp_path), Range(100, 199), tables=BT, chunk=100, policy=POLICY)
+    delete_files(str(tmp_path / "eth"), ["000000000/range-000000100_000000199.txes.parquet"])
+    res = fix(spark, CHAIN, str(tmp_path), Range(100, 199), tables=BT, chunk=100,
+              policy=POLICY, dry_run=True)
+    assert res.missing == [("transactions", 100, 199)]
+    assert res.archived == [] and len(tree(tmp_path)) == 1
