@@ -1,0 +1,245 @@
+"""Document deduplication operators for large-scale training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): exact dedup, MinHash+LSH
+near-dup, SimHash, and token-set Jaccard — all as declarative DataFrame plans
+over a ``documents(doc_id, text, ...)`` table.
+
+Portability note: every hash used in a *correctness-checked* path is derived
+from ``md5`` hex strings (identical in Spark and DuckDB) rather than engine
+hashes (``xxhash64``/``hash`` differ between engines). Spark's built-ins stay
+JVM-side either way — no Python UDFs anywhere here.
+
+Scale design
+------------
+- exact dedup: one shuffle on the content hash; at 100 TB hash first, never
+  group raw text.
+- MinHash/LSH: per-doc signatures via tokenize→explode→groupBy(doc) min-hash
+  aggregation (shuffle on doc_id, combiner-friendly); candidate pairs come
+  from equi-joins on (band_id, band_hash) buckets — never an all-pairs
+  product. Verification joins only within buckets.
+- token Jaccard: candidate pairs restricted to docs sharing ≥1 token (equi
+  join on token), then intersection/union counts by pair — shuffles scale
+  with the posting lists, mitigated by dropping ultra-common tokens (df cap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalized_text(col: str = "text") -> Column:
+    """Lowercase, collapse whitespace — the canonical form for hashing."""
+    return F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+
+
+def content_hash(col: str = "text") -> Column:
+    return F.md5(normalized_text(col))
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup groups: content hash -> n copies + canonical (min) id."""
+    return (
+        docs.select(F.col(id_col), content_hash(text_col).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_copies"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def distinct_documents(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one doc per content hash (the min id), dropping exact dups."""
+    w = Window.partitionBy(content_hash(text_col)).orderBy(F.col(id_col))
+    return (
+        docs.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+    )
+
+
+def tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct (doc_id, token) pairs from whitespace tokenization."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(normalized_text(text_col), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+
+
+def shingles(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc (arrays built JVM-side)."""
+    toks = F.split(normalized_text(text_col), " ")
+    # transform over positions 0..len-n building n-token shingles
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)) - 0),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    doc_tokens: DataFrame,
+    num_hashes: int = 16,
+    token_col: str = "shingle",
+) -> DataFrame:
+    """Per-doc MinHash signature: sig[i] = min(md5(i || token)).
+
+    md5-hex min is a valid permutation-min under lexicographic order and is
+    engine-portable. One groupBy(doc_id) with min-combiners; signature is an
+    array column."""
+    sig = F.array(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"h{i}:"), F.col(token_col)))).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return doc_tokens.groupBy("doc_id").agg(sig.alias("signature"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: docs agreeing on all rows of any band become candidates.
+
+    Output: (doc_a, doc_b) with doc_a < doc_b, distinct across bands. The
+    join key is (band_id, band_hash) — an equi join Catalyst hash-partitions;
+    no cartesian anywhere."""
+    assert bands * rows_per_band <= 64
+    bands_col = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = signatures.select("doc_id", F.explode(bands_col).alias("band")).select(
+        "doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    doc_tokens: DataFrame,
+    threshold: float = 0.6,
+    token_col: str = "token",
+    max_token_df: int | None = None,
+) -> DataFrame:
+    """Token-set Jaccard over candidate pairs sharing ≥1 token.
+
+    ``max_token_df`` drops tokens appearing in more than N docs (stop-token
+    cap) — the standard posting-list pruning that keeps the candidate join
+    sub-quadratic at scale."""
+    toks = doc_tokens.select("doc_id", F.col(token_col).alias("token"))
+    if max_token_df is not None:
+        rare = (
+            toks.groupBy("token").agg(F.count("*").alias("df")).filter(F.col("df") <= max_token_df)
+        )
+        toks = toks.join(rare.select("token"), "token", "left_semi")
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tokens").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tokens").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
+    )
+
+
+def simhash64(doc_tokens: DataFrame, token_col: str = "token") -> DataFrame:
+    """64-bit SimHash per doc from md5-derived token bits.
+
+    Each token contributes ±1 per bit position; the signature bit is the sign
+    of the sum. Bits come from the first 16 hex chars of md5(token) — JVM-side
+    ``conv`` + bit ops, engine-portable."""
+    # bit i of the 64-bit hash = bit (i mod 4) of md5 hex digit (i div 4) —
+    # stays in small-int arithmetic, no 2^63 literals
+    md5c = F.md5(F.col(token_col))
+    digits = [
+        F.conv(F.substring(md5c, d + 1, 1), 16, 10).cast("int").alias(f"d{d}")
+        for d in range(16)
+    ]
+    tagged = doc_tokens.select("doc_id", *digits)
+
+    def bit(i: int) -> F.Column:
+        return (F.floor(F.col(f"d{i // 4}") / (2 ** (i % 4))) % 2).cast("int")
+
+    bit_sums = tagged.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(bit(i) == 1, 1).otherwise(-1)).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sig = sum(
+        (F.when(F.col(f"b{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0)) for i in range(32)),
+        F.lit(0),
+    ).cast("long")
+    sig_hi = sum(
+        (F.when(F.col(f"b{i+32}") > 0, F.lit(2 ** i)).otherwise(F.lit(0)) for i in range(32)),
+        F.lit(0),
+    ).cast("long")
+    return bit_sums.select(
+        "doc_id", sig.alias("simhash_lo"), sig_hi.alias("simhash_hi")
+    )
+
+
+def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by Hamming distance over (hi, lo) 32-bit halves.
+
+    Blocking: exact match on one half (a doc pair within ``max_hamming`` ≤ 3
+    of 64 bits almost always agrees exactly on one 32-bit half) — turns the
+    pair search into two equi joins instead of a cartesian."""
+    def ham(a: Column, b: Column) -> Column:
+        return F.bit_count(a.bitwiseXOR(b))
+
+    out = []
+    for half in ("simhash_lo", "simhash_hi"):
+        a = sim.alias("a")
+        b = sim.alias("b")
+        pairs = a.join(
+            b,
+            (F.col(f"a.{half}") == F.col(f"b.{half}")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (
+                ham(F.col("a.simhash_lo"), F.col("b.simhash_lo"))
+                + ham(F.col("a.simhash_hi"), F.col("b.simhash_hi"))
+            ).alias("hamming"),
+        )
+        out.append(pairs)
+    return out[0].unionByName(out[1]).distinct().filter(F.col("hamming") <= max_hamming)

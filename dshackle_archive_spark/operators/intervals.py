@@ -24,7 +24,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-DEFAULT_BUCKET = 1_000_000
+# stage-1 bucket width: small enough that realistic height domains (~1e5 in
+# tests, ~2e7 for a full chain) spread across many parallel windows, large
+# enough that stage-2 sees only thousands of fragment rows even at 1e10
+# heights
+DEFAULT_BUCKET = 8_192
 
 
 def _islands_single_pass(

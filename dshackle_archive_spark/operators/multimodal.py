@@ -1,0 +1,130 @@
+"""Multimodal column handling: image/audio/video as opaque ``binary`` columns
+with typed metadata, processed by Arrow-batched Pandas stages.
+
+The Spark-side plumbing (schemas, partitioning, ``mapInPandas`` signatures,
+batch shapes) is real and tested; the actual codec work is stubbed behind
+``DecodeBackend`` because image/audio libraries are not in this container —
+a deployment plugs in PIL/ffmpeg/torchaudio by overriding ``decode_image``
+etc. A ``DeterministicFakeBackend`` exercises the full pipeline in tests.
+
+Scale design: media rows are large (MBs); the stages keep Arrow batches small
+via ``spark.sql.execution.arrow.maxRecordsPerBatch`` and never shuffle raw
+bytes — feature extraction projects to small vectors before any wide
+operation. Repartition by ``media_id`` bucket before the Pandas stage so each
+task sees a bounded byte volume.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("sha256", T.StringType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+class DecodeBackend:
+    """Codec plugin point. Real deployments override with PIL/ffmpeg/etc."""
+
+    feature_dim = 8
+
+    def decode_image(self, payload: bytes) -> "object":
+        raise NotImplementedError("image codec not available in this environment")
+
+    def decode_audio(self, payload: bytes) -> "object":
+        raise NotImplementedError("audio codec not available in this environment")
+
+    def extract_feature(self, payload: bytes, kind: str) -> list[float] | None:
+        raise NotImplementedError("feature extractor not available in this environment")
+
+
+class DeterministicFakeBackend(DecodeBackend):
+    """Deterministic stand-in: features derived from the payload hash, so the
+    pipeline (batching, schema, partitioning) is fully testable."""
+
+    def extract_feature(self, payload: bytes, kind: str) -> list[float]:
+        h = hashlib.sha256(payload).digest()
+        return [b / 255.0 for b in h[: self.feature_dim]]
+
+
+def extract_features(
+    media: DataFrame,
+    backend: DecodeBackend | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Arrow-batched feature extraction stage (``mapInPandas``).
+
+    Projects multi-MB payloads down to fixed-size feature vectors; downstream
+    similarity/dedup then runs on the small vectors only."""
+    backend = backend or DeterministicFakeBackend()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"])
+                try:
+                    feat = backend.extract_feature(payload, r["kind"])
+                except NotImplementedError:
+                    feat = None
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "kind": r["kind"],
+                        "n_bytes": len(payload),
+                        "sha256": hashlib.sha256(payload).hexdigest(),
+                        "feature": feat,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    src = media.repartition(partitions) if partitions else media
+    return src.mapInPandas(gen, schema=FEATURE_SCHEMA)
+
+
+def exact_media_dedup(features: DataFrame) -> DataFrame:
+    """Byte-identical media dedup on the content hash (never on payloads)."""
+    return (
+        features.groupBy("sha256")
+        .agg(F.count("*").alias("n_copies"), F.min("media_id").alias("keep_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def frame_sample_plan(
+    media: DataFrame, every_ms: int = 1000
+) -> DataFrame:
+    """Video frame-sampling plan: one row per (media_id, frame_ts) to decode.
+
+    The sampling *plan* is pure Catalyst (sequence/explode over duration);
+    actual frame decode happens in the Pandas stage with a codec backend."""
+    return media.filter(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.coalesce(F.col("duration_ms"), F.lit(0)), F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )

@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k as the correctness baseline, and an LSH-bucketed
+variant (random-hyperplane signs) as the scale path — both pure Catalyst
+expressions (``F.zip_with`` + ``F.aggregate`` dot products; no UDFs).
+
+Scale design
+------------
+Brute force is O(Q·N) — fine when the query set is small (broadcast the
+queries, scan the corpus once, per-partition top-k via window). For N×N
+all-pairs at 100 TB use ``hyperplane_lsh`` buckets: candidates share a
+sign-pattern bucket, turning the similarity join into an equi join; recall
+is tuned by ``n_tables`` independent hash tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Brute-force cosine top-k: for each query vector the k nearest corpus
+    vectors (excluding itself). Queries are broadcast; ranking has a total
+    tiebreak (sim desc, neighbor id asc) for determinism."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    sim = cosine(F.col("q_vec"), F.col("c_vec"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def _hyperplane(dim: int, table: int, bit: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane from a splitmix64-style hash —
+    reproducible across engines and runs without RNG state."""
+    out = []
+    for i in range(dim):
+        x = (table * 1_000_003 + bit * 10_007 + i * 97 + 0x9E3779B9) & 0xFFFFFFFF
+        x ^= x >> 16
+        x = (x * 0x85EBCA6B) & 0xFFFFFFFF
+        x ^= x >> 13
+        x = (x * 0xC2B2AE35) & 0xFFFFFFFF
+        x ^= x >> 16
+        out.append((x / 0xFFFFFFFF) * 2.0 - 1.0)
+    return out
+
+
+def hyperplane_signatures(
+    vectors: DataFrame,
+    dim: int,
+    n_tables: int = 2,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH: per (table) a ``n_bits``-char sign bucket."""
+    rows = []
+    for t in range(n_tables):
+        bits = []
+        for b in range(n_bits):
+            plane = F.array(*[F.lit(v) for v in _hyperplane(dim, t, b)])
+            bits.append(F.when(_dot(F.col(vec_col), plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+        rows.append(
+            F.struct(F.lit(t).alias("table_id"), F.concat(*bits).alias("bucket"))
+        )
+    return vectors.select(
+        F.col(id_col).alias("vec_id"), F.explode(F.array(*rows)).alias("s")
+    ).select("vec_id", F.col("s.table_id").alias("table_id"), F.col("s.bucket").alias("bucket"))
+
+
+def ann_candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """Vectors sharing any (table, bucket) — the ANN candidate equi join."""
+    a = signatures.alias("a")
+    b = signatures.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+
+
+def ann_topk(
+    vectors: DataFrame,
+    dim: int,
+    k: int = 3,
+    n_tables: int = 4,
+    n_bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed approximate top-k: exact cosine only within buckets."""
+    sigs = hyperplane_signatures(vectors, dim, n_tables, n_bits, id_col, vec_col)
+    cands = ann_candidate_pairs(sigs)
+    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    both = (
+        cands.unionByName(
+            cands.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
+        )
+        .join(v.withColumnRenamed("vec_id", "vec_a").withColumnRenamed("vec", "a_vec"), "vec_a")
+        .join(v.withColumnRenamed("vec_id", "vec_b").withColumnRenamed("vec", "b_vec"), "vec_b")
+        .select(
+            F.col("vec_a").alias("query_id"),
+            F.col("vec_b").alias("neighbor_id"),
+            F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        both.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )

@@ -57,6 +57,7 @@ def archive(
             chunk=chunk,
             run=run,
             overwrite=overwrite,
+            requested=rng,
         )
         results = wr if results is None else results.unionByName(wr)
 

@@ -123,6 +123,7 @@ def compact(
                     chunk=chunk,
                     run="compact",
                     overwrite=True,
+                    requested=chunk_rng,
                 )
                 result.written.extend(r["location"] for r in wr.collect() if not r["skipped"])
 

@@ -782,3 +782,335 @@ def t8_sessionization(spark: SparkSession, sf: str) -> DataFrame:
     return marked.groupBy("user_id").agg(
         F.sum("new_s").alias("n_sessions"), F.count("*").alias("n_events")
     )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (dedup / text analysis / similarity) —
+# first-class beyond-reference surface (BASELINE.json north star)
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+@query(
+    "d1_exact_dedup",
+    f"""
+    SELECT md5({_NORM_SQL}) AS content_hash,
+           count(*) AS n_copies,
+           min(doc_id) AS keep_id
+    FROM documents GROUP BY 1
+    """,
+)
+def d1_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup groups by normalized-content hash (shuffle on the hash,
+    never on raw text)."""
+    from .operators.dedup import exact_duplicates
+
+    return exact_duplicates(_t(spark, sf, "documents"))
+
+
+_MINHASH_AGGS_SQL = ",\n           ".join(
+    f"min(md5(concat('h{i}:', shingle))) AS m{i}" for i in range(16)
+)
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, md5(concat_ws('|', m{4*b}, m{4*b+1}, m{4*b+2}, m{4*b+3})) AS band_hash FROM sigs"
+    for b in range(4)
+)
+
+
+@query(
+    "d2_minhash_lsh_dedup",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 100
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, concat(text, ' zz') AS text
+      FROM documents WHERE doc_id < 20
+    ), norm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM corpus
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+      FROM norm, range(1, 4096) t(i)
+      WHERE i <= greatest(len(toks) - 2, 1)
+        AND length(concat_ws(' ', toks[i], toks[i+1], toks[i+2])) > 0
+    ), sigs AS (
+      SELECT doc_id,
+           {_MINHASH_AGGS_SQL}
+      FROM sh GROUP BY doc_id
+    ), banded AS ({_BANDS_SQL})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    """,
+)
+def d2_minhash_lsh_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: shingle → 16 md5-minhashes → 4 bands
+    of 4 → bucket equi-join. Planted mutated copies (doc+100000, text+' zz')
+    guarantee recall is visible: every planted pair must collide."""
+    from .operators.dedup import lsh_candidate_pairs, minhash_signatures, shingles
+
+    docs = _t(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") < 100).select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+        )
+    )
+    sigs = minhash_signatures(shingles(corpus, n=3), num_hashes=16, token_col="shingle")
+    return lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+
+
+@query(
+    "d3_ngram_jaccard",
+    f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+    norm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM corpus
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+      FROM norm, range(1, 4096) t(i)
+      WHERE i <= greatest(len(toks) - 2, 1)
+        AND length(concat_ws(' ', toks[i], toks[i+1], toks[i+2])) > 0
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_inter,
+           sa.n AS n_a, sb.n AS n_b,
+           round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+               JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.02
+    """,
+)
+def d3_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Word-3-gram Jaccard similarity over candidate pairs sharing a shingle
+    (posting-list join; no cartesian)."""
+    from .operators.dedup import jaccard_pairs, shingles
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    sh = shingles(docs, n=3)
+    out = jaccard_pairs(sh, threshold=0.02, token_col="shingle")
+    return out.withColumn("jaccard", F.round("jaccard", 6))
+
+
+@query(
+    "x1_token_count",
+    """
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+           n_chars
+    FROM documents
+    """,
+)
+def x1_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Whitespace token counting (the budget-accounting primitive)."""
+    from .operators.textan import token_count
+
+    return _t(spark, sf, "documents").select(
+        "doc_id", token_count().alias("n_tokens"), "n_chars"
+    )
+
+
+_LANGS_SQL = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "for", "with", "on"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "auf"),
+    "fr": ("le", "la", "et", "les", "des", "est", "pas", "pour", "une", "dans"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+}
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = _LANGS_SQL[lang]
+    hits = " + ".join(
+        f"CAST(list_contains(toks, '{w}') AS INT)" for w in words
+    )
+    return f"({hits}) AS score_{lang}"
+
+
+@query(
+    "x2_language_id",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+    ), scores AS (
+      SELECT doc_id,
+             {_lang_score_sql('de')},
+             {_lang_score_sql('en')},
+             {_lang_score_sql('es')},
+             {_lang_score_sql('fr')}
+      FROM norm
+    )
+    SELECT doc_id, score_de, score_en, score_es, score_fr,
+           CASE
+             WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+             WHEN score_en > score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+             WHEN score_es > score_de AND score_es > score_en AND score_es >= score_fr THEN 'es'
+             ELSE 'fr'
+           END AS predicted_lang
+    FROM scores
+    """,
+)
+def x2_language_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Stopword-hit language ID with deterministic argmax tiebreak."""
+    from .operators.textan import language_scores
+
+    out = language_scores(_t(spark, sf, "documents"))
+    return out.select(
+        "doc_id", "score_de", "score_en", "score_es", "score_fr", "predicted_lang"
+    )
+
+
+@query(
+    "x3_quality_features",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             length(text) AS n_chars,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+             length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+             string_split({_NORM_SQL}, ' ') AS toks,
+             length(regexp_replace({_NORM_SQL}, ' ', '', 'g')) AS n_nonspace
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens, n_punct, n_digits,
+           ({" + ".join(f"CAST(list_contains(toks, '{w}') AS INT)" for w in _LANGS_SQL['en'])}) AS n_stopwords,
+           round(CASE WHEN n_tokens > 0 THEN CAST(n_nonspace AS DOUBLE) / n_tokens ELSE 0.0 END, 4) AS avg_token_len,
+           round(CASE WHEN n_tokens > 0 THEN CAST(({" + ".join(f"CAST(list_contains(toks, '{w}') AS INT)" for w in _LANGS_SQL['en'])}) AS DOUBLE) / n_tokens ELSE 0.0 END, 4) AS stopword_ratio,
+           round(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END, 4) AS punct_ratio
+    FROM base
+    """,
+)
+def x3_quality_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic quality features (length/punct/stopword/token stats)."""
+    from .operators.textan import quality_features
+
+    return quality_features(_t(spark, sf, "documents"))
+
+
+@query(
+    "x4_doc_fingerprint",
+    f"""
+    SELECT doc_id,
+           md5({_NORM_SQL}) AS fingerprint,
+           substr(md5({_NORM_SQL}), 1, 4) AS fp_bucket
+    FROM documents
+    """,
+)
+def x4_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Engine-portable content fingerprint + coarse bucket."""
+    from .operators.textan import fingerprint
+
+    return fingerprint(_t(spark, sf, "documents"))
+
+
+@query(
+    "v1_cosine_topk",
+    """
+    WITH flat AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, range(1, 65) t(i)
+    ), norms AS (
+      SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id
+    ), dots AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, sum(a.x * b.x) AS dot
+      FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id <> b.vec_id
+      WHERE a.vec_id < 5
+      GROUP BY 1, 2
+    ), sims AS (
+      SELECT query_id, neighbor_id,
+             round(dot / (na.nrm * nb.nrm), 6) AS sim
+      FROM dots JOIN norms na ON na.vec_id = query_id
+                JOIN norms nb ON nb.vec_id = neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 3
+    """,
+)
+def v1_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-k for a small query set (broadcast queries,
+    single corpus scan, windowed top-k)."""
+    from .operators.similarity import cosine_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+
+
+@query(
+    "s4_filename_codec",
+    """
+    WITH built AS (
+      SELECT event_id,
+             concat(
+               lpad(CAST(CAST(floor(event_id / 1000000) AS BIGINT) * 1000000 AS VARCHAR), 9, '0'), '/',
+               lpad(CAST(CAST(floor(event_id / 1000) AS BIGINT) * 1000 AS VARCHAR), 9, '0'), '/',
+               lpad(CAST(event_id AS VARCHAR), 9, '0'), '.block.avro'
+             ) AS path
+      FROM events WHERE event_id < 2000
+    )
+    SELECT event_id, path,
+           CAST(regexp_extract(path, '(\\d{9})\\.block\\.avro$', 1) AS BIGINT) AS parsed_height
+    FROM built
+    """,
+)
+def s4_filename_codec(spark: SparkSession, sf: str) -> DataFrame:
+    """S4/P8: archive path build + regex parse round-trip as pure SQL."""
+    ev = _t(spark, sf, "events").filter(F.col("event_id") < 2000)
+    l1 = F.lpad((F.floor(F.col("event_id") / 1000000) * 1000000).cast("long").cast("string"), 9, "0")
+    l2 = F.lpad((F.floor(F.col("event_id") / 1000) * 1000).cast("long").cast("string"), 9, "0")
+    name = F.lpad(F.col("event_id").cast("string"), 9, "0")
+    path = F.concat(l1, F.lit("/"), l2, F.lit("/"), name, F.lit(".block.avro"))
+    return ev.select(
+        "event_id",
+        path.alias("path"),
+        F.regexp_extract(path, r"(\d{9})\.block\.avro$", 1).cast("long").alias("parsed_height"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (no SQL-expressible oracle: LSH hyperplanes / Pandas-UDF
+# stages; the driver records a weaker rows-only check for these)
+# ---------------------------------------------------------------------------
+
+@query("v2_ann_lsh_topk", None)
+def v2_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH buckets — the 100 TB scale
+    path where brute force is impossible. Exact cosine only within buckets."""
+    from .operators.similarity import ann_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return ann_topk(emb, dim=64, k=1, n_tables=6, n_bits=5)
+
+
+@query("m1_multimodal_features", None)
+def m1_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column → Arrow-batched feature
+    extraction (mapInPandas), hash-exact media dedup downstream. Payloads are
+    synthesized from document text; the codec is the deterministic stub."""
+    from .operators.multimodal import MEDIA_SCHEMA, extract_features
+    from .session import ship_package
+
+    ship_package(spark)  # workers must import this package for the UDF stage
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("image/png").alias("mime"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit(10).alias("width"),
+        F.lit(10).alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    return extract_features(media).select("media_id", "kind", "n_bytes", "sha256")

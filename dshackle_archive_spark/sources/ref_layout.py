@@ -59,6 +59,7 @@ def _write_group_fn(
     maturity: str | None,
     hash_in_name: bool,
     fmt: str,
+    requested: tuple[int, int] | None = None,
 ):
     sort_cols = ["height"] if kind == DataKind.BLOCKS else ["height", "index"]
 
@@ -72,8 +73,16 @@ def _write_group_fn(
             rel = single_file_path(lo, kind, block_hash=block_hash, fmt=fmt)
             lo_r, hi_r = lo, hi
         else:
-            lo_r = lo // chunk * chunk
-            hi_r = lo_r + chunk - 1
+            # the file advertises the range it was *asked* to cover: the
+            # chunk piece clipped to the requested range — never heights it
+            # wasn't asked for (a partial fix range must not claim the whole
+            # aligned chunk), and independent of which heights have rows
+            # (empty blocks leave gaps in txes data but not in coverage)
+            chunk_lo = lo // chunk * chunk
+            lo_r, hi_r = chunk_lo, chunk_lo + chunk - 1
+            if requested is not None:
+                lo_r = max(lo_r, requested[0])
+                hi_r = min(hi_r, requested[1])
             rel = range_file_path(Range(lo_r, hi_r), kind, fmt=fmt)
         path = os.path.join(base_dir, rel)
         skipped = os.path.exists(path) and not overwrite
@@ -126,17 +135,22 @@ def write_range_files(
     overwrite: bool = False,
     maturity: str | None = None,
     fmt: str = "parquet",
+    requested: "Range | None" = None,
 ) -> DataFrame:
     """Write ``df`` as reference-layout range files, one per aligned chunk.
 
-    Returns the write-result/notification DataFrame (action runs on count/
-    collect). One shuffle on the chunk key; each output file is produced by
-    exactly one task.
+    ``requested`` bounds the advertised coverage of edge chunks (unaligned
+    splits / fix sub-ranges). Returns the write-result/notification DataFrame
+    (action runs on count/collect). One shuffle on the chunk key; each output
+    file is produced by exactly one task.
     """
     base = os.path.join(root, blockchain.lower())
+    req = (requested.start, requested.end) if requested is not None else None
     grouped = df.withColumn("_file_group", F.floor(F.col("height") / chunk))
     return grouped.groupBy("_file_group").applyInPandas(
-        _write_group_fn(base, kind, blockchain, run, chunk, overwrite, maturity, False, fmt),
+        _write_group_fn(
+            base, kind, blockchain, run, chunk, overwrite, maturity, False, fmt, req
+        ),
         schema=WRITE_RESULT_SCHEMA,
     )
 

@@ -1,0 +1,117 @@
+"""``stream`` — continuous head-follow append (reference
+``src/command/stream.rs``, SURVEY §3.2, T1-T7 semantics).
+
+Structured Streaming shape: a rate-source tick stream drives
+``foreachBatch``; each micro-batch polls the chain head, synthesizes any
+skipped heights (T4 gap repair), dedups already-seen heights (T6), and
+archives new heights as fork-tolerant single-block files (T1/T5,
+``overwrite=False`` — S13 keep-existing). ``--continue`` backfills the 100
+blocks before the first head via the fix plan (T3). ``follow='finalized'``
+trails the head by a finality margin and tags notifications with maturity
+(T2). Graceful shutdown is the StreamingQuery stop (T7).
+
+The per-batch work is the same distributed archive plan as batch mode — the
+stream layer only decides *which heights* each batch covers, so everything
+scales exactly like ``archive``.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from ..core.filenames import DataKind
+from ..core.ranges import Range
+from ..plans.archive_plan import archive_single_blocks
+from ..plans.fix_plan import fix
+from ..sources.fetcher import FetchPolicy
+
+FINALITY_MARGIN = 64  # ~2 epochs (reference next_block.rs:28-30)
+CONTINUE_WINDOW = 100  # stream.rs:43-47
+
+
+@dataclass
+class StreamState:
+    last_archived: int | None = None
+    batches: int = 0
+    archived_heights: list[int] = field(default_factory=list)
+    backfilled: list[tuple[str, int, int]] = field(default_factory=list)
+
+
+def stream_batch(
+    spark: SparkSession,
+    provider,
+    root: str,
+    state: StreamState,
+    tables: tuple[DataKind, ...],
+    policy: FetchPolicy,
+    follow: str = "latest",
+    max_heights_per_batch: int = 64,
+) -> None:
+    """One micro-batch: poll head → dedup/gap-synthesize → archive."""
+    head = provider.head()
+    if follow == "finalized":
+        head = max(0, head - FINALITY_MARGIN)
+        maturity = "finalized"
+    else:
+        maturity = "head"
+    if state.last_archived is not None and head <= state.last_archived:
+        state.batches += 1
+        return  # T6: dedup repeated heads
+    lo = head if state.last_archived is None else state.last_archived + 1
+    hi = min(head, lo + max_heights_per_batch - 1)  # bound batch size
+    archive_single_blocks(
+        spark,
+        provider,
+        root,
+        Range(lo, hi),
+        tables=tables,
+        policy=policy,
+        forks=follow == "latest",  # T5: fork-tolerant only at the live head
+        run="stream",
+        maturity=maturity,
+    )
+    state.archived_heights.extend(range(lo, hi + 1))
+    state.last_archived = hi
+    state.batches += 1
+
+
+def run_stream(
+    spark: SparkSession,
+    provider,
+    root: str,
+    tables: tuple[DataKind, ...] = (DataKind.BLOCKS, DataKind.TRANSACTIONS),
+    policy: FetchPolicy = FetchPolicy(),
+    follow: str = "latest",
+    continue_from_archive: bool = False,
+    num_batches: int = 3,
+    poll_interval_s: float = 0.0,
+) -> StreamState:
+    """Drive the head-follow loop for ``num_batches`` micro-batches.
+
+    The loop body is exactly a Structured Streaming ``foreachBatch``
+    callback; driving it directly keeps tests deterministic. To attach to a
+    real tick stream:
+
+        q = (spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+             .writeStream.foreachBatch(lambda _df, _id:
+                 stream_batch(spark, provider, root, state, tables, policy))
+             .start())
+    """
+    state = StreamState()
+    if continue_from_archive:
+        # T3: on start, repair any missing tables in the window preceding
+        # the current head
+        head = provider.head()
+        if follow == "finalized":
+            head = max(0, head - FINALITY_MARGIN)
+        window = Range(head, head).up_to(CONTINUE_WINDOW)
+        res = fix(spark, provider, root, window, tables=tables, policy=policy)
+        state.backfilled = res.missing
+    for _ in range(num_batches):
+        stream_batch(spark, provider, root, state, tables, policy, follow)
+        if poll_interval_s:
+            time.sleep(poll_interval_s)
+    return state

@@ -1,0 +1,147 @@
+"""Tests for the training-data pipeline operators: dedup, similarity, text
+analysis, multimodal plumbing."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dshackle_archive_spark.operators import dedup as D
+from dshackle_archive_spark.operators import multimodal as M
+from dshackle_archive_spark.operators import similarity as S
+from dshackle_archive_spark.operators import textan as X
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "The  Quick Brown Fox jumps over the lazy dog"),  # dup after norm
+        (3, "the quick brown fox leaps over the lazy dog"),  # near dup
+        (4, "pack my box with five dozen liquor jugs"),
+        (5, "der hund und die katze sind nicht da"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs):
+    dups = D.exact_duplicates(docs).filter("n_copies > 1").collect()
+    assert len(dups) == 1
+    assert dups[0]["n_copies"] == 3 and dups[0]["keep_id"] == 0
+
+
+def test_distinct_documents(spark, docs):
+    kept = sorted(r["doc_id"] for r in D.distinct_documents(docs).collect())
+    assert kept == [0, 3, 4, 5, 6]
+
+
+def test_jaccard_near_dup(spark, docs):
+    toks = D.tokens(docs)
+    pairs = D.jaccard_pairs(toks, threshold=0.6).collect()
+    got = sorted((r["doc_a"], r["doc_b"], round(r["jaccard"], 3)) for r in pairs)
+    # 0,1,2 identical token sets (jaccard 1.0); 3 swaps one word → 7∩/9∪
+    assert (0, 1, 1.0) in got and (0, 2, 1.0) in got and (1, 2, 1.0) in got
+    assert (0, 3, 0.778) in got
+    assert not any(a == 4 or b == 4 for a, b, _ in got)
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    sh = D.shingles(docs, n=2)
+    sigs = D.minhash_signatures(sh, num_hashes=16)
+    cands = D.lsh_candidate_pairs(sigs, bands=8, rows_per_band=2).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in cands}
+    # identical docs always collide in every band
+    assert {(0, 1), (0, 2), (1, 2)} <= got
+    # unrelated docs don't collide
+    assert (0, 4) not in got and (0, 5) not in got
+
+
+def test_simhash_near_pairs(spark, docs):
+    sigs = D.simhash64(D.tokens(docs))
+    assert sigs.count() == 6  # doc 6 has no tokens
+    pairs = D.simhash_near_pairs(sigs, max_hamming=8).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert {(0, 1), (0, 2), (1, 2)} <= got
+    ham = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs}
+    assert ham[(0, 1)] == 0
+    assert (0, 4) not in got
+
+
+def test_token_counts(spark, docs):
+    out = {
+        r["doc_id"]: r["n"]
+        for r in docs.select("doc_id", X.token_count().alias("n")).collect()
+    }
+    assert out[0] == 9 and out[4] == 8 and out[6] == 0
+
+
+def test_language_scores(spark, docs):
+    out = {r["doc_id"]: r["predicted_lang"] for r in X.language_scores(docs).collect()}
+    assert out[0] == "en" and out[5] == "de"
+
+
+def test_quality_features(spark, docs):
+    q = {r["doc_id"]: r for r in X.quality_features(docs).collect()}
+    assert q[0]["n_tokens"] == 9 and q[0]["n_stopwords"] == 1  # only 'the'
+    assert q[6]["n_tokens"] == 0 and q[6]["stopword_ratio"] == 0.0
+    assert 0 <= q[0]["punct_ratio"] <= 1
+
+
+def test_fingerprint_stable(spark, docs):
+    fp = {r["doc_id"]: r["fingerprint"] for r in X.fingerprint(docs).collect()}
+    assert fp[0] == fp[1] == fp[2]
+    assert fp[0] != fp[3]
+
+
+def test_cosine_topk_real_embeddings(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = S.cosine_topk(emb, queries, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rows in by_q.items():
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3]
+        sims = [r["sim"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+        assert all(-1.0001 <= s <= 1.0001 for s in sims)
+        assert all(r["neighbor_id"] != q for r in rows)
+
+
+def test_ann_vs_bruteforce_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200).cache()
+    exact = S.cosine_topk(emb, emb, k=1).filter("rank = 1")
+    approx = S.ann_topk(emb, dim=64, k=1, n_tables=8, n_bits=4).filter("rank = 1")
+    e = {r["query_id"]: r["neighbor_id"] for r in exact.collect()}
+    a = {r["query_id"]: r["neighbor_id"] for r in approx.collect()}
+    hits = sum(1 for q, n in e.items() if a.get(q) == n)
+    # recall@1 of the LSH path should be well above chance
+    assert hits / len(e) > 0.5, f"recall {hits}/{len(e)}"
+
+
+def test_multimodal_pipeline(spark):
+    rows = [
+        (1, "image", "image/png", b"PNGDATA" * 100, 10, 10, None),
+        (2, "image", "image/png", b"PNGDATA" * 100, 10, 10, None),  # dup bytes
+        (3, "audio", "audio/wav", b"WAVDATA" * 50, None, None, 2000),
+        (4, "video", "video/mp4", b"MP4DATA" * 200, 64, 64, 3500),
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    feats = M.extract_features(media).collect()
+    assert len(feats) == 4
+    by_id = {r["media_id"]: r for r in feats}
+    assert by_id[1]["sha256"] == by_id[2]["sha256"]
+    assert len(by_id[1]["feature"]) == 8
+    assert by_id[1]["feature"] == by_id[2]["feature"]
+    dups = M.exact_media_dedup(spark.createDataFrame(feats, M.FEATURE_SCHEMA)).collect()
+    assert len(dups) == 1 and dups[0]["keep_id"] == 1
+    # frame sampling plan: 0..3500 every 1000 → 4 frames
+    frames = M.frame_sample_plan(media).collect()
+    assert [r["frame_ts_ms"] for r in sorted(frames, key=lambda r: r["frame_ts_ms"])] == [0, 1000, 2000, 3000]
+
+    # real backend stubs raise cleanly
+    with pytest.raises(NotImplementedError):
+        M.DecodeBackend().decode_image(b"x")

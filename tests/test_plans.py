@@ -36,8 +36,9 @@ def test_archive_range(spark, tmp_path):
         "000000000/range-000000100_000000199.txes.parquet",
         "000000000/range-000000200_000000299.blocks.parquet",
         "000000000/range-000000200_000000299.txes.parquet",
-        "000000000/range-000000300_000000399.blocks.parquet",
-        "000000000/range-000000300_000000399.txes.parquet",
+        # partial trailing piece advertises only the heights it contains
+        "000000000/range-000000300_000000349.blocks.parquet",
+        "000000000/range-000000300_000000349.txes.parquet",
     ]
     # content: blocks have the right heights; txes match the mock tx lists
     bdf = spark.read.parquet(str(tmp_path / "eth" / "000000000" / "range-000000100_000000199.blocks.parquet"))
@@ -51,7 +52,7 @@ def test_archive_range(spark, tmp_path):
     assert res.notifications.count() == 6
     n = res.notifications.filter(F.col("type") == "blocks").orderBy("heightStart").collect()
     assert [(r["heightStart"], r["heightEnd"], r["run"]) for r in n] == [
-        (100, 199, "archive"), (200, 299, "archive"), (300, 399, "archive")
+        (100, 199, "archive"), (200, 299, "archive"), (300, 349, "archive")
     ]
 
 

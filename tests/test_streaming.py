@@ -1,0 +1,92 @@
+"""Stream-mode semantics (T1-T7): head-follow, gap synthesis, dedup,
+finalized lag, --continue backfill, fork tolerance."""
+
+import os
+
+from dshackle_archive_spark.core import DataKind, Range
+from dshackle_archive_spark.plans.archive_plan import archive
+from dshackle_archive_spark.sources.archive import list_archive_files
+from dshackle_archive_spark.sources.fetcher import FetchPolicy
+from dshackle_archive_spark.sources.mock_chain import MockChain
+from dshackle_archive_spark.streaming.stream_plan import (
+    CONTINUE_WINDOW,
+    FINALITY_MARGIN,
+    StreamState,
+    run_stream,
+    stream_batch,
+)
+
+B = (DataKind.BLOCKS,)
+POLICY = FetchPolicy(parallel=4)
+
+
+def AdvancingChain(start_head, step=2, **kw):
+    """Head advances by `step` on every poll. Defined as a factory so the
+    class is cloudpickled by value (module-level test classes aren't
+    importable on executor workers)."""
+
+    class _AdvancingChain(MockChain):
+        def __init__(self, start_head, step, **kw):
+            super().__init__(head_height=start_head, **kw)
+            object.__setattr__(self, "_head", start_head)
+            object.__setattr__(self, "_step", step)
+
+        def head(self):
+            h = self._head
+            object.__setattr__(self, "_head", h + self._step)
+            return h
+
+    return _AdvancingChain(start_head, step, **kw)
+
+
+def files(root):
+    return list_archive_files(os.path.join(str(root), "eth"))
+
+
+def test_stream_follows_head_with_gap_synthesis(spark, tmp_path):
+    chain = AdvancingChain(1000, step=3)
+    st = run_stream(spark, chain, str(tmp_path), tables=B, policy=POLICY, num_batches=3)
+    # batch1: height 1000; batch2: 1001..1003; batch3: 1004..1006 (T4 fills gaps)
+    assert st.archived_heights == list(range(1000, 1007))
+    assert len(files(tmp_path)) == 7
+
+
+def test_stream_dedups_stale_head(spark, tmp_path):
+    chain = AdvancingChain(1000, step=0)  # head never advances
+    st = run_stream(spark, chain, str(tmp_path), tables=B, policy=POLICY, num_batches=3)
+    assert st.archived_heights == [1000]  # T6: repeated head archived once
+    assert st.batches == 3
+
+
+def test_stream_finalized_lags_head(spark, tmp_path):
+    chain = AdvancingChain(1000, step=0)
+    st = run_stream(
+        spark, chain, str(tmp_path), tables=B, policy=POLICY,
+        follow="finalized", num_batches=1,
+    )
+    assert st.archived_heights == [1000 - FINALITY_MARGIN]
+
+
+def test_stream_continue_backfills_missing(spark, tmp_path):
+    chain = AdvancingChain(500, step=0)
+    # pre-archive part of the continue window, leaving a hole
+    archive(spark, MockChain(head_height=10_000), str(tmp_path), Range(400, 449),
+            tables=B, chunk=50, policy=POLICY)
+    st = run_stream(
+        spark, chain, str(tmp_path), tables=B, policy=POLICY,
+        continue_from_archive=True, num_batches=1,
+    )
+    # T3: the missing 450..499 window was repaired before tailing
+    assert ("blocks", 450, 499) in st.backfilled
+    names = files(tmp_path)
+    assert any("range-000000450" in f or "000000450.block" in f for f in names)
+    assert st.archived_heights == [500]
+
+
+def test_stream_fork_tolerant_single_files(spark, tmp_path):
+    chain = AdvancingChain(2000, step=0, fork_at=frozenset({2000}))
+    run_stream(spark, chain, str(tmp_path), tables=B, policy=POLICY, num_batches=1)
+    got = files(tmp_path)
+    # T5: both fork variants at the head co-exist, hash-qualified
+    assert len(got) == 2
+    assert all(".block.parquet" in f for f in got)
