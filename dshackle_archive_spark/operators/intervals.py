@@ -71,7 +71,9 @@ def islands(
     Output columns: ``keys... , start, end, n_heights``.
     """
     keys = keys or []
-    pts = df.select(*keys, F.col(col).cast("long").alias("h")).distinct()
+    # no distinct(): duplicate heights satisfy h <= prev+1 and join the same
+    # island, so deduping first would only add a shuffle on a different key
+    pts = df.select(*keys, F.col(col).cast("long").alias("h"))
     # stage 1: islands within each bucket (parallel window)
     pts = pts.withColumn("_b", F.floor(F.col("h") / bucket))
     w1 = Window.partitionBy(*keys, "_b").orderBy("h")
