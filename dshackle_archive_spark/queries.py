@@ -1114,3 +1114,78 @@ def m1_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("long").alias("duration_ms"),
     )
     return extract_features(media).select("media_id", "kind", "n_bytes", "sha256")
+
+
+@query(
+    "d4_embedding_neardup",
+    """
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 10
+    ), flat AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM corpus, range(1, 65) t(i)
+    ), norms AS (
+      SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id
+    ), dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.x * b.x) AS dot
+      FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+      WHERE a.vec_id < 10 OR b.vec_id >= 100000
+      GROUP BY 1, 2
+    )
+    SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 6) AS sim
+    FROM dots JOIN norms na ON na.vec_id = vec_a
+              JOIN norms nb ON nb.vec_id = vec_b
+    WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.95
+    """,
+)
+def d4_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup detection: pairs above a similarity
+    threshold. Planted exact copies (vec_id+100000) must all surface with
+    sim 1.0 — visible recall, deterministic output."""
+    from .operators.similarity import cosine
+
+    emb = _t(spark, sf, "embeddings")
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        emb.filter(F.col("vec_id") < 10).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    a = corpus.alias("a")
+    b = corpus.alias("b")
+    sim = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.vec_id") < F.col("b.vec_id"))
+            & ((F.col("a.vec_id") < 10) | (F.col("b.vec_id") >= 100000)),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.95)
+    )
+
+
+@query(
+    "a10_rollup_stats",
+    """
+    SELECT event_type,
+           CAST(user_id % 4 AS BIGINT) AS cohort,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY ROLLUP(event_type, CAST(user_id % 4 AS BIGINT))
+    """,
+)
+def a10_rollup_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Beyond-reference: hierarchical rollup aggregation (free from Spark SQL;
+    the reference has no grouping sets — SURVEY §2.4 note)."""
+    ev = _t(spark, sf, "events")
+    return ev.rollup("event_type", (F.col("user_id") % 4).alias("cohort")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+    )

@@ -203,3 +203,39 @@ def test_fix_dry_run_reports_only(spark, tmp_path):
               policy=POLICY, dry_run=True)
     assert res.missing == [("transactions", 100, 199)]
     assert res.archived == [] and len(tree(tmp_path)) == 1
+
+
+def test_full_three_table_lifecycle_with_traces(spark, tmp_path):
+    BTT = (DataKind.BLOCKS, DataKind.TRANSACTIONS, DataKind.TRACES)
+    archive(spark, CHAIN, str(tmp_path), Range(100, 299), tables=BTT, chunk=100, policy=POLICY)
+    assert len(tree(tmp_path)) == 6
+    rep = verify(spark, CHAIN, str(tmp_path), Range(100, 299), tables=BTT)
+    assert rep.failures == []
+    # break a trace payload: drop the traces file, re-archive with a provider
+    # that nulls trace JSON (P5 violation on the traces table)
+    delete_files(str(tmp_path / "eth"), [
+        "000000000/range-000000100_000000199.traces.parquet"])
+
+    class NullTraceChain(MockChain):
+        def trace_json(self, txid):
+            return b"null"
+
+    archive(spark, NullTraceChain(head_height=10_000), str(tmp_path), Range(100, 199),
+            tables=(DataKind.TRACES,), chunk=100, policy=POLICY)
+    rep2 = verify(spark, CHAIN, str(tmp_path), Range(100, 299), tables=BTT, dry_run=True)
+    assert any(f["reason"] == "traces_content" for f in rep2.failures)
+
+
+def test_compact_three_tables(spark, tmp_path):
+    BTT = (DataKind.BLOCKS, DataKind.TRANSACTIONS, DataKind.TRACES)
+    archive_single_blocks(spark, CHAIN, str(tmp_path), Range(500, 599), tables=BTT, policy=POLICY)
+    res = compact(spark, str(tmp_path), "ETH", Range(500, 599), tables=BTT, chunk=100,
+                  block_json_schema=CHAIN.block_json_schema)
+    assert res.compacted_chunks == [(500, 599)]
+    assert sorted(tree(tmp_path)) == [
+        "000000000/range-000000500_000000599.blocks.parquet",
+        "000000000/range-000000500_000000599.traces.parquet",
+        "000000000/range-000000500_000000599.txes.parquet",
+    ]
+    rep = verify(spark, CHAIN, str(tmp_path), Range(500, 599), tables=BTT)
+    assert rep.failures == []
