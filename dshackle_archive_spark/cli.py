@@ -1,0 +1,156 @@
+"""Command-line surface mirroring the reference's five commands
+(``dshackle-archive {archive|stream|compact|fix|verify}``,
+``/root/reference/src/args.rs:165-173``).
+
+A user of the reference can run the same workflows against a local/posix
+archive root. The chain connection is pluggable: ``--provider mock`` uses the
+deterministic mock chain (this container has no blockchain node); a real
+deployment registers a provider implementing the ``MockChain`` interface
+(head/block/tx_ids/…-style fetch surface + ``block_json_schema``) and gRPC
+transport inside ``FetchPolicy.call``.
+
+Examples:
+    python -m dshackle_archive_spark.cli archive --range 1000..1999 --dir /tmp/a
+    python -m dshackle_archive_spark.cli verify --range 1000..1999 --dir /tmp/a --dry-run
+    python -m dshackle_archive_spark.cli compact --range 1000..1999 --dir /tmp/a
+    python -m dshackle_archive_spark.cli fix --range 1000..1999 --dir /tmp/a
+    python -m dshackle_archive_spark.cli stream --batches 3 --dir /tmp/a --continue
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .core.filenames import DataKind
+from .core.ranges import Range, parse_range
+from .session import get_spark
+from .sources.fetcher import FetchPolicy
+from .sources.mock_chain import MockChain
+
+TABLE_ALIASES = {
+    "blocks": DataKind.BLOCKS,
+    "block": DataKind.BLOCKS,
+    "txes": DataKind.TRANSACTIONS,
+    "tx": DataKind.TRANSACTIONS,
+    "transactions": DataKind.TRANSACTIONS,
+    "traces": DataKind.TRACES,
+}
+
+
+def _tables(spec: str) -> tuple[DataKind, ...]:
+    out = []
+    for part in spec.lower().split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if part not in TABLE_ALIASES:
+            raise SystemExit(
+                f"unknown table '{part}' (expected: blocks, txes, traces)"
+            )
+        if TABLE_ALIASES[part] not in out:
+            out.append(TABLE_ALIASES[part])
+    return tuple(out)
+
+
+def _provider(args):
+    if args.provider == "mock":
+        return MockChain(head_height=args.mock_head)
+    raise SystemExit(
+        f"provider '{args.provider}' not available in this environment; "
+        "register a chain provider implementing the MockChain interface"
+    )
+
+
+def _scope(args, provider) -> Range:
+    if args.range:
+        try:
+            return parse_range(args.range)
+        except ValueError as e:
+            raise SystemExit(f"bad --range: {e}")
+    if args.tail:
+        # --tail N: the last N blocks, holding back 4 unsettled tip blocks
+        # (reference blocks_config.rs:27-46)
+        hi = provider.head() - 4
+        return Range(max(0, hi - args.tail + 1), hi)
+    raise SystemExit("one of --range or --tail is required")
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="dshackle-archive-spark")
+    p.add_argument("command", choices=["archive", "stream", "compact", "fix", "verify"])
+    p.add_argument("--dir", required=True, help="archive root directory")
+    p.add_argument("--range", help="block range N..M (or single N)")
+    p.add_argument("--tail", type=int, help="operate on the last N blocks")
+    p.add_argument("--tables", default="blocks,txes", help="comma list: blocks,txes,traces")
+    p.add_argument("--range-chunk", type=int, default=1000, dest="chunk")
+    p.add_argument("--parallel", type=int, default=16, help="API rate cap (1-512)")
+    p.add_argument("--dry-run", action="store_true")
+    p.add_argument("--fix-clean", action="store_true", help="verify: delete incomplete groups")
+    p.add_argument("--continue", dest="continue_", action="store_true",
+                   help="stream: backfill the previous 100 blocks first")
+    p.add_argument("--follow", choices=["latest", "finalized"], default="latest")
+    p.add_argument("--batches", type=int, default=3, help="stream: micro-batches to run")
+    p.add_argument("--provider", default="mock")
+    p.add_argument("--mock-head", type=int, default=1_000_000)
+    p.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
+    args = p.parse_args(argv)
+
+    provider = _provider(args)
+    tables = _tables(args.tables)
+    policy = FetchPolicy(parallel=max(1, min(args.parallel, 512)))
+    spark = get_spark(f"dshackle-archive-{args.command}", master=args.master)
+
+    out: dict
+    if args.command == "archive":
+        from .plans.archive_plan import archive
+
+        rng = _scope(args, provider)
+        res = archive(spark, provider, args.dir, rng, tables=tables,
+                      chunk=args.chunk, policy=policy)
+        out = {"command": "archive", "range": str(rng), "written": res.written,
+               "skipped": res.skipped, "files": res.files}
+    elif args.command == "fix":
+        from .plans.fix_plan import fix
+
+        rng = _scope(args, provider)
+        res = fix(spark, provider, args.dir, rng, tables=tables, chunk=args.chunk,
+                  policy=policy, dry_run=args.dry_run)
+        out = {"command": "fix", "range": str(rng), "missing": res.missing,
+               "archived_runs": len(res.archived)}
+    elif args.command == "verify":
+        from .plans.verify_plan import verify
+
+        rng = _scope(args, provider)
+        rep = verify(spark, provider, args.dir, rng, tables=tables,
+                     fix_clean=args.fix_clean, dry_run=args.dry_run)
+        out = {"command": "verify", "range": str(rng), "groups": rep.groups_total,
+               "ok": rep.groups_ok, "failures": rep.failures, "deleted": rep.deleted,
+               "dry_run": rep.dry_run}
+    elif args.command == "compact":
+        from .plans.compact_plan import compact
+
+        rng = _scope(args, provider)
+        res = compact(spark, args.dir, provider.blockchain_id, rng, tables=tables,
+                      chunk=args.chunk, dry_run=args.dry_run,
+                      block_json_schema=provider.block_json_schema)
+        out = {"command": "compact", "range": str(rng),
+               "compacted": res.compacted_chunks, "skipped": res.skipped_chunks,
+               "deleted_sources": len(res.deleted)}
+    else:  # stream
+        from .streaming.stream_plan import run_stream
+
+        st = run_stream(spark, provider, args.dir, tables=tables, policy=policy,
+                        follow=args.follow, continue_from_archive=args.continue_,
+                        num_batches=args.batches)
+        out = {"command": "stream", "batches": st.batches,
+               "archived_heights": st.archived_heights, "backfilled": st.backfilled}
+
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -239,3 +239,23 @@ def test_compact_three_tables(spark, tmp_path):
     ]
     rep = verify(spark, CHAIN, str(tmp_path), Range(500, 599), tables=BTT)
     assert rep.failures == []
+
+
+def test_cli_verify_roundtrip(spark, tmp_path):
+    """CLI surface smoke: archive then verify via main() with JSON output."""
+    import json as _json
+
+    from dshackle_archive_spark import cli
+
+    archive(spark, CHAIN, str(tmp_path), Range(100, 199), tables=BT, chunk=100, policy=POLICY)
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli.main([
+            "verify", "--dir", str(tmp_path), "--range", "100..199",
+            "--provider", "mock", "--mock-head", "10000", "--master", "local[4]",
+        ])
+    assert rc == 0
+    out = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["groups"] == 1 and out["ok"] == 1 and out["failures"] == []

@@ -90,3 +90,38 @@ def test_stream_fork_tolerant_single_files(spark, tmp_path):
     # T5: both fork variants at the head co-exist, hash-qualified
     assert len(got) == 2
     assert all(".block.parquet" in f for f in got)
+
+
+def test_structured_streaming_foreachbatch(spark, tmp_path):
+    """The documented readStream integration: rate-source ticks drive
+    stream_batch via foreachBatch — a genuine StreamingQuery (T1/T7)."""
+    chain = AdvancingChain(3000, step=1)
+    state = StreamState()
+
+    def on_batch(_df, _batch_id):
+        stream_batch(
+            spark, chain, str(tmp_path), state,
+            tables=B, policy=POLICY, follow="latest",
+        )
+
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 4)
+        .load()
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", str(tmp_path / "_ckpt"))
+        .start()
+    )
+    try:
+        import time
+        deadline = time.time() + 60
+        while time.time() < deadline and state.batches < 3:
+            time.sleep(0.5)
+    finally:
+        q.stop()  # T7 graceful shutdown
+    assert state.batches >= 3
+    assert state.archived_heights[0] == 3000
+    # heights are contiguous despite the head advancing between polls (T4)
+    hs = state.archived_heights
+    assert hs == list(range(3000, 3000 + len(hs)))
+    assert len(files(tmp_path)) == len(hs)
