@@ -100,6 +100,11 @@ def main(argv: list[str] | None = None) -> int:
     provider = _provider(args)
     tables = _tables(args.tables)
     policy = FetchPolicy(parallel=max(1, min(args.parallel, 512)))
+    from pyspark.sql import SparkSession
+
+    # only stop the session on exit if this invocation created it (embedded
+    # callers share one session via getOrCreate)
+    owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(f"dshackle-archive-{args.command}", master=args.master)
 
     out: dict
@@ -148,7 +153,8 @@ def main(argv: list[str] | None = None) -> int:
                "archived_heights": st.archived_heights, "backfilled": st.backfilled}
 
     print(json.dumps(out))
-    spark.stop()
+    if owns_session:
+        spark.stop()
     return 0
 
 

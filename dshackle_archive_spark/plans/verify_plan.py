@@ -63,6 +63,91 @@ def _read_kind(spark, base: str, inv: DataFrame, kind: str) -> DataFrame | None:
     ).drop("_rel")
 
 
+def verify_native(
+    spark: SparkSession,
+    provider,
+    root: str,
+    rng: Range,
+    chunk: int = 1000,
+) -> DataFrame:
+    """Content verification over the native partitioned-parquet layout.
+
+    The same checks as the file-layout verify — dup heights (A5), count ==
+    range (A6), parent-hash linkage (W1), payload validity (P5), head-hash
+    confirmation (J5), txid set equality (J1) — expressed over the
+    partitioned ``blocks``/``transactions`` tables, grouped by aligned chunk.
+    Returns one row per chunk with failure counters and an ``ok`` verdict;
+    partition pruning bounds every scan to the requested range.
+    """
+    from ..sources.archive import read_table
+
+    blocks = read_table(spark, root, provider.blockchain_id, "blocks", rng)
+    txes = read_table(spark, root, provider.blockchain_id, "transactions", rng)
+    ck = (F.floor(F.col("height") / chunk) * chunk).cast("long")
+    w = Window.partitionBy("g_start").orderBy("height")
+    b = blocks.withColumn("g_start", ck)
+    linked = b.withColumn("prev_id", F.lag("blockId").over(w)).withColumn(
+        "broken",
+        F.when(
+            F.col("prev_id").isNotNull() & (F.col("parentId") != F.col("prev_id")), 1
+        ).otherwise(0),
+    )
+    ends = linked.groupBy("g_start").agg(F.max("height").alias("g_end"))
+    lookup = spark.createDataFrame(
+        [(int(r["g_end"]), provider.block_hash(int(r["g_end"]))) for r in ends.collect()],
+        "g_end long, live_hash string",
+    )
+    blocks_stat = (
+        linked.groupBy("g_start")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("height").alias("n_heights"),
+            F.max("height").alias("g_end"),
+            F.sum("broken").alias("broken_links"),
+            F.sum(F.when(_payload_invalid("json"), 1).otherwise(0)).alias("bad_json"),
+            F.max(F.struct("height", "blockId")).alias("top"),
+        )
+        .join(F.broadcast(lookup), "g_end", "left")
+    )
+    expected = b.select(
+        "g_start",
+        F.explode_outer(
+            F.from_json(F.col("json").cast("string"), provider.block_json_schema)[
+                "transactions"
+            ]
+        ).alias("txid"),
+    ).filter(F.col("txid").isNotNull())
+    actual = txes.withColumn("g_start", ck).select("g_start", "txid")
+    tx_missing = (
+        expected.join(actual, ["g_start", "txid"], "left_anti")
+        .groupBy("g_start")
+        .agg(F.count("*").alias("tx_missing"))
+    )
+    tx_unexpected = (
+        actual.join(expected, ["g_start", "txid"], "left_anti")
+        .groupBy("g_start")
+        .agg(F.count("*").alias("tx_unexpected"))
+    )
+    return (
+        blocks_stat.join(tx_missing, "g_start", "left")
+        .join(tx_unexpected, "g_start", "left")
+        .fillna(0, ["tx_missing", "tx_unexpected"])
+        .withColumn(
+            "ok",
+            (F.col("n_rows") == F.col("n_heights"))
+            & (F.col("broken_links") == 0)
+            & (F.col("bad_json") == 0)
+            & (F.col("top.blockId") == F.col("live_hash"))
+            & (F.col("tx_missing") == 0)
+            & (F.col("tx_unexpected") == 0),
+        )
+        .select(
+            "g_start", "g_end", "n_rows", "n_heights", "broken_links", "bad_json",
+            "tx_missing", "tx_unexpected", "ok",
+        )
+    )
+
+
 def verify(
     spark: SparkSession,
     provider,

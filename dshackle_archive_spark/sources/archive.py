@@ -122,7 +122,8 @@ def list_archive_files(root: str) -> list[str]:
     Local-FS implementation; the inventory this feeds is metadata-scale
     (one row per file). On S3 the same rows come from a prefix listing with
     a start-offset key, which is what the reference does
-    (``objects.rs:79-168``).
+    (``objects.rs:79-168``) — see ``list_archive_files_hadoop`` for the
+    FS-agnostic path.
     """
     out: list[str] = []
     for dirpath, _dirs, files in os.walk(root):
@@ -130,6 +131,72 @@ def list_archive_files(root: str) -> list[str]:
         for f in files:
             out.append(f if rel == "." else f"{rel}/{f}")
     return sorted(out)
+
+
+def list_archive_files_hadoop(spark: SparkSession, root: str) -> list[str]:
+    """Recursive listing through the Hadoop FileSystem API — works against
+    any HDFS-compatible store (s3a://, gs://, hdfs://, file:/), which is how
+    a cluster deployment lists a 10^8-file archive without local FS access.
+
+    S2 parity: the reference's offset-keyed S3 listing maps to the store's
+    own ordered prefix iteration here; range filtering happens on the parsed
+    inventory (P2), which Spark distributes.
+    """
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    conf = jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(root)
+    fs = path.getFileSystem(conf)
+    if not fs.exists(path):
+        return []
+    base = fs.makeQualified(path).toString().rstrip("/") + "/"
+    it = fs.listFiles(path, True)
+    out: list[str] = []
+    while it.hasNext():
+        status = it.next()
+        full = status.getPath().toString()
+        if full.startswith(base):
+            out.append(full[len(base):])
+    return sorted(out)
+
+
+def inventory_df_hadoop(spark: SparkSession, root: str, blockchain: str | None = None) -> DataFrame:
+    """Inventory via the Hadoop listing + the SQL regex codec — fully
+    JVM-side parse (S4's ``SINGLE_SQL_RE``/``RANGE_SQL_RE``), so a huge
+    listing parses distributed instead of on the driver."""
+    from ..core.filenames import RANGE_SQL_RE, SINGLE_SQL_RE
+
+    base = f"{root}/{blockchain.lower()}" if blockchain else root
+    paths = list_archive_files_hadoop(spark, base)
+    if not paths:
+        return spark.createDataFrame([], INVENTORY_SCHEMA)
+    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
+    single = pdf.filter(F.col("path").rlike(SINGLE_SQL_RE)).select(
+        "path",
+        F.regexp_extract("path", SINGLE_SQL_RE, 3).alias("_ext"),
+        F.regexp_extract("path", SINGLE_SQL_RE, 1).cast("long").alias("start"),
+        F.regexp_extract("path", SINGLE_SQL_RE, 1).cast("long").alias("end"),
+        F.nullif(F.regexp_extract("path", SINGLE_SQL_RE, 2), F.lit("")).alias("hash"),
+    )
+    rng = pdf.filter(
+        ~F.col("path").rlike(SINGLE_SQL_RE) & F.col("path").rlike(RANGE_SQL_RE)
+    ).select(
+        "path",
+        F.regexp_extract("path", RANGE_SQL_RE, 3).alias("_ext"),
+        F.regexp_extract("path", RANGE_SQL_RE, 1).cast("long").alias("start"),
+        F.regexp_extract("path", RANGE_SQL_RE, 2).cast("long").alias("end"),
+        F.lit(None).cast("string").alias("hash"),
+    )
+    kind = (
+        F.when(F.col("_ext").isin("block", "blocks"), "blocks")
+        .when(F.col("_ext") == "txes", "transactions")
+        .otherwise("traces")
+    )
+    return (
+        single.unionByName(rng)
+        .withColumn("kind", kind)
+        .select("path", "kind", "start", "end", "hash")
+    )
 
 
 def inventory_df(spark: SparkSession, root: str, blockchain: str | None = None) -> DataFrame:

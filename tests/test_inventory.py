@@ -159,3 +159,48 @@ def test_delete_files_dry_run(spark, tmp_path):
     assert res.deleted == [rel] and os.path.exists(tmp_path / rel)
     res = ARC.delete_files(str(tmp_path), [rel], dry_run=False)
     assert res.deleted == [rel] and not os.path.exists(tmp_path / rel)
+
+
+def test_hadoop_listing_matches_oswalk(spark, tmp_path):
+    specs = [(h, k) for h in range(100, 105) for k in (B, T)] + [(Range(1000, 1999), B)]
+    make_tree(str(tmp_path), specs)
+    base = str(tmp_path / "eth")
+    assert ARC.list_archive_files_hadoop(spark, base) == ARC.list_archive_files(base)
+    assert ARC.list_archive_files_hadoop(spark, str(tmp_path / "missing")) == []
+
+
+def test_hadoop_inventory_matches_python(spark, tmp_path):
+    HASH64 = "b" * 64
+    specs = [(100, B), (100, T), (Range(1000, 1999), B), (205, B, HASH64)]
+    make_tree(str(tmp_path), specs)
+    py = sorted(
+        (r["path"], r["kind"], r["start"], r["end"], r["hash"])
+        for r in ARC.inventory_df(spark, str(tmp_path), "eth").collect()
+    )
+    jvm = sorted(
+        (r["path"], r["kind"], r["start"], r["end"], r["hash"])
+        for r in ARC.inventory_df_hadoop(spark, str(tmp_path), "eth").collect()
+    )
+    assert py == jvm and len(py) == 4
+    hashes = [h for *_x, h in py if h]
+    assert hashes == [HASH64]
+
+
+def test_observe_metrics(spark, tmp_path):
+    from dshackle_archive_spark.operators.metrics import ThroughputLog, observe_table
+    from dshackle_archive_spark.sources.fetcher import FetchPolicy, fetch_blocks
+    from dshackle_archive_spark.sources.mock_chain import MockChain
+
+    chain = MockChain(head_height=10_000)
+    df = fetch_blocks(spark, chain, Range(0, 49), FetchPolicy(parallel=2))
+    observed, obs = observe_table(df, "fetch", payload_cols=["json"])
+    n = observed.count()
+    assert n == 50
+    got = obs.get
+    assert got["n_items"] == 50 and got["bytes_json"] > 50 * 50
+
+    log = ThroughputLog()
+    for i in range(7):
+        log.record(i, n_rows=100, seconds=0.5)
+    s = log.sliding(5)
+    assert s["n_samples"] == 5 and s["rows"] == 500 and abs(s["rows_per_sec"] - 200.0) < 1e-9
