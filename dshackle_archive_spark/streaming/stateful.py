@@ -1,0 +1,86 @@
+"""Custom stateful streaming operators (``applyInPandasWithState``).
+
+The reference's only cross-batch state is the bounded height-dedup window
+(W2/T6, ``block_seq.rs:161-180`` + ``next_block.rs:61-65``). Here it is a
+proper Structured Streaming stateful operator: per-height state with a
+processing-time timeout bounds the state store exactly like the reference's
+"last N heights" buffer — heights older than the timeout are evicted, so
+state never grows with chain length.
+
+Also provides the watermarked event-time throughput aggregation (A9's
+streaming form), which the reference approximates with its 5-minute sliding
+snapshot log.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+DEDUP_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("height", T.LongType(), False),
+        T.StructField("n_occurrences", T.LongType(), False),
+        T.StructField("first_batch", T.BooleanType(), False),
+    ]
+)
+
+DEDUP_STATE_SCHEMA = T.StructType([T.StructField("seen", T.LongType(), False)])
+
+
+def dedup_heights_stateful(
+    heights: DataFrame, timeout_ms: int = 600_000
+) -> DataFrame:
+    """Streaming height dedup with bounded state (T6 + W2).
+
+    Input: a streaming DataFrame with a ``height`` column. Output: one row
+    per (height, micro-batch) carrying whether this batch saw the height for
+    the first time. State per height is one counter with a processing-time
+    timeout — the scalable analog of the reference's fixed-size dedup buffer.
+    """
+
+    def update(
+        key: Tuple[int],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n_new = sum(len(p) for p in pdfs)
+        (seen,) = state.get if state.exists else (0,)
+        first = seen == 0
+        state.update((seen + n_new,))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            [{"height": key[0], "n_occurrences": seen + n_new, "first_batch": first}]
+        )
+
+    return heights.groupBy("height").applyInPandasWithState(
+        update,
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def windowed_throughput(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "10 seconds",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Watermarked event-time throughput (A9 streaming form): late data
+    beyond the watermark is dropped, state is bounded by the watermark."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )

@@ -75,3 +75,28 @@ def test_distributed_islands_matches_python_model(spark):
         )
         model = [(r.start, r.end) for r in merge_ranges([Range(h, h) for h in heights])]
         assert got == model
+
+
+def test_chain_validation_order_independent(spark):
+    """Reference block_seq.rs:393-454 intent: random input orderings always
+    reconstruct the same canonical chain verdict. Spark's lag window sorts by
+    height, so row order must never matter — including with a fork row."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rnd = random.Random(7)
+    links = [(h, f"B{h}", f"B{h-1}") for h in range(100, 140)]
+    links[20] = (120, "B120", "WRONG")  # one broken link
+    for _ in range(3):
+        shuffled = links[:]
+        rnd.shuffle(shuffled)
+        df = spark.createDataFrame(shuffled, "height long, blockId string, parentId string")
+        w = Window.orderBy("height")
+        broken = (
+            df.withColumn("prev", F.lag("blockId").over(w))
+            .filter(F.col("prev").isNotNull() & (F.col("parentId") != F.col("prev")))
+            .collect()
+        )
+        assert [r["height"] for r in broken] == [120]

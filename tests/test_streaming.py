@@ -125,3 +125,61 @@ def test_structured_streaming_foreachbatch(spark, tmp_path):
     hs = state.archived_heights
     assert hs == list(range(3000, 3000 + len(hs)))
     assert len(files(tmp_path)) == len(hs)
+
+
+def test_stateful_dedup_applyinpandaswithstate(spark, tmp_path):
+    """W2/T6 as a genuine stateful streaming operator: repeated heights are
+    flagged first_batch only once; state is per-height with timeout."""
+    import time
+
+    from dshackle_archive_spark.streaming.stateful import dedup_heights_stateful
+    from pyspark.sql import functions as F
+
+    # rate source: value v -> height floor(v/3) → each height arrives 3 times
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 30)
+        .load()
+        .select(F.floor(F.col("value") / 3).alias("height"))
+    )
+    out = dedup_heights_stateful(src, timeout_ms=60_000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "_ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM dedup_out").collect()
+            heights_done = [r for r in rows if r["n_occurrences"] >= 3]
+            if len(heights_done) >= 3:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM dedup_out").collect()
+    assert rows, "no streaming output"
+    by_h = {}
+    for r in rows:
+        by_h.setdefault(r["height"], []).append(r)
+    # for every height: exactly one first_batch=True emission
+    complete = {h: rs for h, rs in by_h.items() if any(x["n_occurrences"] >= 3 for x in rs)}
+    assert complete
+    for h, rs in complete.items():
+        assert sum(1 for x in rs if x["first_batch"]) == 1, (h, rs)
+
+
+def test_windowed_throughput_batch_semantics(spark):
+    """The watermarked A9 aggregation also evaluates in batch mode."""
+    from dshackle_archive_spark.streaming.stateful import windowed_throughput
+    from dshackle_archive_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+    import os
+
+    ev = load_table(spark, os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"), "events")
+    out = windowed_throughput(ev.select(F.col("ts").cast("timestamp").alias("ts")), window="1 hour", watermark="1 hour")
+    rows = out.collect()
+    assert sum(r["n_events"] for r in rows) == ev.count()
