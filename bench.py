@@ -64,8 +64,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n in HEADLINE + EXTRA if n in Q.registry()]
-    # warmup (JIT, codegen, parquet footer caches) on the smallest sf
-    for n in names[:3]:
+    # warmup every query (JIT, codegen caches) on the smallest sf so timed
+    # runs measure the plan, not first-compilation
+    for n in names:
         try:
             run_one(spark, n, "/root/testdata/sf0.001")
         except Exception:
