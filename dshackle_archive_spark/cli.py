@@ -92,6 +92,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="stream: backfill the previous 100 blocks first")
     p.add_argument("--follow", choices=["latest", "finalized"], default="latest")
     p.add_argument("--batches", type=int, default=3, help="stream: micro-batches to run")
+    p.add_argument("--format", choices=["parquet", "avro"], default="parquet",
+                   dest="fmt", help="archive file format (avro = reference-compatible)")
     p.add_argument("--provider", default="mock")
     p.add_argument("--mock-head", type=int, default=1_000_000)
     p.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
@@ -113,7 +115,7 @@ def main(argv: list[str] | None = None) -> int:
 
         rng = _scope(args, provider)
         res = archive(spark, provider, args.dir, rng, tables=tables,
-                      chunk=args.chunk, policy=policy)
+                      chunk=args.chunk, policy=policy, fmt=args.fmt)
         out = {"command": "archive", "range": str(rng), "written": res.written,
                "skipped": res.skipped, "files": res.files}
     elif args.command == "fix":

@@ -41,8 +41,12 @@ def archive(
     policy: FetchPolicy = FetchPolicy(),
     overwrite: bool = False,
     run: str = "archive",
+    fmt: str = "parquet",
 ) -> ArchiveResult:
-    """Archive ``rng`` into reference-layout range files under ``root``."""
+    """Archive ``rng`` into reference-layout range files under ``root``.
+
+    ``fmt="avro"`` writes the reference's native Avro container format
+    (schemas_avro) — byte-compatible with the reference tooling."""
     results: DataFrame | None = None
     for kind in tables:
         if kind == DataKind.BLOCKS:
@@ -58,6 +62,7 @@ def archive(
             run=run,
             overwrite=overwrite,
             requested=rng,
+            fmt=fmt,
         )
         results = wr if results is None else results.unionByName(wr)
 

@@ -108,7 +108,9 @@ def compact(
                 continue
             sources.extend(r["path"] for r in k_rows)
             k_paths = [os.path.join(base, r["path"]) for r in k_rows]
-            df = spark.read.parquet(*k_paths)
+            from ..sources.avro_io import read_archive_data
+
+            df = read_archive_data(spark, k_paths, kind).drop("_path")
             # P1: trim any file overlap to the chunk
             df = df.filter(
                 (F.col("height") >= chunk_rng.start) & (F.col("height") <= chunk_rng.end)

@@ -49,11 +49,13 @@ def _payload_invalid(col: str) -> F.Column:
 
 
 def _read_kind(spark, base: str, inv: DataFrame, kind: str) -> DataFrame | None:
+    from ..sources.avro_io import read_archive_data
+
     paths = [r["path"] for r in inv.filter(F.col("kind") == kind).collect()]
     if not paths:
         return None
     full = [os.path.join(base, p) for p in paths]
-    df = spark.read.parquet(*full).withColumn("_path", F.input_file_name())
+    df = read_archive_data(spark, full, kind)
     # attach the owning group's range via the inventory (suffix match on path)
     inv_k = inv.filter(F.col("kind") == kind).select(
         F.col("path").alias("_rel"), F.col("start").alias("g_start"), F.col("end").alias("g_end")

@@ -296,21 +296,30 @@ def write_avro_records(
 # Spark integration
 # ---------------------------------------------------------------------------
 
-def read_avro_df(spark, paths: list[str], spark_schema):
+def read_avro_df(spark, paths: list[str], spark_schema, with_path: bool = False):
     """Distributed Avro read: one task per file decodes via ``mapInPandas``.
 
     Timestamp-millis longs are converted according to the target Spark
-    schema; unknown writer fields are dropped, missing ones null-filled."""
+    schema; unknown writer fields are dropped, missing ones null-filled.
+    ``with_path=True`` appends a ``_path`` column (the Avro analog of
+    ``input_file_name()``)."""
     import pandas as pd
+    from pyspark.sql import types as T
 
     from .tables import _prepare  # noqa: F401 (keeps session conf consistent)
     from ..session import ship_package
 
     ship_package(spark)
+    out_schema = spark_schema
+    if with_path:
+        out_schema = T.StructType(
+            list(spark_schema.fields) + [T.StructField("_path", T.StringType(), False)]
+        )
     names = [f.name for f in spark_schema.fields]
     ts_cols = {
         f.name for f in spark_schema.fields if f.dataType.typeName().startswith("timestamp")
     }
+    cols = names + (["_path"] if with_path else [])
 
     def gen(batches):
         for pdf in batches:
@@ -321,10 +330,37 @@ def read_avro_df(spark, paths: list[str], spark_schema):
                     for c in ts_cols:
                         if row[c] is not None:
                             row[c] = pd.Timestamp(int(row[c]), unit="ms")
+                    if with_path:
+                        row["_path"] = path
                     rows.append(row)
-                yield pd.DataFrame(rows, columns=names)
+                yield pd.DataFrame(rows, columns=cols)
 
     pdf = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
         min(len(paths), 256) or 1
     )
-    return pdf.mapInPandas(gen, schema=spark_schema)
+    return pdf.mapInPandas(gen, schema=out_schema)
+
+
+def read_archive_data(spark, full_paths: list[str], kind: str):
+    """Format-dispatching archive read: parquet natively, ``.avro`` through
+    the container codec — both with a ``_path`` column, unioned into one
+    DataFrame so verify/compact are format-agnostic."""
+    from pyspark.sql import functions as F
+
+    from ..schemas import TABLE_SCHEMAS
+
+    pq = [p for p in full_paths if p.endswith(".parquet")]
+    av = [p for p in full_paths if p.endswith(".avro")]
+    parts = []
+    if pq:
+        parts.append(
+            spark.read.parquet(*pq).withColumn("_path", F.input_file_name())
+        )
+    if av:
+        parts.append(read_avro_df(spark, av, TABLE_SCHEMAS[kind], with_path=True))
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out

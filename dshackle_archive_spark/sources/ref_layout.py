@@ -49,6 +49,37 @@ WRITE_RESULT_SCHEMA = T.StructType(
 VERSION = "https://schema.emrld.io/dshackle-archive/notify"
 
 
+def _write_avro_pdf(path: str, kind: DataKind, out_pdf: pd.DataFrame) -> None:
+    """Reference-format Avro sink: pandas rows -> Avro container records
+    (timestamps become epoch-millis longs per the timestamp-millis logical
+    type; NaN/NaT become nulls)."""
+    from ..schemas_avro import AVRO_TABLE_SCHEMAS
+    from .avro_io import write_avro_records
+
+    schema = AVRO_TABLE_SCHEMAS[kind.value]
+    ts_fields = {
+        f["name"]
+        for f in schema["fields"]
+        if isinstance(f["type"], dict) and f["type"].get("logicalType") == "timestamp-millis"
+    }
+    names = [f["name"] for f in schema["fields"]]
+    records = []
+    for row in out_pdf.to_dict("records"):
+        rec = {}
+        for n in names:
+            v = row.get(n)
+            if v is None or (isinstance(v, float) and pd.isna(v)) or v is pd.NaT:
+                rec[n] = None
+            elif n in ts_fields:
+                rec[n] = int(pd.Timestamp(v).value // 1_000_000)
+            elif isinstance(v, (bytes, bytearray)):
+                rec[n] = bytes(v)
+            else:
+                rec[n] = v
+        records.append(rec)
+    write_avro_records(path, schema, records, codec="deflate")
+
+
 def _write_group_fn(
     base_dir: str,
     kind: DataKind,
@@ -93,13 +124,16 @@ def _write_group_fn(
             # delete-on-failure commit: write to a temp name, rename on success
             # (the reference's delete-on-drop, fs.rs:204-219)
             try:
-                # parquet TIMESTAMP(MICROS): Spark's reader rejects NANOS
-                out.to_parquet(
-                    tmp,
-                    index=False,
-                    coerce_timestamps="us",
-                    allow_truncated_timestamps=True,
-                )
+                if fmt == "avro":
+                    _write_avro_pdf(tmp, kind, out)
+                else:
+                    # parquet TIMESTAMP(MICROS): Spark's reader rejects NANOS
+                    out.to_parquet(
+                        tmp,
+                        index=False,
+                        coerce_timestamps="us",
+                        allow_truncated_timestamps=True,
+                    )
                 os.replace(tmp, path)
             finally:
                 if os.path.exists(tmp):

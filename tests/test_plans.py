@@ -259,3 +259,28 @@ def test_cli_verify_roundtrip(spark, tmp_path):
     assert rc == 0
     out = _json.loads(buf.getvalue().strip().splitlines()[-1])
     assert out["groups"] == 1 and out["ok"] == 1 and out["failures"] == []
+
+
+def test_cli_scope_and_tables_parsing():
+    """CLI plan-time parsing: --tail tip margin, table aliases, errors."""
+    import argparse
+
+    import pytest as _pytest
+
+    from dshackle_archive_spark import cli
+
+    ns = argparse.Namespace(range=None, tail=100)
+    rng = cli._scope(ns, MockChain(head_height=10_000))
+    # tail N = last N blocks holding back 4 unsettled tip blocks
+    assert (rng.start, rng.end) == (9_897, 9_996)
+
+    ns2 = argparse.Namespace(range="5..9", tail=None)
+    assert cli._scope(ns2, None) == Range(5, 9)
+
+    assert cli._tables("blocks,txes,traces") == (
+        DataKind.BLOCKS, DataKind.TRANSACTIONS, DataKind.TRACES)
+    assert cli._tables("tx, block") == (DataKind.TRANSACTIONS, DataKind.BLOCKS)
+    with _pytest.raises(SystemExit):
+        cli._tables("nope")
+    with _pytest.raises(SystemExit):
+        cli._scope(argparse.Namespace(range="9..5", tail=None), None)
