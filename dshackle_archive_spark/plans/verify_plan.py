@@ -56,13 +56,16 @@ def _read_kind(spark, base: str, inv: DataFrame, kind: str) -> DataFrame | None:
         return None
     full = [os.path.join(base, p) for p in paths]
     df = read_archive_data(spark, full, kind)
-    # attach the owning group's range via the inventory (suffix match on path)
+    # attach the owning group's range via the inventory. Basenames are unique
+    # within a kind (they encode range+hash), so this is a broadcast HASH
+    # join on the basename — not a nested-loop LIKE scan.
     inv_k = inv.filter(F.col("kind") == kind).select(
-        F.col("path").alias("_rel"), F.col("start").alias("g_start"), F.col("end").alias("g_end")
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("_base"),
+        F.col("start").alias("g_start"),
+        F.col("end").alias("g_end"),
     )
-    return df.join(
-        F.broadcast(inv_k), F.expr("_path LIKE concat('%', _rel)"), "left"
-    ).drop("_rel")
+    df = df.withColumn("_base", F.element_at(F.split(F.col("_path"), "/"), -1))
+    return df.join(F.broadcast(inv_k), "_base", "left").drop("_base")
 
 
 def verify_native(
@@ -255,6 +258,9 @@ def verify(
     bdf = _read_kind(spark, base, surviving_inv, "blocks") if "blocks" in kinds else None
     expected = None
     if bdf is not None:
+        # several aggregate branches (stats, expected txids, payload checks)
+        # consume the same read+group join — cache it once
+        bdf = bdf.cache()
         w = Window.partitionBy("g_start", "g_end").orderBy("height")
         linked = bdf.withColumn("prev_id", F.lag("blockId").over(w)).withColumn(
             "broken",
@@ -306,7 +312,8 @@ def verify(
         tdf = _read_kind(spark, base, surviving_inv, kind)
         if tdf is None or expected is None:
             return None
-        actual = tdf.select("g_start", "g_end", "txid", *payload_cols)
+        # four aggregate branches below share this read — cache it
+        actual = tdf.select("g_start", "g_end", "txid", *payload_cols).cache()
         missing = (
             expected.join(actual, ["g_start", "g_end", "txid"], "left_anti")
             .groupBy("g_start", "g_end")
@@ -398,6 +405,8 @@ def verify(
     report.deleted = res.deleted
     inv.unpersist()
     surviving_inv.unpersist()
+    if bdf is not None:
+        bdf.unpersist()
     if expected is not None:
         expected.unpersist()
     return report

@@ -108,6 +108,26 @@ def read_table(
     return with_partition_filter(df, rng) if rng else df
 
 
+def register_archive_views(
+    spark: SparkSession,
+    root: str,
+    blockchain: str,
+    tables: tuple[str, ...] = ("blocks", "transactions", "traces"),
+) -> list[str]:
+    """Expose the native archive tables as SQL temp views
+    (``<chain>_blocks`` etc.) so the archive is queryable with plain
+    ``spark.sql`` — the reference's stated purpose for the archive
+    (README.adoc:31: analysable by "traditional Big Data tools")."""
+    created = []
+    for t in tables:
+        path = table_path(root, blockchain, t)
+        if os.path.isdir(path):
+            name = f"{blockchain.lower()}_{t}"
+            spark.read.parquet(path).createOrReplaceTempView(name)
+            created.append(name)
+    return created
+
+
 # -- reference-layout archive trees (avro/parquet files per range) ----------
 
 @dataclass(frozen=True)

@@ -49,6 +49,27 @@ WRITE_RESULT_SCHEMA = T.StructType(
 VERSION = "https://schema.emrld.io/dshackle-archive/notify"
 
 
+def _pa_schema(kind: DataKind):
+    """Explicit pyarrow schema for the parquet sink: inference on all-null
+    columns (uncle0Json in an uncle-free range) would otherwise produce a
+    null-typed column that breaks schema compatibility on later reads."""
+    import pyarrow as pa
+
+    from ..schemas import TABLE_SCHEMAS
+
+    mapping = {
+        "string": pa.string(),
+        "long": pa.int64(),
+        "integer": pa.int32(),
+        "binary": pa.binary(),
+        "timestamp": pa.timestamp("us"),
+    }
+    fields = []
+    for f in TABLE_SCHEMAS[kind.value].fields:
+        fields.append(pa.field(f.name, mapping[f.dataType.typeName()], f.nullable))
+    return pa.schema(fields)
+
+
 def _write_avro_pdf(path: str, kind: DataKind, out_pdf: pd.DataFrame) -> None:
     """Reference-format Avro sink: pandas rows -> Avro container records
     (timestamps become epoch-millis longs per the timestamp-millis logical
@@ -127,10 +148,12 @@ def _write_group_fn(
                 if fmt == "avro":
                     _write_avro_pdf(tmp, kind, out)
                 else:
-                    # parquet TIMESTAMP(MICROS): Spark's reader rejects NANOS
+                    # parquet TIMESTAMP(MICROS): Spark's reader rejects NANOS;
+                    # explicit schema keeps all-null columns correctly typed
                     out.to_parquet(
                         tmp,
                         index=False,
+                        schema=_pa_schema(kind),
                         coerce_timestamps="us",
                         allow_truncated_timestamps=True,
                     )

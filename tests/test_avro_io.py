@@ -163,3 +163,23 @@ def test_avro_verify_detects_corruption(spark, tmp_path):
                  tables=(DataKind.BLOCKS,), dry_run=True)
     bad = [f for f in rep.failures if f["reason"] == "blocks_content"]
     assert len(bad) == 1 and bad[0]["broken_links"] == 1
+
+
+def test_mixed_format_archive_verifies(spark, tmp_path):
+    """Migration state: one chunk avro, one parquet — verify handles both in
+    a single pass via the dispatching reader."""
+    from dshackle_archive_spark.core import DataKind, Range
+    from dshackle_archive_spark.plans.archive_plan import archive
+    from dshackle_archive_spark.plans.verify_plan import verify
+    from dshackle_archive_spark.sources.fetcher import FetchPolicy
+    from dshackle_archive_spark.sources.mock_chain import MockChain
+
+    chain = MockChain(head_height=10_000)
+    BT = (DataKind.BLOCKS, DataKind.TRANSACTIONS)
+    pol = FetchPolicy(parallel=4)
+    archive(spark, chain, str(tmp_path), Range(100, 199), tables=BT, chunk=100,
+            policy=pol, fmt="avro")
+    archive(spark, chain, str(tmp_path), Range(200, 299), tables=BT, chunk=100,
+            policy=pol, fmt="parquet")
+    rep = verify(spark, chain, str(tmp_path), Range(100, 299), tables=BT)
+    assert rep.failures == [] and rep.groups_total == 2

@@ -68,3 +68,23 @@ def test_native_verify(spark, tmp_path):
     bad = {r["g_start"]: r for r in rep2.collect()}
     assert not bad[1000]["ok"] and bad[1000]["n_rows"] == bad[1000]["n_heights"] + 10
     assert bad[1100]["ok"]
+
+
+def test_sql_views_over_archive(spark, tmp_path):
+    from dshackle_archive_spark.sources.fetcher import fetch_table_for_heights
+
+    ARC.write_table(fetch_blocks(spark, CHAIN, Range(0, 199), POLICY),
+                    str(tmp_path), "ETH", "blocks")
+    ARC.write_table(
+        fetch_table_for_heights(spark, CHAIN, Range(0, 199), "transactions", POLICY),
+        str(tmp_path), "ETH", "transactions")
+    views = ARC.register_archive_views(spark, str(tmp_path), "ETH")
+    assert views == ["eth_blocks", "eth_transactions"]
+    out = spark.sql("""
+        SELECT b.height, count(t.txid) AS n_tx
+        FROM eth_blocks b JOIN eth_transactions t ON b.height = t.height
+        WHERE b.height BETWEEN 10 AND 12
+        GROUP BY b.height ORDER BY b.height
+    """).collect()
+    assert [(r["height"], r["n_tx"]) for r in out] == [
+        (10, len(CHAIN.tx_ids(10))), (11, len(CHAIN.tx_ids(11))), (12, len(CHAIN.tx_ids(12)))]
