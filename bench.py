@@ -72,9 +72,12 @@ def main() -> None:
         except Exception:
             pass
 
+    # best-of-2: the min filters one-off scheduler/GC noise from the
+    # steady-state per-query time
     times: dict[str, float] = {}
     for n in names:
-        times[n] = round(run_one(spark, n, sf_dir), 4)
+        t = min(run_one(spark, n, sf_dir), run_one(spark, n, sf_dir))
+        times[n] = round(t, 4)
 
     total = round(sum(times.values()), 4)
     print(

@@ -1189,3 +1189,48 @@ def a10_rollup_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
     )
+
+
+@query(
+    "p9_posexplode_index",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+      FROM documents WHERE doc_id < 20
+    )
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS token
+    FROM norm, range(1, 4096) t(i)
+    WHERE i <= len(toks) AND length(toks[i]) > 0
+    """,
+)
+def p9_posexplode_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Enumerate-with-index (posexplode — the reference's tx-index assignment
+    shape, table.rs:41/108)."""
+    from .operators.dedup import normalized_text
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 20)
+    toks = F.split(normalized_text("text"), " ")
+    return docs.select("doc_id", F.posexplode(toks).alias("pos", "token")).filter(
+        F.length("token") > 0
+    )
+
+
+@query(
+    "w5_global_rank_order",
+    """
+    SELECT event_id, value,
+           row_number() OVER (ORDER BY value DESC, event_id ASC) AS rk
+    FROM events WHERE event_type = 'purchase'
+    QUALIFY rk <= 100
+    """,
+)
+def w5_global_rank_order(spark: SparkSession, sf: str) -> DataFrame:
+    """W5: deterministic global ordering after a parallel stage (fetch
+    results sorted by height, block.rs:62-72) — as a ranked top-k."""
+    ev = _t(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    w = Window.orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 100)
+        .select("event_id", "value", "rk")
+    )
