@@ -1234,3 +1234,42 @@ def w5_global_rank_order(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rk") <= 100)
         .select("event_id", "value", "rk")
     )
+
+
+@query(
+    "x5_bpe_token_count",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS n_pieces
+    FROM documents
+    """,
+)
+def x5_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-flavored token estimate (letter runs + digits + punctuation) —
+    the cheap deterministic proxy for tokenizer cost in data budgeting."""
+    from .operators.textan import bpe_ish_token_count
+
+    return _t(spark, sf, "documents").select(
+        "doc_id", bpe_ish_token_count().alias("n_pieces")
+    )
+
+
+@query(
+    "c2_aligned_complete_chunks",
+    """
+    SELECT CAST(floor(event_id / 100) AS BIGINT) AS chunk,
+           count(*) AS n
+    FROM events WHERE value > 20
+    GROUP BY 1 HAVING count(DISTINCT event_id) = 100
+    """,
+)
+def c2_aligned_complete_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """C2: only fully-covered boundary-aligned chunks qualify (compaction's
+    gate, range.rs:235-251) — chunks where every height is present."""
+    ev = _t(spark, sf, "events").filter(F.col("value") > 20)
+    return (
+        ev.groupBy(F.floor(F.col("event_id") / 100).cast("long").alias("chunk"))
+        .agg(F.count("*").alias("n"), F.countDistinct("event_id").alias("nd"))
+        .filter(F.col("nd") == 100)
+        .drop("nd")
+    )
