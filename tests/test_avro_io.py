@@ -183,3 +183,49 @@ def test_mixed_format_archive_verifies(spark, tmp_path):
             policy=pol, fmt="parquet")
     rep = verify(spark, chain, str(tmp_path), Range(100, 299), tables=BT)
     assert rep.failures == [] and rep.groups_total == 2
+
+
+def test_roundtrip_property_random_records():
+    """Property-style roundtrip: random values across the type surface
+    (unions, arrays, bytes, enums) always decode to exactly what was written."""
+    import random
+
+    from hypothesis import strategies as st  # noqa: F401 (random suffices; deterministic seed)
+
+    rnd = random.Random(1234)
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "i", "type": "long"},
+            {"name": "f", "type": "double"},
+            {"name": "s", "type": "string"},
+            {"name": "b", "type": "bytes"},
+            {"name": "opt", "type": ["null", "long"], "default": None},
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+            {"name": "e", "type": {"type": "enum", "name": "E", "symbols": ["A", "B", "C"]}},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+        ],
+    }
+    import tempfile, os
+
+    for trial in range(5):
+        records = []
+        for _ in range(rnd.randint(1, 400)):
+            records.append(
+                {
+                    "i": rnd.randint(-(2**62), 2**62),
+                    "f": rnd.uniform(-1e12, 1e12),
+                    "s": "".join(chr(rnd.randint(32, 0x10FF)) for _ in range(rnd.randint(0, 40))),
+                    "b": bytes(rnd.randint(0, 255) for _ in range(rnd.randint(0, 64))),
+                    "opt": None if rnd.random() < 0.5 else rnd.randint(0, 10**12),
+                    "arr": [rnd.randint(-5, 5) for _ in range(rnd.randint(0, 10))],
+                    "e": rnd.choice(["A", "B", "C"]),
+                    "m": {f"k{j}": f"v{rnd.randint(0,9)}" for j in range(rnd.randint(0, 4))},
+                }
+            )
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, "r.avro")
+            codec = rnd.choice(["null", "deflate"])
+            write_avro_records(p, schema, records, codec=codec, block_records=97)
+            assert list(read_avro_records(p)) == records, f"trial {trial} codec {codec}"
