@@ -180,21 +180,29 @@ def verify(
     groups = group_ranges(inv, kinds=kinds).cache()
     report.groups_total = groups.count()
 
+    # steps 2-5 build ONE lazy prune DAG — precedence (dup → fork → overlap →
+    # incomplete) via chained anti-joins, all materialized with two collects
+    # instead of a job per step (metadata-phase latency matters when verify
+    # runs per-chunk at fleet scale)
+    from ..operators.inventory import dedup_largest_covering
+
+    KEY = ["start", "end", "hash"]
+
+    def labeled(df: DataFrame, reason: str) -> DataFrame:
+        return df.select(*KEY).withColumn("reason", F.lit(reason))
+
     # 2. duplicate same-kind files for one (range, hash) → delete every copy
     dup_cond = None
     for k in kinds:
         c = F.col(f"n_{k}") > 1
         dup_cond = c if dup_cond is None else (dup_cond | c)
-    dup_groups = groups.filter(dup_cond)
-    dup_keys = dup_groups.select("start", "end", "hash")
-    dup_files = inv.join(dup_keys, ["start", "end"], "left_semi")
-    for r in dup_files.collect():
-        to_delete.add(r["path"])
-        report.failures.append({"start": r["start"], "end": r["end"], "reason": "duplicate"})
-    groups = groups.join(dup_keys, ["start", "end"], "left_anti")
+    dup_keys = labeled(groups.filter(dup_cond), "duplicate")
+    g_after_dup = groups.join(dup_keys.select(*KEY), KEY, "left_anti")
 
-    # 3. fork resolution (J4): single-height groups with >1 hash variant
-    singles = groups.filter(F.col("start") == F.col("end"))
+    # 3. fork resolution (J4): single-height groups with >1 hash variant.
+    # The forked-height list must be driver-side (live-chain lookups) — this
+    # is the one unavoidable early job, and it's tiny.
+    singles = g_after_dup.filter(F.col("start") == F.col("end"))
     forked_heights = (
         singles.groupBy("start").agg(F.countDistinct("hash").alias("n")).filter("n > 1")
     )
@@ -203,49 +211,42 @@ def verify(
         lookup = spark.createDataFrame(
             [(h, provider.block_hash(h)) for h in fork_list], "start long, live_hash string"
         )
-        losers = singles.join(F.broadcast(lookup), "start").filter(
-            (F.col("hash") != "") & (F.col("hash") != F.col("live_hash"))
+        fork_losers = labeled(
+            singles.join(F.broadcast(lookup), "start").filter(
+                (F.col("hash") != "") & (F.col("hash") != F.col("live_hash"))
+            ),
+            "fork_loser",
         )
-        loser_files = inv.join(losers.select("start", "end", "hash"), ["start", "end", "hash"], "left_semi")
-        for r in loser_files.collect():
-            to_delete.add(r["path"])
-            report.failures.append({"start": r["start"], "end": r["end"], "reason": "fork_loser"})
-        groups = groups.join(
-            losers.select("start", "end", "hash"), ["start", "end", "hash"], "left_anti"
-        )
+    else:
+        fork_losers = labeled(g_after_dup.limit(0), "fork_loser")
+    g_after_fork = g_after_dup.join(fork_losers.select(*KEY), KEY, "left_anti")
 
     # 4. overlapping ranges → keep the largest covering (W3)
-    from ..operators.inventory import dedup_largest_covering
-
-    marked = dedup_largest_covering(groups)
-    overlap_losers = marked.filter(~F.col("keep")).select("start", "end", "hash")
-    # only ranges that genuinely overlap another survivor are losers; solo
-    # ranges always "keep". Delete loser files.
-    loser_files = inv.join(overlap_losers, ["start", "end"], "left_semi")
-    n_overlap = 0
-    for r in loser_files.collect():
-        to_delete.add(r["path"])
-        n_overlap += 1
-    if n_overlap:
-        report.failures.append({"reason": "overlap_loser", "n_files": n_overlap})
-    groups = marked.filter(F.col("keep")).drop("keep")
+    marked = dedup_largest_covering(g_after_fork)
+    overlap_losers = labeled(marked.filter(~F.col("keep")), "overlap_loser")
+    g_after_overlap = marked.filter(F.col("keep")).drop("keep")
 
     # 5. completeness (A4)
     inc_cond = None
     for k in kinds:
         c = F.col(f"n_{k}") == 0
         inc_cond = c if inc_cond is None else (inc_cond | c)
-    incomplete = groups.filter(inc_cond)
-    inc_keys = incomplete.select("start", "end", "hash")
-    if fix_clean:
-        inc_files = inv.join(inc_keys, ["start", "end"], "left_semi")
-        for r in inc_files.collect():
+    inc_keys = labeled(g_after_overlap.filter(inc_cond), "incomplete")
+    groups = g_after_overlap.join(inc_keys.select(*KEY), KEY, "left_anti")
+
+    pruned = dup_keys.unionByName(fork_losers).unionByName(overlap_losers).unionByName(inc_keys)
+    pruned_files = inv.join(pruned, KEY, "inner").select("path", *KEY, "reason")
+    seen_groups: set = set()
+    for r in pruned_files.collect():
+        destructive = r["reason"] != "incomplete" or fix_clean
+        if destructive:
             to_delete.add(r["path"])
-            report.failures.append({"start": r["start"], "end": r["end"], "reason": "incomplete"})
-    else:
-        for r in inc_keys.collect():
-            report.failures.append({"start": r["start"], "end": r["end"], "reason": "incomplete"})
-    groups = groups.join(inc_keys, ["start", "end", "hash"], "left_anti")
+        gk = (r["start"], r["end"], r["hash"], r["reason"])
+        if gk not in seen_groups:
+            seen_groups.add(gk)
+            report.failures.append(
+                {"start": r["start"], "end": r["end"], "reason": r["reason"]}
+            )
 
     # hash participates in the key: a pruned fork twin at the same height must
     # not leak its file into the surviving group's content check
