@@ -204,3 +204,41 @@ def test_observe_metrics(spark, tmp_path):
         log.record(i, n_rows=100, seconds=0.5)
     s = log.sliding(5)
     assert s["n_samples"] == 5 and s["rows"] == 500 and abs(s["rows_per_sec"] - 200.0) < 1e-9
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    from dshackle_archive_spark.operators.skew import salted_agg
+    from dshackle_archive_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    plain = {
+        (r["event_type"],): (r["n"], r["mx"])
+        for r in ev.groupBy("event_type")
+        .agg(F.count("value").alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+    salted = {
+        (r["event_type"],): (r["n"], r["mx"])
+        for r in salted_agg(
+            ev, ["event_type"], {"n": ("count", "value"), "mx": ("max", "value")}, salt=8
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_broadcast_left_matches_plain(spark, sf_dir):
+    from dshackle_archive_spark.operators.skew import salted_broadcast_left
+    from dshackle_archive_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    plain = sorted(
+        (r["o_orderkey"], r["c_name"]) for r in o.join(c, "o_custkey", "left").collect()
+    )
+    salted = sorted(
+        (r["o_orderkey"], r["c_name"])
+        for r in salted_broadcast_left(o, c, ["o_custkey"], salt=8).collect()
+    )
+    assert salted == plain
