@@ -170,6 +170,57 @@ def complement_ranges(
     )
 
 
+def gaps_direct(
+    df: DataFrame,
+    lo: int,
+    hi: int,
+    col: str = "height",
+    bucket: int = DEFAULT_BUCKET,
+) -> DataFrame:
+    """Gaps of a covered-heights set within [lo, hi], one windowed pass.
+
+    Skips the islands materialization entirely: within-bucket gaps come from
+    a single ``lag`` window (parallel per bucket), cross-bucket/head gaps
+    from the per-bucket min/max summary (metadata-scale), the tail gap from
+    one aggregate. Same result as islands→complement with ~2 fewer stages.
+    """
+    spark = df.sparkSession
+    pts = df.select(F.col(col).cast("long").alias("h")).filter(
+        (F.col("h") >= lo) & (F.col("h") <= hi)
+    )
+    pts = pts.withColumn("_b", F.floor(F.col("h") / bucket))
+    w = Window.partitionBy("_b").orderBy("h")
+    within = (
+        pts.withColumn("_prev", F.lag("h").over(w))
+        .filter(F.col("_prev").isNotNull() & (F.col("h") > F.col("_prev") + 1))
+        .select((F.col("_prev") + 1).alias("start"), (F.col("h") - 1).alias("end"))
+    )
+    summary = pts.groupBy("_b").agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    ws = Window.orderBy("mn")
+    head_and_cross = (
+        summary.withColumn("_prev_mx", F.lag("mx").over(ws))
+        .select(
+            F.when(F.col("_prev_mx").isNull(), F.lit(lo))
+            .otherwise(F.col("_prev_mx") + 1)
+            .alias("start"),
+            (F.col("mn") - 1).alias("end"),
+        )
+        .filter(F.col("start") <= F.col("end"))
+    )
+    tail = (
+        summary.agg(F.max("mx").alias("m"))
+        .select((F.col("m") + 1).alias("start"), F.lit(hi).cast("long").alias("end"))
+        .filter(F.col("start") <= F.col("end"))
+    )
+    # empty coverage -> the whole window is one gap
+    uncovered = (
+        spark.range(1)
+        .join(pts.limit(1), F.lit(True), "left_anti")
+        .select(F.lit(lo).cast("long").alias("start"), F.lit(hi).cast("long").alias("end"))
+    )
+    return within.unionByName(head_and_cross).unionByName(tail).unionByName(uncovered)
+
+
 def missing_ranges(
     covered: DataFrame,
     lo: int,
@@ -184,7 +235,10 @@ def missing_ranges(
     otherwise as a height column. When a key column is given and some key has
     no coverage at all, that key is absent from the output (callers
     cross-join the expected key domain first — see inventory.find_incomplete).
+    The unkeyed height path takes the fused single-window ``gaps_direct``.
     """
+    if not keys and not is_ranges:
+        return gaps_direct(covered, lo, hi, col)
     isl = (
         merge_range_rows(covered, keys=keys or [])
         if is_ranges
