@@ -183,3 +183,30 @@ def test_windowed_throughput_batch_semantics(spark):
     out = windowed_throughput(ev.select(F.col("ts").cast("timestamp").alias("ts")), window="1 hour", watermark="1 hour")
     rows = out.collect()
     assert sum(r["n_events"] for r in rows) == ev.count()
+
+
+def test_reorg_correction_cycle(spark, tmp_path):
+    """T5 end-to-end: stream appends both fork variants; the periodic verify
+    pass prunes the loser against the live chain; the canonical chain
+    survives and re-verifies clean."""
+    from dshackle_archive_spark.core import Range
+    from dshackle_archive_spark.plans.verify_plan import verify
+
+    fork_h = 5005
+    chain = AdvancingChain(5000, step=2, fork_at=frozenset({fork_h}))
+    run_stream(spark, chain, str(tmp_path), tables=B, policy=POLICY, num_batches=5)
+    names = files(tmp_path)
+    at_fork = [f for f in names if f"{fork_h:09d}." in f]
+    assert len(at_fork) == 2  # both variants co-exist, hash-qualified
+
+    live = MockChain(head_height=100_000)  # canonical chain (B-hashes)
+    rep = verify(spark, live, str(tmp_path), Range(5000, 5009), tables=B)
+    assert any(f["reason"] == "fork_loser" for f in rep.failures)
+    names2 = files(tmp_path)
+    at_fork2 = [f for f in names2 if f"{fork_h:09d}." in f]
+    assert len(at_fork2) == 1
+    # the survivor carries the canonical hash
+    assert live.block_hash(fork_h) in at_fork2[0]
+    # and a re-verify of the corrected archive is clean
+    rep2 = verify(spark, live, str(tmp_path), Range(5000, 5009), tables=B)
+    assert rep2.failures == []
