@@ -21,7 +21,7 @@ window is cheap. All expressions are native Catalyst (no UDFs).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # stage-1 bucket width: small enough that realistic height domains (~1e5 in
@@ -305,8 +305,3 @@ def subtract_intervals(
     return pieces.filter(F.col("start") <= F.col("end"))
 
 
-def sequence_heights(spark_col_lo: Column | int, hi: Column | int) -> Column:
-    """Dense height array for explode-based checks (bounded: per-chunk ≤ 1000)."""
-    lo_c = F.lit(spark_col_lo) if isinstance(spark_col_lo, int) else spark_col_lo
-    hi_c = F.lit(hi) if isinstance(hi, int) else hi
-    return F.sequence(lo_c.cast("long"), hi_c.cast("long"))

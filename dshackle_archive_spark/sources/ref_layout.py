@@ -246,8 +246,11 @@ def write_notifications(write_results: DataFrame, root: str, run_ts: str) -> str
     return out_dir
 
 
-def read_archive_files(spark, root: str, blockchain: str, paths: Iterable[str]) -> DataFrame:
-    """Read a set of reference-layout files with their source path attached."""
+def read_archive_files(spark, root: str, blockchain: str, paths: Iterable[str], kind: str) -> DataFrame:
+    """Read reference-layout files (parquet and/or avro) with their source
+    path attached — thin wrapper over the format-dispatching reader."""
+    from .avro_io import read_archive_data
+
     base = os.path.join(root, blockchain.lower())
     full = [os.path.join(base, p) for p in paths]
-    return spark.read.parquet(*full).withColumn("_path", F.input_file_name())
+    return read_archive_data(spark, full, kind)
