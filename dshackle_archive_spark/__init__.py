@@ -19,3 +19,24 @@ streaming/   Structured Streaming head-follow (stream mode)
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API: the five workflows + session factory without
+    paying pyspark import cost until first use."""
+    lazy = {
+        "get_spark": ("dshackle_archive_spark.session", "get_spark"),
+        "archive": ("dshackle_archive_spark.plans.archive_plan", "archive"),
+        "verify": ("dshackle_archive_spark.plans.verify_plan", "verify"),
+        "compact": ("dshackle_archive_spark.plans.compact_plan", "compact"),
+        "fix": ("dshackle_archive_spark.plans.fix_plan", "fix"),
+        "run_stream": ("dshackle_archive_spark.streaming.stream_plan", "run_stream"),
+        "Range": ("dshackle_archive_spark.core.ranges", "Range"),
+        "DataKind": ("dshackle_archive_spark.core.filenames", "DataKind"),
+    }
+    if name in lazy:
+        import importlib
+
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(name)

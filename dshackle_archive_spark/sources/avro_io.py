@@ -213,8 +213,31 @@ def _snappy_decompress(payload: bytes) -> bytes:
     return pa.decompress(raw, decompressed_size=size, codec="snappy").to_pybytes()
 
 
-def read_avro_records(path: str) -> Iterator[dict]:
-    """Stream decoded records from one Avro container file."""
+def read_avro_schema(path: str) -> dict:
+    """The writer schema embedded in an Avro container file's header."""
+    with open(path, "rb") as f:
+        if f.read(4) != MAGIC:
+            raise ValueError(f"{path}: not an Avro container file")
+        meta: dict[str, bytes] = {}
+        while True:
+            n = _read_long(f)
+            if n == 0:
+                break
+            if n < 0:
+                _read_long(f)
+                n = -n
+            for _ in range(n):
+                k = _read_bytes(f).decode("utf-8")
+                meta[k] = _read_bytes(f)
+        return json.loads(meta["avro.schema"])
+
+
+def read_avro_records(path: str, expected_record: str | None = None) -> Iterator[dict]:
+    """Stream decoded records from one Avro container file.
+
+    ``expected_record`` asserts the writer schema's record name (the
+    reference's schema check on read, ``avro_reader.rs:28-45`` intent) —
+    a txes file opened as blocks fails loudly instead of yielding nulls."""
     with open(path, "rb") as f:
         if f.read(4) != MAGIC:
             raise ValueError(f"{path}: not an Avro container file")
@@ -230,6 +253,11 @@ def read_avro_records(path: str) -> Iterator[dict]:
                 k = _read_bytes(f).decode("utf-8")
                 meta[k] = _read_bytes(f)
         schema = json.loads(meta["avro.schema"])
+        if expected_record is not None and schema.get("name") != expected_record:
+            raise ValueError(
+                f"{path}: schema mismatch — contains {schema.get('name')!r}, "
+                f"expected {expected_record!r}"
+            )
         codec = meta.get("avro.codec", b"null").decode()
         sync = f.read(16)
         while True:
@@ -296,7 +324,12 @@ def write_avro_records(
 # Spark integration
 # ---------------------------------------------------------------------------
 
-def read_avro_df(spark, paths: list[str], spark_schema, with_path: bool = False):
+_RECORD_NAMES = {"blocks": "Block", "transactions": "Transaction", "traces": "TransactionTrace"}
+
+
+def read_avro_df(
+    spark, paths: list[str], spark_schema, with_path: bool = False, expected_record: str | None = None
+):
     """Distributed Avro read: one task per file decodes via ``mapInPandas``.
 
     Timestamp-millis longs are converted according to the target Spark
@@ -325,7 +358,7 @@ def read_avro_df(spark, paths: list[str], spark_schema, with_path: bool = False)
         for pdf in batches:
             for path in pdf["path"].tolist():
                 rows = []
-                for rec in read_avro_records(path):
+                for rec in read_avro_records(path, expected_record=expected_record):
                     row = {n: rec.get(n) for n in names}
                     for c in ts_cols:
                         if row[c] is not None:
@@ -357,7 +390,15 @@ def read_archive_data(spark, full_paths: list[str], kind: str):
             spark.read.parquet(*pq).withColumn("_path", F.input_file_name())
         )
     if av:
-        parts.append(read_avro_df(spark, av, TABLE_SCHEMAS[kind], with_path=True))
+        parts.append(
+            read_avro_df(
+                spark,
+                av,
+                TABLE_SCHEMAS[kind],
+                with_path=True,
+                expected_record=_RECORD_NAMES.get(kind),
+            )
+        )
     if not parts:
         return None
     out = parts[0]

@@ -229,3 +229,14 @@ def test_roundtrip_property_random_records():
             codec = rnd.choice(["null", "deflate"])
             write_avro_records(p, schema, records, codec=codec, block_records=97)
             assert list(read_avro_records(p)) == records, f"trial {trial} codec {codec}"
+
+
+def test_schema_kind_check_on_read():
+    """Opening a txes file as blocks fails loudly (reference's schema check)."""
+    with pytest.raises(ValueError, match="schema mismatch"):
+        list(read_avro_records(f"{FIXTURES}/000723744.txes.avro", expected_record="Block"))
+    # and the right kind passes
+    recs = list(
+        read_avro_records(f"{FIXTURES}/000723744.txes.avro", expected_record="Transaction")
+    )
+    assert len(recs) == 423
