@@ -284,3 +284,33 @@ def test_cli_scope_and_tables_parsing():
         cli._tables("nope")
     with _pytest.raises(SystemExit):
         cli._scope(argparse.Namespace(range="9..5", tail=None), None)
+
+
+def test_notifications_jsonl_sink(spark, tmp_path):
+    """S15: one JSON line per archived file, written via the engine sink."""
+    from dshackle_archive_spark.sources import ref_layout
+
+    res = archive(spark, CHAIN, str(tmp_path), Range(100, 299), tables=BT, chunk=100, policy=POLICY)
+    # re-wrap the notification rows as a DataFrame (ArchiveResult keeps them)
+    wr = res.notifications.withColumn("skipped", F.lit(False)).withColumn("n_rows", F.lit(0))
+    out_dir = ref_layout.write_notifications(wr, str(tmp_path), "testrun")
+    back = spark.read.json(out_dir)
+    assert back.count() == 4
+    rows = back.select("type", "heightStart", "heightEnd", "run").collect()
+    assert {(r["type"], r["heightStart"], r["heightEnd"]) for r in rows} == {
+        ("blocks", 100, 199), ("blocks", 200, 299),
+        ("transactions", 100, 199), ("transactions", 200, 299),
+    }
+    assert all(r["run"] == "archive" for r in rows)
+
+
+def test_register_temp_views_testdata(spark, sf_dir):
+    from dshackle_archive_spark.sources.tables import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    n = spark.sql("SELECT count(*) AS n FROM lineitem").collect()[0]["n"]
+    assert n > 0
+    joined = spark.sql(
+        "SELECT count(*) AS n FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+    ).collect()[0]["n"]
+    assert joined == spark.sql("SELECT count(*) AS n FROM orders").collect()[0]["n"]
