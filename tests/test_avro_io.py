@@ -240,3 +240,37 @@ def test_schema_kind_check_on_read():
         read_avro_records(f"{FIXTURES}/000723744.txes.avro", expected_record="Transaction")
     )
     assert len(recs) == 423
+
+
+def test_chain_json_schemas_parse_real_payloads(spark):
+    """The per-chain schema-on-read StructTypes recover the fields the engine
+    needs (P4) from REAL mainnet block JSON."""
+    from pyspark.sql import functions as F
+
+    from dshackle_archive_spark.schemas import BTC_BLOCK_JSON_SCHEMA, ETH_BLOCK_JSON_SCHEMA
+
+    btc = next(iter(read_avro_records(f"{FIXTURES}/000723744.block.avro")))
+    eth = next(iter(read_avro_records(f"{FIXTURES}/ethereum/015437941.block.avro")))
+    df = spark.createDataFrame(
+        [("BTC", bytes(btc["json"])), ("ETH", bytes(eth["json"]))], "chain string, json binary"
+    )
+    parsed_btc = (
+        df.filter("chain = 'BTC'")
+        .select(F.from_json(F.col("json").cast("string"), BTC_BLOCK_JSON_SCHEMA).alias("b"))
+        .select("b.height", "b.hash", "b.previousblockhash", F.size("b.tx").alias("n_tx"))
+        .collect()[0]
+    )
+    assert parsed_btc["height"] == 723744 and parsed_btc["n_tx"] == 423
+    assert parsed_btc["hash"] == btc["blockId"] and parsed_btc["previousblockhash"] == btc["parentId"]
+
+    parsed_eth = (
+        df.filter("chain = 'ETH'")
+        .select(F.from_json(F.col("json").cast("string"), ETH_BLOCK_JSON_SCHEMA).alias("b"))
+        .select("b.number", "b.hash", "b.parentHash", F.size("b.transactions").alias("n_tx"))
+        .collect()[0]
+    )
+    # 0x-hex quantity parsing (P7) on the real payload
+    height = int(parsed_eth["number"], 16)
+    assert height == 15437941
+    assert parsed_eth["hash"] == eth["blockId"] and parsed_eth["parentHash"] == eth["parentId"]
+    assert parsed_eth["n_tx"] > 0
