@@ -479,8 +479,8 @@ def a9_throughput_window(spark: SparkSession, sf: str) -> DataFrame:
       FROM lineitem
     )
     SELECT l_orderkey,
-           sum(CASE WHEN prev IS NOT NULL AND l_linenumber <> prev + 1
-                    THEN 1 ELSE 0 END) AS broken_links,
+           CAST(sum(CASE WHEN prev IS NOT NULL AND l_linenumber <> prev + 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS broken_links,
            count(*) AS chain_len
     FROM linked GROUP BY l_orderkey
     """,
@@ -756,7 +756,7 @@ def h5_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
                   THEN 1 ELSE 0 END AS new_s
       FROM ordered
     )
-    SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+    SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
     FROM marked GROUP BY user_id
     """,
 )
