@@ -59,17 +59,23 @@ class FileInfo:
     hash: Optional[str] = None
 
 
+# Heights are written 9-digit-padded but parsed as ``\d+`` and an optional
+# codec segment may precede the extension (``123.block.snappy.avro``) —
+# exactly the reference's lenient grammar (filenames.rs ``RE_SINGLE:
+# ^(\d+)\.(hash\.)?(\w+)\.(\w+\.)?avro$``).
 SINGLE_RE = re.compile(
-    r"(?P<height>\d{9,})(?:\.(?P<hash>[0-9a-f]{64}))?\.(?P<ext>block|txes|traces)\.(?:avro|parquet)$"
+    r"(?P<height>\d+)(?:\.(?P<hash>[0-9a-f]{64}))?\.(?P<ext>block|txes|traces)"
+    r"(?:\.\w+)?\.(?:avro|parquet)$"
 )
 RANGE_RE = re.compile(
-    r"range-(?P<start>\d{9,})_(?P<end>\d{9,})\.(?P<ext>blocks|txes|traces)\.(?:avro|parquet)$"
+    r"range-(?P<start>\d+)_(?P<end>\d+)\.(?P<ext>blocks|txes|traces)"
+    r"(?:\.\w+)?\.(?:avro|parquet)$"
 )
 
 # The same grammar as Spark-SQL regexes, for deriving inventory columns from
 # ``input_file_name()`` without leaving the JVM (operators/inventory.py).
-SINGLE_SQL_RE = r"(\d{9,})(?:\.([0-9a-f]{64}))?\.(block|txes|traces)\.(?:avro|parquet)$"
-RANGE_SQL_RE = r"range-(\d{9,})_(\d{9,})\.(blocks|txes|traces)\.(?:avro|parquet)$"
+SINGLE_SQL_RE = r"(\d+)(?:\.([0-9a-f]{64}))?\.(block|txes|traces)(?:\.\w+)?\.(?:avro|parquet)$"
+RANGE_SQL_RE = r"range-(\d+)_(\d+)\.(blocks|txes|traces)(?:\.\w+)?\.(?:avro|parquet)$"
 
 
 def pad9(height: int) -> str:

@@ -108,6 +108,7 @@ def archive_single_blocks(
             overwrite=False,
             maturity=maturity,
             hash_in_name=forks and kind == DataKind.BLOCKS,
+            requested=rng,
         )
         results = wr if results is None else results.unionByName(wr)
     rows = results.collect()

@@ -1,18 +1,26 @@
 """``compact`` — merge single-block files into range files (reference
 ``src/command/compact.rs``, SURVEY §3.3 tail).
 
-Spark shape: classic small-file compaction with a completeness gate.
+Spark shape: classic small-file compaction with a completeness gate, fully
+batched — the job count is O(1) per kind, independent of how many chunks the
+scope spans (the reference loops chunk-by-chunk, ``compact.rs:48-117``, which
+is fine for its microsecond loop bodies but would serialize ~100 ms Spark job
+launches; a 1M-block scope is 1,000 chunks).
 
 1. aligned chunks only (C2 — compaction never builds partial range files,
    ``compact.rs:48``)
-2. per-chunk gate (``verify_files``, ``compact.rs:221-243``): every group
-   complete for the requested kinds AND the union of group ranges exactly
-   covers the chunk — otherwise the chunk is skipped with a warning
-3. rewrite: read the chunk's source files, P1-filter to the chunk, write one
-   range file per kind (map-only plan; each output file is one task)
-4. reconciliation (J6/A7): copied heights must form exactly one island equal
-   to the chunk; txids promised by copied blocks == txids copied
-5. delete source files fully covered by the chunk
+2. ONE grouped gate pass (``verify_files``, ``compact.rs:221-243``) computes
+   every chunk's verdict at once: requested kinds complete, group ranges
+   exactly covering the chunk, no boundary-crossing files, no duplicates,
+   not already compacted (an exact-range file for every REQUESTED kind —
+   foreign kinds don't count)
+3. rewrite: per kind, ONE job reads every passing chunk's source files and
+   writes one range file per chunk (the chunk key is the shuffle key, so
+   1,000 chunks land as 1,000 parallel tasks)
+4. reconciliation (J6/A7) for ALL chunks in one grouped job: copied heights
+   must form exactly one island equal to the chunk; txids promised by copied
+   blocks == txids copied. Failing chunks roll back their outputs.
+5. delete source files of successfully compacted chunks
 """
 
 from __future__ import annotations
@@ -26,7 +34,6 @@ from pyspark.sql import functions as F
 from ..core.filenames import DataKind
 from ..core.ranges import Range
 from ..operators.intervals import merge_range_rows
-from ..operators.inventory import group_ranges
 from ..sources import ref_layout
 from ..sources.archive import delete_files, inventory_df
 
@@ -39,30 +46,92 @@ class CompactResult:
     deleted: list[str] = field(default_factory=list)
 
 
-def _chunk_complete(spark, inv: DataFrame, chunk_rng: Range, kinds: tuple[str, ...]) -> tuple[bool, str]:
-    """Gate: all kinds complete and ranges exactly covering the chunk."""
-    in_chunk = inv.filter(
-        (F.col("start") >= chunk_rng.start) & (F.col("end") <= chunk_rng.end)
+def _gate(
+    spark: SparkSession,
+    inv: DataFrame,
+    chunks: list[Range],
+    kinds: tuple[str, ...],
+    chunk: int,
+) -> list[dict]:
+    """All chunks' gate verdicts in one grouped pass (≈2 metadata-scale jobs).
+
+    Returns one dict per chunk: ``c_start, c_end, has_overhang, n_exact,
+    uncovered (list of kinds), has_dup`` — the caller turns these into
+    skip/pass decisions driver-side without further jobs.
+    """
+    chunks_df = spark.createDataFrame(
+        [(c.start, c.end) for c in chunks], "c_start long, c_end long"
     )
-    overhang = inv.filter(
-        ((F.col("end") >= chunk_rng.start) & (F.col("start") <= chunk_rng.end))
-        & ((F.col("start") < chunk_rng.start) | (F.col("end") > chunk_rng.end))
+    kinds_df = spark.createDataFrame([(k,) for k in kinds], "kind string")
+    # files of the REQUESTED kinds intersecting any chunk (broadcast the tiny
+    # chunk domain — J7-style range assignment, never a cartesian over data)
+    fk = (
+        inv.filter(F.col("kind").isin(list(kinds)))
+        .join(
+            F.broadcast(chunks_df),
+            (F.col("end") >= F.col("c_start")) & (F.col("start") <= F.col("c_end")),
+            "inner",
+        )
+        .withColumn(
+            "contained",
+            (F.col("start") >= F.col("c_start")) & (F.col("end") <= F.col("c_end")),
+        )
+        .withColumn(
+            "exact",
+            (F.col("start") == F.col("c_start")) & (F.col("end") == F.col("c_end")),
+        )
     )
-    if overhang.limit(1).count() > 0:
-        return False, "file range crosses chunk boundary"
-    for kind in kinds:
-        k_inv = in_chunk.filter(F.col("kind") == kind)
-        isl = merge_range_rows(k_inv.select("start", "end")).collect()
-        if len(isl) != 1 or isl[0]["start"] != chunk_rng.start or isl[0]["end"] != chunk_rng.end:
-            return False, f"{kind} does not exactly cover the chunk"
-    groups = group_ranges(in_chunk, kinds=kinds)
-    dup = None
-    for k in kinds:
-        c = F.col(f"n_{k}") > 1
-        dup = c if dup is None else (dup | c)
-    if groups.filter(dup).limit(1).count() > 0:
-        return False, "duplicate files in chunk"
-    return True, ""
+    contained = fk.filter("contained")
+    # per (chunk, kind): do the contained ranges merge into exactly the chunk?
+    cover = (
+        merge_range_rows(
+            contained.select("c_start", "c_end", "kind", "start", "end"),
+            keys=["c_start", "c_end", "kind"],
+        )
+        .groupBy("c_start", "c_end", "kind")
+        .agg(
+            F.count("*").alias("n_islands"),
+            F.min("start").alias("cov_start"),
+            F.max("end").alias("cov_end"),
+        )
+    )
+    dups = (
+        contained.groupBy("c_start", "kind", "start", "end", "hash")
+        .agg(F.count("*").alias("n"))
+        .filter("n > 1")
+        .groupBy("c_start")
+        .agg(F.count("*").alias("n_dup_groups"))
+    )
+    exacts = (
+        fk.filter("exact")
+        .groupBy("c_start")
+        .agg(F.countDistinct("kind").alias("n_exact"))
+    )
+    overhang = (
+        fk.filter(~F.col("contained"))
+        .groupBy("c_start")
+        .agg(F.count("*").alias("n_overhang"))
+    )
+    dom = chunks_df.crossJoin(F.broadcast(kinds_df))
+    kind_stat = dom.join(cover, ["c_start", "c_end", "kind"], "left").withColumn(
+        "covered",
+        (F.col("n_islands") == 1)
+        & (F.col("cov_start") == F.col("c_start"))
+        & (F.col("cov_end") == F.col("c_end")),
+    )
+    chunk_stat = (
+        kind_stat.groupBy("c_start", "c_end")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(~F.coalesce(F.col("covered"), F.lit(False)), F.col("kind")))
+            ).alias("uncovered")
+        )
+        .join(exacts, "c_start", "left")
+        .join(overhang, "c_start", "left")
+        .join(dups, "c_start", "left")
+        .fillna(0, ["n_exact", "n_overhang", "n_dup_groups"])
+    )
+    return [r.asDict() for r in chunk_stat.orderBy("c_start").collect()]
 
 
 def compact(
@@ -75,104 +144,189 @@ def compact(
     dry_run: bool = False,
     block_json_schema=None,
 ) -> CompactResult:
+    from ..sources.avro_io import read_archive_data
+
     base = os.path.join(root, blockchain.lower())
     kinds = tuple(k.value for k in tables)
     result = CompactResult()
 
-    inv_all = inventory_df(spark, root, blockchain)
-    for chunk_rng in rng.split_chunks(chunk, aligned=True):
-        inv = inv_all.filter(
-            (F.col("end") >= chunk_rng.start) & (F.col("start") <= chunk_rng.end)
-        )
-        # skip chunks already compacted (single range file per kind)
-        already = inv.filter(
-            (F.col("start") == chunk_rng.start) & (F.col("end") == chunk_rng.end)
-        )
-        if already.count() == len(kinds):
-            result.skipped_chunks.append((chunk_rng.start, chunk_rng.end, "already compacted"))
-            continue
-        ok, why = _chunk_complete(spark, inv, chunk_rng, kinds)
-        if not ok:
-            result.skipped_chunks.append((chunk_rng.start, chunk_rng.end, why))
-            continue
+    chunks = rng.split_chunks(chunk, aligned=True)
+    if not chunks:
+        return result
 
-        sources: list[str] = []
-        copied: dict[str, DataFrame] = {}
-        for kind in kinds:
-            k_rows = inv.filter(F.col("kind") == kind).collect()
-            # a kind already held in exactly the target range file is left
-            # as-is (never rewritten-and-deleted in place)
-            if any(
-                r["start"] == chunk_rng.start and r["end"] == chunk_rng.end for r in k_rows
-            ):
-                continue
-            sources.extend(r["path"] for r in k_rows)
-            k_paths = [os.path.join(base, r["path"]) for r in k_rows]
-            from ..sources.avro_io import read_archive_data
+    inv_all = inventory_df(spark, root, blockchain).cache()
+    verdicts = _gate(spark, inv_all, chunks, kinds, chunk)
 
-            df = read_archive_data(spark, k_paths, kind).drop("_path")
-            # P1: trim any file overlap to the chunk
-            df = df.filter(
-                (F.col("height") >= chunk_rng.start) & (F.col("height") <= chunk_rng.end)
+    passing: list[tuple[int, int]] = []
+    for v in verdicts:
+        key = (v["c_start"], v["c_end"])
+        if v["n_exact"] == len(kinds):
+            # C2/task gate: one exact-range file per REQUESTED kind — a
+            # foreign kind's range file must not mask uncompacted singles
+            result.skipped_chunks.append((*key, "already compacted"))
+        elif v["n_overhang"] > 0:
+            result.skipped_chunks.append((*key, "file range crosses chunk boundary"))
+        elif v["uncovered"]:
+            result.skipped_chunks.append(
+                (*key, f"{v['uncovered'][0]} does not exactly cover the chunk")
             )
-            copied[kind] = df
-            if not dry_run:
-                wr = ref_layout.write_range_files(
-                    df,
-                    root,
-                    blockchain,
-                    DataKind(kind),
-                    chunk=chunk,
-                    run="compact",
-                    overwrite=True,
-                    requested=chunk_rng,
-                )
-                result.written.extend(r["location"] for r in wr.collect() if not r["skipped"])
+        elif v["n_dup_groups"] > 0:
+            result.skipped_chunks.append((*key, "duplicate files in chunk"))
+        else:
+            passing.append(key)
 
-        # J6/A7 reconciliation on the rewritten outputs
-        if not dry_run:
-            out_blocks = copied.get("blocks")
-            recon_ok = True
-            if out_blocks is not None:
-                # A7: copied heights must form exactly one island == chunk
-                isl = merge_range_rows(
-                    out_blocks.select(F.col("height").alias("start"), F.col("height").alias("end"))
-                ).collect()
-                recon_ok = (
-                    len(isl) == 1
-                    and isl[0]["start"] == chunk_rng.start
-                    and isl[0]["end"] == chunk_rng.end
-                )
-            if (
-                recon_ok
-                and out_blocks is not None
-                and block_json_schema is not None
-                and "transactions" in copied
-            ):
-                # J6: txids promised by copied blocks == txids actually copied
-                promised = out_blocks.select(
-                    F.explode_outer(
-                        F.from_json(F.col("json").cast("string"), block_json_schema)[
-                            "transactions"
-                        ]
-                    ).alias("txid")
-                ).filter(F.col("txid").isNotNull())
-                actual = copied["transactions"].select("txid")
-                n_missing = promised.join(actual, "txid", "left_anti").count()
-                n_unexpected = actual.join(promised, "txid", "left_anti").count()
-                recon_ok = n_missing == 0 and n_unexpected == 0
-            if recon_ok:
-                res = delete_files(base, sorted(sources), dry_run=dry_run)
-                result.deleted.extend(res.deleted)
-                result.compacted_chunks.append((chunk_rng.start, chunk_rng.end))
-            else:
-                # roll back this chunk's outputs (reference: delete-on-drop of
-                # uncommitted files) so singles remain the only coverage
-                tag = f"range-{chunk_rng.start:09d}_{chunk_rng.end:09d}"
-                bad_abs = [p for p in result.written if tag in p]
-                delete_files(base, [os.path.relpath(p, base) for p in bad_abs], dry_run=dry_run)
-                result.written = [p for p in result.written if tag not in p]
-                result.skipped_chunks.append(
-                    (chunk_rng.start, chunk_rng.end, "reconciliation failed")
-                )
+    if not passing or dry_run:
+        inv_all.unpersist()
+        return result
+
+    passing_ids = sorted(s // chunk for s, _ in passing)
+    ids_df = spark.createDataFrame([(i,) for i in passing_ids], "cid long")
+
+    # which (chunk, kind) already sits in its exact target file (kept as-is,
+    # never rewritten-and-deleted in place) + the source-file work list —
+    # one metadata-scale collect
+    chunks_df = spark.createDataFrame(list(passing), "c_start long, c_end long")
+    files = (
+        inv_all.filter(F.col("kind").isin(list(kinds)))
+        .join(
+            F.broadcast(chunks_df),
+            (F.col("start") >= F.col("c_start")) & (F.col("end") <= F.col("c_end")),
+            "inner",
+        )
+        .withColumn(
+            "exact",
+            (F.col("start") == F.col("c_start")) & (F.col("end") == F.col("c_end")),
+        )
+        .select("c_start", "kind", "path", "exact")
+        .collect()
+    )
+    inv_all.unpersist()
+    exact_kinds: dict[int, set] = {}
+    sources: dict[tuple[int, str], list[str]] = {}
+    for r in files:
+        if r["exact"]:
+            exact_kinds.setdefault(r["c_start"], set()).add(r["kind"])
+        else:
+            sources.setdefault((r["c_start"], r["kind"]), []).append(r["path"])
+
+    # phase B: ONE read+write job per kind across every passing chunk
+    copied: dict[str, DataFrame] = {}
+    rewritten_ids: dict[str, list[int]] = {}
+    for kind in kinds:
+        todo = [
+            s // chunk
+            for s, _ in passing
+            if kind not in exact_kinds.get(s, set())
+        ]
+        if not todo:
+            continue
+        paths = [
+            os.path.join(base, p)
+            for (c, k), ps in sources.items()
+            if k == kind and c // chunk in set(todo)
+            for p in ps
+        ]
+        df = read_archive_data(spark, paths, kind).drop("_path")
+        # P1: trim file overlap to the passing chunks (semi-join on chunk id)
+        df = (
+            df.withColumn("_cid", F.floor(F.col("height") / chunk))
+            .join(F.broadcast(ids_df), F.col("_cid") == F.col("cid"), "left_semi")
+            .drop("_cid")
+        )
+        copied[kind] = df
+        rewritten_ids[kind] = todo
+        wr = ref_layout.write_range_files(
+            df,
+            root,
+            blockchain,
+            DataKind(kind),
+            chunk=chunk,
+            run="compact",
+            overwrite=True,
+            domain=todo,
+        )
+        result.written.extend(r["location"] for r in wr.collect() if not r["skipped"])
+
+    # phase C: J6/A7 reconciliation for ALL chunks in one grouped job
+    bad_ids: set[int] = set()
+    out_blocks = copied.get("blocks")
+    if out_blocks is not None:
+        cid = F.floor(F.col("height") / chunk).alias("cid")
+        # A7: copied heights must form exactly one island == chunk (for
+        # integer heights: distinct count == chunk AND min/max at bounds)
+        a7 = out_blocks.select(cid, "height").groupBy("cid").agg(
+            F.countDistinct("height").alias("n_heights"),
+            F.min("height").alias("h_min"),
+            F.max("height").alias("h_max"),
+        )
+        stat = a7
+        if block_json_schema is not None and "transactions" in copied:
+            # J6: txids promised by copied blocks == txids actually copied
+            promised = out_blocks.select(
+                cid,
+                F.explode_outer(
+                    F.from_json(F.col("json").cast("string"), block_json_schema)[
+                        "transactions"
+                    ]
+                ).alias("txid"),
+            ).filter(F.col("txid").isNotNull())
+            actual = copied["transactions"].select(cid, "txid")
+            missing = (
+                promised.join(actual, ["cid", "txid"], "left_anti")
+                .groupBy("cid")
+                .agg(F.count("*").alias("n_missing"))
+            )
+            unexpected = (
+                actual.join(promised, ["cid", "txid"], "left_anti")
+                .groupBy("cid")
+                .agg(F.count("*").alias("n_unexpected"))
+            )
+            stat = (
+                a7.join(missing, "cid", "left")
+                .join(unexpected, "cid", "left")
+                .fillna(0, ["n_missing", "n_unexpected"])
+            )
+        else:
+            stat = a7.withColumn("n_missing", F.lit(0)).withColumn(
+                "n_unexpected", F.lit(0)
+            )
+        stat_rows = stat.collect()
+        for r in stat_rows:
+            c_start = int(r["cid"]) * chunk
+            ok = (
+                r["n_heights"] == chunk
+                and r["h_min"] == c_start
+                and r["h_max"] == c_start + chunk - 1
+                and r["n_missing"] == 0
+                and r["n_unexpected"] == 0
+            )
+            if not ok:
+                bad_ids.add(int(r["cid"]))
+        # a rewritten blocks chunk that produced NO rows at all never appears
+        # in `stat` — that's also a reconciliation failure
+        bad_ids |= set(rewritten_ids.get("blocks", [])) - {
+            int(r["cid"]) for r in stat_rows
+        }
+
+    to_delete: list[str] = []
+    for s, e in passing:
+        cid = s // chunk
+        if cid in bad_ids:
+            # roll back this chunk's outputs (reference: delete-on-drop of
+            # uncommitted files) so singles remain the only coverage
+            tag = f"range-{s:09d}_{e:09d}"
+            bad_abs = [p for p in result.written if tag in p]
+            delete_files(base, [os.path.relpath(p, base) for p in bad_abs], dry_run=dry_run)
+            result.written = [p for p in result.written if tag not in p]
+            result.skipped_chunks.append((s, e, "reconciliation failed"))
+        else:
+            for kind in kinds:
+                # a kind already held in its exact target file was neither
+                # rewritten nor are its other files touched (keep-as-is)
+                if kind in exact_kinds.get(s, set()):
+                    continue
+                to_delete.extend(sources.get((s, kind), []))
+            result.compacted_chunks.append((s, e))
+    res = delete_files(base, sorted(to_delete), dry_run=dry_run)
+    result.deleted.extend(res.deleted)
     return result

@@ -3,29 +3,33 @@
 
 Spark shape (SURVEY §3.3.4): the gap work list comes straight from
 ``find_incomplete_tables`` (closed-form interval SQL over the inventory);
-each (kind, missing-range) is re-archived with ``overwrite=False`` so racing
-writers keep existing files (S13), narrowed to only the missing kinds
-(``only_include``, P6).
+all missing ranges of one kind are re-archived in ONE fetch+write job
+(``overwrite=False`` so racing writers keep existing files, S13), narrowed
+to only the missing kinds (``only_include``, P6). The reference loops gap by
+gap — fine for its in-process writes, but a fragmented archive (thousands of
+small gaps) would serialize thousands of ~100 ms Spark job launches; here
+the gap list is the partition domain of a single job per kind.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
 
 from ..core.filenames import DataKind
 from ..core.ranges import Range, merge_ranges
 from ..operators.inventory import find_incomplete_tables
+from ..sources import ref_layout
 from ..sources.archive import inventory_df
-from ..sources.fetcher import FetchPolicy
-from .archive_plan import ArchiveResult, archive
+from ..sources.fetcher import FetchPolicy, fetch_blocks, fetch_table_for_heights
+from .archive_plan import ArchiveResult
 
 
 @dataclass
 class FixResult:
     missing: list[tuple[str, int, int]]
-    archived: list[ArchiveResult]
+    archived: list[ArchiveResult] = field(default_factory=list)
 
 
 def fix(
@@ -47,24 +51,38 @@ def fix(
     )
     results: list[ArchiveResult] = []
     if not dry_run:
-        # group contiguous missing ranges per kind, then archive each with
-        # only that kind included (P6 only_include narrowing)
         by_kind: dict[str, list[Range]] = {}
         for kind, lo, hi in work:
             by_kind.setdefault(kind, []).append(Range(lo, hi))
         for kind, ranges in by_kind.items():
-            for r in merge_ranges(ranges):
-                results.append(
-                    archive(
-                        spark,
-                        provider,
-                        root,
-                        r,
-                        tables=(DataKind(kind),),
-                        chunk=chunk,
-                        policy=policy,
-                        overwrite=False,
-                        run="fix",
-                    )
+            merged = merge_ranges(ranges)
+            # file pieces: gaps cut at absolute chunk boundaries, so restored
+            # files carry exactly the reference's names for those gaps
+            pieces = [p for r in merged for p in r.split_chunks(chunk, aligned=False)]
+            dk = DataKind(kind)
+            if dk == DataKind.BLOCKS:
+                df = fetch_blocks(spark, provider, merged, policy)
+            else:
+                df = fetch_table_for_heights(spark, provider, merged, dk.value, policy)
+            wr = ref_layout.write_piece_files(
+                df,
+                root,
+                provider.blockchain_id,
+                dk,
+                pieces,
+                run="fix",
+                overwrite=False,
+            )
+            rows = wr.collect()
+            notif = ref_layout.notifications_df(
+                spark.createDataFrame(rows, ref_layout.WRITE_RESULT_SCHEMA)
+            )
+            results.append(
+                ArchiveResult(
+                    notifications=notif,
+                    written=sum(1 for r in rows if not r["skipped"]),
+                    skipped=sum(1 for r in rows if r["skipped"]),
+                    files=[r["location"] for r in rows if not r["skipped"]],
                 )
+            )
     return FixResult(missing=work, archived=results)

@@ -197,6 +197,16 @@ def verify(
         c = F.col(f"n_{k}") > 1
         dup_cond = c if dup_cond is None else (dup_cond | c)
     dup_keys = labeled(groups.filter(dup_cond), "duplicate")
+    # duplicate groups delete ONLY the files of the kind(s) that are actually
+    # duplicated (reference RangeGroupError::Duplicate, verify.rs:434-457) —
+    # an innocent txes file survives when only the blocks kind is doubled
+    dup_kind_parts = [
+        groups.filter(F.col(f"n_{k}") > 1).select(*KEY).withColumn("kind", F.lit(k))
+        for k in kinds
+    ]
+    dup_kind_keys = dup_kind_parts[0]
+    for p in dup_kind_parts[1:]:
+        dup_kind_keys = dup_kind_keys.unionByName(p)
     g_after_dup = groups.join(dup_keys.select(*KEY), KEY, "left_anti")
 
     # 3. fork resolution (J4): single-height groups with >1 hash variant.
@@ -234,8 +244,15 @@ def verify(
     inc_keys = labeled(g_after_overlap.filter(inc_cond), "incomplete")
     groups = g_after_overlap.join(inc_keys.select(*KEY), KEY, "left_anti")
 
-    pruned = dup_keys.unionByName(fork_losers).unionByName(overlap_losers).unionByName(inc_keys)
-    pruned_files = inv.join(pruned, KEY, "inner").select("path", *KEY, "reason")
+    dup_files = (
+        inv.join(dup_kind_keys, [*KEY, "kind"], "inner")
+        .select("path", *KEY, F.lit("duplicate").alias("reason"))
+    )
+
+    pruned = fork_losers.unionByName(overlap_losers).unionByName(inc_keys)
+    pruned_files = inv.join(pruned, KEY, "inner").select("path", *KEY, "reason").unionByName(
+        dup_files
+    )
     seen_groups: set = set()
     for r in pruned_files.collect():
         destructive = r["reason"] != "incomplete" or fix_clean

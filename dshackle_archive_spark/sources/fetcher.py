@@ -56,10 +56,25 @@ def _now_utc() -> datetime:
     return datetime.now(timezone.utc).replace(tzinfo=None)
 
 
-def heights_df(spark: SparkSession, rng: Range, parallel: int) -> DataFrame:
-    """The dense height domain as a DataFrame, pre-partitioned to the rate cap."""
-    n_parts = max(1, min(parallel, len(rng)))
-    return spark.range(rng.start, rng.end + 1, 1, n_parts).withColumnRenamed("id", "height")
+def heights_df(
+    spark: SparkSession, rng: "Range | list[Range]", parallel: int
+) -> DataFrame:
+    """The height domain as a DataFrame, pre-partitioned to the rate cap.
+
+    Accepts one range (dense ``spark.range``, no shuffle) or several disjoint
+    ranges (the fix plan's gap list — unioned then round-robined so every
+    fetch task carries ~equal load even when gap sizes are skewed)."""
+    ranges = [rng] if isinstance(rng, Range) else list(rng)
+    total = sum(len(r) for r in ranges)
+    n_parts = max(1, min(parallel, total))
+    if len(ranges) == 1:
+        r = ranges[0]
+        return spark.range(r.start, r.end + 1, 1, n_parts).withColumnRenamed("id", "height")
+    df = None
+    for r in ranges:
+        piece = spark.range(r.start, r.end + 1)
+        df = piece if df is None else df.union(piece)
+    return df.repartition(n_parts).withColumnRenamed("id", "height")
 
 
 def fetch_blocks(

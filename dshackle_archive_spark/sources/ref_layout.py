@@ -106,7 +106,7 @@ def _write_group_fn(
     kind: DataKind,
     blockchain: str,
     run: str,
-    chunk: int | None,
+    chunk: "int | str | None",  # aligned width | "piece" | None (singles)
     overwrite: bool,
     maturity: str | None,
     hash_in_name: bool,
@@ -115,22 +115,42 @@ def _write_group_fn(
 ):
     sort_cols = ["height"] if kind == DataKind.BLOCKS else ["height", "index"]
 
+    from ..schemas import TABLE_SCHEMAS
+
+    int_cols = {
+        f.name: ("int64" if f.dataType.typeName() == "long" else "int32")
+        for f in TABLE_SCHEMAS[kind.value].fields
+        if f.dataType.typeName() in ("long", "integer")
+    }
+
     def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        lo = int(pdf["height"].min())
-        hi = int(pdf["height"].max())
+        # sentinel rows (all-null data columns) mark chunks of the requested
+        # range that produced no rows — a transaction-less range still gets
+        # its (empty) file, matching the reference's unconditional
+        # target.create() (table.rs); without it verify flags the group
+        # incomplete forever and fix never converges
+        data = pdf[pdf["height"].notna()]
+        group_key = pdf["_file_group"].iloc[0]
         if chunk is None:
+            lo = int(str(group_key).split("_", 1)[0])
             block_hash = (
-                str(pdf["blockId"].iloc[0]) if hash_in_name and "blockId" in pdf else None
+                str(data["blockId"].iloc[0])
+                if hash_in_name and len(data) and "blockId" in data
+                else None
             )
             rel = single_file_path(lo, kind, block_hash=block_hash, fmt=fmt)
-            lo_r, hi_r = lo, hi
+            lo_r, hi_r = lo, lo
+        elif chunk == "piece":
+            # explicit piece mode: the group key IS the advertised range
+            lo_r, hi_r = (int(x) for x in str(group_key).split("_"))
+            rel = range_file_path(Range(lo_r, hi_r), kind, fmt=fmt)
         else:
             # the file advertises the range it was *asked* to cover: the
             # chunk piece clipped to the requested range — never heights it
             # wasn't asked for (a partial fix range must not claim the whole
             # aligned chunk), and independent of which heights have rows
             # (empty blocks leave gaps in txes data but not in coverage)
-            chunk_lo = lo // chunk * chunk
+            chunk_lo = int(group_key) * chunk
             lo_r, hi_r = chunk_lo, chunk_lo + chunk - 1
             if requested is not None:
                 lo_r = max(lo_r, requested[0])
@@ -141,7 +161,12 @@ def _write_group_fn(
         if not skipped:
             os.makedirs(os.path.dirname(path), exist_ok=True)
             tmp = path + ".inprogress"
-            out = pdf.drop(columns=["_file_group"], errors="ignore").sort_values(sort_cols)
+            out = data.drop(columns=["_file_group"], errors="ignore").sort_values(sort_cols)
+            # the sentinel union makes int columns nullable (float64 in
+            # pandas); restore exact integer dtypes before encoding
+            for c, dt in int_cols.items():
+                if c in out and out[c].dtype.kind == "f" and out[c].notna().all():
+                    out[c] = out[c].astype(dt)
             # delete-on-failure commit: write to a temp name, rename on success
             # (the reference's delete-on-drop, fs.rs:204-219)
             try:
@@ -174,7 +199,7 @@ def _write_group_fn(
                     "location": path,
                     "maturity": maturity,
                     "skipped": skipped,
-                    "n_rows": 0 if skipped else len(pdf),
+                    "n_rows": 0 if skipped else len(data),
                 }
             ]
         )
@@ -193,21 +218,83 @@ def write_range_files(
     maturity: str | None = None,
     fmt: str = "parquet",
     requested: "Range | None" = None,
+    domain: "Iterable[int] | None" = None,
 ) -> DataFrame:
     """Write ``df`` as reference-layout range files, one per aligned chunk.
 
     ``requested`` bounds the advertised coverage of edge chunks (unaligned
-    splits / fix sub-ranges). Returns the write-result/notification DataFrame
-    (action runs on count/collect). One shuffle on the chunk key; each output
-    file is produced by exactly one task.
+    splits / fix sub-ranges). ``domain`` is an explicit list of chunk ids
+    (``height // chunk``) that must each emit a file even with zero rows —
+    when omitted it is derived from ``requested``. Returns the
+    write-result/notification DataFrame (action runs on count/collect). One
+    shuffle on the chunk key; each output file is produced by exactly one
+    task.
     """
     base = os.path.join(root, blockchain.lower())
     req = (requested.start, requested.end) if requested is not None else None
     grouped = df.withColumn("_file_group", F.floor(F.col("height") / chunk))
+    # chunk-key domain comes from the REQUEST, not the data rows: a chunk
+    # with zero rows (transaction-less blocks) must still emit its file.
+    # Sentinel rows are all-null and filtered inside the writer.
+    dom = None
+    if domain is not None:
+        dom = df.sparkSession.createDataFrame([(int(i),) for i in domain], "id long")
+    elif requested is not None:
+        dom = df.sparkSession.range(requested.start // chunk, requested.end // chunk + 1)
+    if dom is not None:
+        sentinels = dom.select(
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in df.schema.fields],
+            F.col("id").cast("long").alias("_file_group"),
+        )
+        grouped = grouped.unionByName(sentinels)
     return grouped.groupBy("_file_group").applyInPandas(
         _write_group_fn(
             base, kind, blockchain, run, chunk, overwrite, maturity, False, fmt, req
         ),
+        schema=WRITE_RESULT_SCHEMA,
+    )
+
+
+def write_piece_files(
+    df: DataFrame,
+    root: str,
+    blockchain: str,
+    kind: DataKind,
+    pieces: "list[tuple[int, int]] | list[Range]",
+    run: str = "fix",
+    overwrite: bool = False,
+    maturity: str | None = None,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Write one range file per explicit ``(start, end)`` piece.
+
+    The fix work list's gap shapes are arbitrary sub-chunk ranges — possibly
+    several inside one chunk — so the piece itself is the group key. ALL
+    pieces across every gap land in ONE job (the reference re-archives gap by
+    gap, ``fix.rs:39-69``; serial job launches would dominate on a fragmented
+    archive). Every piece emits its file even with zero rows.
+    """
+    base = os.path.join(root, blockchain.lower())
+    spark = df.sparkSession
+    norm = [(p.start, p.end) if isinstance(p, Range) else (int(p[0]), int(p[1])) for p in pieces]
+    pieces_df = spark.createDataFrame(norm, "p_start long, p_end long")
+    key = F.concat_ws("_", F.col("p_start"), F.col("p_end"))
+    tagged = (
+        df.join(
+            F.broadcast(pieces_df),
+            (F.col("height") >= F.col("p_start")) & (F.col("height") <= F.col("p_end")),
+            "inner",
+        )
+        .withColumn("_file_group", key)
+        .drop("p_start", "p_end")
+    )
+    sentinels = pieces_df.select(
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in df.schema.fields],
+        key.alias("_file_group"),
+    )
+    grouped = tagged.unionByName(sentinels)
+    return grouped.groupBy("_file_group").applyInPandas(
+        _write_group_fn(base, kind, blockchain, run, "piece", overwrite, maturity, False, fmt),
         schema=WRITE_RESULT_SCHEMA,
     )
 
@@ -222,12 +309,24 @@ def write_single_files(
     maturity: str | None = None,
     hash_in_name: bool = False,
     fmt: str = "parquet",
+    requested: "Range | None" = None,
 ) -> DataFrame:
     """Write one file per (height[, blockId]) — stream mode's fork-tolerant
-    single-block files (T5: the hash qualifier keeps both fork versions)."""
+    single-block files (T5: the hash qualifier keeps both fork versions).
+
+    ``requested`` (non-fork mode only) makes every height in the range emit a
+    file even when it has no rows — e.g. a transaction-less block still gets
+    its ``NNN.txes`` file, like the reference's unconditional create."""
     base = os.path.join(root, blockchain.lower())
     keys = ["height", "blockId"] if hash_in_name else ["height"]
     grouped = df.withColumn("_file_group", F.concat_ws("_", *[F.col(k) for k in keys]))
+    if requested is not None and not hash_in_name:
+        dom = df.sparkSession.range(requested.start, requested.end + 1)
+        sentinels = dom.select(
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in df.schema.fields],
+            F.col("id").cast("string").alias("_file_group"),
+        )
+        grouped = grouped.unionByName(sentinels)
     return grouped.groupBy("_file_group").applyInPandas(
         _write_group_fn(base, kind, blockchain, run, None, overwrite, maturity, hash_in_name, fmt),
         schema=WRITE_RESULT_SCHEMA,

@@ -57,5 +57,18 @@ def test_all_kind_exts():
 
 def test_foreign_files_skipped():
     assert parse_filename("x/README.md") is None
-    assert parse_filename("x/12345.block.avro") is None  # not 9-padded
     assert parse_filename("x/000000001.block.csv") is None
+    assert parse_filename("x/range-1_2.chunks.avro") is None
+
+
+def test_lenient_reference_grammar():
+    """filenames.rs RE_SINGLE accepts unpadded heights and a codec segment;
+    reference-valid files must not be dropped from inventory as foreign."""
+    fi = parse_filename("x/123.block.avro")  # unpadded height
+    assert fi.kind == DataKind.BLOCKS and fi.range == Range(123, 123)
+    fi = parse_filename("x/000000123.block.snappy.avro")  # codec segment
+    assert fi.kind == DataKind.BLOCKS and fi.range == Range(123, 123)
+    fi = parse_filename(f"x/000000123.{HASH}.txes.zstd.avro")  # hash + codec
+    assert fi.kind == DataKind.TRANSACTIONS and fi.hash == HASH
+    fi = parse_filename("x/range-100_199.blocks.zstd.avro")
+    assert fi.kind == DataKind.BLOCKS and fi.range == Range(100, 199)

@@ -314,3 +314,130 @@ def test_register_temp_views_testdata(spark, sf_dir):
         "SELECT count(*) AS n FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
     ).collect()[0]["n"]
     assert joined == spark.sql("SELECT count(*) AS n FROM orders").collect()[0]["n"]
+
+
+def _no_tx_chain():
+    # defined per-call so cloudpickle serializes the class by value (a
+    # module-level test class is pickled by reference, which Spark workers
+    # can't import)
+    class NoTxChain(MockChain):
+        """Every block is transaction-less — the reference still creates
+        (empty) txes/traces files for the range (table.rs unconditional
+        create)."""
+
+        def tx_ids(self, height):
+            return []
+
+    return NoTxChain(head_height=10_000)
+
+
+def test_archive_emits_empty_chunk_files(spark, tmp_path):
+    chain = _no_tx_chain()
+    res = archive(spark, chain, str(tmp_path), Range(100, 299), tables=BT, chunk=100, policy=POLICY)
+    assert res.written == 4 and res.skipped == 0
+    got = tree(tmp_path, chain)
+    assert got == [
+        "000000000/range-000000100_000000199.blocks.parquet",
+        "000000000/range-000000100_000000199.txes.parquet",
+        "000000000/range-000000200_000000299.blocks.parquet",
+        "000000000/range-000000200_000000299.txes.parquet",
+    ]
+    tdf = spark.read.parquet(
+        str(tmp_path / "eth" / "000000000" / "range-000000100_000000199.txes.parquet")
+    )
+    assert tdf.count() == 0
+    assert "height" in tdf.columns and "txid" in tdf.columns  # typed empty schema
+    # verify converges: the empty file satisfies group completeness
+    rep = verify(spark, chain, str(tmp_path), Range(100, 299), tables=BT)
+    assert rep.failures == [] and rep.deleted == []
+    # and fix finds nothing to do
+    res2 = fix(spark, chain, str(tmp_path), Range(100, 299), tables=BT, chunk=100,
+               policy=POLICY, dry_run=True)
+    assert res2.missing == []
+
+
+def test_single_blocks_emit_empty_height_files(spark, tmp_path):
+    chain = _no_tx_chain()
+    archive_single_blocks(spark, chain, str(tmp_path), Range(100, 104), tables=BT, policy=POLICY)
+    got = tree(tmp_path, chain)
+    assert len(got) == 10  # 5 heights × 2 kinds, txes files present though empty
+    for h in range(100, 105):
+        assert f"000000000/000000000/{h:09d}.txes.parquet" in got
+
+
+def test_verify_duplicate_deletes_only_duplicated_kind(spark, tmp_path):
+    """verify.rs RangeGroupError::Duplicate deletes the duplicate files of the
+    duplicated kind only — the innocent txes file of the group survives."""
+    import shutil
+
+    archive(spark, CHAIN, str(tmp_path), Range(100, 199), tables=BT, chunk=100, policy=POLICY)
+    d = tmp_path / "eth" / "000000000"
+    # same (range, hash, kind) under a second extension = a true duplicate
+    shutil.copy(d / "range-000000100_000000199.blocks.parquet",
+                d / "range-000000100_000000199.blocks.avro")
+    rep = verify(spark, CHAIN, str(tmp_path), Range(100, 199), tables=BT)
+    assert any(f["reason"] == "duplicate" for f in rep.failures)
+    assert sorted(rep.deleted) == [
+        "000000000/range-000000100_000000199.blocks.avro",
+        "000000000/range-000000100_000000199.blocks.parquet",
+    ]
+    # the txes file of the group is untouched
+    assert (d / "range-000000100_000000199.txes.parquet").exists()
+
+
+def test_compact_issues_constant_jobs(spark, tmp_path):
+    """The compaction gate + rewrite is O(1) Spark jobs per kind regardless of
+    chunk count (the reference loops chunks; Spark job launches must not —
+    ~100 ms each means a 1,000-chunk scope would serialize minutes of pure
+    scheduling). Compare job counts for a 1-chunk vs a 5-chunk compact."""
+    sc = spark.sparkContext
+
+    def count_jobs(root, rng):
+        group = f"compact-jobs-{rng.start}-{rng.end}"
+        sc.setJobGroup(group, "count compact jobs")
+        try:
+            res = compact(spark, root, "ETH", rng, tables=BT, chunk=100,
+                          block_json_schema=CHAIN.block_json_schema)
+        finally:
+            sc.setJobGroup(None, None)
+        return res, len(sc.statusTracker().getJobIdsForGroup(group))
+
+    small = tmp_path / "small"
+    big = tmp_path / "big"
+    archive_single_blocks(spark, CHAIN, str(small), Range(0, 99), tables=BT, policy=POLICY)
+    archive_single_blocks(spark, CHAIN, str(big), Range(0, 499), tables=BT, policy=POLICY)
+    res1, jobs1 = count_jobs(str(small), Range(0, 99))
+    res5, jobs5 = count_jobs(str(big), Range(0, 499))
+    assert res1.compacted_chunks == [(0, 99)]
+    assert res5.compacted_chunks == [(0, 99), (100, 199), (200, 299), (300, 399), (400, 499)]
+    # 5× the chunks must NOT mean 5× the jobs (the old per-chunk loop issued
+    # ~6 jobs/chunk); allow a little AQE stage-count jitter
+    assert jobs5 <= jobs1 + 4, f"1 chunk: {jobs1} jobs, 5 chunks: {jobs5} jobs"
+    rep = verify(spark, CHAIN, str(big), Range(0, 499), tables=BT)
+    assert rep.failures == []
+
+
+def test_fix_batches_gaps_into_one_job_per_kind(spark, tmp_path):
+    """A fragmented archive (10 gaps) is re-archived in one fetch+write job
+    per kind — not one archive() per gap (fix.rs loops; job launches must
+    not: a 10-gap fix at ~2 jobs/gap would issue 20+)."""
+    archive(spark, CHAIN, str(tmp_path), Range(0, 999), tables=BT, chunk=50, policy=POLICY)
+    victims = [
+        f"000000000/range-{s:09d}_{s + 49:09d}.txes.parquet" for s in range(0, 1000, 100)
+    ]
+    delete_files(str(tmp_path / "eth"), victims)
+    sc = spark.sparkContext
+    sc.setJobGroup("fix-jobs", "count fix jobs")
+    try:
+        res = fix(spark, CHAIN, str(tmp_path), Range(0, 999), tables=BT, chunk=50,
+                  policy=POLICY)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = len(sc.statusTracker().getJobIdsForGroup("fix-jobs"))
+    assert [(k, s, e) for k, s, e in res.missing] == [
+        ("transactions", s, s + 49) for s in range(0, 1000, 100)
+    ]
+    assert len(tree(tmp_path)) == 40  # all 10 gap files restored
+    assert jobs < 10, f"fix issued {jobs} jobs for 10 gaps"
+    rep = verify(spark, CHAIN, str(tmp_path), Range(0, 999), tables=BT)
+    assert rep.failures == []
