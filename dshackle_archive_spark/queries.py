@@ -1080,21 +1080,102 @@ def s4_filename_codec(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# rows-only queries (no SQL-expressible oracle: LSH hyperplanes / Pandas-UDF
-# stages; the driver records a weaker rows-only check for these)
+# LSH / Pandas-UDF-stage queries with full oracles: the hyperplane hash is a
+# deterministic integer mix (operators/similarity.py:_hyperplane), so the
+# entire ANN pipeline — planes, sign buckets, candidate join, in-bucket
+# cosine — is re-derivable in ANSI SQL; the multimodal feature stage reduces
+# to sha256/octet_length over the payload bytes
 # ---------------------------------------------------------------------------
 
-@query("v2_ann_lsh_topk", None)
+@query(
+    "v2_ann_lsh_topk",
+    """
+    WITH plane_raw AS (
+      -- splitmix-style mix, bit-for-bit the engine's _hyperplane():
+      -- x = (t*1000003 + b*10007 + i*97 + 0x9E3779B9) & 0xFFFFFFFF, then
+      -- xor-shift/multiply rounds; HUGEINT guards the 32x32-bit products
+      SELECT t.t AS table_id, b.b AS bit, i.i - 1 AS i,
+             (t.t * 1000003 + b.b * 10007 + (i.i - 1) * 97 + 2654435769)
+               % 4294967296 AS x
+      FROM range(0, 6) t(t), range(0, 5) b(b), range(1, 65) i(i)
+    ), p1 AS (
+      SELECT table_id, bit, i, xor(x, x >> 16) AS x FROM plane_raw
+    ), p2 AS (
+      SELECT table_id, bit, i,
+             CAST((CAST(x AS HUGEINT) * 2246822507) % 4294967296 AS BIGINT) AS x
+      FROM p1
+    ), p3 AS (
+      SELECT table_id, bit, i, xor(x, x >> 13) AS x FROM p2
+    ), p4 AS (
+      SELECT table_id, bit, i,
+             CAST((CAST(x AS HUGEINT) * 3266489909) % 4294967296 AS BIGINT) AS x
+      FROM p3
+    ), planes AS (
+      SELECT table_id, bit, i,
+             (CAST(xor(x, x >> 16) AS DOUBLE) / 4294967295) * 2.0 - 1.0 AS w
+      FROM p4
+    ), flat AS (
+      SELECT vec_id, t.i - 1 AS i, CAST(embedding[t.i] AS DOUBLE) AS x
+      FROM embeddings, range(1, 65) t(i)
+    ), dots AS (
+      SELECT f.vec_id, p.table_id, p.bit, sum(f.x * p.w) AS d
+      FROM flat f JOIN planes p ON p.i = f.i
+      GROUP BY 1, 2, 3
+    ), sigs AS (
+      SELECT vec_id, table_id,
+             string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, '' ORDER BY bit)
+               AS bucket
+      FROM dots GROUP BY 1, 2
+    ), cands AS (
+      SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+      FROM sigs a JOIN sigs b
+        ON a.table_id = b.table_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ), pairs AS (
+      SELECT va AS query_id, vb AS neighbor_id FROM cands
+      UNION ALL
+      SELECT vb AS query_id, va AS neighbor_id FROM cands
+    ), norms AS (
+      SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1
+    ), sims AS (
+      SELECT p.query_id, p.neighbor_id,
+             round(sum(fa.x * fb.x) / (any_value(na.nrm) * any_value(nb.nrm)), 6)
+               AS sim
+      FROM pairs p
+      JOIN flat fa ON fa.vec_id = p.query_id
+      JOIN flat fb ON fb.vec_id = p.neighbor_id AND fb.i = fa.i
+      JOIN norms na ON na.vec_id = p.query_id
+      JOIN norms nb ON nb.vec_id = p.neighbor_id
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 1
+    """,
+)
 def v2_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH buckets — the 100 TB scale
-    path where brute force is impossible. Exact cosine only within buckets."""
+    path where brute force is impossible. Exact cosine only within buckets.
+    The hyperplanes are a deterministic integer hash, so the oracle replays
+    the identical pipeline in SQL."""
     from .operators.similarity import ann_topk
 
     emb = _t(spark, sf, "embeddings")
     return ann_topk(emb, dim=64, k=1, n_tables=6, n_bits=5)
 
 
-@query("m1_multimodal_features", None)
+@query(
+    "m1_multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           'image' AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents WHERE doc_id < 200
+    """,
+)
 def m1_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal plumbing: binary payload column → Arrow-batched feature
     extraction (mapInPandas), hash-exact media dedup downstream. Payloads are
