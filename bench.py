@@ -39,9 +39,12 @@ HEADLINE = [
 EXTRA = [
     "d1_exact_dedup",
     "d2_minhash_lsh_dedup",
+    "d3_ngram_jaccard",
+    "d4_embedding_neardup",
     "x1_token_count",
     "x4_doc_fingerprint",
     "v1_cosine_topk",
+    "v2_ann_lsh_topk",
 ]
 
 

@@ -145,13 +145,15 @@ def jaccard_pairs(
     doc_tokens: DataFrame,
     threshold: float = 0.6,
     token_col: str = "token",
-    max_token_df: int | None = None,
+    max_token_df: int | None = 1000,
 ) -> DataFrame:
     """Token-set Jaccard over candidate pairs sharing ≥1 token.
 
     ``max_token_df`` drops tokens appearing in more than N docs (stop-token
     cap) — the standard posting-list pruning that keeps the candidate join
-    sub-quadratic at scale."""
+    sub-quadratic at scale. Default ON (1000): one hot token across M docs
+    would otherwise contribute M²/2 candidate pairs; pass ``None`` only when
+    exact set semantics over stop-tokens genuinely matter."""
     toks = doc_tokens.select("doc_id", F.col(token_col).alias("token"))
     if max_token_df is not None:
         rare = (

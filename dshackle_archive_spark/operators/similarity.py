@@ -41,6 +41,20 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+# NOTE on plan-build cost: constructing vector expressions element-by-element
+# with F.lit() costs one py4j round-trip per element — thousands of calls for
+# a 64-dim × 48-plane signature (~4 s of pure driver time). Constant arrays
+# are therefore built as ONE ``F.expr("array(...)")`` string (single JVM
+# parse). Fully unrolling the arithmetic into flat Add/Multiply trees was
+# measured SLOWER to execute (the giant projection falls out of codegen into
+# interpreted tree-walks), so the per-row math stays in the HOF forms above.
+
+
+def const_array(values: list[float]) -> Column:
+    """A constant double-array column from one parsed SQL literal."""
+    return F.expr("array(" + ",".join(f"{v!r}D" for v in values) + ")")
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -94,18 +108,29 @@ def hyperplane_signatures(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Random-hyperplane LSH: per (table) a ``n_bits``-char sign bucket."""
-    rows = []
+    """Random-hyperplane LSH: per (table) a ``n_bits``-char sign bucket.
+
+    The whole signature (all tables × bits, plane weights inlined as double
+    literals) is ONE ``F.expr`` string — a single JVM parse instead of
+    ~100 py4j-built lambda columns, which costs seconds of pure driver time
+    at 48+ planes. The arithmetic is the same zip_with/aggregate fold as
+    ``_dot`` (identical summation order → identical sign bits)."""
+    structs = []
     for t in range(n_tables):
         bits = []
         for b in range(n_bits):
-            plane = F.array(*[F.lit(v) for v in _hyperplane(dim, t, b)])
-            bits.append(F.when(_dot(F.col(vec_col), plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
-        rows.append(
-            F.struct(F.lit(t).alias("table_id"), F.concat(*bits).alias("bucket"))
+            arr = "array(" + ",".join(f"{w!r}D" for w in _hyperplane(dim, t, b)) + ")"
+            dot = (
+                f"aggregate(zip_with({vec_col}, {arr}, "
+                "(x, y) -> cast(x as double) * y), 0D, (acc, v) -> acc + v)"
+            )
+            bits.append(f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END")
+        structs.append(
+            f"named_struct('table_id', {t}, 'bucket', concat({','.join(bits)}))"
         )
+    sig = F.expr("array(" + ",".join(structs) + ")")
     return vectors.select(
-        F.col(id_col).alias("vec_id"), F.explode(F.array(*rows)).alias("s")
+        F.col(id_col).alias("vec_id"), F.explode(sig).alias("s")
     ).select("vec_id", F.col("s.table_id").alias("table_id"), F.col("s.bucket").alias("bucket"))
 
 

@@ -254,10 +254,12 @@ def verify(
         dup_files
     )
     seen_groups: set = set()
+    failed_group_keys: set[tuple[int, int]] = set()
     for r in pruned_files.collect():
         destructive = r["reason"] != "incomplete" or fix_clean
         if destructive:
             to_delete.add(r["path"])
+        failed_group_keys.add((r["start"], r["end"]))
         gk = (r["start"], r["end"], r["hash"], r["reason"])
         if gk not in seen_groups:
             seen_groups.add(gk)
@@ -271,9 +273,44 @@ def verify(
         groups.select("start", "end", "hash"), ["start", "end", "hash"], "left_semi"
     ).cache()
 
+    # W4 (verify.rs:237-267): adjacent groups of ≤10 blocks are verified as
+    # ONE island unit — the parent-hash chain check then spans file
+    # boundaries (a break between two 10-block files is invisible to
+    # per-group windows), and per-group job overhead collapses.
+    from ..operators.inventory import merge_small_ranges
+
+    memb = (
+        merge_small_ranges(groups.select("start", "end").distinct(), threshold=10)
+        .select("island_start", "island_end", F.explode("members").alias("m"))
+        .select(
+            "island_start",
+            "island_end",
+            F.col("m.start").alias("m_start"),
+            F.col("m.end").alias("m_end"),
+        )
+    )
+
+    def attach_islands(df: DataFrame | None) -> DataFrame | None:
+        if df is None:
+            return None
+        return (
+            df.join(
+                F.broadcast(memb),
+                (df["g_start"] == memb["m_start"]) & (df["g_end"] == memb["m_end"]),
+                "left",
+            )
+            .withColumn("g_start", F.coalesce("island_start", "g_start"))
+            .withColumn("g_end", F.coalesce("island_end", "g_end"))
+            .drop("island_start", "island_end", "m_start", "m_end")
+        )
+
     # 6. content verification
     bad_groups: DataFrame | None = None
-    bdf = _read_kind(spark, base, surviving_inv, "blocks") if "blocks" in kinds else None
+    bdf = (
+        attach_islands(_read_kind(spark, base, surviving_inv, "blocks"))
+        if "blocks" in kinds
+        else None
+    )
     expected = None
     if bdf is not None:
         # several aggregate branches (stats, expected txids, payload checks)
@@ -327,7 +364,7 @@ def verify(
         )
 
     def tx_check(kind: str, payload_cols: list[str]) -> DataFrame | None:
-        tdf = _read_kind(spark, base, surviving_inv, kind)
+        tdf = attach_islands(_read_kind(spark, base, surviving_inv, kind))
         if tdf is None or expected is None:
             return None
         # four aggregate branches below share this read — cache it
@@ -409,16 +446,21 @@ def verify(
                     {"start": r["g_start"], "end": r["g_end"], "reason": "traces_content"}
                 )
 
-    # 7. failing groups → delete all their files
+    # 7. failing islands → delete all their member groups' files
     if failing_keys:
-        keys_df = spark.createDataFrame(sorted(set(failing_keys)), "start long, end long")
-        fail_files = surviving_inv.join(keys_df, ["start", "end"], "left_semi")
+        keys_df = spark.createDataFrame(sorted(set(failing_keys)), "i_start long, i_end long")
+        fail_members = memb.join(
+            keys_df,
+            (memb["island_start"] == F.col("i_start"))
+            & (memb["island_end"] == F.col("i_end")),
+            "left_semi",
+        ).select(F.col("m_start").alias("start"), F.col("m_end").alias("end"))
+        fail_files = surviving_inv.join(fail_members, ["start", "end"], "left_semi")
         for r in fail_files.collect():
             to_delete.add(r["path"])
+            failed_group_keys.add((r["start"], r["end"]))
 
-    report.groups_ok = report.groups_total - len(
-        {(f.get("start"), f.get("end")) for f in report.failures if "start" in f}
-    )
+    report.groups_ok = report.groups_total - len(failed_group_keys)
     res = delete_files(base, sorted(to_delete), dry_run=dry_run)
     report.deleted = res.deleted
     inv.unpersist()

@@ -53,6 +53,56 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 DEC = "decimal(18,2)"
 
 
+def _lsh_cte(n_tables: int, n_bits: int, source: str, dim: int = 64) -> str:
+    """SQL CTE fragment replaying ``operators/similarity.py``'s deterministic
+    hyperplane LSH over ``source (vec_id, embedding)`` bit-for-bit: the
+    splitmix-style plane hash (HUGEINT guards the 32x32-bit products), sign
+    buckets via ordered string_agg, and the candidate equi-join. Defines
+    ``flat`` (unnested vectors), ``norms`` and ``cands (va < vb)``."""
+    return f"""
+    plane_raw AS (
+      SELECT t.t AS table_id, b.b AS bit, i.i - 1 AS i,
+             (t.t * 1000003 + b.b * 10007 + (i.i - 1) * 97 + 2654435769)
+               % 4294967296 AS x
+      FROM range(0, {n_tables}) t(t), range(0, {n_bits}) b(b),
+           range(1, {dim + 1}) i(i)
+    ), p1 AS (
+      SELECT table_id, bit, i, xor(x, x >> 16) AS x FROM plane_raw
+    ), p2 AS (
+      SELECT table_id, bit, i,
+             CAST((CAST(x AS HUGEINT) * 2246822507) % 4294967296 AS BIGINT) AS x
+      FROM p1
+    ), p3 AS (
+      SELECT table_id, bit, i, xor(x, x >> 13) AS x FROM p2
+    ), p4 AS (
+      SELECT table_id, bit, i,
+             CAST((CAST(x AS HUGEINT) * 3266489909) % 4294967296 AS BIGINT) AS x
+      FROM p3
+    ), planes AS (
+      SELECT table_id, bit, i,
+             (CAST(xor(x, x >> 16) AS DOUBLE) / 4294967295) * 2.0 - 1.0 AS w
+      FROM p4
+    ), flat AS (
+      SELECT vec_id, t.i - 1 AS i, CAST(embedding[t.i] AS DOUBLE) AS x
+      FROM {source}, range(1, {dim + 1}) t(i)
+    ), dots AS (
+      SELECT f.vec_id, p.table_id, p.bit, sum(f.x * p.w) AS d
+      FROM flat f JOIN planes p ON p.i = f.i
+      GROUP BY 1, 2, 3
+    ), sigs AS (
+      SELECT vec_id, table_id,
+             string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, '' ORDER BY bit)
+               AS bucket
+      FROM dots GROUP BY 1, 2
+    ), cands AS (
+      SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+      FROM sigs a JOIN sigs b
+        ON a.table_id = b.table_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ), norms AS (
+      SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1
+    )"""
+
+
 # ---------------------------------------------------------------------------
 # §2.2 projections / filters / predicates
 # ---------------------------------------------------------------------------
@@ -874,11 +924,17 @@ def d2_minhash_lsh_dedup(spark: SparkSession, sf: str) -> DataFrame:
       FROM norm, range(1, 4096) t(i)
       WHERE i <= greatest(len(toks) - 2, 1)
         AND length(concat_ws(' ', toks[i], toks[i+1], toks[i+2])) > 0
+    ), shf AS (
+      -- df cap (max_token_df=1000): drop shingles hot across >1000 docs —
+      -- a no-op on this 100-doc corpus but part of the operator contract
+      SELECT sh.doc_id, sh.shingle FROM sh
+      JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000) f
+        USING (shingle)
     ), sizes AS (
-      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+      SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id
     ), inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b, n_inter,
@@ -1089,53 +1145,11 @@ def s4_filename_codec(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "v2_ann_lsh_topk",
-    """
-    WITH plane_raw AS (
-      -- splitmix-style mix, bit-for-bit the engine's _hyperplane():
-      -- x = (t*1000003 + b*10007 + i*97 + 0x9E3779B9) & 0xFFFFFFFF, then
-      -- xor-shift/multiply rounds; HUGEINT guards the 32x32-bit products
-      SELECT t.t AS table_id, b.b AS bit, i.i - 1 AS i,
-             (t.t * 1000003 + b.b * 10007 + (i.i - 1) * 97 + 2654435769)
-               % 4294967296 AS x
-      FROM range(0, 6) t(t), range(0, 5) b(b), range(1, 65) i(i)
-    ), p1 AS (
-      SELECT table_id, bit, i, xor(x, x >> 16) AS x FROM plane_raw
-    ), p2 AS (
-      SELECT table_id, bit, i,
-             CAST((CAST(x AS HUGEINT) * 2246822507) % 4294967296 AS BIGINT) AS x
-      FROM p1
-    ), p3 AS (
-      SELECT table_id, bit, i, xor(x, x >> 13) AS x FROM p2
-    ), p4 AS (
-      SELECT table_id, bit, i,
-             CAST((CAST(x AS HUGEINT) * 3266489909) % 4294967296 AS BIGINT) AS x
-      FROM p3
-    ), planes AS (
-      SELECT table_id, bit, i,
-             (CAST(xor(x, x >> 16) AS DOUBLE) / 4294967295) * 2.0 - 1.0 AS w
-      FROM p4
-    ), flat AS (
-      SELECT vec_id, t.i - 1 AS i, CAST(embedding[t.i] AS DOUBLE) AS x
-      FROM embeddings, range(1, 65) t(i)
-    ), dots AS (
-      SELECT f.vec_id, p.table_id, p.bit, sum(f.x * p.w) AS d
-      FROM flat f JOIN planes p ON p.i = f.i
-      GROUP BY 1, 2, 3
-    ), sigs AS (
-      SELECT vec_id, table_id,
-             string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, '' ORDER BY bit)
-               AS bucket
-      FROM dots GROUP BY 1, 2
-    ), cands AS (
-      SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-      FROM sigs a JOIN sigs b
-        ON a.table_id = b.table_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-    ), pairs AS (
+    f"""
+    WITH {_lsh_cte(6, 8, "embeddings")}, pairs AS (
       SELECT va AS query_id, vb AS neighbor_id FROM cands
       UNION ALL
       SELECT vb AS query_id, va AS neighbor_id FROM cands
-    ), norms AS (
-      SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1
     ), sims AS (
       SELECT p.query_id, p.neighbor_id,
              round(sum(fa.x * fb.x) / (any_value(na.nrm) * any_value(nb.nrm)), 6)
@@ -1163,7 +1177,7 @@ def v2_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.similarity import ann_topk
 
     emb = _t(spark, sf, "embeddings")
-    return ann_topk(emb, dim=64, k=1, n_tables=6, n_bits=5)
+    return ann_topk(emb, dim=64, k=1, n_tables=6, n_bits=8)
 
 
 @query(
@@ -1199,33 +1213,37 @@ def m1_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "d4_embedding_neardup",
-    """
+    f"""
     WITH corpus AS (
       SELECT vec_id, embedding FROM embeddings
       UNION ALL
       SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 10
-    ), flat AS (
-      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
-      FROM corpus, range(1, 65) t(i)
-    ), norms AS (
-      SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id
-    ), dots AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.x * b.x) AS dot
-      FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
-      WHERE a.vec_id < 10 OR b.vec_id >= 100000
+    ), {_lsh_cte(8, 8, "corpus")}, sims AS (
+      SELECT c.va AS vec_a, c.vb AS vec_b,
+             round(sum(fa.x * fb.x) / (any_value(na.nrm) * any_value(nb.nrm)), 6)
+               AS sim
+      FROM cands c
+      JOIN flat fa ON fa.vec_id = c.va
+      JOIN flat fb ON fb.vec_id = c.vb AND fb.i = fa.i
+      JOIN norms na ON na.vec_id = c.va
+      JOIN norms nb ON nb.vec_id = c.vb
+      WHERE c.va < 10 OR c.vb >= 100000
       GROUP BY 1, 2
     )
-    SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 6) AS sim
-    FROM dots JOIN norms na ON na.vec_id = vec_a
-              JOIN norms nb ON nb.vec_id = vec_b
-    WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.95
+    SELECT vec_a, vec_b, sim FROM sims WHERE sim >= 0.95
     """,
 )
 def d4_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup detection: pairs above a similarity
     threshold. Planted exact copies (vec_id+100000) must all surface with
-    sim 1.0 — visible recall, deterministic output."""
-    from .operators.similarity import cosine
+    sim 1.0 — identical vectors share every LSH bucket, so bucketing never
+    loses them.
+
+    Scale path: candidates come from the hyperplane-LSH equi-join
+    (operators/similarity.py) — NOT an all-pairs non-equi join, which
+    Catalyst would execute as an O(N²) BroadcastNestedLoopJoin. Exact cosine
+    runs only inside buckets; the oracle replays the identical bucketing."""
+    from .operators.similarity import cosine, hyperplane_signatures
 
     emb = _t(spark, sf, "embeddings")
     corpus = emb.select("vec_id", "embedding").unionByName(
@@ -1233,20 +1251,34 @@ def d4_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
         )
     )
-    a = corpus.alias("a")
-    b = corpus.alias("b")
-    sim = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
-    return (
-        a.join(
-            b,
-            (F.col("a.vec_id") < F.col("b.vec_id"))
-            & ((F.col("a.vec_id") < 10) | (F.col("b.vec_id") >= 100000)),
+    sigs = hyperplane_signatures(corpus, dim=64, n_tables=8, n_bits=8)
+    # every qualifying pair has ≥1 endpoint in the tiny special set
+    # ({id<10} ∪ {id≥100000}), so join special-side signatures (broadcast)
+    # against the corpus instead of distinct-ing the full all-pairs candidate
+    # set first — same pair set as the oracle's cands+WHERE, ~N× less work
+    special = sigs.filter((F.col("vec_id") < 10) | (F.col("vec_id") >= 100000))
+    cands = (
+        special.alias("a")
+        .join(
+            sigs.alias("b"),
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
         )
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            sim.alias("sim"),
+            F.least("a.vec_id", "b.vec_id").alias("vec_a"),
+            F.greatest("a.vec_id", "b.vec_id").alias("vec_b"),
         )
+        .distinct()
+        .filter((F.col("vec_a") < 10) | (F.col("vec_b") >= 100000))
+    )
+    va = corpus.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_vec"))
+    vb = corpus.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b_vec"))
+    sim = F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6)
+    return (
+        cands.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", sim.alias("sim"))
         .filter(F.col("sim") >= 0.95)
     )
 
@@ -1307,14 +1339,15 @@ def p9_posexplode_index(spark: SparkSession, sf: str) -> DataFrame:
 )
 def w5_global_rank_order(spark: SparkSession, sf: str) -> DataFrame:
     """W5: deterministic global ordering after a parallel stage (fetch
-    results sorted by height, block.rs:62-72) — as a ranked top-k."""
+    results sorted by height, block.rs:62-72) — as a ranked top-k.
+
+    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject (per-partition
+    heap + driver merge), NOT a single-partition global sort; the ranking
+    window then runs over just the k surviving rows."""
     ev = _t(spark, sf, "events").filter(F.col("event_type") == "purchase")
-    w = Window.orderBy(F.desc("value"), F.asc("event_id"))
-    return (
-        ev.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 100)
-        .select("event_id", "value", "rk")
-    )
+    order = [F.desc("value"), F.asc("event_id")]
+    top = ev.select("event_id", "value").orderBy(*order).limit(100)
+    return top.withColumn("rk", F.row_number().over(Window.orderBy(*order)))
 
 
 @query(

@@ -213,6 +213,24 @@ def _snappy_decompress(payload: bytes) -> bytes:
     return pa.decompress(raw, decompressed_size=size, codec="snappy").to_pybytes()
 
 
+def _zstd_decompress(payload: bytes) -> bytes:
+    """Decompress one zstd frame without knowing the content size up front —
+    streaming-mode frames (no FCS header field, what the reference's Rust
+    encoder emits) decompress the same as single-shot frames."""
+    import pyarrow as pa
+
+    with pa.CompressedInputStream(pa.BufferReader(payload), "zstd") as s:
+        return s.read()
+
+
+def _zstd_compress(data: bytes, level: int = 9) -> bytes:
+    """zstd level 9 — the reference's default block compression
+    (``src/global.rs:34-40``)."""
+    import pyarrow as pa
+
+    return bytes(pa.Codec("zstd", compression_level=level).compress(data))
+
+
 def read_avro_schema(path: str) -> dict:
     """The writer schema embedded in an Avro container file's header."""
     with open(path, "rb") as f:
@@ -274,6 +292,8 @@ def read_avro_records(path: str, expected_record: str | None = None) -> Iterator
                 data = zlib.decompress(payload, -15)
             elif codec == "snappy":
                 data = _snappy_decompress(payload)
+            elif codec in ("zstandard", "zstd"):
+                data = _zstd_decompress(payload)
             else:
                 raise ValueError(f"{path}: unsupported codec {codec}")
             buf = io.BytesIO(data)
@@ -288,7 +308,9 @@ def write_avro_records(
     codec: str = "deflate",
     block_records: int = 1000,
 ) -> None:
-    """Write records into an Avro container file (null/deflate codecs)."""
+    """Write records into an Avro container file (null/deflate/zstandard)."""
+    if codec == "zstd":
+        codec = "zstandard"  # the spec'd codec name in the container header
     sync = os.urandom(16)
     with open(path, "wb") as f:
         f.write(MAGIC)
@@ -313,6 +335,8 @@ def write_avro_records(
             if codec == "deflate":
                 co = zlib.compressobj(9, zlib.DEFLATED, -15)
                 data = co.compress(data) + co.flush()
+            elif codec in ("zstandard", "zstd"):
+                data = _zstd_compress(data)
             elif codec != "null":
                 raise ValueError(f"unsupported write codec {codec}")
             _write_long(f, len(chunk))

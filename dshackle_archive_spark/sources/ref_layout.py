@@ -73,7 +73,8 @@ def _pa_schema(kind: DataKind):
 def _write_avro_pdf(path: str, kind: DataKind, out_pdf: pd.DataFrame) -> None:
     """Reference-format Avro sink: pandas rows -> Avro container records
     (timestamps become epoch-millis longs per the timestamp-millis logical
-    type; NaN/NaT become nulls)."""
+    type; NaN/NaT become nulls). zstd level 9 blocks — the reference's
+    default compression (``src/global.rs:34-40``)."""
     from ..schemas_avro import AVRO_TABLE_SCHEMAS
     from .avro_io import write_avro_records
 
@@ -98,7 +99,7 @@ def _write_avro_pdf(path: str, kind: DataKind, out_pdf: pd.DataFrame) -> None:
             else:
                 rec[n] = v
         records.append(rec)
-    write_avro_records(path, schema, records, codec="deflate")
+    write_avro_records(path, schema, records, codec="zstandard")
 
 
 def _write_group_fn(

@@ -226,7 +226,7 @@ def test_roundtrip_property_random_records():
             )
         with tempfile.TemporaryDirectory() as d:
             p = os.path.join(d, "r.avro")
-            codec = rnd.choice(["null", "deflate"])
+            codec = rnd.choice(["null", "deflate", "zstandard"])
             write_avro_records(p, schema, records, codec=codec, block_records=97)
             assert list(read_avro_records(p)) == records, f"trial {trial} codec {codec}"
 
@@ -274,3 +274,63 @@ def test_chain_json_schemas_parse_real_payloads(spark):
     assert height == 15437941
     assert parsed_eth["hash"] == eth["blockId"] and parsed_eth["parentHash"] == eth["parentId"]
     assert parsed_eth["n_tx"] > 0
+
+
+def test_roundtrip_zstd_codec(tmp_path):
+    """zstd is the reference's DEFAULT block compression (global.rs:34-40) —
+    a real reference archive written with defaults must import."""
+    schema = {"type": "record", "name": "S", "fields": [{"name": "v", "type": "long"}]}
+    p = str(tmp_path / "z.avro")
+    write_avro_records(p, schema, [{"v": i} for i in range(5000)], codec="zstandard")
+    assert [r["v"] for r in read_avro_records(p)] == list(range(5000))
+    # header advertises the spec'd codec name, also for the "zstd" alias
+    p2 = str(tmp_path / "z2.avro")
+    write_avro_records(p2, schema, [{"v": 1}], codec="zstd")
+    import json as _json
+
+    from dshackle_archive_spark.sources.avro_io import MAGIC
+
+    with open(p2, "rb") as f:
+        head = f.read(4096)
+    assert head[:4] == MAGIC and b"zstandard" in head
+
+
+def test_streaming_mode_zstd_frame_reads(tmp_path):
+    """Frames without the content-size header field (what a streaming Rust
+    encoder emits) must decompress too."""
+    import pyarrow as pa
+
+    from dshackle_archive_spark.sources.avro_io import _zstd_decompress
+
+    # build a frame with no FCS by compressing through the streaming writer
+    sink = pa.BufferOutputStream()
+    with pa.CompressedOutputStream(sink, "zstd") as out:
+        out.write(b"streamed " * 1000)
+    frame = sink.getvalue().to_pybytes()
+    assert _zstd_decompress(frame) == b"streamed " * 1000
+
+
+def test_import_zstd_avro_tree(spark, tmp_path):
+    """End-to-end: an avro archive written with the reference's default zstd
+    compression imports into the native layout."""
+    from dshackle_archive_spark.core import DataKind, Range
+    from dshackle_archive_spark.plans.archive_plan import archive
+    from dshackle_archive_spark.sources.archive import read_table
+    from dshackle_archive_spark.sources.fetcher import FetchPolicy
+    from dshackle_archive_spark.sources.import_archive import import_reference_archive
+
+    from dshackle_archive_spark.sources.mock_chain import MockChain
+
+    chain = MockChain(head_height=10_000)
+    src = tmp_path / "src"
+    dst = tmp_path / "dst"
+    archive(spark, chain, str(src), Range(100, 149), tables=(DataKind.BLOCKS,),
+            chunk=50, policy=FetchPolicy(parallel=4), fmt="avro")
+    # written files carry zstandard blocks (the new default)
+    f = src / "eth" / "000000000" / "range-000000100_000000149.blocks.avro"
+    assert b"zstandard" in f.read_bytes()[:4096]
+    res = import_reference_archive(spark, str(src / "eth"), str(dst), "ETH",
+                                   tables=("blocks",))
+    assert res.files["blocks"] == 1
+    blocks = read_table(spark, str(dst), "ETH", "blocks")
+    assert blocks.count() == 50

@@ -145,3 +145,15 @@ def test_multimodal_pipeline(spark):
     # real backend stubs raise cleanly
     with pytest.raises(NotImplementedError):
         M.DecodeBackend().decode_image(b"x")
+
+
+def test_d4_neardup_plan_is_bucketed_not_allpairs(spark, sf_dir):
+    """The embedding near-dup query must route through LSH candidates: its
+    physical plan may not contain a nested-loop/cartesian join over the
+    corpus (the O(N²) scale-killer flagged in round 1)."""
+    from dshackle_archive_spark.queries import registry
+
+    df = registry()["d4_embedding_neardup"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

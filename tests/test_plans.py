@@ -441,3 +441,28 @@ def test_fix_batches_gaps_into_one_job_per_kind(spark, tmp_path):
     assert jobs < 10, f"fix issued {jobs} jobs for 10 gaps"
     rep = verify(spark, CHAIN, str(tmp_path), Range(0, 999), tables=BT)
     assert rep.failures == []
+
+
+def test_verify_merges_small_ranges_into_islands(spark, tmp_path):
+    """W4 (verify.rs:237-267): adjacent ≤10-block groups are content-checked
+    as one island — a parent-hash break BETWEEN two 10-block files is
+    invisible to per-group windows and must still be caught."""
+
+    class BoundaryBreakChain(MockChain):
+        def block(self, height, fork=False):
+            blk = super().block(height, fork)
+            if height == 150:  # first block of the [150,159] file
+                blk["parent"] = "WRONG"
+            return blk
+
+    chain = BoundaryBreakChain(head_height=10_000)
+    # 10-block range files: [100,109] ... [190,199] — all groups <= 10 blocks
+    archive(spark, chain, str(tmp_path), Range(100, 199), tables=BT, chunk=10, policy=POLICY)
+    assert len(tree(tmp_path)) == 20
+    rep = verify(spark, CHAIN, str(tmp_path), Range(100, 199), tables=BT, dry_run=True)
+    bad = [f for f in rep.failures if f["reason"] == "blocks_content"]
+    assert len(bad) == 1 and bad[0]["broken_links"] == 1
+    # the whole merged island [100,199] is the failing unit
+    assert bad[0]["start"] == 100 and bad[0]["end"] == 199
+    # every member group's files are in the delete list
+    assert len(rep.deleted) == 20 and rep.groups_ok == 0

@@ -7,11 +7,10 @@ import re
 
 import __spark_entry__ as entrymod
 
-ROWS_ONLY_ALLOWED = {
-    # LSH hyperplanes / Pandas-UDF stages — no SQL-expressible oracle
-    "v2_ann_lsh_topk",
-    "m1_multimodal_features",
-}
+# every registry query now carries a full value-level oracle (the LSH
+# hyperplane hash and the multimodal feature stage are deterministic, so
+# even those replay in SQL) — keep this set empty
+ROWS_ONLY_ALLOWED: set[str] = set()
 
 
 def test_every_query_has_oracle_or_is_allowed_rows_only():
