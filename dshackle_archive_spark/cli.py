@@ -57,9 +57,17 @@ def _tables(spec: str) -> tuple[DataKind, ...]:
 def _provider(args):
     if args.provider == "mock":
         return MockChain(head_height=args.mock_head)
+    if args.provider in ("eth-rpc", "btc-rpc"):
+        if not args.rpc_url:
+            raise SystemExit(f"--rpc-url is required for provider '{args.provider}'")
+        from .sources.rpc import BitcoinRpcProvider, EthereumRpcProvider
+
+        if args.provider == "eth-rpc":
+            return EthereumRpcProvider(args.rpc_url, blockchain_id=args.chain or "ETH")
+        return BitcoinRpcProvider(args.rpc_url, blockchain_id=args.chain or "BTC")
     raise SystemExit(
-        f"provider '{args.provider}' not available in this environment; "
-        "register a chain provider implementing the MockChain interface"
+        f"unknown provider '{args.provider}' (mock, eth-rpc, btc-rpc); a custom "
+        "chain plugs in by implementing the MockChain interface"
     )
 
 
@@ -94,7 +102,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--batches", type=int, default=3, help="stream: micro-batches to run")
     p.add_argument("--format", choices=["parquet", "avro"], default="parquet",
                    dest="fmt", help="archive file format (avro = reference-compatible)")
-    p.add_argument("--provider", default="mock")
+    p.add_argument("--provider", default="mock",
+                   help="mock | eth-rpc | btc-rpc (JSON-RPC over HTTP)")
+    p.add_argument("--rpc-url", default=None, help="node JSON-RPC endpoint URL")
+    p.add_argument("--chain", default=None, help="blockchain id (ETH, BTC, ...)")
     p.add_argument("--mock-head", type=int, default=1_000_000)
     p.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
     args = p.parse_args(argv)
@@ -141,7 +152,8 @@ def main(argv: list[str] | None = None) -> int:
         rng = _scope(args, provider)
         res = compact(spark, args.dir, provider.blockchain_id, rng, tables=tables,
                       chunk=args.chunk, dry_run=args.dry_run,
-                      block_json_schema=provider.block_json_schema)
+                      block_json_schema=provider.block_json_schema,
+                      tx_list_field=getattr(provider, "tx_list_field", "transactions"))
         out = {"command": "compact", "range": str(rng),
                "compacted": res.compacted_chunks, "skipped": res.skipped_chunks,
                "deleted_sources": len(res.deleted)}

@@ -143,6 +143,7 @@ def compact(
     chunk: int = 1000,
     dry_run: bool = False,
     block_json_schema=None,
+    tx_list_field: str = "transactions",
 ) -> CompactResult:
     from ..sources.avro_io import read_archive_data
 
@@ -266,7 +267,7 @@ def compact(
                 cid,
                 F.explode_outer(
                     F.from_json(F.col("json").cast("string"), block_json_schema)[
-                        "transactions"
+                        tx_list_field
                     ]
                 ).alias("txid"),
             ).filter(F.col("txid").isNotNull())

@@ -114,11 +114,12 @@ def verify_native(
         )
         .join(F.broadcast(lookup), "g_end", "left")
     )
+    tx_field = getattr(provider, "tx_list_field", "transactions")
     expected = b.select(
         "g_start",
         F.explode_outer(
             F.from_json(F.col("json").cast("string"), provider.block_json_schema)[
-                "transactions"
+                tx_field
             ]
         ).alias("txid"),
     ).filter(F.col("txid").isNotNull())
@@ -348,14 +349,16 @@ def verify(
             )
         )
         bad_groups = blocks_stat.filter(~F.col("blocks_ok"))
-        # expected txids from the blocks' own JSON payloads (P4)
+        # expected txids from the blocks' own JSON payloads (P4); the tx-list
+        # key is per-chain — ETH "transactions", BTC "tx"
+        tx_field = getattr(provider, "tx_list_field", "transactions")
         expected = (
             bdf.select(
                 "g_start",
                 "g_end",
                 F.explode_outer(
                     F.from_json(F.col("json").cast("string"), provider.block_json_schema)[
-                        "transactions"
+                        tx_field
                     ]
                 ).alias("txid"),
             )

@@ -92,6 +92,8 @@ def fetch_blocks(
     """
     cap = max(1, policy.parallel // 2)  # blocks = api/2 (global.rs:78-97)
 
+    uncle_fn = getattr(provider, "uncles", None)
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -99,6 +101,9 @@ def fetch_blocks(
                 variants = [False] + ([True] if forks and h in provider.fork_at else [])
                 for fork in variants:
                     blk = policy.call(provider.block, h, fork)
+                    # uncle payloads (ethereum.rs:243-248; schema stores the
+                    # ETH-consensus maximum of two)
+                    uncles = policy.call(uncle_fn, h, fork) if uncle_fn else []
                     rows.append(
                         {
                             "blockchainType": provider.blockchain_type,
@@ -111,9 +116,9 @@ def fetch_blocks(
                                 provider.block_timestamp_ms(h), unit="ms"
                             ),
                             "json": policy.call(provider.block_json, h, fork),
-                            "unclesCount": 0,
-                            "uncle0Json": None,
-                            "uncle1Json": None,
+                            "unclesCount": len(uncles),
+                            "uncle0Json": uncles[0] if len(uncles) > 0 else None,
+                            "uncle1Json": uncles[1] if len(uncles) > 1 else None,
                         }
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in BLOCKS_SCHEMA.fields])
@@ -122,8 +127,11 @@ def fetch_blocks(
     return hs.mapInPandas(gen, schema=BLOCKS_SCHEMA)
 
 
-def _tx_rows_for_block(provider, h: int, blk_hash: str, with_traces: bool) -> list[dict]:
+def _tx_rows_for_block(
+    provider, h: int, blk_hash: str, with_traces: bool, policy: FetchPolicy
+) -> list[dict]:
     ts = pd.Timestamp(provider.block_timestamp_ms(h), unit="ms")
+    details_fn = getattr(provider, "tx_details", None)
     out = []
     for i, txid in enumerate(provider.tx_ids(h)):
         base = {
@@ -139,18 +147,31 @@ def _tx_rows_for_block(provider, h: int, blk_hash: str, with_traces: bool) -> li
         if with_traces:
             base.update(
                 {
-                    "traceJson": provider.trace_json(txid),
-                    "stateDiffJson": provider.state_diff_json(txid),
+                    "traceJson": policy.call(provider.trace_json, txid),
+                    "stateDiffJson": policy.call(provider.state_diff_json, txid),
+                }
+            )
+        elif details_fn is not None:
+            # full tx surface incl. from/to parsed out of the tx JSON
+            # (ethereum.rs:274-280)
+            d = policy.call(details_fn, h, txid)
+            base.update(
+                {
+                    "json": d["json"],
+                    "raw": d["raw"],
+                    "from": d.get("from"),
+                    "to": d.get("to"),
+                    "receiptJson": d.get("receiptJson"),
                 }
             )
         else:
             base.update(
                 {
-                    "json": provider.tx_json(h, txid),
-                    "raw": provider.tx_raw(txid),
+                    "json": policy.call(provider.tx_json, h, txid),
+                    "raw": policy.call(provider.tx_raw, txid),
                     "from": None,
                     "to": None,
-                    "receiptJson": provider.receipt_json(txid),
+                    "receiptJson": policy.call(provider.receipt_json, txid),
                 }
             )
         out.append(base)
@@ -176,7 +197,9 @@ def fetch_table_for_heights(
             rows = []
             for h in pdf["height"].tolist():
                 blk = policy.call(provider.block, h)
-                rows.extend(_tx_rows_for_block(provider, h, blk["hash"], with_traces))
+                rows.extend(
+                    _tx_rows_for_block(provider, h, blk["hash"], with_traces, policy)
+                )
             yield pd.DataFrame(rows, columns=cols)
 
     hs = heights_df(spark, rng, cap)

@@ -25,9 +25,11 @@ class MockChain:
     head_height: int = 1_000_000
     txs_per_block: int = 2  # plus one extra on odd heights
     fork_at: frozenset[int] = field(default_factory=frozenset)
+    uncle_at: frozenset[int] = field(default_factory=frozenset)
     blockchain_type: str = "ETHEREUM"
     blockchain_id: str = "ETH"
     block_json_schema = MOCK_BLOCK_JSON_SCHEMA
+    tx_list_field = "transactions"
 
     def head(self) -> int:
         return self.head_height
@@ -56,6 +58,31 @@ class MockChain:
     def block_timestamp_ms(self, height: int) -> int:
         # deterministic 12-second block time from a fixed genesis
         return (1_600_000_000 + height * 12) * 1000
+
+    def uncles(self, height: int, fork: bool = False) -> list[bytes]:
+        """Uncle payloads for heights in ``uncle_at`` (ethereum.rs:243-248)."""
+        if height in self.uncle_at:
+            return [
+                json.dumps(
+                    {"hash": self.block_hash(height, fork=True), "number": height - 1}
+                ).encode()
+            ]
+        return []
+
+    def tx_details(self, height: int, txid: str) -> dict:
+        """Full tx surface incl. deterministic from/to addresses
+        (avros.rs:58-75: the schema's Ethereum-only columns)."""
+        import hashlib
+
+        frm = "0x" + hashlib.sha256(f"from:{txid}".encode()).hexdigest()[:40]
+        to = "0x" + hashlib.sha256(f"to:{txid}".encode()).hexdigest()[:40]
+        return {
+            "json": self.tx_json(height, txid),
+            "raw": self.tx_raw(txid),
+            "from": frm,
+            "to": to,
+            "receiptJson": self.receipt_json(txid),
+        }
 
     def tx_json(self, height: int, txid: str) -> bytes:
         return json.dumps({"hash": txid, "blockNumber": height}).encode()

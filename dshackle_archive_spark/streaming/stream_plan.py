@@ -88,18 +88,20 @@ def run_stream(
     continue_from_archive: bool = False,
     num_batches: int = 3,
     poll_interval_s: float = 0.0,
+    engine: str = "query",
+    checkpoint_dir: str | None = None,
+    timeout_s: float = 120.0,
 ) -> StreamState:
-    """Drive the head-follow loop for ``num_batches`` micro-batches.
+    """Follow the chain head for ``num_batches`` micro-batches.
 
-    The loop body is exactly a Structured Streaming ``foreachBatch``
-    callback; driving it directly keeps tests deterministic. To attach to a
-    real tick stream:
+    The DEFAULT engine is a genuine checkpointed Structured Streaming query:
+    rate-source ticks drive ``stream_batch`` through ``foreachBatch`` with a
+    ``checkpointLocation`` under the archive root — restart-safe offsets, T7
+    graceful shutdown via ``StreamingQuery.stop()``. ``engine="loop"`` runs
+    the identical batch body in a plain driver loop (deterministic timing
+    for micro-tests; also the shape for external schedulers)."""
+    import os
 
-        q = (spark.readStream.format("rate").option("rowsPerSecond", 1).load()
-             .writeStream.foreachBatch(lambda _df, _id:
-                 stream_batch(spark, provider, root, state, tables, policy))
-             .start())
-    """
     state = StreamState()
     if continue_from_archive:
         # T3: on start, repair any missing tables in the window preceding
@@ -110,8 +112,33 @@ def run_stream(
         window = Range(head, head).up_to(CONTINUE_WINDOW)
         res = fix(spark, provider, root, window, tables=tables, policy=policy)
         state.backfilled = res.missing
-    for _ in range(num_batches):
-        stream_batch(spark, provider, root, state, tables, policy, follow)
-        if poll_interval_s:
-            time.sleep(poll_interval_s)
+
+    if engine == "loop":
+        for _ in range(num_batches):
+            stream_batch(spark, provider, root, state, tables, policy, follow)
+            if poll_interval_s:
+                time.sleep(poll_interval_s)
+        return state
+
+    ckpt = checkpoint_dir or os.path.join(root, "_checkpoints", "stream")
+
+    def on_batch(_df, _batch_id):
+        # the stop below is asynchronous — never run past the batch budget
+        if state.batches < num_batches:
+            stream_batch(spark, provider, root, state, tables, policy, follow)
+
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 4)
+        .load()
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        deadline = time.time() + timeout_s
+        while time.time() < deadline and state.batches < num_batches:
+            time.sleep(0.2)
+    finally:
+        q.stop()  # T7 graceful shutdown
     return state

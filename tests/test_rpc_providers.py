@@ -1,0 +1,149 @@
+"""Real-chain HTTP JSON-RPC providers against local stub nodes: the
+archive→verify end-to-end over actual HTTP (reference ethereum.rs /
+bitcoin.rs behaviors, minus a real node in the container)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dshackle_archive_spark.core import DataKind, Range
+from dshackle_archive_spark.plans.archive_plan import archive
+from dshackle_archive_spark.plans.fix_plan import fix
+from dshackle_archive_spark.plans.verify_plan import verify
+from dshackle_archive_spark.sources.archive import list_archive_files
+from dshackle_archive_spark.sources.fetcher import FetchPolicy
+from dshackle_archive_spark.sources.rpc import BitcoinRpcProvider, EthereumRpcProvider
+
+from stub_rpc import BtcChainModel, EthChainModel, start_stub
+
+POLICY = FetchPolicy(parallel=4, attempts=3, backoff_base_s=0.01)
+BT = (DataKind.BLOCKS, DataKind.TRANSACTIONS)
+
+
+@pytest.fixture(scope="module")
+def eth():
+    url, srv = start_stub(EthChainModel(head=500))
+    yield url, EthChainModel(head=500)
+    srv.shutdown()
+
+
+@pytest.fixture(scope="module")
+def btc():
+    url, srv = start_stub(BtcChainModel(head=500))
+    yield url, BtcChainModel(head=500)
+    srv.shutdown()
+
+
+def test_eth_provider_basics(eth):
+    url, model = eth
+    p = EthereumRpcProvider(url)
+    assert p.head() == 500
+    assert p.finalized() == 496
+    blk = p.block(100)
+    assert blk["hash"] == model.block_hash(100)
+    assert blk["parent"] == model.block_hash(99)
+    assert p.tx_ids(100) == model.tx_hashes(100)
+    assert p.block_timestamp_ms(100) == (1_600_000_000 + 1200) * 1000
+    assert len(p.uncles(100)) == 1 and len(p.uncles(101)) == 0
+    d = p.tx_details(100, model.tx_hashes(100)[0])
+    assert d["from"].startswith("0x") and len(d["from"]) == 42
+    assert d["raw"].hex().endswith("ff")
+    assert json.loads(d["receiptJson"])["status"] == "0x1"
+    assert json.loads(p.trace_json(model.tx_hashes(100)[0]))["type"] == "CALL"
+    assert "post" in json.loads(p.state_diff_json(model.tx_hashes(100)[0]))
+
+
+def test_eth_archive_verify_end_to_end(spark, tmp_path, eth):
+    url, model = eth
+    p = EthereumRpcProvider(url)
+    BTT = (DataKind.BLOCKS, DataKind.TRANSACTIONS, DataKind.TRACES)
+    res = archive(spark, p, str(tmp_path), Range(100, 119), tables=BTT,
+                  chunk=10, policy=POLICY)
+    assert res.written == 6 and res.skipped == 0
+    files = list_archive_files(str(tmp_path / "eth"))
+    assert len(files) == 6
+
+    bdf = spark.read.parquet(
+        str(tmp_path / "eth" / "000000000" / "range-000000100_000000109.blocks.parquet"))
+    rows = {r["height"]: r for r in bdf.collect()}
+    assert len(rows) == 10
+    # uncles populated at heights % 5 == 0 (ethereum.rs:243-248)
+    assert rows[100]["unclesCount"] == 1 and rows[100]["uncle0Json"] is not None
+    assert rows[101]["unclesCount"] == 0 and rows[101]["uncle0Json"] is None
+    assert rows[100]["blockId"] == model.block_hash(100)
+
+    tdf = spark.read.parquet(
+        str(tmp_path / "eth" / "000000000" / "range-000000100_000000109.txes.parquet"))
+    trows = tdf.collect()
+    assert len(trows) == sum(len(model.tx_hashes(h)) for h in range(100, 110))
+    # from/to/receipt populated from the tx JSON (ethereum.rs:274-280)
+    assert all(r["from"] and r["from"].startswith("0x") for r in trows)
+    assert all(r["receiptJson"] is not None for r in trows)
+    assert any(r["to"] is None for r in trows)  # contract creations
+    assert any(r["to"] is not None for r in trows)
+
+    trc = spark.read.parquet(
+        str(tmp_path / "eth" / "000000000" / "range-000000100_000000109.traces.parquet"))
+    assert trc.filter(F.col("traceJson").isNull()).count() == 0
+
+    # verify end-to-end against the live stub (J5 head-hash confirmation
+    # resolves through provider.block_hash → HTTP)
+    rep = verify(spark, p, str(tmp_path), Range(100, 119), tables=BTT)
+    assert rep.failures == [] and rep.deleted == []
+    # and fix agrees nothing is missing
+    fx = fix(spark, p, str(tmp_path), Range(100, 119), tables=BTT, chunk=10,
+             policy=POLICY, dry_run=True)
+    assert fx.missing == []
+
+
+def test_btc_archive_verify_end_to_end(spark, tmp_path, btc):
+    url, model = btc
+    p = BitcoinRpcProvider(url)
+    assert p.head() == 500
+    res = archive(spark, p, str(tmp_path), Range(100, 109), tables=BT,
+                  chunk=10, policy=POLICY)
+    assert res.written == 2
+    bdf = spark.read.parquet(
+        str(tmp_path / "btc" / "000000000" / "range-000000100_000000109.blocks.parquet"))
+    rows = {r["height"]: r for r in bdf.collect()}
+    assert rows[100]["blockId"] == model.block_hash(100)
+    assert rows[100]["parentId"] == model.block_hash(99)
+    assert rows[100]["unclesCount"] == 0
+    tdf = spark.read.parquet(
+        str(tmp_path / "btc" / "000000000" / "range-000000100_000000109.txes.parquet"))
+    trows = tdf.collect()
+    assert all(r["from"] is None and r["receiptJson"] is None for r in trows)
+    assert all(len(r["raw"]) > 0 for r in trows)
+    # verify parses the BTC block json's "tx" list (tx_list_field)
+    rep = verify(spark, p, str(tmp_path), Range(100, 109), tables=BT)
+    assert rep.failures == [] and rep.deleted == []
+
+
+def test_cli_accepts_rpc_provider(spark, tmp_path, eth):
+    import contextlib
+    import io
+
+    from dshackle_archive_spark import cli
+
+    url, _ = eth
+    p = EthereumRpcProvider(url)
+    archive(spark, p, str(tmp_path), Range(100, 109), tables=BT, chunk=10, policy=POLICY)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli.main([
+            "verify", "--dir", str(tmp_path), "--range", "100..109",
+            "--provider", "eth-rpc", "--rpc-url", url, "--master", "local[4]",
+        ])
+    assert rc == 0
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["ok"] == out["groups"] and out["failures"] == []
+
+
+def test_rpc_error_retries_then_raises(eth):
+    url, _ = eth
+    p = EthereumRpcProvider(url)
+    pol = FetchPolicy(attempts=2, backoff_base_s=0.01)
+    with pytest.raises(Exception):
+        pol.call(p.tx_json, 1, "0x" + "ab" * 32)  # unknown tx -> null -> raise
