@@ -1,0 +1,100 @@
+"""Notification sinks (S15/S16 in SURVEY §2.1).
+
+The reference emits one JSON message per archived file — to a directory
+(``notify/fs.rs``) or a Pulsar topic (``notify/pulsar.rs:30-68``), where each
+message is the ``Notification`` struct serialized as a JSON string
+(``notify/mod.rs:12-35``). Here the notification stream is a DataFrame of
+single ``value`` strings — the exact wire payload — which is the universal
+shape every Spark message sink takes (Kafka's and StreamNative's Pulsar
+connector both consume a ``value`` column), so the broker is a format string
++ options, not engine code:
+
+    send_notifications(wr, "pulsar",
+                       **{"service.url": "pulsar://...", "topic": "t"})
+    send_notifications(wr, "kafka",
+                       **{"kafka.bootstrap.servers": "...", "topic": "t"})
+    send_notifications(wr, "json", path="/archive/notifications/run1")
+
+No broker (or connector jar) exists in this container — the wiring is tested
+through the json/memory sinks, which exercise the identical payload path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# reference field order (notify/mod.rs:12-35); key order in the JSON matches
+_FIELDS = (
+    "version",
+    "ts",
+    "blockchain",
+    "type",
+    "run",
+    "heightStart",
+    "heightEnd",
+    "location",
+    "maturity",
+)
+
+
+def notification_json_df(write_results: DataFrame) -> DataFrame:
+    """Write-result rows → one ``value`` JSON string per archived file.
+
+    Matches the reference's serde output: RFC3339 UTC ``ts``, camelCase
+    height keys, explicit ``"maturity": null`` (serde serializes the Option;
+    ``to_json`` must keep null fields)."""
+    src = write_results
+    if "skipped" in src.columns:
+        src = src.filter(~F.col("skipped")).drop("skipped", "n_rows")
+    payload = F.struct(
+        F.col("version"),
+        F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").alias("ts"),
+        F.col("blockchain"),
+        F.col("type"),
+        F.col("run"),
+        F.col("heightStart"),
+        F.col("heightEnd"),
+        F.col("location"),
+        F.col("maturity"),
+    )
+    return src.select(
+        F.to_json(payload, {"ignoreNullFields": "false"}).alias("value")
+    )
+
+
+def send_notifications(
+    write_results: DataFrame, fmt: str, path: str | None = None, **options
+) -> None:
+    """Batch notification send through any Spark sink format.
+
+    ``fmt="pulsar"``/``"kafka"`` need the respective connector jar on the
+    classpath (none ships in this container); ``fmt="json"`` is the S15
+    directory sink shape."""
+    vdf = notification_json_df(write_results)
+    writer = vdf.write.format(fmt).options(**options).mode("append")
+    if path is not None:
+        writer.save(path)
+    else:
+        writer.save()
+
+
+def stream_notifications(
+    notifications: DataFrame,
+    fmt: str,
+    checkpoint_dir: str,
+    query_name: str = "notifications",
+    **options,
+):
+    """Streaming variant: attach the notification payload stream to a message
+    sink with checkpointed delivery (the reference's channel→producer loop,
+    ``pulsar.rs:31-68``, as a Structured Streaming sink). Returns the started
+    StreamingQuery."""
+    vdf = notification_json_df(notifications)
+    return (
+        vdf.writeStream.format(fmt)
+        .options(**options)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )

@@ -466,3 +466,63 @@ def test_verify_merges_small_ranges_into_islands(spark, tmp_path):
     assert bad[0]["start"] == 100 and bad[0]["end"] == 199
     # every member group's files are in the delete list
     assert len(rep.deleted) == 20 and rep.groups_ok == 0
+
+
+def test_notification_payloads_match_reference_schema(spark, tmp_path):
+    """S16: the notification payload stream is the reference's Notification
+    JSON (notify/mod.rs:12-35) as a `value` string column — the shape every
+    message connector (Pulsar/Kafka) consumes; broker = format + options."""
+    from dshackle_archive_spark.sources.notify import (
+        notification_json_df,
+        send_notifications,
+        stream_notifications,
+    )
+
+    res = archive(spark, CHAIN, str(tmp_path), Range(100, 199), tables=BT,
+                  chunk=100, policy=POLICY, run="archive")
+    wr = res.notifications.withColumn("skipped", F.lit(False)).withColumn("n_rows", F.lit(0))
+    vals = [json.loads(r["value"]) for r in notification_json_df(wr).collect()]
+    assert len(vals) == 2
+    for v in vals:
+        # exact reference field set and order (serde struct order)
+        assert list(v) == ["version", "ts", "blockchain", "type", "run",
+                           "heightStart", "heightEnd", "location", "maturity"]
+        assert v["version"] == "https://schema.emrld.io/dshackle-archive/notify"
+        assert v["blockchain"] == "ETH" and v["run"] == "archive"
+        assert v["maturity"] is None  # explicit null, like serde's Option
+        assert v["heightStart"] == 100 and v["heightEnd"] == 199
+        assert "T" in v["ts"] and v["ts"].endswith("Z")
+    assert {v["type"] for v in vals} == {"blocks", "transactions"}
+
+    # batch send through a real Spark sink (json = the S15 directory shape;
+    # pulsar/kafka are the same call with a connector format string)
+    out = str(tmp_path / "notif_out")
+    send_notifications(wr, "json", path=out)
+    assert spark.read.json(out).count() == 2
+
+    # streaming delivery wiring: payload stream → checkpointed memory sink
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 2).load()
+        .select(
+            F.lit("https://schema.emrld.io/dshackle-archive/notify").alias("version"),
+            F.col("timestamp").alias("ts"),
+            F.lit("ETH").alias("blockchain"),
+            F.lit("blocks").alias("type"),
+            F.lit("stream").alias("run"),
+            F.col("value").alias("heightStart"),
+            F.col("value").alias("heightEnd"),
+            F.concat(F.lit("f"), F.col("value")).alias("location"),
+            F.lit(None).cast("string").alias("maturity"),
+        )
+    )
+    from dshackle_archive_spark.sources.notify import stream_notifications as sn
+    q = sn(stream, "memory", str(tmp_path / "_nckpt"), query_name="notif_stream")
+    try:
+        import time as _time
+        deadline = _time.time() + 30
+        while _time.time() < deadline and not spark.sql("SELECT * FROM notif_stream").count():
+            _time.sleep(0.3)
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM notif_stream").collect()
+    assert rows and all(json.loads(r["value"])["run"] == "stream" for r in rows)
