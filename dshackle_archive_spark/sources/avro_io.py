@@ -302,17 +302,23 @@ def read_avro_records(path: str, expected_record: str | None = None) -> Iterator
 
 
 def write_avro_records(
-    path: str,
+    path,
     schema: dict,
     records: list[dict],
     codec: str = "deflate",
     block_records: int = 1000,
 ) -> None:
-    """Write records into an Avro container file (null/deflate/zstandard)."""
+    """Write records into an Avro container (null/deflate/zstandard).
+
+    ``path`` is a filename or any binary file-like (the object-store sink
+    serializes in memory)."""
     if codec == "zstd":
         codec = "zstandard"  # the spec'd codec name in the container header
     sync = os.urandom(16)
-    with open(path, "wb") as f:
+    from contextlib import nullcontext
+
+    ctx = nullcontext(path) if hasattr(path, "write") else open(path, "wb")
+    with ctx as f:
         f.write(MAGIC)
         meta = {
             "avro.schema": json.dumps(schema).encode(),

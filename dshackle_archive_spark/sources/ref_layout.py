@@ -70,7 +70,42 @@ def _pa_schema(kind: DataKind):
     return pa.schema(fields)
 
 
-def _write_avro_pdf(path: str, kind: DataKind, out_pdf: pd.DataFrame) -> None:
+def _fs_and_path(path: str):
+    """Resolve a URI (``s3://…``, ``gs://…``, ``file://…``) to a pyarrow
+    FileSystem + fs-native path — the S12 object-store writer seam. Plain
+    posix paths never come through here (they keep the tmp+rename commit)."""
+    import pyarrow.fs as pafs
+
+    return pafs.FileSystem.from_uri(path)
+
+
+def _fs_exists(fs, fs_path: str) -> bool:
+    import pyarrow.fs as pafs
+
+    return fs.get_file_info([fs_path])[0].type != pafs.FileType.NotFound
+
+
+def _serialize_group(kind: DataKind, out: pd.DataFrame, fmt: str) -> bytes:
+    """One output file's bytes (avro container or parquet)."""
+    import io
+
+    buf = io.BytesIO()
+    if fmt == "avro":
+        _write_avro_pdf(buf, kind, out)
+    else:
+        # parquet TIMESTAMP(MICROS): Spark's reader rejects NANOS; explicit
+        # schema keeps all-null columns correctly typed
+        out.to_parquet(
+            buf,
+            index=False,
+            schema=_pa_schema(kind),
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+    return buf.getvalue()
+
+
+def _write_avro_pdf(path, kind: DataKind, out_pdf: pd.DataFrame) -> None:
     """Reference-format Avro sink: pandas rows -> Avro container records
     (timestamps become epoch-millis longs per the timestamp-millis logical
     type; NaN/NaT become nulls). zstd level 9 blocks — the reference's
@@ -157,36 +192,38 @@ def _write_group_fn(
                 lo_r = max(lo_r, requested[0])
                 hi_r = min(hi_r, requested[1])
             rel = range_file_path(Range(lo_r, hi_r), kind, fmt=fmt)
-        path = os.path.join(base_dir, rel)
-        skipped = os.path.exists(path) and not overwrite
+        is_uri = "://" in base_dir
+        path = f"{base_dir}/{rel}" if is_uri else os.path.join(base_dir, rel)
+        if is_uri:
+            fs, fs_path = _fs_and_path(path)
+            skipped = _fs_exists(fs, fs_path) and not overwrite
+        else:
+            skipped = os.path.exists(path) and not overwrite
         if not skipped:
-            os.makedirs(os.path.dirname(path), exist_ok=True)
-            tmp = path + ".inprogress"
             out = data.drop(columns=["_file_group"], errors="ignore").sort_values(sort_cols)
             # the sentinel union makes int columns nullable (float64 in
             # pandas); restore exact integer dtypes before encoding
             for c, dt in int_cols.items():
                 if c in out and out[c].dtype.kind == "f" and out[c].notna().all():
                     out[c] = out[c].astype(dt)
-            # delete-on-failure commit: write to a temp name, rename on success
-            # (the reference's delete-on-drop, fs.rs:204-219)
-            try:
-                if fmt == "avro":
-                    _write_avro_pdf(tmp, kind, out)
-                else:
-                    # parquet TIMESTAMP(MICROS): Spark's reader rejects NANOS;
-                    # explicit schema keeps all-null columns correctly typed
-                    out.to_parquet(
-                        tmp,
-                        index=False,
-                        schema=_pa_schema(kind),
-                        coerce_timestamps="us",
-                        allow_truncated_timestamps=True,
-                    )
-                os.replace(tmp, path)
-            finally:
-                if os.path.exists(tmp):
-                    os.remove(tmp)
+            if is_uri:
+                # object stores (s3/gs/...) have no rename — a single-object
+                # PUT is itself atomic, so serialize in memory and write once
+                fs.create_dir(fs_path.rsplit("/", 1)[0], recursive=True)
+                with fs.open_output_stream(fs_path) as sink:
+                    sink.write(_serialize_group(kind, out, fmt))
+            else:
+                # delete-on-failure commit: write to a temp name, rename on
+                # success (the reference's delete-on-drop, fs.rs:204-219)
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                tmp = path + ".inprogress"
+                try:
+                    with open(tmp, "wb") as sink:
+                        sink.write(_serialize_group(kind, out, fmt))
+                    os.replace(tmp, path)
+                finally:
+                    if os.path.exists(tmp):
+                        os.remove(tmp)
         return pd.DataFrame(
             [
                 {
