@@ -179,6 +179,36 @@ class EthereumRpcProvider:
             )
         )
 
+    # -- head subscription (S9) --------------------------------------------
+    # The reference holds a server-streaming gRPC subscription
+    # (connection.rs:53-154). Over plain JSON-RPC the push-equivalent is the
+    # node's filter API: install eth_newBlockFilter once, then each
+    # eth_getFilterChanges returns ONLY the hashes of blocks since the last
+    # poll — incremental delivery without re-reading the head.
+    _head_filter: str | None = None
+
+    def subscribe_heads(self) -> None:
+        """Install (or reinstall) the new-heads filter on the node."""
+        self._head_filter = _require(
+            self.client.call("eth_newBlockFilter", []), "new block filter"
+        )
+
+    def poll_new_heads(self) -> list[str]:
+        """Block hashes arrived since the previous poll (empty when idle).
+        Installs the filter lazily; re-installs if the node expired it."""
+        if self._head_filter is None:
+            self.subscribe_heads()
+        try:
+            return list(
+                self.client.call("eth_getFilterChanges", [self._head_filter]) or []
+            )
+        except JsonRpcError:
+            # nodes expire idle filters — reinstall and resync from head
+            self.subscribe_heads()
+            return list(
+                self.client.call("eth_getFilterChanges", [self._head_filter]) or []
+            )
+
     # -- traces (geth built-in tracers, ethereum.rs:149-204) ---------------
     def trace_json(self, txid: str) -> bytes:
         return _compact(

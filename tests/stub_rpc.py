@@ -25,6 +25,8 @@ class EthChainModel:
 
     def __init__(self, head: int = 10_000):
         self.head = head
+        self._filters: dict[str, int] = {}  # filter id -> last delivered height
+        self._next_filter = 1
 
     def block_hash(self, height: int) -> str:
         return "0x" + _h(f"ETHB{height}")
@@ -92,6 +94,18 @@ class EthChainModel:
             if tracer == "callTracer":
                 return {"type": "CALL", "tx": params[0]}
             return {"post": {"tx": params[0]}}
+        if method == "eth_newBlockFilter":
+            fid = hex(self._next_filter)
+            self._next_filter += 1
+            self._filters[fid] = self.head
+            return fid
+        if method == "eth_getFilterChanges":
+            fid = params[0]
+            if fid not in self._filters:
+                raise ValueError("filter not found")  # node expired it
+            last = self._filters[fid]
+            self._filters[fid] = self.head
+            return [self.block_hash(h) for h in range(last + 1, self.head + 1)]
         raise ValueError(f"unsupported method {method}")
 
 

@@ -147,3 +147,25 @@ def test_rpc_error_retries_then_raises(eth):
     pol = FetchPolicy(attempts=2, backoff_base_s=0.01)
     with pytest.raises(Exception):
         pol.call(p.tx_json, 1, "0x" + "ab" * 32)  # unknown tx -> null -> raise
+
+
+def test_eth_head_subscription_via_filter_api():
+    """S9: incremental new-heads delivery through eth_newBlockFilter /
+    eth_getFilterChanges — the JSON-RPC push-equivalent of the reference's
+    server-streaming head subscription (connection.rs:53-154)."""
+    model = EthChainModel(head=100)
+    url, srv = start_stub(model)
+    try:
+        p = EthereumRpcProvider(url)
+        assert p.poll_new_heads() == []  # filter installed at current head
+        model.head = 103
+        assert p.poll_new_heads() == [model.block_hash(h) for h in (101, 102, 103)]
+        assert p.poll_new_heads() == []  # nothing new -> empty, no re-delivery
+        # node expired the filter: provider reinstalls and resyncs silently
+        model._filters.clear()
+        model.head = 105
+        assert p.poll_new_heads() == []  # reinstalled at the new head
+        model.head = 106
+        assert p.poll_new_heads() == [model.block_hash(106)]
+    finally:
+        srv.shutdown()
