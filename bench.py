@@ -45,6 +45,7 @@ EXTRA = [
     "x4_doc_fingerprint",
     "v1_cosine_topk",
     "v2_ann_lsh_topk",
+    "v3_ivf_topk",
 ]
 
 

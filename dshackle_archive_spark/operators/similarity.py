@@ -85,6 +85,85 @@ def cosine_topk(
     )
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: every vector joins the cell of its nearest
+    seed vector (sampled coarse quantizer — the first ``n_cells`` vectors by
+    id; deterministic, no trained centroids to drift between engines).
+
+    Scale shape: N × K scored via a broadcast of the K seeds (map-only, no
+    shuffle beyond the ranking), K ≪ N. Output: ``vec_id, cell_id``.
+    """
+    seeds = vectors.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("seed_vec")
+    )
+    sim = F.round(cosine(F.col(vec_col), F.col("seed_vec")), 6)
+    scored = vectors.crossJoin(F.broadcast(seeds)).select(
+        F.col(id_col).alias("vec_id"), "cell_id", sim.alias("sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell_id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter("_rk = 1")
+        .select("vec_id", "cell_id")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: each query probes its ``nprobe`` nearest
+    cells and runs exact cosine only against their members — the classic
+    inverted-file ANN shape (scan cost N·nprobe/n_cells instead of N).
+
+    Both stages reuse the broadcast seed scoring; candidates come from an
+    equi join on ``cell_id``, never an all-pairs product."""
+    assign = ivf_assign(vectors, n_cells, id_col, vec_col)
+    seeds = vectors.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("seed_vec")
+    )
+    qsim = F.round(cosine(F.col(vec_col), F.col("seed_vec")), 6)
+    qscored = queries.crossJoin(F.broadcast(seeds)).select(
+        F.col(id_col).alias("query_id"), "cell_id", qsim.alias("sim")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cell_id"))
+    probes = (
+        qscored.withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= nprobe)
+        .select("query_id", "cell_id")
+    )
+    cand = probes.join(assign, "cell_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"))
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    cv = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def _hyperplane(dim: int, table: int, bit: int) -> list[float]:
     """Deterministic pseudo-random hyperplane from a splitmix64-style hash —
     reproducible across engines and runs without RNG state."""

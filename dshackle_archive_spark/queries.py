@@ -1181,6 +1181,64 @@ def v2_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "v3_ivf_topk",
+    """
+    WITH flat AS (
+      SELECT vec_id, t.i - 1 AS i, CAST(embedding[t.i] AS DOUBLE) AS x
+      FROM embeddings, range(1, 65) t(i)
+    ), norms AS (
+      SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1
+    ), celldots AS (
+      SELECT v.vec_id, s.vec_id AS cell_id,
+             round(sum(v.x * s.x) / (any_value(nv.nrm) * any_value(ns.nrm)), 6)
+               AS sim
+      FROM flat v JOIN flat s ON s.i = v.i AND s.vec_id < 16
+      JOIN norms nv ON nv.vec_id = v.vec_id
+      JOIN norms ns ON ns.vec_id = s.vec_id
+      GROUP BY v.vec_id, s.vec_id
+    ), assign AS (
+      SELECT vec_id, cell_id FROM celldots
+      QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY sim DESC, cell_id ASC) = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, cell_id FROM celldots WHERE vec_id < 5
+      QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY sim DESC, cell_id ASC) <= 2
+    ), cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a USING (cell_id)
+      WHERE a.vec_id <> p.query_id
+    ), sims AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(sum(fa.x * fb.x) / (any_value(na.nrm) * any_value(nb.nrm)), 6)
+               AS sim
+      FROM cand c
+      JOIN flat fa ON fa.vec_id = c.query_id
+      JOIN flat fb ON fb.vec_id = c.neighbor_id AND fb.i = fa.i
+      JOIN norms na ON na.vec_id = c.query_id
+      JOIN norms nb ON nb.vec_id = c.neighbor_id
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 3
+    """,
+)
+def v3_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-flat approximate top-k (the second ANN scale path beside LSH):
+    sampled coarse quantizer (first 16 vectors), nprobe=2 probed cells,
+    exact cosine only within probed cells — scan cost N·nprobe/n_cells.
+    Deterministic end to end, so the oracle replays it exactly."""
+    from .operators.similarity import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=3, n_cells=16, nprobe=2)
+
+
+@query(
     "m1_multimodal_features",
     """
     SELECT doc_id AS media_id,

@@ -157,3 +157,15 @@ def test_d4_neardup_plan_is_bucketed_not_allpairs(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ivf_vs_bruteforce_recall(spark, sf_dir):
+    """IVF-flat with 16 cells / nprobe 2 must beat chance recall@1 by a wide
+    margin (same bar as the LSH path)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200).cache()
+    exact = S.cosine_topk(emb, emb, k=1).filter("rank = 1")
+    approx = S.ivf_topk(emb, emb, k=1, n_cells=16, nprobe=4).filter("rank = 1")
+    e = {r["query_id"]: r["neighbor_id"] for r in exact.collect()}
+    a = {r["query_id"]: r["neighbor_id"] for r in approx.collect()}
+    hits = sum(1 for q, n in e.items() if a.get(q) == n)
+    assert hits / len(e) > 0.5, f"recall {hits}/{len(e)}"
