@@ -70,6 +70,78 @@ def dedup_heights_stateful(
     )
 
 
+SEQ_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("chain", T.StringType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("seq", T.LongType(), False),  # emission index, 0-based
+    ]
+)
+
+SEQ_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("next", T.LongType(), False),  # -1 = not yet anchored
+        T.StructField("emitted", T.LongType(), False),
+        T.StructField("buf", T.ArrayType(T.LongType()), True),
+    ]
+)
+
+
+def bounded_sequencer(
+    heights: DataFrame, chain_col: str = "chain", max_buffer: int = 64
+) -> DataFrame:
+    """W2: emit heights in strictly increasing order from an out-of-order
+    stream, holding at most ``max_buffer`` heights in flight.
+
+    The reference's ``BlockSeq`` (``block_seq.rs:58-180``) sequences parallel
+    fetch completions the same way: arrivals below the cursor are duplicates
+    (dropped, T6), arrivals ahead buffer until the gap fills, and a
+    past-capacity buffer abandons the gap and resumes from the lowest
+    buffered height — state stays bounded no matter how the stream behaves.
+    One sequencer per ``chain`` key, so chains sequence in parallel."""
+
+    def update(
+        key: Tuple[str],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            nxt, emitted, buf_list = state.get
+            buf = set(buf_list or [])
+        else:
+            nxt, emitted, buf = -1, 0, set()
+        for p in pdfs:
+            for h in p["height"].tolist():
+                h = int(h)
+                if nxt != -1 and h < nxt:
+                    continue  # behind the cursor: duplicate/stale (T6)
+                buf.add(h)
+        if nxt == -1 and buf:
+            nxt = min(buf)
+        out = []
+        while buf:
+            if nxt in buf:
+                buf.discard(nxt)
+                out.append({"chain": key[0], "height": nxt, "seq": emitted})
+                emitted += 1
+                nxt += 1
+            elif len(buf) > max_buffer:
+                nxt = min(buf)  # bounded: abandon the gap, resync
+            else:
+                break
+        state.update((nxt, emitted, sorted(buf)))
+        if out:
+            yield pd.DataFrame(out)
+
+    return heights.groupBy(chain_col).applyInPandasWithState(
+        update,
+        outputStructType=SEQ_OUTPUT_SCHEMA,
+        stateStructType=SEQ_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_throughput(
     events: DataFrame,
     ts_col: str = "ts",

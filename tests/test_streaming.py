@@ -210,3 +210,82 @@ def test_reorg_correction_cycle(spark, tmp_path):
     # and a re-verify of the corrected archive is clean
     rep2 = verify(spark, live, str(tmp_path), Range(5000, 5009), tables=B)
     assert rep2.failures == []
+
+
+def test_bounded_sequencer_reorders_out_of_order_stream(spark, tmp_path):
+    """W2 as a genuine stateful streaming operator: adjacent-swapped input
+    (1,0,3,2,…) must come out strictly ordered, with emission index == height
+    for a contiguous stream."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dshackle_archive_spark.streaming.stateful import bounded_sequencer
+
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 40)
+        .load()
+        .select(
+            F.lit("eth").alias("chain"),
+            F.col("value").bitwiseXOR(F.lit(1)).cast("long").alias("height"),
+        )
+    )
+    out = bounded_sequencer(src, max_buffer=8)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("seq_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "_ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and spark.sql("SELECT * FROM seq_out").count() < 20:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = sorted(spark.sql("SELECT * FROM seq_out").collect(), key=lambda r: r["seq"])
+    assert len(rows) >= 20
+    # strictly ordered emission; contiguous input ⇒ height == seq throughout
+    assert [r["height"] for r in rows] == [r["seq"] for r in rows] == list(range(len(rows)))
+
+
+def test_bounded_sequencer_abandons_permanent_gap(spark, tmp_path):
+    """The bound is what keeps state finite: a height that never arrives must
+    not wedge the sequencer — past max_buffer it resyncs from the lowest
+    buffered height (block_seq.rs's bounded in-flight window)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dshackle_archive_spark.streaming.stateful import bounded_sequencer
+
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 40)
+        .load()
+        .select(F.lit("eth").alias("chain"), F.col("value").cast("long").alias("height"))
+        .filter(F.col("value") != 5)  # height 5 never arrives
+    )
+    out = bounded_sequencer(src, max_buffer=3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("seq_gap")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "_ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and spark.sql(
+            "SELECT * FROM seq_gap WHERE height > 8"
+        ).count() == 0:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = sorted(spark.sql("SELECT * FROM seq_gap").collect(), key=lambda r: r["seq"])
+    hs = [r["height"] for r in rows]
+    assert 5 not in hs
+    assert hs == sorted(hs) and len(set(hs)) == len(hs)  # strictly ordered
+    assert set(range(0, 5)) <= set(hs) and max(hs) > 8  # progressed past the gap
