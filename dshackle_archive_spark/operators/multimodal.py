@@ -61,6 +61,9 @@ class DecodeBackend:
     def extract_feature(self, payload: bytes, kind: str) -> list[float] | None:
         raise NotImplementedError("feature extractor not available in this environment")
 
+    def resize_image(self, payload: bytes, width: int, height: int) -> bytes:
+        raise NotImplementedError("image codec not available in this environment")
+
 
 class DeterministicFakeBackend(DecodeBackend):
     """Deterministic stand-in: features derived from the payload hash, so the
@@ -69,6 +72,13 @@ class DeterministicFakeBackend(DecodeBackend):
     def extract_feature(self, payload: bytes, kind: str) -> list[float]:
         h = hashlib.sha256(payload).digest()
         return [b / 255.0 for b in h[: self.feature_dim]]
+
+    def resize_image(self, payload: bytes, width: int, height: int) -> bytes:
+        # deterministic fake: output size scales with the target area, bytes
+        # derived from (payload hash, dims) — stable across runs/engines
+        seed = hashlib.sha256(payload + f"{width}x{height}".encode()).digest()
+        n = max(1, width * height // 8)
+        return (seed * (n // len(seed) + 1))[:n]
 
 
 def extract_features(
@@ -104,6 +114,39 @@ def extract_features(
 
     src = media.repartition(partitions) if partitions else media
     return src.mapInPandas(gen, schema=FEATURE_SCHEMA)
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    backend: DecodeBackend | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Arrow-batched image resize stage (``mapInPandas``): image rows get a
+    re-encoded payload at (width, height); non-image rows pass through
+    untouched. Same scale rules as feature extraction — payload bytes never
+    shuffle (the stage is map-only), batch sizes bounded by Arrow config."""
+    backend = backend or DeterministicFakeBackend()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                row = {f.name: r[f.name] for f in MEDIA_SCHEMA.fields}
+                if r["kind"] == "image":
+                    try:
+                        row["payload"] = backend.resize_image(
+                            bytes(r["payload"]), width, height
+                        )
+                        row["width"], row["height"] = width, height
+                    except NotImplementedError:
+                        pass  # codec-less deployment: pass through
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    src = media.repartition(partitions) if partitions else media
+    return src.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def exact_media_dedup(features: DataFrame) -> DataFrame:

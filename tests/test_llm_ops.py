@@ -169,3 +169,25 @@ def test_ivf_vs_bruteforce_recall(spark, sf_dir):
     a = {r["query_id"]: r["neighbor_id"] for r in approx.collect()}
     hits = sum(1 for q, n in e.items() if a.get(q) == n)
     assert hits / len(e) > 0.5, f"recall {hits}/{len(e)}"
+
+
+def test_multimodal_resize_stage(spark):
+    """Resize plumbing (mapInPandas, MEDIA_SCHEMA in/out): image payloads
+    re-encode at the target dims deterministically; audio/video untouched."""
+    rows = [
+        (1, "image", "image/png", b"PNGDATA" * 100, 100, 80, None),
+        (2, "audio", "audio/wav", b"WAVDATA" * 50, None, None, 2000),
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in M.resize_images(media, 10, 10).collect()}
+    img = out[1]
+    assert (img["width"], img["height"]) == (10, 10)
+    assert len(img["payload"]) == 10 * 10 // 8
+    # deterministic: same input + dims -> same bytes
+    again = {r["media_id"]: r for r in M.resize_images(media, 10, 10).collect()}
+    assert bytes(again[1]["payload"]) == bytes(img["payload"])
+    # pass-through for non-images
+    assert bytes(out[2]["payload"]) == b"WAVDATA" * 50 and out[2]["duration_ms"] == 2000
+    # schema stable for downstream feature extraction
+    feats = M.extract_features(M.resize_images(media, 10, 10)).collect()
+    assert {r["media_id"] for r in feats} == {1, 2}
