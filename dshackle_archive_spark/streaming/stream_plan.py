@@ -51,11 +51,15 @@ def stream_batch(
     max_heights_per_batch: int = 64,
 ) -> None:
     """One micro-batch: poll head → dedup/gap-synthesize → archive."""
-    head = provider.head()
     if follow == "finalized":
-        head = max(0, head - FINALITY_MARGIN)
+        # prefer the node's own finality tag (the reference's
+        # NextFinalizedBlock subscribes to "finalized", next_block.rs);
+        # providers without one fall back to the fixed ~2-epoch margin
+        fin = getattr(provider, "finalized", None)
+        head = fin() if fin is not None else max(0, provider.head() - FINALITY_MARGIN)
         maturity = "finalized"
     else:
+        head = provider.head()
         maturity = "head"
     if state.last_archived is not None and head <= state.last_archived:
         state.batches += 1

@@ -169,3 +169,16 @@ def test_eth_head_subscription_via_filter_api():
         assert p.poll_new_heads() == [model.block_hash(106)]
     finally:
         srv.shutdown()
+
+
+def test_stream_follows_node_finalized_tag(spark, tmp_path, eth):
+    """follow=finalized uses the node's own finality tag through the real
+    provider (reference NextFinalizedBlock subscribes to "finalized") — not
+    the fixed-margin fallback."""
+    from dshackle_archive_spark.streaming.stream_plan import run_stream
+
+    url, _ = eth
+    p = EthereumRpcProvider(url)
+    st = run_stream(spark, p, str(tmp_path), tables=(DataKind.BLOCKS,), policy=POLICY,
+                    follow="finalized", num_batches=1, engine="loop")
+    assert st.archived_heights == [496]  # stub finalized = head - 4, not head - 64
