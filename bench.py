@@ -25,7 +25,9 @@ from dshackle_archive_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "h1_pricing_summary",
     "h3_shipping_priority",
+    "h4_order_priority",
     "h5_local_supplier_volume",
+    "h6_forecast_revenue",
     "a1_islands",
     "a3_gap_detection",
     "a9_throughput_window",
