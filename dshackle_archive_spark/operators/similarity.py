@@ -85,6 +85,36 @@ def cosine_topk(
     )
 
 
+def _seed_row(
+    vectors: DataFrame, n_cells: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """The K seed vectors folded into ONE row as a sorted array-of-structs.
+
+    Broadcasting this 1-row table lets every downstream cell scoring happen
+    map-side (a BroadcastNestedLoopJoin against one row is a projection, not
+    a shuffle) — the K-row global agg shuffles only K rows."""
+    seeds = vectors.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("seed_vec")
+    )
+    return seeds.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("cell_id", "seed_vec"))).alias("_seeds")
+    )
+
+
+def _probe_cells(scope: Column, vec: Column, nprobe: int) -> Column:
+    """Top-``nprobe`` cells for ``vec`` against the ``_seeds`` array, entirely
+    map-side: score every seed in one projection, sort by (sim desc, cell_id
+    asc) via struct ordering on (-sim, cell_id), slice the prefix."""
+    scored = F.transform(
+        scope,
+        lambda s: F.struct(
+            (-F.round(cosine(vec, s["seed_vec"]), 6)).alias("neg_sim"),
+            s["cell_id"].alias("cell_id"),
+        ),
+    )
+    return F.slice(F.array_sort(scored), 1, nprobe)
+
+
 def ivf_assign(
     vectors: DataFrame,
     n_cells: int = 16,
@@ -95,22 +125,18 @@ def ivf_assign(
     seed vector (sampled coarse quantizer — the first ``n_cells`` vectors by
     id; deterministic, no trained centroids to drift between engines).
 
-    Scale shape: N × K scored via a broadcast of the K seeds (map-only, no
-    shuffle beyond the ranking), K ≪ N. Output: ``vec_id, cell_id``.
+    Scale shape: the K seeds collapse into ONE broadcast row of
+    array<struct>; each corpus vector scores all K cells in a single
+    projection and picks the argmax with ``array_max`` — zero shuffle on the
+    corpus side (round 2 ranked through a ``Window.partitionBy(vec_id)``,
+    which shuffled N·K rows). Output: ``vec_id, cell_id``.
     """
-    seeds = vectors.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("seed_vec")
+    best = F.element_at(
+        _probe_cells(F.col("_seeds"), F.col(vec_col), 1), 1
     )
-    sim = F.round(cosine(F.col(vec_col), F.col("seed_vec")), 6)
-    scored = vectors.crossJoin(F.broadcast(seeds)).select(
-        F.col(id_col).alias("vec_id"), "cell_id", sim.alias("sim")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell_id"))
-    return (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .filter("_rk = 1")
-        .select("vec_id", "cell_id")
-    )
+    return vectors.crossJoin(
+        F.broadcast(_seed_row(vectors, n_cells, id_col, vec_col))
+    ).select(F.col(id_col).alias("vec_id"), best["cell_id"].alias("cell_id"))
 
 
 def ivf_topk(
@@ -126,21 +152,19 @@ def ivf_topk(
     cells and runs exact cosine only against their members — the classic
     inverted-file ANN shape (scan cost N·nprobe/n_cells instead of N).
 
-    Both stages reuse the broadcast seed scoring; candidates come from an
-    equi join on ``cell_id``, never an all-pairs product."""
+    Both stages reuse the 1-row broadcast seed array; candidates come from an
+    equi join on ``cell_id``, never an all-pairs product. Probe ranking is
+    the same map-side array sort as the assign stage (no window shuffle)."""
     assign = ivf_assign(vectors, n_cells, id_col, vec_col)
-    seeds = vectors.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("seed_vec")
-    )
-    qsim = F.round(cosine(F.col(vec_col), F.col("seed_vec")), 6)
-    qscored = queries.crossJoin(F.broadcast(seeds)).select(
-        F.col(id_col).alias("query_id"), "cell_id", qsim.alias("sim")
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cell_id"))
     probes = (
-        qscored.withColumn("_rk", F.row_number().over(wq))
-        .filter(F.col("_rk") <= nprobe)
-        .select("query_id", "cell_id")
+        queries.crossJoin(F.broadcast(_seed_row(vectors, n_cells, id_col, vec_col)))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.explode(
+                _probe_cells(F.col("_seeds"), F.col(vec_col), nprobe)
+            ).alias("_p"),
+        )
+        .select("query_id", F.col("_p.cell_id").alias("cell_id"))
     )
     cand = probes.join(assign, "cell_id").filter(
         F.col("vec_id") != F.col("query_id")

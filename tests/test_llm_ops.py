@@ -159,6 +159,22 @@ def test_d4_neardup_plan_is_bucketed_not_allpairs(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_ivf_assign_is_shuffle_free(spark, sf_dir):
+    """Cell assignment must be map-side: the round-2 plan shuffled N·K rows
+    through a ``Window.partitionBy(vec_id)`` ranking; the map-side argmax
+    keeps the corpus scan shuffle-free (the only exchanges allowed are the
+    K-row seed agg's SinglePartition and its broadcast)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = (
+        S.ivf_assign(emb, n_cells=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+
+
 def test_ivf_vs_bruteforce_recall(spark, sf_dir):
     """IVF-flat with 16 cells / nprobe 2 must beat chance recall@1 by a wide
     margin (same bar as the LSH path)."""
