@@ -221,6 +221,68 @@ def gaps_direct(
     return within.unionByName(head_and_cross).unionByName(tail).unionByName(uncovered)
 
 
+def gaps_direct_bounds_df(
+    df: DataFrame,
+    bounds: DataFrame,
+    col: str = "height",
+    bucket: int = DEFAULT_BUCKET,
+) -> DataFrame:
+    """``gaps_direct`` with the [lo, hi] window read from a 1-row ``bounds``
+    DataFrame (columns ``lo``, ``hi``) broadcast into the plan.
+
+    When the bound is itself an aggregate of the data (a3's
+    ``max(event_id)``), folding it in as a broadcast build side keeps the
+    whole gap detection a single Spark action — no driver ``collect()``
+    round-trip between computing the bound and using it
+    (``storage/mod.rs:143-207`` derives the requested window the same way,
+    inside one pass)."""
+    b = F.broadcast(
+        bounds.select(
+            F.col("lo").cast("long").alias("_lo"), F.col("hi").cast("long").alias("_hi")
+        )
+    )
+    pts = (
+        df.select(F.col(col).cast("long").alias("h"))
+        .crossJoin(b)
+        .filter((F.col("h") >= F.col("_lo")) & (F.col("h") <= F.col("_hi")))
+    )
+    pts = pts.withColumn("_b", F.floor(F.col("h") / bucket))
+    w = Window.partitionBy("_b").orderBy("h")
+    within = (
+        pts.withColumn("_prev", F.lag("h").over(w))
+        .filter(F.col("_prev").isNotNull() & (F.col("h") > F.col("_prev") + 1))
+        .select((F.col("_prev") + 1).alias("start"), (F.col("h") - 1).alias("end"))
+    )
+    # _lo/_hi are constant after the broadcast join; first() carries them
+    # through the metadata-scale summary without another join
+    summary = pts.groupBy("_b").agg(
+        F.min("h").alias("mn"),
+        F.max("h").alias("mx"),
+        F.first("_lo").alias("_lo"),
+        F.first("_hi").alias("_hi"),
+    )
+    ws = Window.orderBy("mn")
+    head_and_cross = (
+        summary.withColumn("_prev_mx", F.lag("mx").over(ws))
+        .select(
+            F.when(F.col("_prev_mx").isNull(), F.col("_lo"))
+            .otherwise(F.col("_prev_mx") + 1)
+            .alias("start"),
+            (F.col("mn") - 1).alias("end"),
+        )
+        .filter(F.col("start") <= F.col("end"))
+    )
+    tail = (
+        summary.agg(F.max("mx").alias("m"), F.first("_hi").alias("_hi"))
+        .select((F.col("m") + 1).alias("start"), F.col("_hi").alias("end"))
+        .filter(F.col("start") <= F.col("end"))
+    )
+    uncovered = b.join(pts.limit(1), F.lit(True), "left_anti").select(
+        F.col("_lo").alias("start"), F.col("_hi").alias("end")
+    )
+    return within.unionByName(head_and_cross).unionByName(tail).unionByName(uncovered)
+
+
 def missing_ranges(
     covered: DataFrame,
     lo: int,

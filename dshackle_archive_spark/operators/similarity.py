@@ -120,6 +120,7 @@ def ivf_assign(
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    _seed: DataFrame | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: every vector joins the cell of its nearest
     seed vector (sampled coarse quantizer — the first ``n_cells`` vectors by
@@ -134,9 +135,12 @@ def ivf_assign(
     best = F.element_at(
         _probe_cells(F.col("_seeds"), F.col(vec_col), 1), 1
     )
-    return vectors.crossJoin(
-        F.broadcast(_seed_row(vectors, n_cells, id_col, vec_col))
-    ).select(F.col(id_col).alias("vec_id"), best["cell_id"].alias("cell_id"))
+    seed = _seed if _seed is not None else F.broadcast(
+        _seed_row(vectors, n_cells, id_col, vec_col)
+    )
+    return vectors.crossJoin(seed).select(
+        F.col(id_col).alias("vec_id"), best["cell_id"].alias("cell_id")
+    )
 
 
 def ivf_topk(
@@ -152,12 +156,15 @@ def ivf_topk(
     cells and runs exact cosine only against their members — the classic
     inverted-file ANN shape (scan cost N·nprobe/n_cells instead of N).
 
-    Both stages reuse the 1-row broadcast seed array; candidates come from an
-    equi join on ``cell_id``, never an all-pairs product. Probe ranking is
-    the same map-side array sort as the assign stage (no window shuffle)."""
-    assign = ivf_assign(vectors, n_cells, id_col, vec_col)
+    Both stages reuse the SAME 1-row broadcast seed array (built once — one
+    K-row agg, one broadcast; Catalyst emits a ReusedExchange for the second
+    consumer); candidates come from an equi join on ``cell_id``, never an
+    all-pairs product. Probe ranking is the same map-side array sort as the
+    assign stage (no window shuffle)."""
+    seed = F.broadcast(_seed_row(vectors, n_cells, id_col, vec_col))
+    assign = ivf_assign(vectors, n_cells, id_col, vec_col, _seed=seed)
     probes = (
-        queries.crossJoin(F.broadcast(_seed_row(vectors, n_cells, id_col, vec_col)))
+        queries.crossJoin(seed)
         .select(
             F.col(id_col).alias("query_id"),
             F.explode(

@@ -424,13 +424,19 @@ def a2_interval_subtraction(spark: SparkSession, sf: str) -> DataFrame:
 )
 def a3_gap_detection(spark: SparkSession, sf: str) -> DataFrame:
     """A3: missing-range detection — requested − covered
-    (storage/mod.rs:143-207), closed-form complement over islands."""
-    from .operators.intervals import missing_ranges
+    (storage/mod.rs:143-207), closed-form complement over islands.
+
+    The domain bound max(event_id) is folded into the plan as a 1-row
+    broadcast (no driver ``collect()`` between bound and use) — the whole
+    detection is one Spark action."""
+    from .operators.intervals import gaps_direct_bounds_df
 
     ev = _t(spark, sf, "events")
-    hi = ev.agg(F.max("event_id")).collect()[0][0]
+    bounds = ev.agg(F.max("event_id").alias("hi")).select(
+        F.lit(0).cast("long").alias("lo"), "hi"
+    )
     present = ev.filter(~(F.col("value") > 50)).select(F.col("event_id").alias("height"))
-    return missing_ranges(present, 0, int(hi)).select("start", "end")
+    return gaps_direct_bounds_df(present, bounds).select("start", "end")
 
 
 @query(

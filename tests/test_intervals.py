@@ -85,3 +85,47 @@ def test_subtract_intervals_disjoint_cut(spark):
     cdf = spark.createDataFrame([(50, 60)], "start long, end long")
     got = rows_to_ranges(I.subtract_intervals(bdf, cdf))
     assert got == [(0, 10)]
+
+
+def test_gaps_direct_bounds_df_matches_scalar(spark):
+    heights = [1, 2, 3, 7, 8, 10, 100, 101]
+    df = spark.createDataFrame([(h,) for h in heights], "height long")
+    bounds = spark.createDataFrame([(0, 120)], "lo long, hi long")
+    got = rows_to_ranges(I.gaps_direct_bounds_df(df, bounds))
+    want = rows_to_ranges(I.missing_ranges(df, 0, 120))
+    assert got == want == [(0, 0), (4, 6), (9, 9), (11, 99), (102, 120)]
+
+
+def test_gaps_direct_bounds_df_empty_coverage(spark):
+    df = spark.createDataFrame([], "height long")
+    bounds = spark.createDataFrame([(5, 9)], "lo long, hi long")
+    assert rows_to_ranges(I.gaps_direct_bounds_df(df, bounds)) == [(5, 9)]
+
+
+def test_gaps_direct_bounds_df_is_lazy(spark):
+    """Constructing the bounded-gaps plan launches ZERO Spark jobs — the
+    bound rides inside the plan instead of a driver collect round-trip."""
+    sc = spark.sparkContext
+    df = spark.createDataFrame([(h,) for h in range(20)], "height long")
+    bounds = df.agg({"height": "max"}).selectExpr(
+        "cast(0 as long) as lo", "`max(height)` as hi"
+    )
+    sc.setJobGroup("gaps-plan-build", "plan build only")
+    try:
+        out = I.gaps_direct_bounds_df(df, bounds)
+        jobs = list(sc.statusTracker().getJobIdsForGroup("gaps-plan-build"))
+    finally:
+        sc.setJobGroup("gaps-plan-run", "action")
+    assert jobs == [], f"plan build launched jobs: {jobs}"
+    assert out.count() == 0  # dense 0..19 has no gaps
+
+
+def test_a3_bound_is_inside_the_plan(spark, sf_dir):
+    """a3's domain bound must appear as an aggregate INSIDE the plan (one
+    action), not as a literal collected beforehand."""
+    from dshackle_archive_spark import queries as Q
+
+    df = Q.registry()["a3_gap_detection"](spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "max(event_id" in plan, plan[:2000]
+    assert df.count() > 0
