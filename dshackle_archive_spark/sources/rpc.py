@@ -13,19 +13,62 @@ rate-capped by ``FetchPolicy`` inside the fetch stage. The gRPC/dshackle
 transport (S8) remains a declared plug point: swap ``JsonRpcClient`` for a
 gRPC-backed callable with the same ``call``/``call_raw`` signature.
 
-Byte fidelity note: the ``json`` payload columns store the RPC ``result``
-re-serialized compactly (``separators=(',', ':')``, document key order
-preserved) — semantically identical JSON; byte-identical for nodes that emit
-compact JSON (normal for geth/bitcoind).
+Byte fidelity: the ``json`` payload columns store the node's ``result``
+bytes EXACTLY as received on the wire — ``call_bytes`` slices the result
+value's span out of the raw HTTP body (the reference archives the node's
+result bytes unmodified, ``avros.rs:54-57``), so archives are byte-identical
+to reference archives regardless of how the node formats its JSON.
+
+Transport: one keep-alive ``http.client.HTTPConnection`` per client (the
+reference holds a pooled channel per provider); a stale/dropped connection
+is transparently reopened once per call. Clients are picklable into Spark
+workers — the live socket is dropped on pickle and lazily reopened.
 """
 
 from __future__ import annotations
 
+import http.client
 import json
-import urllib.request
+import urllib.parse
 from typing import Any
 
 from ..schemas import BTC_BLOCK_JSON_SCHEMA, ETH_BLOCK_JSON_SCHEMA
+
+_WS = " \t\r\n"
+
+
+def _skip_ws(text: str, i: int) -> int:
+    while i < len(text) and text[i] in _WS:
+        i += 1
+    return i
+
+
+def result_span(text: str) -> tuple[int, int]:
+    """[start, end) character span of the top-level ``"result"`` value.
+
+    Walks the envelope's key/value pairs with the stdlib decoder — the span
+    covers the value's exact wire formatting (inner whitespace, key order,
+    number spelling), which re-encoding by ``json.dumps`` would destroy.
+    Raises ``JsonRpcError`` when the envelope has no ``result`` key."""
+    dec = json.JSONDecoder()
+    i = _skip_ws(text, 0)
+    if i >= len(text) or text[i] != "{":
+        raise JsonRpcError("response is not a JSON object")
+    i = _skip_ws(text, i + 1)
+    while i < len(text) and text[i] != "}":
+        key, j = dec.raw_decode(text, i)
+        j = _skip_ws(text, j)
+        if j >= len(text) or text[j] != ":":
+            raise JsonRpcError("malformed JSON-RPC envelope")
+        j = _skip_ws(text, j + 1)
+        _, k = dec.raw_decode(text, j)
+        if key == "result":
+            return j, k
+        k = _skip_ws(text, k)
+        if k < len(text) and text[k] == ",":
+            k = _skip_ws(text, k + 1)
+        i = k
+    raise JsonRpcError("no result in JSON-RPC response")
 
 
 class JsonRpcError(RuntimeError):
@@ -33,34 +76,88 @@ class JsonRpcError(RuntimeError):
 
 
 class JsonRpcClient:
-    """Minimal JSON-RPC 2.0 over HTTP POST (stdlib urllib; picklable)."""
+    """JSON-RPC 2.0 over a keep-alive HTTP connection (stdlib; picklable)."""
 
     def __init__(self, url: str, timeout_s: float = 10.0):
         self.url = url
         self.timeout_s = timeout_s
         self._id = 0
+        self._conn: http.client.HTTPConnection | None = None
+
+    # live sockets don't pickle — drop on serialize, reopen lazily on use
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_conn"] = None
+        return state
+
+    def _connect(self) -> http.client.HTTPConnection:
+        if self._conn is None:
+            u = urllib.parse.urlsplit(self.url)
+            cls = (
+                http.client.HTTPSConnection
+                if u.scheme == "https"
+                else http.client.HTTPConnection
+            )
+            self._conn = cls(u.hostname, u.port, timeout=self.timeout_s)
+        return self._conn
+
+    def close(self) -> None:
+        if self._conn is not None:
+            self._conn.close()
+            self._conn = None
+
+    def _post_once(self, body: bytes) -> bytes:
+        conn = self._connect()
+        path = urllib.parse.urlsplit(self.url).path or "/"
+        conn.request(
+            "POST", path, body=body, headers={"Content-Type": "application/json"}
+        )
+        resp = conn.getresponse()
+        data = resp.read()
+        if resp.status != 200:
+            raise JsonRpcError(f"HTTP {resp.status}")
+        return data
+
+    def _post(self, body: bytes) -> bytes:
+        """POST over the kept-alive connection; one transparent reopen when
+        the server closed the idle socket between calls."""
+        try:
+            return self._post_once(body)
+        except (http.client.HTTPException, ConnectionError, BrokenPipeError, OSError):
+            self.close()
+            return self._post_once(body)
+
+    def call_bytes(self, method: str, params: list) -> tuple[Any, bytes]:
+        """One round-trip → ``(parsed result, exact wire bytes of result)``."""
+        self._id += 1
+        body = json.dumps(
+            {"jsonrpc": "2.0", "id": self._id, "method": method, "params": params}
+        ).encode()
+        data = self._post(body)
+        text = data.decode("utf-8")
+        payload = json.loads(text)
+        if payload.get("error"):
+            raise JsonRpcError(f"{method}: {payload['error']}")
+        j, k = result_span(text)
+        return payload.get("result"), text[j:k].encode("utf-8")
 
     def call(self, method: str, params: list) -> Any:
         self._id += 1
         body = json.dumps(
             {"jsonrpc": "2.0", "id": self._id, "method": method, "params": params}
         ).encode()
-        req = urllib.request.Request(
-            self.url, data=body, headers={"Content-Type": "application/json"}
-        )
-        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
-            payload = json.loads(resp.read())
+        payload = json.loads(self._post(body))
         if payload.get("error"):
             raise JsonRpcError(f"{method}: {payload['error']}")
         return payload.get("result")
 
     def call_raw(self, method: str, params: list) -> bytes:
-        """The result re-serialized compactly (document key order kept)."""
-        return _compact(self.call(method, params))
-
-
-def _compact(obj: Any) -> bytes:
-    return json.dumps(obj, separators=(",", ":")).encode()
+        """The result's exact wire bytes (raises on null result so the
+        FetchPolicy retry loop re-asks a lagging node)."""
+        parsed, raw = self.call_bytes(method, params)
+        if parsed is None:
+            raise JsonRpcError(f"{method}: result not found")
+        return raw
 
 
 def _require(value: Any, what: str) -> Any:
@@ -85,23 +182,28 @@ class EthereumRpcProvider:
     tx_list_field = "transactions"
     fork_at: frozenset = frozenset()
 
-    def __init__(self, url: str, blockchain_id: str = "ETH", timeout_s: float = 10.0):
+    def __init__(self, url: str, blockchain_id: str = "ETH", timeout_s: float = 10.0,
+                 client=None):
         self.blockchain_id = blockchain_id
-        self.client = JsonRpcClient(url, timeout_s)
-        self._blocks: dict[int, dict] = {}  # per-worker block cache
+        self.client = client if client is not None else JsonRpcClient(url, timeout_s)
+        self._blocks: dict[int, tuple[dict, bytes]] = {}  # height -> (parsed, wire)
 
     # -- blocks -------------------------------------------------------------
-    def _block(self, height: int) -> dict:
-        blk = self._blocks.get(height)
-        if blk is None:
-            blk = _require(
-                self.client.call("eth_getBlockByNumber", [hex(height), False]),
-                f"block {height}",
+    def _block_entry(self, height: int) -> tuple[dict, bytes]:
+        ent = self._blocks.get(height)
+        if ent is None:
+            parsed, raw = self.client.call_bytes(
+                "eth_getBlockByNumber", [hex(height), False]
             )
+            _require(parsed, f"block {height}")
+            ent = (parsed, raw)
             if len(self._blocks) > 64:  # bound worker memory
                 self._blocks.clear()
-            self._blocks[height] = blk
-        return blk
+            self._blocks[height] = ent
+        return ent
+
+    def _block(self, height: int) -> dict:
+        return self._block_entry(height)[0]
 
     def head(self) -> int:
         return int(self.client.call("eth_blockNumber", []), 16)
@@ -123,7 +225,8 @@ class EthereumRpcProvider:
         }
 
     def block_json(self, height: int, fork: bool = False) -> bytes:
-        return _compact(self._block(height))
+        # exact wire bytes of the node's result (avros.rs:54-57)
+        return self._block_entry(height)[1]
 
     def block_timestamp_ms(self, height: int) -> int:
         return int(self._block(height)["timestamp"], 16) * 1000
@@ -138,22 +241,19 @@ class EthereumRpcProvider:
         j = self._block(height)
         out = []
         for i in range(len(j.get("uncles") or [])):
-            u = _require(
-                self.client.call(
-                    "eth_getUncleByBlockHashAndIndex", [j["hash"], hex(i)]
-                ),
-                f"uncle {i} of block {height}",
+            parsed, raw = self.client.call_bytes(
+                "eth_getUncleByBlockHashAndIndex", [j["hash"], hex(i)]
             )
-            out.append(_compact(u))
+            _require(parsed, f"uncle {i} of block {height}")
+            out.append(raw)
         return out
 
     # -- transactions -------------------------------------------------------
     def tx_details(self, height: int, txid: str) -> dict:
-        tx = _require(
-            self.client.call("eth_getTransactionByHash", [txid]), f"tx {txid}"
-        )
+        tx, raw_json = self.client.call_bytes("eth_getTransactionByHash", [txid])
+        _require(tx, f"tx {txid}")
         return {
-            "json": _compact(tx),
+            "json": raw_json,
             "raw": self.tx_raw(txid),
             "from": tx.get("from"),
             "to": tx.get("to"),
@@ -161,9 +261,7 @@ class EthereumRpcProvider:
         }
 
     def tx_json(self, height: int, txid: str) -> bytes:
-        return _compact(
-            _require(self.client.call("eth_getTransactionByHash", [txid]), f"tx {txid}")
-        )
+        return self.client.call_raw("eth_getTransactionByHash", [txid])
 
     def tx_raw(self, txid: str) -> bytes:
         raw_hex = _require(
@@ -172,12 +270,7 @@ class EthereumRpcProvider:
         return bytes.fromhex(raw_hex[2:] if raw_hex.startswith("0x") else raw_hex)
 
     def receipt_json(self, txid: str) -> bytes:
-        return _compact(
-            _require(
-                self.client.call("eth_getTransactionReceipt", [txid]),
-                f"receipt {txid}",
-            )
-        )
+        return self.client.call_raw("eth_getTransactionReceipt", [txid])
 
     # -- head subscription (S9) --------------------------------------------
     # The reference holds a server-streaming gRPC subscription
@@ -211,30 +304,14 @@ class EthereumRpcProvider:
 
     # -- traces (geth built-in tracers, ethereum.rs:149-204) ---------------
     def trace_json(self, txid: str) -> bytes:
-        return _compact(
-            _require(
-                self.client.call(
-                    "debug_traceTransaction", [txid, {"tracer": "callTracer"}]
-                ),
-                f"trace {txid}",
-            )
+        return self.client.call_raw(
+            "debug_traceTransaction", [txid, {"tracer": "callTracer"}]
         )
 
     def state_diff_json(self, txid: str) -> bytes:
-        return _compact(
-            _require(
-                self.client.call(
-                    "debug_traceTransaction",
-                    [
-                        txid,
-                        {
-                            "tracer": "prestateTracer",
-                            "tracerConfig": {"diffMode": True},
-                        },
-                    ],
-                ),
-                f"state diff {txid}",
-            )
+        return self.client.call_raw(
+            "debug_traceTransaction",
+            [txid, {"tracer": "prestateTracer", "tracerConfig": {"diffMode": True}}],
         )
 
 
@@ -249,22 +326,28 @@ class BitcoinRpcProvider:
     tx_list_field = "tx"
     fork_at: frozenset = frozenset()
 
-    def __init__(self, url: str, blockchain_id: str = "BTC", timeout_s: float = 10.0):
+    def __init__(self, url: str, blockchain_id: str = "BTC", timeout_s: float = 10.0,
+                 client=None):
         self.blockchain_id = blockchain_id
-        self.client = JsonRpcClient(url, timeout_s)
-        self._blocks: dict[int, dict] = {}
+        self.client = client if client is not None else JsonRpcClient(url, timeout_s)
+        self._blocks: dict[int, tuple[dict, bytes]] = {}
 
-    def _block(self, height: int) -> dict:
-        blk = self._blocks.get(height)
-        if blk is None:
+    def _block_entry(self, height: int) -> tuple[dict, bytes]:
+        ent = self._blocks.get(height)
+        if ent is None:
             h = _require(
                 self.client.call("getblockhash", [height]), f"block hash {height}"
             )
-            blk = _require(self.client.call("getblock", [h, 1]), f"block {height}")
+            parsed, raw = self.client.call_bytes("getblock", [h, 1])
+            _require(parsed, f"block {height}")
+            ent = (parsed, raw)
             if len(self._blocks) > 64:
                 self._blocks.clear()
-            self._blocks[height] = blk
-        return blk
+            self._blocks[height] = ent
+        return ent
+
+    def _block(self, height: int) -> dict:
+        return self._block_entry(height)[0]
 
     def head(self) -> int:
         # the reference resolves the best hash then reads its block
@@ -283,7 +366,7 @@ class BitcoinRpcProvider:
         }
 
     def block_json(self, height: int, fork: bool = False) -> bytes:
-        return _compact(self._block(height))
+        return self._block_entry(height)[1]  # exact wire bytes
 
     def block_timestamp_ms(self, height: int) -> int:
         return int(self._block(height)["time"]) * 1000
@@ -307,9 +390,7 @@ class BitcoinRpcProvider:
         }
 
     def tx_json(self, height: int, txid: str) -> bytes:
-        return _compact(
-            _require(self.client.call("getrawtransaction", [txid, True]), f"tx {txid}")
-        )
+        return self.client.call_raw("getrawtransaction", [txid, True])
 
     def tx_raw(self, txid: str) -> bytes:
         raw_hex = _require(

@@ -150,26 +150,55 @@ class BtcChainModel:
         raise ValueError(f"unsupported method {method}")
 
 
-def start_stub(model) -> tuple[str, ThreadingHTTPServer]:
+def start_stub(
+    model,
+    pretty: bool = False,
+    raw_results: dict[str, bytes] | None = None,
+    close_each: bool = False,
+) -> tuple[str, ThreadingHTTPServer]:
     """Start a JSON-RPC stub on an ephemeral localhost port; returns
-    (url, server). Call ``server.shutdown()`` when done."""
+    (url, server). Call ``server.shutdown()`` when done.
+
+    HTTP/1.1 keep-alive; ``server.accepts`` counts TCP connections so tests
+    can assert connection reuse. ``pretty=True`` serializes responses with
+    spaces/indentation (a non-compact node) — byte-fidelity tests must see
+    those exact bytes in the archive. ``raw_results`` maps method → a
+    pre-encoded JSON fragment spliced verbatim as the ``result`` value, for
+    exact wire-byte assertions. ``close_each=True`` drops the TCP connection
+    after every response (a flaky/load-balanced node) — clients must
+    transparently reconnect."""
 
     class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"  # keep-alive
+
+        def setup(self):
+            srv.accepts += 1  # one Handler per TCP connection
+            super().setup()
+
         def do_POST(self):
             body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
-            try:
-                result = model.handle(body["method"], body.get("params") or [])
-                payload = {"jsonrpc": "2.0", "id": body.get("id"), "result": result}
-            except Exception as e:  # stub: every failure is a JSON-RPC error
-                payload = {
-                    "jsonrpc": "2.0",
-                    "id": body.get("id"),
-                    "error": {"code": -32000, "message": str(e)},
-                }
-            data = json.dumps(payload).encode()
+            method = body["method"]
+            raw = (raw_results or {}).get(method)
+            if raw is not None:
+                rid = json.dumps(body.get("id")).encode()
+                data = b'{"jsonrpc": "2.0", "id": ' + rid + b', "result": ' + raw + b"}"
+            else:
+                try:
+                    result = model.handle(method, body.get("params") or [])
+                    payload = {"jsonrpc": "2.0", "id": body.get("id"), "result": result}
+                except Exception as e:  # stub: every failure is a JSON-RPC error
+                    payload = {
+                        "jsonrpc": "2.0",
+                        "id": body.get("id"),
+                        "error": {"code": -32000, "message": str(e)},
+                    }
+                data = json.dumps(payload, indent=2 if pretty else None).encode()
             self.send_response(200)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(data)))
+            if close_each:
+                self.send_header("Connection", "close")
+                self.close_connection = True
             self.end_headers()
             self.wfile.write(data)
 
@@ -177,5 +206,6 @@ def start_stub(model) -> tuple[str, ThreadingHTTPServer]:
             pass
 
     srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    srv.accepts = 0
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     return f"http://127.0.0.1:{srv.server_port}", srv

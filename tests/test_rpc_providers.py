@@ -182,3 +182,105 @@ def test_stream_follows_node_finalized_tag(spark, tmp_path, eth):
     st = run_stream(spark, p, str(tmp_path), tables=(DataKind.BLOCKS,), policy=POLICY,
                     follow="finalized", num_batches=1, engine="loop")
     assert st.archived_heights == [496]  # stub finalized = head - 4, not head - 64
+
+
+# -- byte fidelity (avros.rs:54-57: archive the node's result bytes as-is) --
+
+def test_call_raw_returns_exact_wire_bytes():
+    """call_raw slices the result value's span out of the raw HTTP body —
+    spaces, newlines, number spelling, escapes all survive untouched."""
+    from dshackle_archive_spark.sources.rpc import JsonRpcClient
+
+    frag = b'{"a": 1,\n  "b": [1,  2.50],\t"z": "\\u00e9", "n":-0.0}'
+    url, srv = start_stub(EthChainModel(), raw_results={"weird_method": frag})
+    try:
+        c = JsonRpcClient(url)
+        got = c.call_raw("weird_method", [])
+        assert got == frag
+        # and the compact re-serialization the old path produced differs
+        assert got != json.dumps(json.loads(got), separators=(",", ":")).encode()
+    finally:
+        srv.shutdown()
+
+
+def test_block_json_is_wire_bytes_from_noncompact_node():
+    """A handcrafted non-compact block fragment must reach the provider's
+    payload byte-for-byte (not a re-dump)."""
+    frag = (
+        b'{\n    "number": "0x64",\n    "hash": "0xAB",\n'
+        b'    "parentHash":   "0xAA",\n    "timestamp": "0x5f5e1000",\n'
+        b'    "transactions": [ ],\n    "uncles": []\n}'
+    )
+    url, srv = start_stub(EthChainModel(), raw_results={"eth_getBlockByNumber": frag})
+    try:
+        p = EthereumRpcProvider(url)
+        assert p.block_json(100) == frag
+        assert p.block(100)["hash"] == "0xAB"  # parsed view still works
+    finally:
+        srv.shutdown()
+
+
+def test_archive_from_pretty_node_preserves_wire_bytes(spark, tmp_path):
+    """End-to-end: a node emitting indented JSON → the archived payload
+    columns carry those exact non-compact bytes through Spark."""
+    model = EthChainModel(head=500)
+    url, srv = start_stub(model, pretty=True)
+    try:
+        p = EthereumRpcProvider(url)
+        archive(spark, p, str(tmp_path), Range(100, 104), tables=BT, chunk=5,
+                policy=POLICY)
+        bdf = spark.read.parquet(
+            str(tmp_path / "eth" / "000000000" / "range-000000100_000000104.blocks.parquet"))
+        rows = {r["height"]: r for r in bdf.collect()}
+        blk = bytes(rows[100]["json"])
+        assert b'\n  "' in blk or b'\n    "' in blk  # indentation survived
+        assert json.loads(blk) == model.block(100)  # still the same document
+        # a fresh provider reproduces the identical wire bytes
+        assert blk == EthereumRpcProvider(url).block_json(100)
+        tdf = spark.read.parquet(
+            str(tmp_path / "eth" / "000000000" / "range-000000100_000000104.txes.parquet"))
+        t = tdf.collect()[0]
+        assert b"\n" in bytes(t["json"]) and b"\n" in bytes(t["receiptJson"])
+    finally:
+        srv.shutdown()
+
+
+# -- keep-alive transport (round-2 advice #7) -------------------------------
+
+def test_keepalive_reuses_one_tcp_connection():
+    from dshackle_archive_spark.sources.rpc import JsonRpcClient
+
+    url, srv = start_stub(EthChainModel(head=50))
+    try:
+        c = JsonRpcClient(url)
+        for _ in range(20):
+            assert c.call("eth_blockNumber", []) == hex(50)
+        assert srv.accepts == 1  # 20 calls, ONE TCP connection
+    finally:
+        srv.shutdown()
+
+
+def test_client_reconnects_when_node_drops_connection():
+    from dshackle_archive_spark.sources.rpc import JsonRpcClient
+
+    url, srv = start_stub(EthChainModel(head=50), close_each=True)
+    try:
+        c = JsonRpcClient(url)
+        for _ in range(5):
+            assert c.call("eth_blockNumber", []) == hex(50)
+        assert srv.accepts >= 5  # node dropped us every time; calls still OK
+    finally:
+        srv.shutdown()
+
+
+def test_provider_is_picklable_with_live_connection():
+    import pickle
+
+    url, srv = start_stub(EthChainModel(head=50))
+    try:
+        p = EthereumRpcProvider(url)
+        assert p.head() == 50  # opens the socket
+        p2 = pickle.loads(pickle.dumps(p))  # socket dropped, lazily reopened
+        assert p2.head() == 50
+    finally:
+        srv.shutdown()
