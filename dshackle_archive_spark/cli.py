@@ -57,17 +57,25 @@ def _tables(spec: str) -> tuple[DataKind, ...]:
 def _provider(args):
     if args.provider == "mock":
         return MockChain(head_height=args.mock_head)
-    if args.provider in ("eth-rpc", "btc-rpc"):
+    if args.provider in ("eth-rpc", "btc-rpc", "eth-dshackle", "btc-dshackle"):
         if not args.rpc_url:
             raise SystemExit(f"--rpc-url is required for provider '{args.provider}'")
         from .sources.rpc import BitcoinRpcProvider, EthereumRpcProvider
 
-        if args.provider == "eth-rpc":
-            return EthereumRpcProvider(args.rpc_url, blockchain_id=args.chain or "ETH")
-        return BitcoinRpcProvider(args.rpc_url, blockchain_id=args.chain or "BTC")
+        eth = args.provider.startswith("eth")
+        chain_id = args.chain or ("ETH" if eth else "BTC")
+        client = None
+        if args.provider.endswith("-dshackle") or args.rpc_url.startswith("dshackle://"):
+            # S8: the reference's gRPC NativeCall transport (connection.rs)
+            from .sources.dshackle import DshackleClient
+
+            client = DshackleClient(args.rpc_url, chain=chain_id)
+        cls = EthereumRpcProvider if eth else BitcoinRpcProvider
+        return cls(args.rpc_url, blockchain_id=chain_id, client=client)
     raise SystemExit(
-        f"unknown provider '{args.provider}' (mock, eth-rpc, btc-rpc); a custom "
-        "chain plugs in by implementing the MockChain interface"
+        f"unknown provider '{args.provider}' (mock, eth-rpc, btc-rpc, "
+        "eth-dshackle, btc-dshackle); a custom chain plugs in by implementing "
+        "the MockChain interface"
     )
 
 
@@ -103,8 +111,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--format", choices=["parquet", "avro"], default="parquet",
                    dest="fmt", help="archive file format (avro = reference-compatible)")
     p.add_argument("--provider", default="mock",
-                   help="mock | eth-rpc | btc-rpc (JSON-RPC over HTTP)")
-    p.add_argument("--rpc-url", default=None, help="node JSON-RPC endpoint URL")
+                   help="mock | eth-rpc | btc-rpc (JSON-RPC over HTTP) | "
+                        "eth-dshackle | btc-dshackle (gRPC NativeCall)")
+    p.add_argument("--rpc-url", default=None,
+                   help="node endpoint URL (http://... or dshackle://host:port)")
     p.add_argument("--chain", default=None, help="blockchain id (ETH, BTC, ...)")
     p.add_argument("--mock-head", type=int, default=1_000_000)
     p.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")

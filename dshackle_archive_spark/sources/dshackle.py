@@ -1,0 +1,387 @@
+"""gRPC-shaped dshackle transport (S8 in SURVEY §2.1).
+
+The reference's primary wire protocol is the dshackle proxy's
+``emerald.Blockchain`` gRPC service (``/root/reference/src/blockchain/
+connection.rs:53-111``): a ``NativeCall`` carrying ``{chain, items:[{id,
+method, payload}]}`` answered by a stream of ``NativeCallReplyItem{id,
+succeed, payload, error_message}`` — with a 10 s per-call timeout, a
+semaphore bounding in-flight calls, gzip message compression, and a
+server-streaming ``SubscribeHead`` of ``ChainHead{height, block_id}``
+(``connection.rs:113-154``).
+
+No gRPC/protobuf packages ship in this container, and both wire formats are
+public and small, so this module implements them directly with the stdlib:
+
+- protobuf wire encoding (varints, length-delimited fields) for the four
+  message shapes above, field numbers matching the public emerald-grpc
+  ``blockchain.proto``;
+- gRPC's length-prefixed message framing — 1-byte compressed flag + 4-byte
+  big-endian length + body, gzip when the flag is set, and a grpc-web-style
+  trailer frame (flag ``0x80``) carrying ``grpc-status``/``grpc-message``;
+- a plain TCP carrier with a single ``PATH /emerald.Blockchain/<Method>``
+  preamble line standing in for HTTP/2 headers (the container has no
+  HTTP/2; everything above the carrier is the real gRPC shape).
+
+``DshackleClient`` exposes the same ``call``/``call_bytes``/``call_raw``
+surface as ``JsonRpcClient``, so every provider plugs into either transport
+unchanged. A dshackle ``payload`` is the node's raw result bytes, so byte
+fidelity (``avros.rs:54-57``) is native to this transport.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import json
+import socket
+import struct
+import threading
+from typing import Any, Iterator
+
+# public emerald-grpc common.proto ChainRef values used by the reference
+CHAIN_REFS = {
+    "BTC": 1,
+    "ETH": 100,
+    "ETHEREUM": 100,
+    "BITCOIN": 1,
+}
+
+PATH_NATIVE_CALL = "/emerald.Blockchain/NativeCall"
+PATH_SUBSCRIBE_HEAD = "/emerald.Blockchain/SubscribeHead"
+
+FLAG_GZIP = 0x01
+FLAG_TRAILER = 0x80
+
+
+class DshackleError(RuntimeError):
+    pass
+
+
+class DshackleConnectionClosed(DshackleError, EOFError):
+    """Server closed the stream mid-call — retryable (reads are idempotent)."""
+
+
+# -- protobuf wire format (public encoding; stdlib-only) ---------------------
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
+    shift = 0
+    val = 0
+    while True:
+        b = buf[i]
+        i += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return val, i
+        shift += 7
+
+
+def _field_varint(num: int, val: int) -> bytes:
+    return _varint(num << 3 | 0) + _varint(val)
+
+
+def _field_bytes(num: int, val: bytes) -> bytes:
+    return _varint(num << 3 | 2) + _varint(len(val)) + val
+
+
+def pb_decode(buf: bytes) -> dict[int, list]:
+    """Generic protobuf message → {field_number: [values...]}; varint fields
+    decode to int, length-delimited to bytes (nested messages re-decoded by
+    the caller), fixed32/64 to raw bytes."""
+    out: dict[int, list] = {}
+    i = 0
+    while i < len(buf):
+        key, i = _read_varint(buf, i)
+        num, wt = key >> 3, key & 7
+        if wt == 0:
+            val, i = _read_varint(buf, i)
+        elif wt == 2:
+            ln, i = _read_varint(buf, i)
+            val = buf[i : i + ln]
+            i += ln
+        elif wt == 5:
+            val = buf[i : i + 4]
+            i += 4
+        elif wt == 1:
+            val = buf[i : i + 8]
+            i += 8
+        else:
+            raise DshackleError(f"unsupported wire type {wt}")
+        out.setdefault(num, []).append(val)
+    return out
+
+
+# message builders (field numbers: public emerald-grpc blockchain.proto)
+
+def encode_native_call_request(chain: int, items: list[tuple[int, str, bytes]]) -> bytes:
+    body = _field_varint(1, chain)
+    for item_id, method, payload in items:
+        item = (
+            _field_varint(1, item_id)
+            + _field_bytes(2, method.encode())
+            + _field_bytes(3, payload)
+        )
+        body += _field_bytes(2, item)
+    return body
+
+
+def decode_native_call_request(buf: bytes) -> tuple[int, list[tuple[int, str, bytes]]]:
+    msg = pb_decode(buf)
+    chain = (msg.get(1) or [0])[0]
+    items = []
+    for raw in msg.get(2) or []:
+        f = pb_decode(raw)
+        items.append(
+            (
+                (f.get(1) or [0])[0],
+                bytes((f.get(2) or [b""])[0]).decode(),
+                bytes((f.get(3) or [b""])[0]),
+            )
+        )
+    return chain, items
+
+
+def encode_reply_item(
+    item_id: int, succeed: bool, payload: bytes, error_message: str = ""
+) -> bytes:
+    body = _field_varint(1, item_id) + _field_varint(2, 1 if succeed else 0)
+    if payload:
+        body += _field_bytes(3, payload)
+    if error_message:
+        body += _field_bytes(4, error_message.encode())
+    return body
+
+
+def decode_reply_item(buf: bytes) -> tuple[int, bool, bytes, str]:
+    f = pb_decode(buf)
+    return (
+        (f.get(1) or [0])[0],
+        bool((f.get(2) or [0])[0]),
+        bytes((f.get(3) or [b""])[0]),
+        bytes((f.get(4) or [b""])[0]).decode(),
+    )
+
+
+def encode_chain(chain: int) -> bytes:
+    return _field_varint(1, chain)
+
+
+def decode_chain(buf: bytes) -> int:
+    return (pb_decode(buf).get(1) or [0])[0]
+
+
+def encode_chain_head(chain: int, height: int, block_id: str) -> bytes:
+    return (
+        _field_varint(1, chain)
+        + _field_varint(2, height)
+        + _field_bytes(3, block_id.encode())
+    )
+
+
+def decode_chain_head(buf: bytes) -> tuple[int, int, str]:
+    f = pb_decode(buf)
+    return (
+        (f.get(1) or [0])[0],
+        (f.get(2) or [0])[0],
+        bytes((f.get(3) or [b""])[0]).decode(),
+    )
+
+
+# -- gRPC message framing ----------------------------------------------------
+
+def write_frame(sock_file, body: bytes, compress: bool = False, flag: int | None = None):
+    if flag is None:
+        if compress:
+            body = gzip.compress(body)
+            flag = FLAG_GZIP
+        else:
+            flag = 0
+    sock_file.write(struct.pack(">BI", flag, len(body)) + body)
+    sock_file.flush()
+
+
+def read_frame(sock_file) -> tuple[int, bytes] | None:
+    """One frame → (flag, body) with gzip transparently undone; None on EOF."""
+    hdr = sock_file.read(5)
+    if len(hdr) < 5:
+        return None
+    flag, ln = struct.unpack(">BI", hdr)
+    body = sock_file.read(ln)
+    if len(body) < ln:
+        return None
+    if flag & FLAG_GZIP and not flag & FLAG_TRAILER:
+        body = gzip.decompress(body)
+    return flag, body
+
+
+def parse_trailer(body: bytes) -> tuple[int, str]:
+    status, message = 2, ""  # UNKNOWN unless stated
+    for line in body.decode().splitlines():
+        k, _, v = line.partition(":")
+        if k.strip() == "grpc-status":
+            status = int(v.strip())
+        elif k.strip() == "grpc-message":
+            message = v.strip()
+    return status, message
+
+
+class DshackleClient:
+    """NativeCall/SubscribeHead client with the ``JsonRpcClient`` surface.
+
+    Mirrors the reference's envelope: bounded in-flight calls
+    (``Semaphore(threads.api)``), a 10 s deadline per call, gzip message
+    compression, and one kept-alive connection per client (reopened
+    transparently after a drop). Picklable into Spark workers — the live
+    socket is shed on pickle and lazily reopened.
+    """
+
+    def __init__(
+        self,
+        url: str,
+        chain: str = "ETH",
+        timeout_s: float = 10.0,
+        parallel: int = 16,
+        use_gzip: bool = False,
+    ):
+        target = url[len("dshackle://"):] if url.startswith("dshackle://") else url
+        host, _, port = target.partition(":")
+        self.host, self.port = host, int(port or 2448)
+        self.url = url
+        self.chain_ref = CHAIN_REFS.get(chain.upper())
+        if self.chain_ref is None:
+            raise DshackleError(f"unknown chain {chain}")
+        self.timeout_s = timeout_s
+        self.use_gzip = use_gzip
+        self._parallel = parallel
+        self._sem = threading.Semaphore(parallel)
+        self._id = 0
+        self._sock: socket.socket | None = None
+        self._file: io.BufferedRWPair | None = None
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_sock"] = None
+        state["_file"] = None
+        state["_sem"] = None
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._sem = threading.Semaphore(self._parallel)
+
+    # -- connection management ----------------------------------------------
+    def _connect(self):
+        if self._sock is None:
+            s = socket.create_connection((self.host, self.port), timeout=self.timeout_s)
+            self._sock = s
+            self._file = s.makefile("rwb")
+        return self._file
+
+    def close(self) -> None:
+        if self._sock is not None:
+            try:
+                self._file.close()
+                self._sock.close()
+            except OSError:
+                pass
+            self._sock = None
+            self._file = None
+
+    def _open_stream(self, path: str, request: bytes):
+        f = self._connect()
+        f.write(f"PATH {path}\n".encode())
+        write_frame(f, request, compress=self.use_gzip)
+        return f
+
+    # -- NativeCall ----------------------------------------------------------
+    def _native_call_once(self, method: str, payload: bytes) -> bytes:
+        self._id += 1
+        req = encode_native_call_request(self.chain_ref, [(1, method, payload)])
+        f = self._open_stream(PATH_NATIVE_CALL, req)
+        reply: tuple[int, bool, bytes, str] | None = None
+        while True:
+            frame = read_frame(f)
+            if frame is None:
+                raise DshackleConnectionClosed(f"{method}: connection closed mid-call")
+            flag, body = frame
+            if flag & FLAG_TRAILER:
+                status, msg = parse_trailer(body)
+                if status != 0:
+                    raise DshackleError(f"{method}: grpc-status {status} {msg}")
+                break
+            reply = decode_reply_item(body)
+        if reply is None:
+            # the reference treats an empty stream as an IO error
+            raise DshackleError(f"{method}: no response from blockchain")
+        _, succeed, out, err = reply
+        if not succeed:
+            raise DshackleError(f"{method}: {err}")
+        return out
+
+    def _native_call(self, method: str, params: list) -> bytes:
+        """One NativeCall under the parallelism cap and the 10 s deadline.
+
+        A dropped/stale connection is reopened once (same policy as the
+        JSON-RPC transport); all other failures surface to ``FetchPolicy``."""
+        payload = json.dumps(params).encode()
+        with self._sem:
+            try:
+                return self._native_call_once(method, payload)
+            except (OSError, EOFError):
+                self.close()
+                return self._native_call_once(method, payload)
+
+    # -- JsonRpcClient-compatible surface -------------------------------------
+    def call_bytes(self, method: str, params: list) -> tuple[Any, bytes]:
+        raw = self._native_call(method, params)
+        return json.loads(raw), raw
+
+    def call(self, method: str, params: list) -> Any:
+        return json.loads(self._native_call(method, params))
+
+    def call_raw(self, method: str, params: list) -> bytes:
+        parsed, raw = self.call_bytes(method, params)
+        if parsed is None:
+            raise DshackleError(f"{method}: result not found")
+        return raw
+
+    # -- SubscribeHead (server streaming) -------------------------------------
+    def subscribe_head(self) -> Iterator[tuple[int, str]]:
+        """Yield ``(height, block_id)`` from the server-streaming head
+        subscription until the server ends the stream or the connection
+        drops (``StopIteration``); reconnect policy lives in the caller
+        (``streaming.head_source.HeadStream``)."""
+        # a dedicated connection: the subscription occupies the stream
+        s = socket.create_connection((self.host, self.port), timeout=self.timeout_s)
+        f = s.makefile("rwb")
+        try:
+            f.write(f"PATH {PATH_SUBSCRIBE_HEAD}\n".encode())
+            write_frame(f, encode_chain(self.chain_ref), compress=self.use_gzip)
+            while True:
+                frame = read_frame(f)
+                if frame is None:
+                    return  # server closed / connection dropped
+                flag, body = frame
+                if flag & FLAG_TRAILER:
+                    return
+                _, height, block_id = decode_chain_head(body)
+                yield height, block_id
+        except (OSError, EOFError):
+            return  # dropped mid-stream — caller reconnects
+        finally:
+            try:
+                f.close()
+                s.close()
+            except OSError:
+                pass

@@ -49,8 +49,12 @@ def stream_batch(
     policy: FetchPolicy,
     follow: str = "latest",
     max_heights_per_batch: int = 64,
+    head_fn=None,
 ) -> None:
-    """One micro-batch: poll head → dedup/gap-synthesize → archive."""
+    """One micro-batch: poll head → dedup/gap-synthesize → archive.
+
+    ``head_fn`` overrides where the head comes from — a ``HeadCursor`` fed
+    by a reconnecting push subscription instead of a per-batch RPC poll."""
     if follow == "finalized":
         # prefer the node's own finality tag (the reference's
         # NextFinalizedBlock subscribes to "finalized", next_block.rs);
@@ -59,8 +63,11 @@ def stream_batch(
         head = fin() if fin is not None else max(0, provider.head() - FINALITY_MARGIN)
         maturity = "finalized"
     else:
-        head = provider.head()
+        head = head_fn() if head_fn is not None else provider.head()
         maturity = "head"
+    if head is None:
+        state.batches += 1
+        return  # subscription not primed yet
     if state.last_archived is not None and head <= state.last_archived:
         state.batches += 1
         return  # T6: dedup repeated heads
@@ -95,6 +102,7 @@ def run_stream(
     engine: str = "query",
     checkpoint_dir: str | None = None,
     timeout_s: float = 120.0,
+    head_source=None,
 ) -> StreamState:
     """Follow the chain head for ``num_batches`` micro-batches.
 
@@ -103,10 +111,20 @@ def run_stream(
     ``checkpointLocation`` under the archive root — restart-safe offsets, T7
     graceful shutdown via ``StreamingQuery.stop()``. ``engine="loop"`` runs
     the identical batch body in a plain driver loop (deterministic timing
-    for micro-tests; also the shape for external schedulers)."""
+    for micro-tests; also the shape for external schedulers).
+
+    ``head_source`` (a ``HeadStream``) switches head discovery from
+    per-batch polling to a reconnecting push subscription consumed on a
+    daemon thread — the reference's gRPC SubscribeHead channel
+    (connection.rs:113-154) plus the reconnect its ``//TODO`` never
+    built."""
     import os
 
+    from .head_source import HeadCursor
+
     state = StreamState()
+    cursor = HeadCursor(head_source) if head_source is not None else None
+    head_fn = cursor.head if cursor is not None else None
     if continue_from_archive:
         # T3: on start, repair any missing tables in the window preceding
         # the current head
@@ -118,10 +136,15 @@ def run_stream(
         state.backfilled = res.missing
 
     if engine == "loop":
-        for _ in range(num_batches):
-            stream_batch(spark, provider, root, state, tables, policy, follow)
-            if poll_interval_s:
-                time.sleep(poll_interval_s)
+        try:
+            for _ in range(num_batches):
+                stream_batch(spark, provider, root, state, tables, policy,
+                             follow, head_fn=head_fn)
+                if poll_interval_s:
+                    time.sleep(poll_interval_s)
+        finally:
+            if cursor is not None:
+                cursor.stop()
         return state
 
     ckpt = checkpoint_dir or os.path.join(root, "_checkpoints", "stream")
@@ -129,7 +152,8 @@ def run_stream(
     def on_batch(_df, _batch_id):
         # the stop below is asynchronous — never run past the batch budget
         if state.batches < num_batches:
-            stream_batch(spark, provider, root, state, tables, policy, follow)
+            stream_batch(spark, provider, root, state, tables, policy,
+                         follow, head_fn=head_fn)
 
     q = (
         spark.readStream.format("rate")
@@ -145,4 +169,6 @@ def run_stream(
             time.sleep(0.2)
     finally:
         q.stop()  # T7 graceful shutdown
+        if cursor is not None:
+            cursor.stop()
     return state

@@ -1,0 +1,218 @@
+"""S8: gRPC-shaped dshackle transport — NativeCall/SubscribeHead framing,
+byte fidelity, end-to-end archive→verify over the stub (reference
+connection.rs:53-154 semantics)."""
+
+import gzip
+import io
+import json
+import pickle
+
+import pytest
+
+from dshackle_archive_spark.core import DataKind, Range
+from dshackle_archive_spark.plans.archive_plan import archive
+from dshackle_archive_spark.plans.verify_plan import verify
+from dshackle_archive_spark.sources import dshackle as D
+from dshackle_archive_spark.sources.fetcher import FetchPolicy
+from dshackle_archive_spark.sources.rpc import EthereumRpcProvider
+
+from stub_dshackle import start_dshackle_stub
+from stub_rpc import EthChainModel
+
+POLICY = FetchPolicy(parallel=4, attempts=3, backoff_base_s=0.01)
+BT = (DataKind.BLOCKS, DataKind.TRANSACTIONS)
+
+
+# -- protobuf wire codec -----------------------------------------------------
+
+def test_varint_roundtrip():
+    for n in (0, 1, 127, 128, 300, 2**21, 2**35, 2**63 - 1):
+        buf = D._varint(n)
+        val, i = D._read_varint(buf, 0)
+        assert (val, i) == (n, len(buf))
+
+
+def test_native_call_request_roundtrip():
+    items = [(1, "eth_getBlockByNumber", b'["0x64", false]'), (2, "eth_blockNumber", b"[]")]
+    buf = D.encode_native_call_request(100, items)
+    chain, got = D.decode_native_call_request(buf)
+    assert chain == 100 and got == items
+
+
+def test_reply_item_roundtrip():
+    buf = D.encode_reply_item(7, True, b'{"x": 1}')
+    assert D.decode_reply_item(buf) == (7, True, b'{"x": 1}', "")
+    buf = D.encode_reply_item(8, False, b"", "node exploded")
+    assert D.decode_reply_item(buf) == (8, False, b"", "node exploded")
+
+
+def test_chain_head_roundtrip():
+    buf = D.encode_chain_head(100, 123456, "0xabc")
+    assert D.decode_chain_head(buf) == (100, 123456, "0xabc")
+
+
+def test_frame_gzip_roundtrip():
+    buf = io.BytesIO()
+    body = b'{"hello": "world"}' * 100
+    D.write_frame(buf, body, compress=True)
+    raw = buf.getvalue()
+    assert raw[0] == D.FLAG_GZIP and gzip.decompress(raw[5:]) == body
+    buf.seek(0)
+    assert D.read_frame(buf) == (D.FLAG_GZIP, body)
+
+
+def test_trailer_parse():
+    assert D.parse_trailer(b"grpc-status: 0") == (0, "")
+    assert D.parse_trailer(b"grpc-status: 14\r\ngrpc-message: unavailable") == (
+        14,
+        "unavailable",
+    )
+
+
+# -- NativeCall against the stub --------------------------------------------
+
+@pytest.fixture(scope="module")
+def dsh():
+    url, srv = start_dshackle_stub(EthChainModel(head=500))
+    yield url, EthChainModel(head=500)
+    srv.shutdown()
+
+
+def test_native_call_basics(dsh):
+    url, model = dsh
+    c = D.DshackleClient(url, chain="ETH")
+    assert c.call("eth_blockNumber", []) == hex(500)
+    blk, raw = c.call_bytes("eth_getBlockByNumber", [hex(100), False])
+    assert blk["hash"] == model.block_hash(100)
+    assert json.loads(raw) == model.block(100)
+
+
+def test_native_call_error_propagates(dsh):
+    url, _ = dsh
+    c = D.DshackleClient(url, chain="ETH")
+    with pytest.raises(D.DshackleError, match="unsupported method"):
+        c.call("eth_noSuchMethod", [])
+
+
+def test_native_call_gzip(dsh):
+    url, model = dsh
+    c = D.DshackleClient(url, chain="ETH", use_gzip=True)
+    blk, _ = c.call_bytes("eth_getBlockByNumber", [hex(42), False])
+    assert blk["hash"] == model.block_hash(42)
+
+
+def test_payload_is_wire_bytes_from_pretty_node():
+    """dshackle's reply payload IS the node's result bytes — an indented
+    payload must reach call_raw untouched (avros.rs:54-57 fidelity)."""
+    url, srv = start_dshackle_stub(EthChainModel(head=99), pretty=True)
+    try:
+        c = D.DshackleClient(url, chain="ETH")
+        raw = c.call_raw("eth_getBlockByNumber", [hex(7), False])
+        assert b"\n  " in raw  # indentation survived
+        assert raw != json.dumps(json.loads(raw), separators=(",", ":")).encode()
+    finally:
+        srv.shutdown()
+
+
+def test_client_is_picklable(dsh):
+    url, _ = dsh
+    c = D.DshackleClient(url, chain="ETH")
+    assert c.call("eth_blockNumber", []) == hex(500)  # opens the socket
+    c2 = pickle.loads(pickle.dumps(c))
+    assert c2.call("eth_blockNumber", []) == hex(500)
+
+
+def test_connection_reuse_across_calls():
+    url, srv = start_dshackle_stub(EthChainModel(head=10))
+    try:
+        c = D.DshackleClient(url)
+        for _ in range(10):
+            c.call("eth_blockNumber", [])
+        # sequential streams multiplex over ONE kept-alive connection
+        assert srv.calls == 10 and srv.accepts == 1
+    finally:
+        srv.shutdown()
+
+
+# -- end-to-end through Spark ------------------------------------------------
+
+def test_archive_verify_over_dshackle(spark, tmp_path):
+    """The full archive→verify cycle with the gRPC-shaped transport plugged
+    into the same provider the JSON-RPC path uses (S8 via --provider
+    seam)."""
+    model = EthChainModel(head=500)
+    url, srv = start_dshackle_stub(model)
+    try:
+        client = D.DshackleClient(url, chain="ETH")
+        p = EthereumRpcProvider(url, client=client)
+        res = archive(spark, p, str(tmp_path), Range(100, 109), tables=BT,
+                      chunk=10, policy=POLICY)
+        assert res.written == 2 and res.skipped == 0
+        bdf = spark.read.parquet(
+            str(tmp_path / "eth" / "000000000" / "range-000000100_000000109.blocks.parquet"))
+        rows = {r["height"]: r for r in bdf.collect()}
+        assert len(rows) == 10
+        assert rows[100]["blockId"] == model.block_hash(100)
+        assert json.loads(bytes(rows[100]["json"])) == model.block(100)
+        rep = verify(spark, p, str(tmp_path), Range(100, 109), tables=BT)
+        assert rep.failures == [] and rep.deleted == []
+    finally:
+        srv.shutdown()
+
+
+def test_cli_accepts_dshackle_provider(spark, tmp_path):
+    import contextlib
+    import io as _io
+
+    from dshackle_archive_spark import cli
+
+    model = EthChainModel(head=500)
+    url, srv = start_dshackle_stub(model)
+    try:
+        client = D.DshackleClient(url, chain="ETH")
+        p = EthereumRpcProvider(url, client=client)
+        archive(spark, p, str(tmp_path), Range(100, 109), tables=BT, chunk=10,
+                policy=POLICY)
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = cli.main([
+                "verify", "--dir", str(tmp_path), "--range", "100..109",
+                "--provider", "eth-dshackle", "--rpc-url", url,
+                "--master", "local[4]",
+            ])
+        assert rc == 0
+        out = json.loads(buf.getvalue().strip().splitlines()[-1])
+        assert out["ok"] == out["groups"] and out["failures"] == []
+    finally:
+        srv.shutdown()
+
+
+# -- SubscribeHead streaming --------------------------------------------------
+
+def test_subscribe_head_streams_heights():
+    model = EthChainModel(head=100)
+    url, srv = start_dshackle_stub(model)
+    try:
+        c = D.DshackleClient(url, chain="ETH")
+        it = c.subscribe_head()
+        h, bid = next(it)
+        assert (h, bid) == (100, model.block_hash(100))
+        model.head = 102
+        assert next(it) == (101, model.block_hash(101))
+        assert next(it) == (102, model.block_hash(102))
+    finally:
+        srv.shutdown()
+
+
+def test_subscribe_head_ends_on_connection_drop():
+    model = EthChainModel(head=100)
+    url, srv = start_dshackle_stub(model, drop_subscription_after=2)
+    try:
+        c = D.DshackleClient(url, chain="ETH")
+        it = c.subscribe_head()
+        assert next(it) == (100, model.block_hash(100))
+        model.head = 105
+        # second message hits the drop threshold; the stream ends cleanly
+        assert list(it) == [(101, model.block_hash(101))]
+    finally:
+        srv.shutdown()
