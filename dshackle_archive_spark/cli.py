@@ -22,6 +22,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+import time
 
 from .core.filenames import DataKind
 from .core.ranges import Range, parse_range
@@ -118,7 +119,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--chain", default=None, help="blockchain id (ETH, BTC, ...)")
     p.add_argument("--mock-head", type=int, default=1_000_000)
     p.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
+    p.add_argument("--metrics", default=None, metavar="HOST:PORT",
+                   help="serve Prometheus metrics at http://HOST:PORT/metrics "
+                        "for the lifetime of the run (metrics/mod.rs:73-76)")
     args = p.parse_args(argv)
+
+    registry = None
+    if args.metrics:
+        from .operators.metrics import MetricsRegistry, start_metrics_server
+
+        host, _, port = args.metrics.partition(":")
+        registry = MetricsRegistry()
+        start_metrics_server(registry, host or "127.0.0.1", int(port))
 
     provider = _provider(args)
     tables = _tables(args.tables)
@@ -135,8 +147,11 @@ def main(argv: list[str] | None = None) -> int:
         from .plans.archive_plan import archive
 
         rng = _scope(args, provider)
+        t0 = time.perf_counter()
         res = archive(spark, provider, args.dir, rng, tables=tables,
                       chunk=args.chunk, policy=policy, fmt=args.fmt)
+        if registry is not None:
+            registry.record_write_results(res.write_rows, time.perf_counter() - t0)
         out = {"command": "archive", "range": str(rng), "written": res.written,
                "skipped": res.skipped, "files": res.files}
     elif args.command == "fix":

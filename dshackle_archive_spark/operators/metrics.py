@@ -1,19 +1,31 @@
-"""Metrics/progress taps (S17/A9 in SURVEY §2.1/§2.4).
+"""Metrics/progress taps + Prometheus serving surface (S17/A9).
 
 The reference keeps counters of items/bytes by (kind, direction) plus timing
 histograms (``src/metrics/mod.rs:92-121``) and a sliding-window throughput
-log (``src/progress.rs:86-181``). Spark-native mapping:
+log (``src/progress.rs:86-181``), served as Prometheus text at ``/metrics``
+when ``--metrics HOST:PORT`` is given (``metrics/mod.rs:73-76``).
+Spark-native mapping:
 
 - per-action counters ride on the plan itself via ``DataFrame.observe`` —
   zero extra passes, collected by the JVM during the action;
 - streaming throughput comes from ``StreamingQueryListener`` progress events
   (rows/sec per micro-batch), the engine-level equivalent of the 5-minute
-  sliding window.
+  sliding window;
+- ``MetricsRegistry`` + ``start_metrics_server`` reproduce the reference's
+  metric families byte-compatibly (``metrics/archive.rs``,
+  ``metrics/blockchain.rs``): counters ``dshackleArchive_archive_
+  items_total``/``bytes_total`` labeled (type, direction), histograms
+  ``archive_blockTime_seconds`` and ``blockchain_requestTime_seconds``.
+  Counts are fed driver-side from observed plans and write results — on a
+  cluster the registry aggregates what the driver sees of each action,
+  which is exactly the totals the reference's single process counts.
 """
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
@@ -58,3 +70,169 @@ class ThroughputLog:
             "seconds": secs,
             "rows_per_sec": (rows / secs) if secs > 0 else 0.0,
         }
+
+
+# -- Prometheus registry + server (metrics/mod.rs, archive.rs, blockchain.rs) --
+
+# the reference's histogram buckets, "tuned for the expected 500ms-2s range"
+BLOCK_TIME_BUCKETS = (
+    0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0,
+    1.25, 1.5, 1.75, 2.0, 2.5,
+    3.0, 4.0, 5.0, 7.5, 10.0, 12.5, 15.0,
+    20.0, 25.0, 30.0,
+)
+# prometheus crate default buckets (blockchain.rs uses HistogramOpts defaults)
+REQUEST_TIME_BUCKETS = (
+    0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0,
+)
+
+
+class _Hist:
+    def __init__(self, buckets: tuple[float, ...]):
+        self.buckets = buckets
+        self.counts = [0] * len(buckets)
+        self.total = 0
+        self.sum = 0.0
+
+    def observe(self, v: float) -> None:
+        for i, b in enumerate(self.buckets):
+            if v <= b:
+                self.counts[i] += 1
+        self.total += 1
+        self.sum += v
+
+
+class MetricsRegistry:
+    """Reference-compatible metric families, rendered as Prometheus text.
+
+    Thread-safe; label sets appear on first use (prometheus CounterVec
+    semantics)."""
+
+    def __init__(self, app_name: str = "dshackleArchive"):
+        self.app = app_name
+        self._lock = threading.Lock()
+        self._items: dict[tuple[str, str], float] = {}
+        self._bytes: dict[tuple[str, str], float] = {}
+        self._block_time = _Hist(BLOCK_TIME_BUCKETS)
+        self._request_time: dict[tuple[str, str], _Hist] = {}
+
+    # the reference's four recording entry points (metrics/mod.rs:92-121)
+    def add_items(self, kind: str, direction: str, n: int) -> None:
+        with self._lock:
+            k = (kind, direction)
+            self._items[k] = self._items.get(k, 0.0) + n
+
+    def add_bytes(self, kind: str, direction: str, n: int) -> None:
+        with self._lock:
+            k = (kind, direction)
+            self._bytes[k] = self._bytes.get(k, 0.0) + n
+
+    def observe_block_archive(self, seconds: float) -> None:
+        with self._lock:
+            self._block_time.observe(seconds)
+
+    def observe_request(self, method: str, blockchain: str, seconds: float) -> None:
+        with self._lock:
+            k = (method, blockchain)
+            if k not in self._request_time:
+                self._request_time[k] = _Hist(REQUEST_TIME_BUCKETS)
+            self._request_time[k].observe(seconds)
+
+    # -- renderer (Prometheus text exposition format 0.0.4) ------------------
+    @staticmethod
+    def _fmt(v: float) -> str:
+        return str(int(v)) if v == int(v) else repr(v)
+
+    def _render_hist(self, out: list, name: str, help_: str, series) -> None:
+        out.append(f"# HELP {name} {help_}")
+        out.append(f"# TYPE {name} histogram")
+        for labels, h in series:
+            base = ("{" + labels + ",") if labels else "{"
+            for b, c in zip(h.buckets, h.counts):
+                out.append(f'{name}_bucket{base}le="{self._fmt(b)}"}} {c}')
+            out.append(f'{name}_bucket{base}le="+Inf"}} {h.total}')
+            tail = ("{" + labels + "}") if labels else ""
+            out.append(f"{name}_sum{tail} {repr(h.sum)}")
+            out.append(f"{name}_count{tail} {h.total}")
+
+    def render(self) -> str:
+        with self._lock:
+            out: list[str] = []
+            for metric, data, help_ in (
+                ("archive_items_total", self._items, "Total number of items processed"),
+                ("archive_bytes_total", self._bytes, "Total number of bytes transferred"),
+            ):
+                name = f"{self.app}_{metric}"
+                out.append(f"# HELP {name} {help_}")
+                out.append(f"# TYPE {name} counter")
+                for (kind, direction), v in sorted(data.items()):
+                    out.append(
+                        f'{name}{{type="{kind}",direction="{direction}"}} {self._fmt(v)}'
+                    )
+            self._render_hist(
+                out,
+                f"{self.app}_archive_blockTime_seconds",
+                "Time to archive a single block with all its tables (block, txes, traces)",
+                [("", self._block_time)] if self._block_time.total else [],
+            )
+            self._render_hist(
+                out,
+                f"{self.app}_blockchain_requestTime_seconds",
+                "Duration of blockchain RPC requests in seconds",
+                [
+                    (f'method="{m}",blockchain="{b}"', h)
+                    for (m, b), h in sorted(self._request_time.items())
+                ],
+            )
+            return "\n".join(out) + "\n"
+
+    def record_write_results(self, rows, elapsed_s: float | None = None) -> None:
+        """Feed archive write-result rows (one per written file): items from
+        row counts, bytes from file sizes, blockTime from per-height mean."""
+        import os
+
+        heights = 0
+        for r in rows:
+            if r["skipped"]:
+                continue
+            self.add_items(r["type"], "write", r["n_rows"])
+            try:
+                self.add_bytes(r["type"], "write", os.path.getsize(r["location"]))
+            except OSError:
+                pass
+            if r["type"] == "blocks":
+                heights += r["heightEnd"] - r["heightStart"] + 1
+        if elapsed_s is not None and heights:
+            per_block = elapsed_s / heights
+            for _ in range(heights):
+                self.observe_block_archive(per_block)
+
+
+def start_metrics_server(
+    registry: MetricsRegistry, host: str, port: int
+) -> ThreadingHTTPServer:
+    """Serve ``registry.render()`` at ``/metrics`` (metrics/server.rs shape).
+
+    Daemon-threaded; lives until the process (or returned server) stops —
+    for batch commands that means until the CLI exits, for ``stream`` it
+    serves for the lifetime of the run, which is the reference's model."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path != "/metrics":
+                self.send_response(404)
+                self.end_headers()
+                return
+            body = registry.render().encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; version=0.0.4")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer((host, port), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv

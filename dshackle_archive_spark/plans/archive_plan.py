@@ -29,6 +29,9 @@ class ArchiveResult:
     written: int = 0
     skipped: int = 0
     files: list[str] = field(default_factory=list)
+    # raw write-result rows (metadata-scale; one per file) — feeds the
+    # metrics registry with per-kind item counts without another action
+    write_rows: list = field(default_factory=list)
 
 
 def archive(
@@ -76,6 +79,7 @@ def archive(
         written=sum(1 for r in rows if not r["skipped"]),
         skipped=sum(1 for r in rows if r["skipped"]),
         files=[r["location"] for r in rows if not r["skipped"]],
+        write_rows=rows,
     )
 
 
@@ -120,4 +124,5 @@ def archive_single_blocks(
         written=sum(1 for r in rows if not r["skipped"]),
         skipped=sum(1 for r in rows if r["skipped"]),
         files=[r["location"] for r in rows if not r["skipped"]],
+        write_rows=rows,
     )

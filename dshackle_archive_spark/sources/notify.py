@@ -15,14 +15,32 @@ connector both consume a ``value`` column), so the broker is a format string
                        **{"kafka.bootstrap.servers": "...", "topic": "t"})
     send_notifications(wr, "json", path="/archive/notifications/run1")
 
-No broker (or connector jar) exists in this container — the wiring is tested
-through the json/memory sinks, which exercise the identical payload path.
+``fmt="socket"`` is a broker transport built into the engine: each
+partition opens one TCP connection and produces newline-delimited JSON —
+the minimal message-broker wire shape (same produce-per-partition topology
+as the Kafka/Pulsar connectors; one producer per executor task). Tests run
+an in-process broker and consume the round-trip, so the payload genuinely
+transits a socket, not just a local file.
 """
 
 from __future__ import annotations
 
+import socket
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _produce_partition(host: str, port: int, rows) -> None:
+    """One producer connection per partition (executor-side)."""
+    batch = [r["value"].encode() + b"\n" for r in rows]
+    if not batch:
+        return  # don't open connections for empty partitions
+    with socket.create_connection((host, port), timeout=10) as s:
+        f = s.makefile("wb")
+        for line in batch:
+            f.write(line)
+        f.flush()
 
 # reference field order (notify/mod.rs:12-35); key order in the JSON matches
 _FIELDS = (
@@ -69,9 +87,14 @@ def send_notifications(
     """Batch notification send through any Spark sink format.
 
     ``fmt="pulsar"``/``"kafka"`` need the respective connector jar on the
-    classpath (none ships in this container); ``fmt="json"`` is the S15
-    directory sink shape."""
+    classpath (none ships in this container); ``fmt="socket"`` produces
+    JSONL to a broker at ``host``/``port`` (one connection per partition,
+    executor-side); ``fmt="json"`` is the S15 directory sink shape."""
     vdf = notification_json_df(write_results)
+    if fmt == "socket":
+        host, port = options["host"], int(options["port"])
+        vdf.foreachPartition(lambda rows: _produce_partition(host, port, rows))
+        return
     writer = vdf.write.format(fmt).options(**options).mode("append")
     if path is not None:
         writer.save(path)
@@ -89,8 +112,22 @@ def stream_notifications(
     """Streaming variant: attach the notification payload stream to a message
     sink with checkpointed delivery (the reference's channel→producer loop,
     ``pulsar.rs:31-68``, as a Structured Streaming sink). Returns the started
-    StreamingQuery."""
+    StreamingQuery. ``fmt="socket"`` produces each micro-batch to the broker
+    through ``foreachBatch`` — per-partition producer connections with the
+    stream's checkpointed exactly-once batch tracking."""
     vdf = notification_json_df(notifications)
+    if fmt == "socket":
+        host, port = options["host"], int(options["port"])
+        return (
+            vdf.writeStream.foreachBatch(
+                lambda df, _bid: df.foreachPartition(
+                    lambda rows: _produce_partition(host, port, rows)
+                )
+            )
+            .option("checkpointLocation", checkpoint_dir)
+            .queryName(query_name)
+            .start()
+        )
     return (
         vdf.writeStream.format(fmt)
         .options(**options)
