@@ -4,9 +4,26 @@
 Prints ONE JSON line:
 ``{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
 
-Each query is built fresh and fully materialized (count + a cheap checksum
-collect) so lazy evaluation can't hide work. A warmup pass on sf0.001 JIT-warms
-the JVM before timing.
+Noise control (round-4 hardening — round 3 recorded a 42% phantom
+"regression" that was pure machine drift):
+
+- every timed number is the MEDIAN of ``BENCH_REPS`` (default 3) fresh runs,
+  after a JIT/codegen warmup pass on sf0.001 (best-of-N hides steady-state
+  cost; single-shot hides nothing);
+- a pinned drift canary (count+sum over lineitem — plan never changes) is
+  timed before and after the suite; its two medians expose machine drift
+  within the session, so a slow canary flags an untrustworthy run;
+- the full set also runs at sf0.001 and sf0.01 (``sweep``) with the
+  sf0.1/sf0.01 time ratio per query — data grows 10×, so a flat-to-sublinear
+  ratio demonstrates scale headroom, and cross-sf consistency is itself a
+  drift check;
+- run metadata (commit SHA, wall time, timestamp) is stamped into the
+  artifact so every BENCH_r{N}.json is self-evidencing;
+- Spark's console progress bars are disabled (they polluted earlier
+  artifacts' captured tails).
+
+Each query is built fresh and fully materialized (count) so lazy evaluation
+can't hide work.
 """
 
 from __future__ import annotations
@@ -14,8 +31,11 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
+import subprocess
 import sys
 import time
+from datetime import datetime, timezone
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -50,14 +70,44 @@ EXTRA = [
     "v3_ivf_topk",
 ]
 
+REPS = int(os.environ.get("BENCH_REPS", "3"))
+SWEEP_SFS = ("0.001", "0.01")
+
 
 def run_one(spark, name: str, sf_dir: str) -> float:
     fn = Q.registry()[name]
     t0 = time.perf_counter()
     df = fn(spark, sf_dir)
-    n = df.count()
-    _ = n  # materialized
+    df.count()  # materialized
     return time.perf_counter() - t0
+
+
+def median_time(spark, name: str, sf_dir: str, reps: int = REPS) -> tuple[float, float]:
+    ts = [run_one(spark, name, sf_dir) for _ in range(reps)]
+    return statistics.median(ts), min(ts)
+
+
+def canary_time(spark, sf_dir: str) -> float:
+    """Pinned trivial query: a fixed one-stage scan+agg whose plan never
+    changes round-over-round — any movement here is the machine, not code."""
+
+    def one() -> float:
+        t0 = time.perf_counter()
+        df = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        df.selectExpr("count(*) c", "sum(l_quantity) s").collect()
+        return time.perf_counter() - t0
+
+    return statistics.median(one() for _ in range(REPS))
+
+
+def git_sha() -> str | None:
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip() or None
+    except OSError:
+        return None
 
 
 def main() -> None:
@@ -65,6 +115,9 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    data_root = os.path.dirname(sf_dir.rstrip("/")) or "/root/testdata"
+    started = datetime.now(timezone.utc).isoformat(timespec="seconds")
+    t_suite = time.perf_counter()
 
     spark = get_spark("dshackle-archive-bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
@@ -74,16 +127,37 @@ def main() -> None:
     # runs measure the plan, not first-compilation
     for n in names:
         try:
-            run_one(spark, n, "/root/testdata/sf0.001")
+            run_one(spark, n, os.path.join(data_root, "sf0.001"))
         except Exception:
             pass
 
-    # best-of-2: the min filters one-off scheduler/GC noise from the
-    # steady-state per-query time
+    canary_before = round(canary_time(spark, sf_dir), 4)
+
     times: dict[str, float] = {}
+    best: dict[str, float] = {}
     for n in names:
-        t = min(run_one(spark, n, sf_dir), run_one(spark, n, sf_dir))
-        times[n] = round(t, 4)
+        med, mn = median_time(spark, n, sf_dir)
+        times[n] = round(med, 4)
+        best[n] = round(mn, 4)
+
+    # scale sweep: the same set at smaller sfs (medians); ratio vs sf0.01
+    sweep: dict[str, dict[str, float]] = {}
+    for s in SWEEP_SFS:
+        d = os.path.join(data_root, f"sf{s}")
+        if not os.path.isdir(d):
+            continue
+        sweep[s] = {
+            n: round(median_time(spark, n, d)[0], 4) for n in names
+        }
+    ratios = {}
+    if "0.01" in sweep and sf == 0.1:
+        ratios = {
+            n: round(times[n] / sweep["0.01"][n], 2)
+            for n in names
+            if sweep["0.01"].get(n)
+        }
+
+    canary_after = round(canary_time(spark, sf_dir), 4)
 
     total = round(sum(times.values()), 4)
     print(
@@ -94,6 +168,22 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "reps": REPS,
+                "stat": "median",
+                "queries_best": best,
+                "sweep_median": sweep,
+                "ratio_vs_sf0.01": ratios,
+                "canary": {
+                    "query": "lineitem count+sum",
+                    "before": canary_before,
+                    "after": canary_after,
+                },
+                "meta": {
+                    "commit": git_sha(),
+                    "started_utc": started,
+                    "suite_seconds": round(time.perf_counter() - t_suite, 1),
+                    "cpus": int(cpus),
+                },
             }
         )
     )
