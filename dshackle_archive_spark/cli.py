@@ -142,6 +142,16 @@ def main(argv: list[str] | None = None) -> int:
     owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(f"dshackle-archive-{args.command}", master=args.master)
 
+    recorder = None
+    if registry is not None and getattr(provider, "client", None) is not None:
+        # per-request timing into the blockchain metrics zone
+        # (observe_request, connection.rs:66): executor-side RPC calls
+        # report through a Spark accumulator, drained after the command
+        from .operators.metrics import SparkRequestRecorder
+
+        recorder = SparkRequestRecorder(spark.sparkContext)
+        provider.client.metrics = (recorder, provider.blockchain_id)
+
     out: dict
     if args.command == "archive":
         from .plans.archive_plan import archive
@@ -191,6 +201,8 @@ def main(argv: list[str] | None = None) -> int:
         out = {"command": "stream", "batches": st.batches,
                "archived_heights": st.archived_heights, "backfilled": st.backfilled}
 
+    if recorder is not None:
+        recorder.drain_into(registry)
     print(json.dumps(out))
     if owns_session:
         spark.stop()

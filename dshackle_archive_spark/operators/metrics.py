@@ -138,6 +138,21 @@ class MetricsRegistry:
                 self._request_time[k] = _Hist(REQUEST_TIME_BUCKETS)
             self._request_time[k].observe(seconds)
 
+    def merge_request_counts(
+        self, method: str, blockchain: str, bucket_counts, n: int, total: float
+    ) -> None:
+        """Fold pre-bucketed observations (from the executor-side
+        accumulator bridge) into the request histogram."""
+        with self._lock:
+            k = (method, blockchain)
+            if k not in self._request_time:
+                self._request_time[k] = _Hist(REQUEST_TIME_BUCKETS)
+            h = self._request_time[k]
+            for i, c in enumerate(bucket_counts):
+                h.counts[i] += c
+            h.total += n
+            h.sum += total
+
     # -- renderer (Prometheus text exposition format 0.0.4) ------------------
     @staticmethod
     def _fmt(v: float) -> str:
@@ -236,3 +251,50 @@ def start_metrics_server(
     srv = ThreadingHTTPServer((host, port), Handler)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     return srv
+
+
+# -- executor→driver metrics bridge ------------------------------------------
+
+class _RequestTimeParam:
+    """AccumulatorParam merging {(method, chain): (bucket_counts, n, sum)}."""
+
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, a, b):
+        for k, (counts, n, s) in b.items():
+            if k in a:
+                c0, n0, s0 = a[k]
+                a[k] = ([x + y for x, y in zip(c0, counts)], n0 + n, s0 + s)
+            else:
+                a[k] = (list(counts), n, s)
+        return a
+
+
+class SparkRequestRecorder:
+    """Distributed ``observe_request``: the reference observes every RPC in
+    its single process (``connection.rs:66``); under Spark those calls run
+    inside executor tasks. This recorder ships a Spark accumulator into the
+    workers — each call adds a pre-bucketed observation, task completion
+    merges them driver-side, and ``drain_into`` folds the totals into the
+    Prometheus registry. Works identically on a 1000-executor cluster."""
+
+    worker_safe = True  # clients keep (not shed) this on pickle into tasks
+
+    def __init__(self, sc):
+        from pyspark.accumulators import AccumulatorParam
+
+        class Param(_RequestTimeParam, AccumulatorParam):
+            pass
+
+        self.acc = sc.accumulator({}, Param())
+
+    def observe_request(self, method: str, blockchain: str, seconds: float) -> None:
+        counts = [1 if seconds <= b else 0 for b in REQUEST_TIME_BUCKETS]
+        self.acc.add({(method, blockchain): (counts, 1, seconds)})
+
+    def drain_into(self, registry: MetricsRegistry) -> None:
+        """Fold accumulated per-task observations into the registry
+        (driver-side, after actions have run)."""
+        for (method, chain), (counts, n, s) in self.acc.value.items():
+            registry.merge_request_counts(method, chain, counts, n, s)

@@ -36,6 +36,7 @@ import json
 import socket
 import struct
 import threading
+import time
 from typing import Any, Iterator
 
 # public emerald-grpc common.proto ChainRef values used by the reference
@@ -268,12 +269,19 @@ class DshackleClient:
         self._id = 0
         self._sock: socket.socket | None = None
         self._file: io.BufferedRWPair | None = None
+        # optional (observer, blockchain_id) — reference observe_request
+        # (connection.rs:66); registry observers are driver-only (shed on
+        # pickle), SparkRequestRecorder (worker_safe) rides into tasks
+        self.metrics = None
 
     def __getstate__(self):
         state = self.__dict__.copy()
         state["_sock"] = None
         state["_file"] = None
         state["_sem"] = None
+        m = state.get("metrics")
+        if m is not None and not getattr(m[0], "worker_safe", False):
+            state["metrics"] = None
         return state
 
     def __setstate__(self, state):
@@ -336,11 +344,16 @@ class DshackleClient:
         JSON-RPC transport); all other failures surface to ``FetchPolicy``."""
         payload = json.dumps(params).encode()
         with self._sem:
+            t0 = time.perf_counter()
             try:
-                return self._native_call_once(method, payload)
+                out = self._native_call_once(method, payload)
             except (OSError, EOFError):
                 self.close()
-                return self._native_call_once(method, payload)
+                out = self._native_call_once(method, payload)
+            if self.metrics is not None:
+                registry, chain = self.metrics
+                registry.observe_request(method, chain, time.perf_counter() - t0)
+            return out
 
     # -- JsonRpcClient-compatible surface -------------------------------------
     def call_bytes(self, method: str, params: list) -> tuple[Any, bytes]:

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import http.client
 import json
+import time
 import urllib.parse
 from typing import Any
 
@@ -83,12 +84,26 @@ class JsonRpcClient:
         self.timeout_s = timeout_s
         self._id = 0
         self._conn: http.client.HTTPConnection | None = None
+        # optional (observer, blockchain_id): per-request timing into the
+        # Prometheus surface (reference observe_request, connection.rs:66).
+        # A MetricsRegistry observer is driver-only (holds locks, shed on
+        # pickle); a SparkRequestRecorder (worker_safe) rides into executor
+        # tasks and reports back through its accumulator.
+        self.metrics = None
 
     # live sockets don't pickle — drop on serialize, reopen lazily on use
     def __getstate__(self):
         state = self.__dict__.copy()
         state["_conn"] = None
+        m = state.get("metrics")
+        if m is not None and not getattr(m[0], "worker_safe", False):
+            state["metrics"] = None
         return state
+
+    def _observe(self, method: str, t0: float) -> None:
+        if self.metrics is not None:
+            registry, chain = self.metrics
+            registry.observe_request(method, chain, time.perf_counter() - t0)
 
     def _connect(self) -> http.client.HTTPConnection:
         if self._conn is None:
@@ -133,7 +148,9 @@ class JsonRpcClient:
         body = json.dumps(
             {"jsonrpc": "2.0", "id": self._id, "method": method, "params": params}
         ).encode()
+        t0 = time.perf_counter()
         data = self._post(body)
+        self._observe(method, t0)
         text = data.decode("utf-8")
         payload = json.loads(text)
         if payload.get("error"):
@@ -146,7 +163,10 @@ class JsonRpcClient:
         body = json.dumps(
             {"jsonrpc": "2.0", "id": self._id, "method": method, "params": params}
         ).encode()
-        payload = json.loads(self._post(body))
+        t0 = time.perf_counter()
+        data = self._post(body)
+        self._observe(method, t0)
+        payload = json.loads(data)
         if payload.get("error"):
             raise JsonRpcError(f"{method}: {payload['error']}")
         return payload.get("result")

@@ -84,3 +84,78 @@ def test_cli_archive_serves_metrics(spark, tmp_path):
     assert 'archive_items_total{type="transactions",direction="write"}' in body
     assert 'archive_bytes_total{type="blocks",direction="write"}' in body
     assert "dshackleArchive_archive_blockTime_seconds_count 50" in body
+
+
+def test_request_timing_observed_through_both_transports():
+    """observe_request parity (connection.rs:66): RPC calls feed the
+    blockchain requestTime histogram on both transports."""
+    import pickle
+
+    from dshackle_archive_spark.sources.dshackle import DshackleClient
+    from dshackle_archive_spark.sources.rpc import EthereumRpcProvider
+
+    from stub_dshackle import start_dshackle_stub
+    from stub_rpc import EthChainModel, start_stub
+
+    r = MetricsRegistry()
+    url, srv = start_stub(EthChainModel(head=50))
+    durl, dsrv = start_dshackle_stub(EthChainModel(head=60))
+    try:
+        p = EthereumRpcProvider(url)
+        p.client.metrics = (r, "ETH")
+        assert p.head() == 50
+        d = DshackleClient(durl, chain="ETH")
+        d.metrics = (r, "ETH")
+        assert d.call("eth_blockNumber", []) == hex(60)
+        text = r.render()
+        assert (
+            'requestTime_seconds_count{method="eth_blockNumber",blockchain="ETH"} 2'
+            in text
+        )
+        # registries hold locks — clients shed them on pickle into workers
+        assert pickle.loads(pickle.dumps(p)).client.metrics is None
+        assert pickle.loads(pickle.dumps(d)).metrics is None
+    finally:
+        srv.shutdown()
+        dsrv.shutdown()
+
+
+def test_executor_side_rpc_timing_reaches_registry(spark, tmp_path):
+    """Distributed observe_request: RPC calls made inside executor tasks
+    (pickled clients in mapInPandas) report through a Spark accumulator and
+    land in the driver registry — the cluster-correct version of the
+    reference's in-process histogram."""
+    from dshackle_archive_spark.core import DataKind, Range
+    from dshackle_archive_spark.operators.metrics import SparkRequestRecorder
+    from dshackle_archive_spark.plans.archive_plan import archive
+    from dshackle_archive_spark.sources.fetcher import FetchPolicy
+    from dshackle_archive_spark.sources.rpc import EthereumRpcProvider
+
+    from stub_rpc import EthChainModel, start_stub
+
+    url, srv = start_stub(EthChainModel(head=300))
+    try:
+        p = EthereumRpcProvider(url)
+        rec = SparkRequestRecorder(spark.sparkContext)
+        p.client.metrics = (rec, "ETH")
+        archive(spark, p, str(tmp_path), Range(100, 104),
+                tables=(DataKind.BLOCKS,), chunk=5,
+                policy=FetchPolicy(parallel=2, attempts=2, backoff_base_s=0.01))
+        r = MetricsRegistry()
+        rec.drain_into(r)
+        text = r.render()
+        # 5 heights fetched twice (hash + json pass share the cache but the
+        # two uncle-bearing heights add uncle calls) — at least the block
+        # reads must be there
+        assert (
+            'requestTime_seconds_count{method="eth_getBlockByNumber",blockchain="ETH"}'
+            in text
+        )
+        import re
+
+        m = re.search(
+            r'_count\{method="eth_getBlockByNumber",blockchain="ETH"\} (\d+)', text
+        )
+        assert m and int(m.group(1)) >= 5
+    finally:
+        srv.shutdown()
