@@ -109,6 +109,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="stream: backfill the previous 100 blocks first")
     p.add_argument("--follow", choices=["latest", "finalized"], default="latest")
     p.add_argument("--batches", type=int, default=3, help="stream: micro-batches to run")
+    p.add_argument("--head-source", choices=["poll", "subscribe"], default="poll",
+                   dest="head_source",
+                   help="stream head discovery: per-batch poll, or a "
+                        "reconnecting push subscription (gRPC SubscribeHead "
+                        "when the provider speaks dshackle, long-poll "
+                        "otherwise)")
     p.add_argument("--format", choices=["parquet", "avro"], default="parquet",
                    dest="fmt", help="archive file format (avro = reference-compatible)")
     p.add_argument("--provider", default="mock",
@@ -195,9 +201,18 @@ def main(argv: list[str] | None = None) -> int:
     else:  # stream
         from .streaming.stream_plan import run_stream
 
+        head_source = None
+        if args.head_source == "subscribe":
+            from .streaming.head_source import HeadStream, polling_head_source
+
+            sub = getattr(getattr(provider, "client", None), "subscribe_head", None)
+            head_source = HeadStream(
+                sub if sub is not None else polling_head_source(provider)
+            )
         st = run_stream(spark, provider, args.dir, tables=tables, policy=policy,
                         follow=args.follow, continue_from_archive=args.continue_,
-                        num_batches=args.batches)
+                        num_batches=args.batches, head_source=head_source,
+                        metrics_registry=registry)
         out = {"command": "stream", "batches": st.batches,
                "archived_heights": st.archived_heights, "backfilled": st.backfilled}
 

@@ -50,11 +50,15 @@ def stream_batch(
     follow: str = "latest",
     max_heights_per_batch: int = 64,
     head_fn=None,
+    metrics_registry=None,
 ) -> None:
     """One micro-batch: poll head → dedup/gap-synthesize → archive.
 
     ``head_fn`` overrides where the head comes from — a ``HeadCursor`` fed
-    by a reconnecting push subscription instead of a per-batch RPC poll."""
+    by a reconnecting push subscription instead of a per-batch RPC poll.
+    ``metrics_registry`` receives per-batch item/byte/blockTime counts
+    (the stream run is the reference's long-lived serving case for the
+    Prometheus endpoint)."""
     if follow == "finalized":
         # prefer the node's own finality tag (the reference's
         # NextFinalizedBlock subscribes to "finalized", next_block.rs);
@@ -73,7 +77,8 @@ def stream_batch(
         return  # T6: dedup repeated heads
     lo = head if state.last_archived is None else state.last_archived + 1
     hi = min(head, lo + max_heights_per_batch - 1)  # bound batch size
-    archive_single_blocks(
+    t0 = time.perf_counter()
+    res = archive_single_blocks(
         spark,
         provider,
         root,
@@ -84,6 +89,10 @@ def stream_batch(
         run="stream",
         maturity=maturity,
     )
+    if metrics_registry is not None:
+        metrics_registry.record_write_results(
+            res.write_rows, time.perf_counter() - t0
+        )
     state.archived_heights.extend(range(lo, hi + 1))
     state.last_archived = hi
     state.batches += 1
@@ -103,6 +112,7 @@ def run_stream(
     checkpoint_dir: str | None = None,
     timeout_s: float = 120.0,
     head_source=None,
+    metrics_registry=None,
 ) -> StreamState:
     """Follow the chain head for ``num_batches`` micro-batches.
 
@@ -139,7 +149,8 @@ def run_stream(
         try:
             for _ in range(num_batches):
                 stream_batch(spark, provider, root, state, tables, policy,
-                             follow, head_fn=head_fn)
+                             follow, head_fn=head_fn,
+                             metrics_registry=metrics_registry)
                 if poll_interval_s:
                     time.sleep(poll_interval_s)
         finally:
@@ -153,7 +164,8 @@ def run_stream(
         # the stop below is asynchronous — never run past the batch budget
         if state.batches < num_batches:
             stream_batch(spark, provider, root, state, tables, policy,
-                         follow, head_fn=head_fn)
+                         follow, head_fn=head_fn,
+                         metrics_registry=metrics_registry)
 
     q = (
         spark.readStream.format("rate")

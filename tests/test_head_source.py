@@ -143,3 +143,42 @@ def test_run_stream_with_head_source(spark, tmp_path):
         )  # contiguous
     finally:
         srv.shutdown()
+
+
+def test_cli_stream_subscribe_with_metrics(spark, tmp_path):
+    """CLI surface: stream with the push subscription over dshackle AND a
+    live Prometheus endpoint — heights contiguous, counters populated."""
+    import json as _json
+    import socket as _socket
+    import urllib.request
+
+    from dshackle_archive_spark import cli
+
+    model = EthChainModel(head=800)
+    url, srv = start_dshackle_stub(model, drop_subscription_after=3)
+    try:
+        with _socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            mport = s.getsockname()[1]
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = cli.main([
+                "stream", "--dir", str(tmp_path), "--tables", "blocks",
+                "--provider", "eth-dshackle", "--rpc-url", url,
+                "--head-source", "subscribe", "--batches", "2",
+                "--master", "local[4]", "--metrics", f"127.0.0.1:{mport}",
+            ])
+        assert rc == 0
+        out = _json.loads(buf.getvalue().strip().splitlines()[-1])
+        hs = out["archived_heights"]
+        assert hs and hs == list(range(hs[0], hs[0] + len(hs)))  # contiguous
+        body = urllib.request.urlopen(
+            f"http://127.0.0.1:{mport}/metrics"
+        ).read().decode()
+        assert f'items_total{{type="blocks",direction="write"}} {len(hs)}' in body
+        assert f"blockTime_seconds_count {len(hs)}" in body
+    finally:
+        srv.shutdown()
