@@ -245,3 +245,80 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
         )
         out.append(pairs)
     return out[0].unionByName(out[1]).distinct().filter(F.col("hamming") <= max_hamming)
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-dup clusters: min-label propagation over the candidate-pair
+    graph → ``(doc_id, cluster)`` where ``cluster`` = min doc_id reachable.
+
+    The step after pair generation in every large-scale dedup pipeline:
+    pairs chain (A~B, B~C ⇒ {A,B,C} is one duplicate group), so keep-one
+    dedup must operate on components, not pairs.
+
+    Scale design: each round is ONE equi-join shuffle (neighbor min) plus a
+    metadata-cheap merge; rounds = graph diameter. LSH near-dup graphs are
+    clique-ish (diameter 2-3), so convergence is a handful of rounds. Labels
+    are ``localCheckpoint``ed every round — iterative lineage otherwise
+    grows the plan O(rounds) deep and re-optimizes ever-larger trees. For
+    adversarial chain-shaped graphs swap in large-star/small-star (O(log n)
+    rounds) built from the same join primitives.
+
+    ``nodes`` (optional, one ``doc_id`` column) adds isolated vertices —
+    docs with no near-dup edge become singleton clusters."""
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    verts = edges.select(F.col("src").alias("node")).distinct()
+    if nodes is not None:
+        verts = verts.unionByName(nodes.select(F.col("doc_id").alias("node"))).distinct()
+    labels = verts.withColumn("label", F.col("node"))
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("dst", "node")
+        )
+        new_labels = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
+
+
+def cluster_representatives(
+    clusters: DataFrame, corpus: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Keep-one selection per duplicate cluster → ``(cluster, rep_doc_id,
+    n_docs)``: the longest document wins, doc_id breaks ties (the usual
+    keep-best-copy policy). One window over cluster — cluster cardinality
+    is bounded (near-dup groups), so no skewed giant partitions."""
+    joined = clusters.join(corpus.select("doc_id", text_col), "doc_id")
+    w = Window.partitionBy("cluster").orderBy(
+        F.length(F.col(text_col)).desc(), F.asc("doc_id")
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .groupBy("cluster")
+        .agg(
+            F.max(F.when(F.col("_rn") == 1, F.col("doc_id"))).alias("rep_doc_id"),
+            F.count("*").alias("n_docs"),
+        )
+    )

@@ -1415,6 +1415,108 @@ def d4_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_CC_CTES = """corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 100
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, concat(text, ' zz') AS text
+      FROM documents WHERE doc_id < 20
+    ), norm AS (
+      SELECT doc_id, string_split({norm}, ' ') AS toks FROM corpus
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+      FROM norm, range(1, 4096) t(i)
+      WHERE i <= greatest(len(toks) - 2, 1)
+        AND length(concat_ws(' ', toks[i], toks[i+1], toks[i+2])) > 0
+    ), sigs AS (
+      SELECT doc_id,
+           {minhash}
+      FROM sh GROUP BY doc_id
+    ), banded AS ({bands}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ), sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ), reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM corpus
+      UNION
+      SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node
+    ), cc AS (
+      SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
+    )""".format(norm=_NORM_SQL, minhash=_MINHASH_AGGS_SQL, bands=_BANDS_SQL)
+
+
+def _cc_corpus_and_clusters(spark: SparkSession, sf: str):
+    """Shared build for d5/d6: planted-duplicate corpus → MinHash LSH pairs
+    → connected components."""
+    from .operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = _t(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") < 100).select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+        )
+    )
+    sigs = minhash_signatures(shingles(corpus, n=3), num_hashes=16, token_col="shingle")
+    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    clusters = connected_components(pairs, nodes=corpus.select("doc_id"))
+    return corpus, clusters
+
+
+@query(
+    "d5_neardup_clusters",
+    "WITH RECURSIVE "
+    + _CC_CTES
+    + "\n    SELECT doc_id, cluster FROM cc",
+)
+def d5_neardup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup CLUSTERS: candidate pairs chain (A~B, B~C ⇒ one duplicate
+    group), so keep-one dedup operates on connected components, not pairs.
+    Spark side: iterative min-label propagation (one equi-join shuffle per
+    round, localCheckpoint lineage truncation, converges in diameter
+    rounds). Oracle: DuckDB recursive-CTE reachability closure — an
+    iterative Spark algorithm hash-checked against a fixpoint the SQL
+    engine computes independently."""
+    _, clusters = _cc_corpus_and_clusters(spark, sf)
+    return clusters
+
+
+@query(
+    "d6_dedup_representatives",
+    "WITH RECURSIVE "
+    + _CC_CTES
+    + """,
+    ranked AS (
+      SELECT c.cluster, c.doc_id,
+             row_number() OVER (
+               PARTITION BY c.cluster
+               ORDER BY length(co.text) DESC, c.doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY c.cluster) AS n_docs
+      FROM cc c JOIN corpus co USING (doc_id)
+    )
+    SELECT cluster, doc_id AS rep_doc_id, n_docs FROM ranked WHERE rn = 1""",
+)
+def d6_dedup_representatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Keep-one selection per duplicate cluster: longest document wins,
+    doc_id breaks ties — the final step that turns near-dup detection into
+    an actual deduplicated corpus."""
+    from .operators.dedup import cluster_representatives
+
+    corpus, clusters = _cc_corpus_and_clusters(spark, sf)
+    return cluster_representatives(clusters, corpus)
+
+
 @query(
     "a10_rollup_stats",
     """

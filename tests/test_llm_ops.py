@@ -207,3 +207,44 @@ def test_multimodal_resize_stage(spark):
     # schema stable for downstream feature extraction
     feats = M.extract_features(M.resize_images(media, 10, 10)).collect()
     assert {r["media_id"] for r in feats} == {1, 2}
+
+
+def test_connected_components_chains_and_singletons(spark):
+    from dshackle_archive_spark.operators.dedup import connected_components
+
+    # A-B, B-C chain plus isolated pair (E,F) and singleton D
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5, 6)], "doc_id long")
+    got = {r["doc_id"]: r["cluster"]
+           for r in connected_components(pairs, nodes=nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from dshackle_archive_spark.operators.dedup import connected_components
+
+    # a 12-node path graph: needs ~diameter rounds; must still converge
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    got = connected_components(pairs).collect()
+    assert {r["cluster"] for r in got} == {0} and len(got) == 13
+
+
+def test_cluster_representatives_longest_wins(spark):
+    from dshackle_archive_spark.operators.dedup import (
+        cluster_representatives,
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    corpus = spark.createDataFrame(
+        [(1, "short"), (2, "the longest document"), (3, "mid text"), (9, "solo")],
+        "doc_id long, text string",
+    )
+    clusters = connected_components(pairs, nodes=corpus.select("doc_id"))
+    reps = {r["cluster"]: (r["rep_doc_id"], r["n_docs"])
+            for r in cluster_representatives(clusters, corpus).collect()}
+    assert reps == {1: (2, 3), 9: (9, 1)}
