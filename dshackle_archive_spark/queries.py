@@ -1603,6 +1603,46 @@ def x5_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "x6_train_split",
+    """
+    WITH tagged AS (
+      SELECT source, n_chars,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT source, split, count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM tagged GROUP BY 1, 2
+    """,
+)
+def x6_train_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (~80/10/10) with
+    per-(source, split) counts — the reproducible data-splitting step of a
+    training pipeline. md5-prefix banding is engine-portable, stable under
+    reshuffles/re-runs, and needs no RNG state; lexicographic comparison on
+    fixed-width lowercase hex equals numeric comparison, so both engines
+    band identically. Map-side projection + one agg shuffle; no sampling
+    pass over the data."""
+    docs = _t(spark, sf, "documents")
+    b = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(b < "cd", "train").when(b < "e6", "val").otherwise("test")
+    )
+    return (
+        docs.select("source", "n_chars", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+@query(
     "c2_aligned_complete_chunks",
     """
     SELECT CAST(floor(event_id / 100) AS BIGINT) AS chunk,
