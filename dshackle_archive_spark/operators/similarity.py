@@ -291,3 +291,65 @@ def ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+def ivf_train(
+    vectors: DataFrame,
+    n_cells: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's k-means for a TRAINED IVF coarse quantizer — the upgrade
+    path from ``ivf_assign``'s sampled quantizer. Deterministic init (the
+    first ``n_cells`` vectors by id), then ``iters`` rounds of assignment +
+    mean update.
+
+    Scale shape per round:
+    - assign: centroids fold into ONE broadcast row; every vector scores
+      all K cells in a single map-side projection (same zero-corpus-shuffle
+      plan as ``ivf_assign``);
+    - update: ``posexplode`` to (cell, dim) with partially-aggregated
+      ``avg`` — the shuffle carries K·d partial sums per map task, never
+      N·d raw rows;
+    - centroids are ``localCheckpoint``ed each round so the iterative plan
+      stays flat.
+
+    Component means round to 6 decimals (mirrored by the SQL oracle) so
+    float summation order cannot leak into assignments. Returns
+    ``(assignments, centroids)``: the FINAL round's ``(vec_id, cell_id)``
+    and ``(cell_id, cvec)`` updated from it."""
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    cents = v.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"), F.col("vec").alias("cvec")
+    )
+    assign = None
+    for _ in range(iters):
+        seed = F.broadcast(
+            cents.groupBy().agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("cell_id"), F.col("cvec").alias("seed_vec"))
+                    )
+                ).alias("_seeds")
+            )
+        )
+        best = F.element_at(_probe_cells(F.col("_seeds"), F.col("vec"), 1), 1)
+        assign = v.crossJoin(seed).select(
+            "vec_id", "vec", best["cell_id"].alias("cell_id")
+        )
+        comp = (
+            assign.select("cell_id", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("cell_id", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("cx"))
+        )
+        cents = (
+            comp.groupBy("cell_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("_ps"))
+            .select("cell_id", F.transform("_ps", lambda s: s["cx"]).alias("cvec"))
+            .localCheckpoint(eager=True)
+        )
+    return assign.select("vec_id", "cell_id"), cents

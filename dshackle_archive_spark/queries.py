@@ -1313,6 +1313,77 @@ def v3_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "v4_ivf_trained",
+    """
+    WITH flat AS (
+      SELECT vec_id, t.i - 1 AS i, CAST(embedding[t.i] AS DOUBLE) AS x
+      FROM embeddings, range(1, 65) t(i)
+    ), norms AS (
+      SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1
+    ), c0 AS (
+      SELECT vec_id AS cell_id, i, x FROM flat WHERE vec_id < 8
+    ), c0n AS (
+      SELECT cell_id, sqrt(sum(x * x)) AS cn FROM c0 GROUP BY 1
+    ), dots1 AS (
+      SELECT v.vec_id, c.cell_id,
+             round(sum(v.x * c.x) / (any_value(nv.nrm) * any_value(cn.cn)), 6)
+               AS sim
+      FROM flat v JOIN c0 c ON c.i = v.i
+      JOIN norms nv ON nv.vec_id = v.vec_id
+      JOIN c0n cn ON cn.cell_id = c.cell_id
+      GROUP BY 1, 2
+    ), a1 AS (
+      SELECT vec_id, cell_id FROM dots1
+      QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY sim DESC, cell_id ASC) = 1
+    ), c1 AS (
+      SELECT a.cell_id, f.i, round(avg(f.x), 6) AS x
+      FROM a1 a JOIN flat f USING (vec_id) GROUP BY 1, 2
+    ), c1n AS (
+      SELECT cell_id, sqrt(sum(x * x)) AS cn FROM c1 GROUP BY 1
+    ), dots2 AS (
+      SELECT v.vec_id, c.cell_id,
+             round(sum(v.x * c.x) / (any_value(nv.nrm) * any_value(cn.cn)), 6)
+               AS sim
+      FROM flat v JOIN c1 c ON c.i = v.i
+      JOIN norms nv ON nv.vec_id = v.vec_id
+      JOIN c1n cn ON cn.cell_id = c.cell_id
+      GROUP BY 1, 2
+    ), a2 AS (
+      SELECT vec_id, cell_id FROM dots2
+      QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY sim DESC, cell_id ASC) = 1
+    ), c2 AS (
+      SELECT a.cell_id, f.i, round(avg(f.x), 6) AS x
+      FROM a2 a JOIN flat f USING (vec_id) GROUP BY 1, 2
+    ), members AS (
+      SELECT cell_id, count(*) AS n_members FROM a2 GROUP BY 1
+    )
+    SELECT m.cell_id, m.n_members,
+           round(sqrt(sum(c2.x * c2.x)), 4) AS centroid_norm
+    FROM members m JOIN c2 ON c2.cell_id = m.cell_id
+    GROUP BY m.cell_id, m.n_members
+    """,
+)
+def v4_ivf_trained(spark: SparkSession, sf: str) -> DataFrame:
+    """TRAINED IVF coarse quantizer: two Lloyd iterations from a
+    deterministic init, verified end-to-end — the oracle unrolls both
+    iterations (assign → mean-update → reassign) in SQL and must land on
+    identical final assignments and centroid norms. An iterative
+    distributed ML algorithm under a hash-level correctness gate."""
+    from .operators.similarity import ivf_train
+
+    emb = _t(spark, sf, "embeddings")
+    assign, cents = ivf_train(emb, n_cells=8, iters=2)
+    counts = assign.groupBy("cell_id").agg(F.count("*").alias("n_members"))
+    sq = F.aggregate(
+        F.transform("cvec", lambda x: x * x), F.lit(0.0), lambda a, b: a + b
+    )
+    norm = cents.select("cell_id", F.round(F.sqrt(sq), 4).alias("centroid_norm"))
+    return counts.join(norm, "cell_id")
+
+
+@query(
     "m1_multimodal_features",
     """
     SELECT doc_id AS media_id,
