@@ -1714,6 +1714,69 @@ def x6_train_split(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "h2_cheapest_supplier",
+    """
+    SELECT p.p_partkey, p.p_brand, l.l_suppkey,
+           l.l_extendedprice AS min_price
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_size = 15
+      AND l.l_extendedprice = (
+        SELECT min(l2.l_extendedprice) FROM lineitem l2
+        WHERE l2.l_partkey = p.p_partkey
+      )
+    """,
+)
+def h2_cheapest_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar subquery (cheapest source per
+    part). Expressed as SQL so Catalyst's subquery DECORRELATION turns the
+    per-part probe into one aggregate + join — the plan a hand-written
+    groupBy+join would build, derived automatically. Ties (several
+    suppliers at the min price) all qualify, keeping the result a
+    deterministic set."""
+    _t(spark, sf, "part").createOrReplaceTempView("_h2_part")
+    _t(spark, sf, "lineitem").createOrReplaceTempView("_h2_lineitem")
+    return spark.sql("""
+        SELECT p.p_partkey, p.p_brand, l.l_suppkey,
+               l.l_extendedprice AS min_price
+        FROM _h2_part p JOIN _h2_lineitem l ON l.l_partkey = p.p_partkey
+        WHERE p.p_size = 15
+          AND l.l_extendedprice = (
+            SELECT min(l2.l_extendedprice) FROM _h2_lineitem l2
+            WHERE l2.l_partkey = p.p_partkey
+          )
+    """)
+
+
+@query(
+    "a11_moving_avg",
+    """
+    SELECT event_type, event_id,
+           round(avg(value) OVER (
+             PARTITION BY event_type ORDER BY event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
+    FROM events
+    """,
+)
+def a11_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame-based moving aggregate (7-row trailing mean per series) — the
+    smoothing pass of the reference's throughput log (progress.rs sliding
+    window) as a windowed plan. Partition-parallel by event_type; the frame
+    sums ≤7 doubles in ORDER BY order, so both engines compute bit-equal
+    results."""
+    ev = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.avg("value").over(w), 6).alias("ma7"),
+    )
+
+
+@query(
     "c2_aligned_complete_chunks",
     """
     SELECT CAST(floor(event_id / 100) AS BIGINT) AS chunk,

@@ -216,3 +216,26 @@ def test_subscribe_head_ends_on_connection_drop():
         assert list(it) == [(101, model.block_hash(101))]
     finally:
         srv.shutdown()
+
+
+def test_btc_archive_over_dshackle(spark, tmp_path):
+    """S7 over S8: the Bitcoin provider through the NativeCall transport —
+    the stub chain model is protocol-agnostic, so the same framed wire
+    serves getblockhash/getblock/getrawtransaction."""
+    from dshackle_archive_spark.sources.rpc import BitcoinRpcProvider
+
+    from stub_rpc import BtcChainModel
+
+    model = BtcChainModel(head=300)
+    url, srv = start_dshackle_stub(model)
+    try:
+        client = D.DshackleClient(url, chain="BTC")
+        p = BitcoinRpcProvider(url, client=client)
+        assert p.head() == 300
+        res = archive(spark, p, str(tmp_path), Range(100, 109), tables=BT,
+                      chunk=10, policy=POLICY)
+        assert res.written == 2
+        rep = verify(spark, p, str(tmp_path), Range(100, 109), tables=BT)
+        assert rep.failures == []
+    finally:
+        srv.shutdown()

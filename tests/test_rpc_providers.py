@@ -284,3 +284,28 @@ def test_provider_is_picklable_with_live_connection():
         assert p2.head() == 50
     finally:
         srv.shutdown()
+
+
+def test_avro_archive_preserves_wire_bytes(spark, tmp_path):
+    """Fidelity through the reference's native format: a non-compact node's
+    exact result bytes survive into the Avro container and read back
+    byte-identical (avros.rs:54-57 interop end-to-end)."""
+    from dshackle_archive_spark.sources.avro_io import read_avro_records
+
+    model = EthChainModel(head=300)
+    url, srv = start_stub(model, pretty=True)
+    try:
+        p = EthereumRpcProvider(url)
+        archive(spark, p, str(tmp_path), Range(100, 104),
+                tables=(DataKind.BLOCKS,), chunk=5, policy=POLICY, fmt="avro")
+        path = str(
+            tmp_path / "eth" / "000000000" / "range-000000100_000000104.blocks.avro"
+        )
+        recs = {r["height"]: r for r in read_avro_records(path)}
+        assert len(recs) == 5
+        blk = recs[102]["json"]
+        blk = bytes(blk) if not isinstance(blk, bytes) else blk
+        assert blk == EthereumRpcProvider(url).block_json(102)  # byte-equal
+        assert b"\n" in blk  # and genuinely non-compact
+    finally:
+        srv.shutdown()
