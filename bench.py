@@ -44,6 +44,7 @@ from dshackle_archive_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
     "h1_pricing_summary",
+    "h2_cheapest_supplier",
     "h3_shipping_priority",
     "h4_order_priority",
     "h5_local_supplier_volume",
@@ -51,6 +52,7 @@ HEADLINE = [
     "a1_islands",
     "a3_gap_detection",
     "a9_throughput_window",
+    "a11_moving_avg",
     "t8_sessionization",
     "w1_chain_linkage",
     "j7_range_chunk_assignment",
