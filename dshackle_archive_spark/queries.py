@@ -1454,7 +1454,12 @@ def d4_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
         )
     )
-    sigs = hyperplane_signatures(corpus, dim=64, n_tables=8, n_bits=8)
+    # signatures materialize once (localCheckpoint): the special side is a
+    # filter of the same subtree, so both join inputs read the checkpointed
+    # rows instead of recomputing the 64-dot×64-plane projection twice
+    sigs = hyperplane_signatures(corpus, dim=64, n_tables=8, n_bits=8).localCheckpoint(
+        eager=True
+    )
     # every qualifying pair has ≥1 endpoint in the tiny special set
     # ({id<10} ∪ {id≥100000}), so join special-side signatures (broadcast)
     # against the corpus instead of distinct-ing the full all-pairs candidate
