@@ -182,3 +182,31 @@ def test_cli_stream_subscribe_with_metrics(spark, tmp_path):
         assert f"blockTime_seconds_count {len(hs)}" in body
     finally:
         srv.shutdown()
+
+
+def test_run_stream_continue_plus_subscription(spark, tmp_path):
+    """T3 backfill composes with the push head source: the missing window
+    before the head is repaired first (fix plan), then micro-batches follow
+    the subscription."""
+    from dshackle_archive_spark.plans.archive_plan import archive
+
+    model = EthChainModel(head=500)
+    url, srv = start_dshackle_stub(model)
+    try:
+        client = DshackleClient(url)
+        p = EthereumRpcProvider(url, client=client)
+        # pre-archive part of the continue window, leaving a hole
+        archive(spark, p, str(tmp_path), Range(400, 449),
+                tables=(DataKind.BLOCKS,), chunk=50, policy=POLICY)
+        hs = HeadStream(client.subscribe_head, **FAST)
+        st = run_stream(spark, p, str(tmp_path), tables=(DataKind.BLOCKS,),
+                        policy=POLICY, continue_from_archive=True,
+                        num_batches=2, engine="loop", poll_interval_s=0.3,
+                        head_source=hs)
+        assert ("blocks", 450, 499) in st.backfilled  # T3 repair ran first
+        assert st.archived_heights and st.archived_heights[0] == 500
+        assert st.archived_heights == list(
+            range(500, 500 + len(st.archived_heights))
+        )
+    finally:
+        srv.shutdown()
