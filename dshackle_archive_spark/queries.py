@@ -1128,6 +1128,59 @@ def x3_quality_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "x7_quality_filter",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             length(text) AS n_chars,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+             length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+             string_split({_NORM_SQL}, ' ') AS toks
+      FROM documents
+    ), rated AS (
+      SELECT doc_id, n_tokens,
+             round(CASE WHEN n_tokens > 0 THEN CAST(({" + ".join(f"CAST(list_contains(toks, '{w}') AS INT)" for w in _LANGS_SQL['en'])}) AS DOUBLE) / n_tokens ELSE 0.0 END, 4) AS stopword_ratio,
+             round(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END, 4) AS punct_ratio
+      FROM base
+    ), tagged AS (
+      SELECT d.source,
+             CASE WHEN r.n_tokens < 10 THEN 'too_short'
+                  WHEN r.n_tokens > 5000 THEN 'too_long'
+                  WHEN r.stopword_ratio < 0.05 THEN 'low_stopword'
+                  WHEN r.punct_ratio > 0.2 THEN 'high_punct'
+                  ELSE 'kept' END AS reason
+      FROM rated r JOIN documents d USING (doc_id)
+    )
+    SELECT source, reason, count(*) AS n_docs FROM tagged GROUP BY 1, 2
+    """,
+)
+def x7_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Composite quality FILTER — the decision layer over x3's features:
+    token-count bounds, stopword floor, punctuation ceiling, with the first
+    failing rule as the reject reason (kept otherwise), rolled up per
+    source. This is the shape of a production corpus-filtering pass: every
+    document gets exactly one disposition, and the per-source reason
+    breakdown is the monitoring surface."""
+    from .operators.textan import quality_features
+
+    docs = _t(spark, sf, "documents")
+    q = quality_features(docs).join(docs.select("doc_id", "source"), "doc_id")
+    reason = (
+        F.when(F.col("n_tokens") < 10, "too_short")
+        .when(F.col("n_tokens") > 5000, "too_long")
+        .when(F.col("stopword_ratio") < 0.05, "low_stopword")
+        .when(F.col("punct_ratio") > 0.2, "high_punct")
+        .otherwise("kept")
+    )
+    return (
+        q.select("source", reason.alias("reason"))
+        .groupBy("source", "reason")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
     "x4_doc_fingerprint",
     f"""
     SELECT doc_id,
@@ -1381,6 +1434,54 @@ def v4_ivf_trained(spark: SparkSession, sf: str) -> DataFrame:
     )
     norm = cents.select("cell_id", F.round(F.sqrt(sq), 4).alias("centroid_norm"))
     return counts.join(norm, "cell_id")
+
+
+@query(
+    "v5_quantize_embeddings",
+    """
+    WITH scaled AS (
+      SELECT vec_id,
+             round(list_max(list_transform(embedding,
+                     x -> abs(CAST(x AS DOUBLE)))) / 127.0, 6) AS scale
+      FROM embeddings
+    ), quant AS (
+      SELECT e.vec_id, s.scale,
+             list_transform(e.embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) / s.scale) AS INT)) AS q
+      FROM embeddings e JOIN scaled s USING (vec_id)
+    )
+    SELECT vec_id, scale,
+           CAST(list_sum(q) AS BIGINT) AS q_sum,
+           CAST(list_min(q) AS INT) AS q_min,
+           CAST(list_max(q) AS INT) AS q_max
+    FROM quant
+    """,
+)
+def v5_quantize_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (per-vector
+    scale = max|x|/127) — the storage/transfer path every large ANN corpus
+    takes (4× smaller than float32, dot products stay SIMD-friendly).
+    Entirely map-side array math (transform/aggregate HOFs, no UDF, no
+    shuffle); digest columns (sum/min/max of the quantized array) pin the
+    full quantized content under the value-hash gate."""
+    emb = _t(spark, sf, "embeddings")
+    mx = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    scale = F.round(mx / 127.0, 6)
+    q = emb.select(
+        "vec_id",
+        scale.alias("scale"),
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") / scale).cast("int")
+        ).alias("q"),
+    )
+    qsum = F.aggregate("q", F.lit(0).cast("bigint"), lambda a, b: a + b)
+    return q.select(
+        "vec_id",
+        "scale",
+        qsum.alias("q_sum"),
+        F.array_min("q").alias("q_min"),
+        F.array_max("q").alias("q_max"),
+    )
 
 
 @query(
