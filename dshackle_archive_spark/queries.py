@@ -1820,6 +1820,50 @@ def x6_train_split(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "j8_asof_join",
+    """
+    WITH l AS (
+      SELECT o_orderkey, o_custkey % 150 AS user_id, o_orderkey % 365 AS t
+      FROM orders
+    ), r AS (
+      SELECT user_id, event_id % 365 AS t, event_id FROM events
+    ), ranked AS (
+      SELECT l.o_orderkey, l.user_id, l.t, r.event_id,
+             row_number() OVER (
+               PARTITION BY l.o_orderkey
+               ORDER BY r.t DESC, r.event_id DESC) AS rn
+      FROM l LEFT JOIN r ON r.user_id = l.user_id AND r.t <= l.t
+    )
+    SELECT o_orderkey, user_id, t, event_id AS last_event_id
+    FROM ranked WHERE rn = 1
+    """,
+)
+def j8_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """AS-OF JOIN (an operator Spark lacks natively): each order matched to
+    the latest event at or before its point on a per-key timeline, ties by
+    max event id, null when no prior event. The Spark plan is the union
+    trick (``operators/asof.py``): ONE shuffle + sort over |L|+|R| rows
+    with a running last-non-null — never the range-join expansion the
+    oracle's LEFT JOIN + row_number replay builds (which is exactly why the
+    oracle is an independent check, not the same algorithm twice)."""
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", (F.col("event_id") % 365).alias("t"), "event_id"
+    )
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 150).alias("user_id"),
+        (F.col("o_orderkey") % 365).alias("t"),
+    )
+    out = asof_join(
+        orders, ev, key="user_id", left_ts="t", right_ts="t",
+        value_cols=["event_id"], tie_col="event_id",
+    )
+    return out.withColumnRenamed("event_id", "last_event_id")
+
+
+@query(
     "h2_cheapest_supplier",
     """
     SELECT p.p_partkey, p.p_brand, l.l_suppkey,

@@ -248,3 +248,37 @@ def test_cluster_representatives_longest_wins(spark):
     reps = {r["cluster"]: (r["rep_doc_id"], r["n_docs"])
             for r in cluster_representatives(clusters, corpus).collect()}
     assert reps == {1: (2, 3), 9: (9, 1)}
+
+
+def test_asof_join_semantics(spark):
+    from dshackle_archive_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 5), (3, "b", 7), (4, "c", 9)],
+        "oid long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [("a", 5, 100), ("a", 5, 101), ("a", 8, 102), ("b", 9, 103)],
+        "k string, t long, eid long",
+    )
+    out = {
+        r["oid"]: r["eid"]
+        for r in asof_join(left, right, "k", "t", "t", ["eid"], "eid").collect()
+    }
+    # oid1: t=10 -> latest event t=8 (eid 102); oid2: t=5 ties -> max eid 101
+    # oid3: b's only event is at t=9 > 7 -> null; oid4: key c unseen -> null
+    assert out == {1: 102, 2: 101, 3: None, 4: None}
+
+
+def test_asof_join_plan_has_no_range_join(spark):
+    """The scalable shape: one exchange on the key, no BroadcastNestedLoop /
+    cartesian from the ts inequality."""
+    from dshackle_archive_spark.operators.asof import asof_join
+
+    left = spark.range(100).selectExpr("id AS oid", "id % 5 AS k", "id AS t")
+    right = spark.range(50).selectExpr("id % 5 AS k", "id AS t", "id AS eid")
+    out = asof_join(left, right, "k", "t", "t", ["eid"], "eid")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 2  # union sides feed ONE window shuffle
