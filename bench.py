@@ -56,6 +56,7 @@ HEADLINE = [
     "t8_sessionization",
     "w1_chain_linkage",
     "j7_range_chunk_assignment",
+    "j8_asof_join",
     "e4_set_equality_check",
 ]
 
