@@ -1820,6 +1820,118 @@ def x6_train_split(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "h10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+             AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+    """,
+)
+def h10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer — a 4-table star
+    join (two broadcast dims) feeding a grouped decimal-exact sum and a
+    deterministic top-20 (TakeOrderedAndProject, no global sort)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf, "nation")
+    rev = F.sum(
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    ).cast("double")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(rev.alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "h14_promo_revenue",
+    """
+    SELECT CAST(year(l.l_shipdate) AS BIGINT) AS yr,
+           round(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                   THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
+                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+             4) AS promo_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY 1
+    """,
+)
+def h14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional revenue share per year — broadcast dim
+    join + case-guarded decimal sums, division done once in double at the
+    end (exact numerators/denominators, one rounding point)."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    disc = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0).cast(DEC))
+    ).cast("double")
+    total = F.sum(disc).cast("double")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.year("l_shipdate").cast("bigint").alias("yr"))
+        .agg(F.round(F.lit(100.0) * promo / total, 4).alias("promo_pct"))
+    )
+
+
+@query(
+    "h22_idle_rich_customers",
+    """
+    WITH avg_bal AS (
+      SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_custkey % 7 AS code, count(*) AS n_cust,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    GROUP BY 1
+    """,
+)
+def h22_idle_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape: above-global-average balance AND no recent orders — a
+    scalar aggregate subquery plus NOT EXISTS, written as SQL so Catalyst
+    plans the anti join and the 1-row broadcast bound itself (the same
+    decorrelation machinery h2 exercises for correlated scalars)."""
+    _t(spark, sf, "customer").createOrReplaceTempView("_h22_customer")
+    _t(spark, sf, "orders").createOrReplaceTempView("_h22_orders")
+    return spark.sql("""
+        WITH avg_bal AS (
+          SELECT avg(c_acctbal) AS a FROM _h22_customer WHERE c_acctbal > 0.0
+        )
+        SELECT c.c_custkey % 7 AS code, count(*) AS n_cust,
+               CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        FROM _h22_customer c, avg_bal
+        WHERE c.c_acctbal > avg_bal.a
+          AND NOT EXISTS (SELECT 1 FROM _h22_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        GROUP BY c.c_custkey % 7
+    """)
+
+
+@query(
     "j8_asof_join",
     """
     WITH l AS (
