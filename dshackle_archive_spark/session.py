@@ -56,6 +56,11 @@ def get_spark(app_name: str = "dshackle-archive-spark", master: str | None = Non
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # bucketed saveAsTable target — keep the warehouse out of the CWD
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(tempfile.gettempdir(), "dshackle_spark_warehouse"),
+        )
         .config("spark.sql.shuffle.spill.compress", "true")
     )
     spark = builder.getOrCreate()
