@@ -1181,6 +1181,77 @@ def x7_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "x8_pii_scrub",
+    r"""
+    WITH corpus AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id < 15
+               THEN concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                           '@example.com or 10.0.0.', CAST(doc_id AS VARCHAR))
+               ELSE text END AS text
+      FROM documents
+    ), scanned AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(text,
+                 '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+             len(regexp_extract_all(text,
+                 '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS n_ips,
+             md5(regexp_replace(regexp_replace(text,
+                 '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                 '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g')) AS fp
+      FROM corpus
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_emails) AS BIGINT) AS total_emails,
+           CAST(sum(n_ips) AS BIGINT) AS total_ips,
+           CAST(sum(CASE WHEN n_emails + n_ips > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_pii,
+           count(DISTINCT fp) AS distinct_redacted
+    FROM scanned GROUP BY 1
+    """,
+)
+def x8_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII detection + redaction — the data-governance pass of a training
+    pipeline: count email/IP patterns per document, redact them to stable
+    tokens, and fingerprint the REDACTED text (so dedup keys can't differ
+    only by contact details). Planted PII (doc_id < 15) guarantees the
+    detectors demonstrably fire. Pure Catalyst regex — no UDF; one
+    projection + one agg shuffle."""
+    email_re = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    ip_re = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+    docs = _t(spark, sf, "documents")
+    text = F.when(
+        F.col("doc_id") < 15,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0.0."),
+            F.col("doc_id").cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(text, email_re, "<EMAIL>"), ip_re, "<IP>"
+    )
+    scanned = docs.select(
+        "source",
+        F.size(F.regexp_extract_all(text, F.lit(email_re), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(ip_re), F.lit(0))).alias("n_ips"),
+        F.md5(redacted).alias("fp"),
+    )
+    return scanned.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_emails").alias("total_emails"),
+        F.sum("n_ips").alias("total_ips"),
+        F.sum(
+            F.when(F.col("n_emails") + F.col("n_ips") > 0, 1).otherwise(0)
+        ).alias("docs_with_pii"),
+        F.countDistinct("fp").alias("distinct_redacted"),
+    )
+
+
+@query(
     "x4_doc_fingerprint",
     f"""
     SELECT doc_id,
