@@ -2128,3 +2128,351 @@ def c2_aligned_complete_chunks(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("nd") == 100)
         .drop("nd")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H plan shapes, continued (round 4): each exercises a distinct physical
+# pattern — two-dim star joins, outer-join distributions, correlated
+# aggregates, group-having semi joins, disjunctive pushdown, self-join
+# exists/not-exists. All money math is decimal-exact, doubles only at the end.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "h7_nation_volume",
+    """
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS yr,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+             AS DOUBLE) AS volume
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+    JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+    WHERE (ns.n_nationkey = 1 AND nc.n_nationkey = 2)
+       OR (ns.n_nationkey = 2 AND nc.n_nationkey = 1)
+    GROUP BY 1, 2, 3
+    """,
+)
+def h7_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between a nation pair per year — the
+    two-sided dimension pattern (nation joined once through supplier, once
+    through customer). The nation-pair predicate is pushed below the big
+    lineitem⋈orders shuffle join: supplier and customer are pre-filtered to
+    the two nations BEFORE joining, so the fact-side shuffles carry only
+    qualifying rows; all four dims broadcast."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    n = _t(spark, sf, "nation")
+    s = (
+        _t(spark, sf, "supplier")
+        .filter(F.col("s_nationkey").isin(1, 2))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_nationkey").alias("s_nat"), F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_nationkey").isin(1, 2))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_nationkey").alias("c_nat"), F.col("n_name").alias("cust_nation"))
+    )
+    vol = F.sum(
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    ).cast("double")
+    return (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .filter(
+            ((F.col("s_nat") == 1) & (F.col("c_nat") == 2))
+            | ((F.col("s_nat") == 2) & (F.col("c_nat") == 1))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("yr")
+        )
+        .agg(vol.alias("volume"))
+    )
+
+
+@query(
+    "h9_product_profit",
+    """
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+             AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY 1, 2
+    """,
+)
+def h9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on a product line by supplier nation × year.
+    The selective LIKE filter on part runs before its broadcast, shrinking
+    the fact stream at the scan (at 100 TB the p_partkey IN-set semi-joins
+    the lineitem scan via DPP); lineitem⋈orders is the only shuffle join."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").filter(F.col("p_name").like("%gear%")).select("p_partkey")
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    profit = F.sum(
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    ).cast("double")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+        )
+        .agg(profit.alias("profit"))
+    )
+
+
+@query(
+    "h12_line_priority",
+    """
+    SELECT l.l_linestatus AS linestatus,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def h12_line_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape: order-priority class counts per line status in a
+    ship-date year — conditional counts over one shuffle join, with the date
+    range pushed to the lineitem parquet scan (PushedFilters on l_shipdate
+    prunes row groups before the join)."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "h13_customer_distribution",
+    """
+    WITH c_orders AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '5-LOW'
+      GROUP BY 1
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM c_orders GROUP BY 1
+    """,
+)
+def h13_customer_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of order counts per customer — an outer
+    join that must KEEP zero-order customers (count(o)=0 rows survive), then
+    a second aggregation over the first's output. The second groupBy re-uses
+    the first shuffle's output partitioning at metadata scale (distinct
+    c_count values ≈ dozens), so the heavy shuffle happens exactly once."""
+    c = _t(spark, sf, "customer").select("c_custkey")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderpriority") != "5-LOW").select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "h17_small_quantity_revenue",
+    """
+    SELECT CAST(round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / 7.0, 4) AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (SELECT l_partkey, avg(l_quantity) AS aq
+          FROM lineitem GROUP BY 1) pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND l.l_quantity < 0.5 * pa.aq
+    """,
+)
+def h17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small orders — a correlated per-part
+    average, planned by hand as ONE aggregate over lineitem plus a broadcast
+    join back (Catalyst's decorrelation output, written explicitly). The
+    per-part averages are exact (integral quantities sum exactly in double),
+    so both engines agree bit-for-bit before the final divide."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    per_part = li.groupBy(F.col("l_partkey").alias("pa_key")).agg(
+        F.avg("l_quantity").alias("aq")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(per_part, li["l_partkey"] == F.col("pa_key"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("aq"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / 7.0, 4
+            ).cast("double").alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "h18_large_volume_customers",
+    """
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(big.total_qty AS DOUBLE) AS total_qty
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def h18_large_volume_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape: customers with very large orders — a group-HAVING
+    that acts as a semi-join (the qualifying key set is tiny, ~1% of orders,
+    so Spark broadcasts it into the orders probe), then a deterministic
+    top-10 via TakeOrderedAndProject, never a global sort."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "h19_disjunctive_revenue",
+    """
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+           AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def h19_disjunctive_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides. The derivable
+    single-side implications are factored out and PUSHED below the join —
+    part keeps only the three brands, lineitem only quantity 1–30 — so the
+    scans prune before the broadcast join; the residual disjunction runs as
+    a post-join filter (exactly how Catalyst's constraint propagation wants
+    it, made explicit)."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity").between(1, 30))
+    p = _t(spark, sf, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    )
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 30))
+    )
+    rev = F.sum(
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    ).cast("double")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(cond)
+        .agg(rev.alias("revenue"))
+    )
+
+
+@query(
+    "h21_sole_blamed_supplier",
+    """
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY 1
+    ORDER BY numwait DESC, s.s_name ASC
+    LIMIT 20
+    """,
+)
+def h21_sole_blamed_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape: the supplier solely at fault on multi-supplier
+    orders — EXISTS plus NOT EXISTS self-joins on the fact table. Written
+    as SQL so Catalyst plans both as semi/anti joins sharing the lineitem
+    scan (the self-join correlates on l_orderkey, so all three legs hash on
+    the same key — one shuffle partitioning reused three times)."""
+    _t(spark, sf, "supplier").createOrReplaceTempView("_h21_supplier")
+    _t(spark, sf, "lineitem").createOrReplaceTempView("_h21_lineitem")
+    _t(spark, sf, "orders").createOrReplaceTempView("_h21_orders")
+    return spark.sql("""
+        SELECT s.s_name, count(*) AS numwait
+        FROM _h21_supplier s
+        JOIN _h21_lineitem l1 ON l1.l_suppkey = s.s_suppkey
+        JOIN _h21_orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM _h21_lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM _h21_lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name ASC
+        LIMIT 20
+    """)
