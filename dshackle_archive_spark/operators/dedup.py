@@ -322,3 +322,47 @@ def cluster_representatives(
             F.count("*").alias("n_docs"),
         )
     )
+
+
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    threshold: float = 0.05,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing word n-grams with
+    an evaluation/benchmark set (the standard pre-training hygiene pass —
+    any doc overlapping a benchmark above ``threshold`` leaks eval data).
+
+    Plan shape for 100 TB: the benchmark side is tiny (eval suites are
+    thousands of docs), so its distinct n-gram set BROADCASTS into a
+    left-semi probe of the corpus n-gram stream — the corpus is touched by
+    exactly one scan, the only shuffle is the per-doc hit-count groupBy
+    (doc_id keyed, combiner-friendly), and no raw text ever shuffles.
+
+    Output: one row per contaminated doc —
+    ``(doc_id, n_hit, n_ngrams, contamination)`` with contamination =
+    |doc ∩ benchmark n-grams| / |doc n-grams|.
+    """
+    corpus_sh = shingles(corpus, n=n, id_col=id_col, text_col=text_col)
+    bench_sh = (
+        shingles(benchmark, n=n, id_col=id_col, text_col=text_col)
+        .select("shingle")
+        .distinct()
+    )
+    sizes = corpus_sh.groupBy("doc_id").agg(F.count("*").alias("n_ngrams"))
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        hits.join(sizes, "doc_id")
+        .withColumn(
+            "contamination", F.round(F.col("n_hit") / F.col("n_ngrams"), 6)
+        )
+        .filter(F.col("contamination") >= threshold)
+        .select("doc_id", "n_hit", "n_ngrams", "contamination")
+    )

@@ -9,7 +9,7 @@ oracle can replay it.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import normalized_text
@@ -110,4 +110,76 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         F.col(id_col),
         fp.alias("fingerprint"),
         F.substring(fp, 1, 4).alias("fp_bucket"),
+    )
+
+
+def repetition_features(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition: the fraction of word n-grams that are
+    repeats of an earlier n-gram in the same doc (the Gopher-style
+    duplicated-n-gram quality signal — high values mean boilerplate or
+    degenerate loops).
+
+    Entirely map-side: the n-gram array and its distinct count are computed
+    per row with array expressions inside whole-stage codegen — NO explode,
+    NO shuffle, so it streams over a 100 TB documents scan at full width.
+    """
+    toks = F.split(normalized_text(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    grams = F.filter(grams, lambda g: F.length(g) > 0)
+    n_grams = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    return docs.select(
+        F.col(id_col),
+        n_grams.alias("n_ngrams"),
+        n_distinct.alias("n_distinct"),
+        F.round(
+            F.when(n_grams > 0, (n_grams - n_distinct) / n_grams).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("dup_ngram_ratio"),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf × (N/df) — tf-idf with
+    a linear inverse-document-frequency weight. The linear idf keeps every
+    arithmetic step an exactly-rounded IEEE operation (integer products and
+    one division), so scores are bit-identical across engines — no
+    transcendental functions in the comparison path.
+
+    Plan shape: tokenize→explode once; tf is a per-(doc, token) count and
+    df a per-token DISTINCT-doc count — two groupBys over the same exploded
+    stream (combiner-friendly, token never carries text); N folds in as a
+    1-row broadcast, never a driver collect; rank = row_number over
+    (doc_id) ordered by (score desc, token asc) — deterministic ties.
+    """
+    pairs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalized_text(text_col), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = pairs.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = pairs.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))  # 1-row broadcast bound
+    scored = (
+        tf.join(df_, "token")
+        .join(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * F.col("n_docs") / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "token", "tf", "df", "score")
     )

@@ -2476,3 +2476,118 @@ def h21_sole_blamed_supplier(spark: SparkSession, sf: str) -> DataFrame:
         ORDER BY numwait DESC, s.s_name ASC
         LIMIT 20
     """)
+
+
+@query(
+    "x9_decontamination",
+    f"""
+    WITH bench AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 29 = 0
+    ), corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 29 <> 0
+    ), bnorm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM bench
+    ), cnorm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM corpus
+    ), bsh AS (
+      SELECT DISTINCT
+             concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]) AS shingle
+      FROM bnorm, range(1, 4096) t(i)
+      WHERE i <= greatest(len(toks) - 4, 1)
+        AND length(concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])) > 0
+    ), csh AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]) AS shingle
+      FROM cnorm, range(1, 4096) t(i)
+      WHERE i <= greatest(len(toks) - 4, 1)
+        AND length(concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])) > 0
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_ngrams FROM csh GROUP BY 1
+    ), hits AS (
+      SELECT c.doc_id, count(*) AS n_hit
+      FROM csh c WHERE c.shingle IN (SELECT shingle FROM bsh)
+      GROUP BY 1
+    )
+    SELECT h.doc_id, h.n_hit, s.n_ngrams,
+           round(CAST(h.n_hit AS DOUBLE) / s.n_ngrams, 6) AS contamination
+    FROM hits h JOIN sizes s USING (doc_id)
+    WHERE CAST(h.n_hit AS DOUBLE) / s.n_ngrams >= 0.05
+    """,
+)
+def x9_decontamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing word 5-grams with a
+    held-out benchmark set (docs with doc_id % 29 == 0 stand in for the eval
+    suite). The benchmark n-gram set broadcasts into a left-semi probe of
+    the single corpus n-gram stream — exact-dup docs of a benchmark doc
+    surface at contamination 1.0, partial leaks above the 5% floor."""
+    from .operators.dedup import benchmark_contamination
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 29 == 0)
+    corpus = docs.filter(F.col("doc_id") % 29 != 0)
+    return benchmark_contamination(corpus, bench, n=5, threshold=0.05)
+
+
+@query(
+    "x10_repetition",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+    ), g AS (
+      SELECT doc_id, concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS g
+      FROM norm, range(1, 4096) t(i)
+      WHERE i <= greatest(len(toks) - 2, 1)
+        AND length(concat_ws(' ', toks[i], toks[i+1], toks[i+2])) > 0
+    )
+    SELECT doc_id, count(*) AS n_ngrams, count(DISTINCT g) AS n_distinct,
+           round(CAST(count(*) - count(DISTINCT g) AS DOUBLE) / count(*), 6)
+             AS dup_ngram_ratio
+    FROM g GROUP BY 1
+    """,
+)
+def x10_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-doc repeated-3-gram fraction (Gopher-style boilerplate
+    signal). The Spark side is pure map-side array math — no explode, no
+    shuffle — while the oracle replays it the expensive way (unnest +
+    group), which is exactly why the plans differ but the numbers must
+    not."""
+    from .operators.textan import repetition_features
+
+    return repetition_features(_t(spark, sf, "documents"), n=3).filter(
+        F.col("n_ngrams") > 0
+    )
+
+
+@query(
+    "x11_tfidf_top_terms",
+    f"""
+    WITH p AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS token
+      FROM documents
+    ), p2 AS (
+      SELECT doc_id, token FROM p WHERE token <> ''
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM p2 GROUP BY 1, 2
+    ), df AS (
+      SELECT token, count(DISTINCT doc_id) AS df FROM p2 GROUP BY 1
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+      FROM tf JOIN df USING (token), n
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rank
+      FROM scored
+    )
+    SELECT doc_id, rank, token, tf, df, score FROM ranked WHERE rank <= 3
+    """,
+)
+def x11_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by tf × (N/df) — linear-idf
+    tf-idf, chosen so every score is exact IEEE arithmetic (integer
+    product, one division; no transcendentals to drift between engines).
+    Corpus size N folds in as a 1-row broadcast, never a collect."""
+    from .operators.textan import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf, "documents"), k=3)

@@ -282,3 +282,72 @@ def test_asof_join_plan_has_no_range_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange") <= 2  # union sides feed ONE window shuffle
+
+
+def test_repetition_features_is_map_side(spark, sf_dir):
+    """x10's operator must stay inside whole-stage codegen: per-doc n-gram
+    repetition is array math on the row — no explode, no exchange of any
+    kind in the physical plan."""
+    from dshackle_archive_spark.operators.textan import repetition_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        repetition_features(docs, n=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan  # no explode
+
+
+def test_repetition_features_values(spark):
+    """Planted repetition: 'a b c a b c a b c' has 7 3-grams, 3 distinct."""
+    from dshackle_archive_spark.operators.textan import repetition_features
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c a b c"), (2, "all words unique here today")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_features(docs, n=3).collect()}
+    assert rows[1]["n_ngrams"] == 7 and rows[1]["n_distinct"] == 3
+    assert rows[1]["dup_ngram_ratio"] == round(4 / 7, 6)
+    assert rows[2]["dup_ngram_ratio"] == 0.0
+
+
+def test_contamination_broadcasts_benchmark(spark, sf_dir):
+    """x9's benchmark n-gram set must reach the corpus probe as a broadcast
+    left-semi join — the corpus-side stream may not shuffle raw shingles to
+    meet the benchmark (only the per-doc hit-count groupBy may exchange)."""
+    from dshackle_archive_spark.operators.dedup import benchmark_contamination
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = benchmark_contamination(
+        docs.filter(F.col("doc_id") % 29 != 0),
+        docs.filter(F.col("doc_id") % 29 == 0),
+        n=5,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_contamination_finds_planted_leak(spark):
+    """A corpus doc that embeds a benchmark doc verbatim must be flagged at
+    high contamination; an unrelated doc must not appear."""
+    from dshackle_archive_spark.operators.dedup import benchmark_contamination
+
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog near the river bank")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro words then the quick brown fox jumps over the lazy dog near the river bank and more"),
+            (2, "completely different content about parquet shuffles and broadcast joins in spark"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in benchmark_contamination(corpus, bench, n=5, threshold=0.05).collect()}
+    assert 1 in rows and rows[1]["contamination"] > 0.4
+    assert 2 not in rows
