@@ -60,8 +60,18 @@ HEADLINE = [
     "e4_set_equality_check",
 ]
 
+HEADLINE += [
+    "h9_product_profit",
+    "h13_customer_distribution",
+    "h18_large_volume_customers",
+    "h21_sole_blamed_supplier",
+]
+
 # appended as implemented (LLM-pipeline operator benches)
 EXTRA = [
+    "x9_decontamination",
+    "x10_repetition",
+    "x11_tfidf_top_terms",
     "d1_exact_dedup",
     "d2_minhash_lsh_dedup",
     "d3_ngram_jaccard",

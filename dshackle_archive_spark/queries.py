@@ -2591,3 +2591,63 @@ def x11_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.textan import tfidf_top_terms
 
     return tfidf_top_terms(_t(spark, sf, "documents"), k=3)
+
+
+@query(
+    "x12_stratified_sample",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source, lang,
+             row_number() OVER (
+               PARTITION BY source, lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             count(*) OVER (PARTITION BY source, lang) AS n
+      FROM documents
+    )
+    SELECT doc_id, source, lang, rn AS sample_rank
+    FROM ranked WHERE rn <= (n * 1 + 5 - 1) // 5
+    """,
+)
+def x12_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 20% stratified sample per (source, lang): md5-ranked
+    rows with an exact integer quota — layout- and seed-independent, so the
+    same rows are picked on any cluster at any partitioning (unlike
+    ``df.sample``). One shuffle on the stratum key."""
+    from .operators.sampling import stratified_sample
+
+    docs = _t(spark, sf, "documents").select("doc_id", "source", "lang")
+    return stratified_sample(docs, ["source", "lang"], num=1, den=5)
+
+
+@query(
+    "x13_mixture_plan",
+    """
+    WITH tok AS (
+      SELECT source,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok
+      FROM documents
+    ), per_src AS (
+      SELECT source, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+             CAST(round(sqrt(sum(n_tok)), 6) AS DECIMAL(18,6)) AS w
+      FROM tok GROUP BY 1
+    ), tot AS (SELECT sum(w) AS w_total FROM per_src)
+    SELECT source, n_docs, n_tokens,
+           round(CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE), 6) AS weight,
+           round(1000000.0 * (CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE))
+                 / n_tokens, 6) AS epochs
+    FROM per_src, tot
+    """,
+)
+def x13_mixture_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-weighted data-mixture plan: per-source sampling epochs
+    for a 1M-token budget with weight ∝ sqrt(tokens) (t=2 temperature —
+    flattens the source skew a proportional mix would have). Exact integer
+    token sums + correctly-rounded sqrt + decimal-exact total keep the plan
+    bit-identical across engines; the grand total folds in as a 1-row
+    broadcast."""
+    from .operators.sampling import mixture_plan
+    from .operators.textan import token_count
+
+    docs = _t(spark, sf, "documents")
+    return mixture_plan(docs, token_count(), budget_tokens=1_000_000)
