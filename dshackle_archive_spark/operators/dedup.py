@@ -69,15 +69,32 @@ def tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
 def shingles(
     docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Distinct word n-gram shingles per doc (arrays built JVM-side)."""
+    """Distinct word n-gram shingles per doc (arrays built JVM-side).
+
+    Plan shape: tokenize ONCE into a materialized array column, explode a
+    cheap integer position sequence, then build each shingle by direct
+    ``element_at`` indexing. The obvious alternatives measured 14× slower
+    at sf0.1: a ``transform``+``slice`` higher-order build runs interpreted
+    (no codegen) and re-allocates a slice per position, whether inlined
+    into the explode or materialized first. Out-of-range ``element_at``
+    yields NULL and ``concat_ws`` skips NULLs, so docs shorter than ``n``
+    tokens produce one partial shingle — same contract as before.
+    (``try_element_at``, not ``element_at`` — the latter throws under ANSI
+    semantics when a position runs past the array.)"""
     toks = F.split(normalized_text(text_col), " ")
-    # transform over positions 0..len-n building n-token shingles
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)) - 0),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    built = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+    positions = built.select(
+        "doc_id",
+        "_t",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.size("_t") - n, F.lit(0)))
+        ).alias("_i"),
+    )
+    shingle = F.concat_ws(
+        " ", *[F.try_element_at("_t", F.col("_i") + k + 1) for k in range(n)]
     )
     return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        positions.select("doc_id", shingle.alias("shingle"))
         .filter(F.length("shingle") > 0)
         .distinct()
     )
@@ -352,14 +369,19 @@ def benchmark_contamination(
         .select("shingle")
         .distinct()
     )
-    sizes = corpus_sh.groupBy("doc_id").agg(F.count("*").alias("n_ngrams"))
-    hits = (
-        corpus_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hit"))
+    # ONE pass over the corpus shingle stream: the broadcast LEFT join marks
+    # benchmark hits, then a single groupBy counts totals and hits together
+    # (a separate sizes/hits pair would rebuild the n-gram stream twice).
+    marked = corpus_sh.join(
+        F.broadcast(bench_sh.withColumn("_hit", F.lit(1))), "shingle", "left"
     )
     return (
-        hits.join(sizes, "doc_id")
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.count("_hit").alias("n_hit"),
+        )
+        .filter(F.col("n_hit") > 0)
         .withColumn(
             "contamination", F.round(F.col("n_hit") / F.col("n_ngrams"), 6)
         )

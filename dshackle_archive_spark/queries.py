@@ -2550,12 +2550,17 @@ def x10_repetition(spark: SparkSession, sf: str) -> DataFrame:
     signal). The Spark side is pure map-side array math — no explode, no
     shuffle — while the oracle replays it the expensive way (unnest +
     group), which is exactly why the plans differ but the numbers must
-    not."""
+    not.
+
+    The zero-gram exclusion is applied as ``length(trim(text)) > 0`` on the
+    RAW column (equivalent: a doc has ≥1 n-gram iff its trimmed text is
+    non-empty) — filtering on the computed ``n_ngrams`` would get predicate-
+    pushed below the projection and re-evaluate the interpreted gram build
+    per row (measured 3.5 s vs 0.2 s at sf0.1)."""
     from .operators.textan import repetition_features
 
-    return repetition_features(_t(spark, sf, "documents"), n=3).filter(
-        F.col("n_ngrams") > 0
-    )
+    docs = _t(spark, sf, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    return repetition_features(docs, n=3)
 
 
 @query(

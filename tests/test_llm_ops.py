@@ -317,8 +317,9 @@ def test_repetition_features_values(spark):
 
 def test_contamination_broadcasts_benchmark(spark, sf_dir):
     """x9's benchmark n-gram set must reach the corpus probe as a broadcast
-    left-semi join — the corpus-side stream may not shuffle raw shingles to
-    meet the benchmark (only the per-doc hit-count groupBy may exchange)."""
+    LEFT join feeding ONE hit-marking aggregation — the corpus n-gram
+    stream is built exactly once (a sizes/hits aggregation pair would build
+    it twice) and never shuffles raw shingles to meet the benchmark."""
     from dshackle_archive_spark.operators.dedup import benchmark_contamination
     from pyspark.sql import functions as F
 
@@ -329,7 +330,26 @@ def test_contamination_broadcasts_benchmark(spark, sf_dir):
         n=5,
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # one corpus-side n-gram Generate only (corpus + benchmark sides = 2)
+    assert plan.count("Generate explode") == 2, plan
+
+
+def test_repetition_builds_gram_array_once(spark, sf_dir):
+    """The gram-array builder must appear exactly once in x10's physical
+    plan: higher-order functions evaluate interpreted (no codegen CSE), so
+    a collapsed projection would rebuild the array per consumer — the
+    original inlined form carried 8 copies and ran ~8× slower."""
+    from dshackle_archive_spark.operators.textan import repetition_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        repetition_features(docs, n=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("transform(") == 1, plan
 
 
 def test_contamination_finds_planted_leak(spark):

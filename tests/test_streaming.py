@@ -289,3 +289,94 @@ def test_bounded_sequencer_abandons_permanent_gap(spark, tmp_path):
     assert 5 not in hs
     assert hs == sorted(hs) and len(set(hs)) == len(hs)  # strictly ordered
     assert set(range(0, 5)) <= set(hs) and max(hs) > 8  # progressed past the gap
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Streaming doc ingest dedup: each distinct content appears once in the
+    output despite arriving 3x, and contents whose hash is in the static
+    known-hash set never appear at all."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dshackle_archive_spark.operators.dedup import content_hash
+    from dshackle_archive_spark.streaming.doc_stream import streaming_exact_dedup
+
+    # rate source: value v -> doc id floor(v/3), text "doc <id>" → 3 copies each
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 30)
+        .load()
+        .select(
+            F.floor(F.col("value") / 3).alias("doc_id"),
+            F.concat(F.lit("doc number "), F.floor(F.col("value") / 3)).alias("text"),
+        )
+    )
+    # docs 0 and 1 are "already archived"
+    known = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in (0, 1)], "doc_id long, text string"
+    ).select(content_hash("text").alias("content_hash"))
+
+    out = streaming_exact_dedup(src, known_hashes=known)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("docdedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "_ckpt_docdedup"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM docdedup_out").collect()
+            if len({r["doc_id"] for r in rows}) >= 4:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids)), f"duplicate docs in output: {sorted(ids)}"
+    assert 0 not in ids and 1 not in ids, "known-hash docs must be anti-joined away"
+    assert len(set(ids)) >= 4
+
+
+def test_streaming_dedup_with_watermark_bounds_state(spark, tmp_path):
+    """The watermark variant runs with dropDuplicatesWithinWatermark —
+    state bounded to the horizon — and still dedups inside it."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dshackle_archive_spark.streaming.doc_stream import streaming_exact_dedup
+
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 20)
+        .load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            F.concat(F.lit("item "), F.floor(F.col("value") / 2)).alias("text"),
+        )
+    )
+    out = streaming_exact_dedup(src, watermark=("ts", "10 seconds"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("docdedup_wm")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "_ckpt_wm"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM docdedup_wm").collect()
+            if len(rows) >= 4:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    hashes = [r["content_hash"] for r in rows]
+    assert len(hashes) == len(set(hashes)), "watermark dedup must drop in-horizon repeats"
+    assert len(hashes) >= 4
