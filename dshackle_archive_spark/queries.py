@@ -2656,3 +2656,211 @@ def x13_mixture_plan(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = _t(spark, sf, "documents")
     return mixture_plan(docs, token_count(), budget_tokens=1_000_000)
+
+
+@query(
+    "h8_market_share",
+    """
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+           round(CAST(sum(CASE WHEN s.s_nationkey = 1
+                   THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
+                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+             6) AS mkt_share
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = nc.n_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE r.r_regionkey = 0
+    GROUP BY 1
+    """,
+)
+def h8_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of a customer region's
+    import volume per year — numerator and denominator come from the SAME
+    aggregation pass (case-guarded decimal sums), so the fact stream is
+    scanned and joined exactly once; region/nation/customer/supplier all
+    broadcast."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    nc = _t(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf, "region").filter(F.col("r_regionkey") == 0).select("r_regionkey")
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    disc = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    num = F.sum(
+        F.when(F.col("s_nationkey") == 1, disc).otherwise(F.lit(0).cast(DEC))
+    ).cast("double")
+    den = F.sum(disc).cast("double")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(nc), c["c_nationkey"] == nc["n_nationkey"])
+        .join(F.broadcast(r), nc["n_regionkey"] == r["r_regionkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("yr"))
+        .agg(F.round(num / den, 6).alias("mkt_share"))
+    )
+
+
+@query(
+    "h11_important_parts",
+    """
+    WITH val AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS v
+      FROM lineitem GROUP BY 1
+    ), tot AS (SELECT sum(v) AS t FROM val)
+    SELECT l_partkey AS partkey, CAST(v AS DOUBLE) AS part_value
+    FROM val, tot
+    WHERE CAST(v AS DOUBLE) > 0.0005 * CAST(t AS DOUBLE)
+    """,
+)
+def h11_important_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape: parts holding more than a FRACTION OF THE GLOBAL
+    total — a HAVING bound that depends on a scalar over the whole
+    aggregate. The global total re-aggregates the per-part sums (metadata
+    scale) and folds back as a 1-row broadcast; the fact table is scanned
+    once and shuffles once."""
+    li = _t(spark, sf, "lineitem")
+    val = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast(DEC)).alias("v")
+    )
+    tot = val.agg(F.sum("v").alias("t"))
+    return (
+        val.join(F.broadcast(tot))
+        .filter(F.col("v").cast("double") > 0.0005 * F.col("t").cast("double"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("v").cast("double").alias("part_value"),
+        )
+    )
+
+
+@query(
+    "h15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_rev
+    FROM supplier s JOIN rev r ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+)
+def h15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) achieving the quarter's maximum
+    revenue — equality against a scalar max over an aggregated view (ties
+    all qualify, keeping the result a deterministic set). The max is a
+    1-row broadcast over the revenue aggregate, which itself builds from
+    one pushed-down scan of the quarter."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast(DEC)
+            * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+        ).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev")
+        )
+    )
+
+
+@query(
+    "h16_supplier_relation",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_suppkey % 13 = 0
+      )
+    GROUP BY 1, 2, 3
+    """,
+)
+def h16_supplier_relation(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute triple,
+    excluding a denylist via NOT IN (planned as a broadcast null-aware anti
+    join — the denylist keys are non-null so it degenerates to a plain anti
+    join). The countDistinct shuffles (attrs, suppkey) pairs — never raw
+    part rows."""
+    li = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf, "part").filter(F.col("p_brand") != "Brand#5").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    deny = (
+        _t(spark, sf, "supplier")
+        .filter(F.col("s_suppkey") % 13 == 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(deny), li["l_suppkey"] == deny["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "h20_bulk_shippers",
+    """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE '%gear%'
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING sum(l.l_quantity) > 50
+    )
+    """,
+)
+def h20_bulk_shippers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who bulk-shipped any qualifying part in a
+    year — a nested semi-join chain (part filter → grouped HAVING →
+    IN-subquery). The inner aggregate's qualifying key set is tiny, so it
+    broadcasts into a LEFT SEMI probe of supplier; quantities sum exactly
+    (integral doubles)."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    p = _t(spark, sf, "part").filter(F.col("p_name").like("%gear%")).select("p_partkey")
+    bulk = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return s.join(
+        F.broadcast(bulk), s["s_suppkey"] == bulk["l_suppkey"], "left_semi"
+    )
