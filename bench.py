@@ -81,6 +81,8 @@ EXTRA = [
     "v1_cosine_topk",
     "v2_ann_lsh_topk",
     "v3_ivf_topk",
+    "v6_reranked_topk",
+    "x14_length_outliers",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))

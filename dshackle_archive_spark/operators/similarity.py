@@ -364,3 +364,90 @@ def ivf_train(
             .localCheckpoint(eager=True)
         )
     return assign.select("vec_id", "cell_id"), cents
+
+
+def quantized_vectors(
+    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = round(max|x|/127, 6),
+    q[i] = round(x[i]/scale). The scale is materialized in its own
+    projection before the transform consumes it (HOFs run interpreted —
+    an inlined scale would recompute the array-max per element)."""
+    mx = F.array_max(F.transform(vec_col, lambda x: F.abs(x.cast("double"))))
+    scaled = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.round(mx / 127.0, 6).alias("scale"),
+    )
+    return scaled.select(
+        id_col,
+        vec_col,
+        "scale",
+        F.transform(
+            vec_col, lambda x: F.round(x.cast("double") / F.col("scale")).cast("int")
+        ).alias("qvec"),
+    )
+
+
+def reranked_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    shortlist: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieval: an int8-quantized first pass shortlists
+    ``shortlist`` candidates per query, then exact float cosine re-ranks
+    the shortlist to top-``k``.
+
+    This is the memory-bandwidth play every large ANN deployment makes: at
+    100 TB the first pass streams 4×-smaller int8 vectors (and its dot
+    products are exact integer arithmetic — bit-deterministic), while the
+    expensive float math touches only ``shortlist`` rows per query.
+
+    Determinism: integer dots are exact; the approx score multiplies in a
+    fixed order (dot × query-scale × corpus-scale); both rankings carry a
+    total tiebreak (score desc, neighbor id asc).
+    """
+    c = quantized_vectors(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("scale").alias("c_scale"),
+        F.col("qvec").alias("c_q"),
+    )
+    q = quantized_vectors(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("scale").alias("q_scale"),
+        F.col("qvec").alias("q_q"),
+    )
+    intdot = F.aggregate(
+        F.zip_with("q_q", "c_q", lambda x, y: (x * y).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    ap = intdot.cast("double") * F.col("q_scale") * F.col("c_scale")
+    pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id", "neighbor_id", "q_vec", "c_vec", ap.alias("ap")
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("ap"), F.asc("neighbor_id"))
+    short = (
+        pairs.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= shortlist)
+        .drop("r1")
+    )
+    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        short.select("query_id", "neighbor_id", "ap", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            "sim",
+            F.round("ap", 6).alias("approx_sim"),
+        )
+    )

@@ -2864,3 +2864,109 @@ def h20_bulk_shippers(spark: SparkSession, sf: str) -> DataFrame:
     return s.join(
         F.broadcast(bulk), s["s_suppkey"] == bulk["l_suppkey"], "left_semi"
     )
+
+
+@query(
+    "x14_length_outliers",
+    """
+    WITH pr AS (
+      SELECT doc_id, source, n_chars,
+             percent_rank() OVER (
+               PARTITION BY source ORDER BY n_chars, doc_id) AS p
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, round(p, 6) AS pct_rank,
+           CASE WHEN p <= 0.05 THEN 'short' ELSE 'long' END AS tag
+    FROM pr WHERE p <= 0.05 OR p >= 0.95
+    """,
+)
+def x14_length_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source length-outlier detection via rank-based percentiles —
+    the distribution-trimming pass of a curation pipeline. ``percent_rank``
+    is pure integer arithmetic ((rank−1)/(n−1)), so unlike value-
+    interpolating quantiles it is bit-deterministic across engines; the
+    (n_chars, doc_id) order makes tie handling total. One shuffle on
+    source."""
+    docs = _t(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    pr = docs.select(
+        "doc_id", "source", "n_chars", F.percent_rank().over(w).alias("p")
+    )
+    return (
+        pr.filter((F.col("p") <= 0.05) | (F.col("p") >= 0.95))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round("p", 6).alias("pct_rank"),
+            F.when(F.col("p") <= 0.05, F.lit("short"))
+            .otherwise(F.lit("long"))
+            .alias("tag"),
+        )
+    )
+
+
+@query(
+    "v6_reranked_topk",
+    """
+    WITH scaled AS (
+      SELECT vec_id,
+             round(list_max(list_transform(embedding,
+                     x -> abs(CAST(x AS DOUBLE)))) / 127.0, 6) AS scale
+      FROM embeddings
+    ), quant AS (
+      SELECT e.vec_id, s.scale,
+             list_transform(e.embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) / s.scale) AS INT)) AS q
+      FROM embeddings e JOIN scaled s USING (vec_id)
+    ), qflat AS (
+      SELECT vec_id, t.i, CAST(q[t.i] AS BIGINT) AS qx
+      FROM quant, range(1, 65) t(i)
+    ), flat AS (
+      SELECT vec_id, t.i, CAST(embedding[t.i] AS DOUBLE) AS x
+      FROM embeddings, range(1, 65) t(i)
+    ), norms AS (
+      SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1
+    ), approx AS (
+      SELECT fa.vec_id AS query_id, fb.vec_id AS neighbor_id,
+             CAST(sum(fa.qx * fb.qx) AS DOUBLE)
+               * any_value(sa.scale) * any_value(sb.scale) AS ap
+      FROM qflat fa
+      JOIN qflat fb ON fb.i = fa.i AND fb.vec_id <> fa.vec_id
+      JOIN scaled sa ON sa.vec_id = fa.vec_id
+      JOIN scaled sb ON sb.vec_id = fb.vec_id
+      WHERE fa.vec_id < 5
+      GROUP BY 1, 2
+    ), short AS (
+      SELECT query_id, neighbor_id, ap FROM approx
+      QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY ap DESC, neighbor_id ASC) <= 10
+    ), sims AS (
+      SELECT s.query_id, s.neighbor_id, any_value(s.ap) AS ap,
+             round(sum(fa.x * fb.x) / (any_value(na.nrm) * any_value(nb.nrm)), 6)
+               AS sim
+      FROM short s
+      JOIN flat fa ON fa.vec_id = s.query_id
+      JOIN flat fb ON fb.vec_id = s.neighbor_id AND fb.i = fa.i
+      JOIN norms na ON na.vec_id = s.query_id
+      JOIN norms nb ON nb.vec_id = s.neighbor_id
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT query_id, neighbor_id, sim, ap,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, rank, sim, round(ap, 6) AS approx_sim
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def v6_reranked_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-stage retrieval: int8-quantized shortlist (exact integer dots,
+    4× less memory bandwidth — the pass that scans the 100 TB corpus),
+    then float-exact cosine re-rank of 10 candidates per query. The oracle
+    replays quantization, both scoring passes, and both rankings."""
+    from .operators.similarity import reranked_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return reranked_topk(emb, emb.filter(F.col("vec_id") < 5), k=3, shortlist=10)

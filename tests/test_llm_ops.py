@@ -371,3 +371,22 @@ def test_contamination_finds_planted_leak(spark):
     rows = {r["doc_id"]: r for r in benchmark_contamination(corpus, bench, n=5, threshold=0.05).collect()}
     assert 1 in rows and rows[1]["contamination"] > 0.4
     assert 2 not in rows
+
+
+def test_reranked_topk_matches_exact_top1(spark, sf_dir):
+    """The int8 shortlist must not lose the true nearest neighbor: top-1
+    after re-rank equals brute-force float top-1 for every query (int8
+    keeps ~2 decimal digits — more than enough separation at top rank)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200).cache()
+    queries = emb.filter("vec_id < 5")
+    exact = {
+        r["query_id"]: r["neighbor_id"]
+        for r in S.cosine_topk(emb, queries, k=1).filter("rank = 1").collect()
+    }
+    two_stage = {
+        r["query_id"]: r["neighbor_id"]
+        for r in S.reranked_topk(emb, queries, k=1, shortlist=10)
+        .filter("rank = 1")
+        .collect()
+    }
+    assert two_stage == exact
