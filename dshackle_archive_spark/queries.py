@@ -2970,3 +2970,99 @@ def v6_reranked_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = _t(spark, sf, "embeddings")
     return reranked_topk(emb, emb.filter(F.col("vec_id") < 5), k=3, shortlist=10)
+
+
+@query(
+    "t9_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS tv FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS tc
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS tp
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY 1
+    )
+    SELECT 'view' AS stage, count(*) AS n_users FROM v
+    UNION ALL SELECT 'click_after_view', count(*) FROM c
+    UNION ALL SELECT 'purchase_after_click', count(*) FROM p
+    """,
+)
+def t9_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase, each stage
+    strictly after the previous one's first occurrence) — the sequential-
+    pattern shape behind user-journey analytics. Three min-aggregations
+    chained by broadcast joins on user_id; every stage's key set shrinks,
+    so the expensive scans stay on the (filtered, pushed-down) event_type
+    partitions."""
+    ev = _t(spark, sf, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_users")).select(F.lit("view").alias("stage"), "n_users")
+        .unionByName(
+            c.agg(F.count("*").alias("n_users")).select(
+                F.lit("click_after_view").alias("stage"), "n_users"
+            )
+        )
+        .unionByName(
+            p.agg(F.count("*").alias("n_users")).select(
+                F.lit("purchase_after_click").alias("stage"), "n_users"
+            )
+        )
+    )
+
+
+@query(
+    "a12_cohort_retention",
+    """
+    WITH first_seen AS (
+      SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1
+    )
+    SELECT CAST(floor(datediff('day', DATE '2024-01-01',
+                               CAST(f.t0 AS DATE)) / 7) AS BIGINT) AS cohort_week,
+           CAST(floor(datediff('day', CAST(f.t0 AS DATE),
+                               CAST(e.ts AS DATE)) / 7) AS BIGINT) AS week_offset,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN first_seen f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def a12_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-seen week, counted
+    in each later activity week — the standard retention rollup. Integer
+    date math only (datediff/floor — no timezone or interpolation hazards);
+    first-seen folds back via a broadcast join (users ≪ events), one
+    distinct-count shuffle."""
+    ev = _t(spark, sf, "events")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    cohort = F.floor(
+        F.datediff(F.to_date("t0"), F.lit("2024-01-01").cast("date")) / 7
+    ).cast("bigint")
+    offset = F.floor(F.datediff(F.to_date("ts"), F.to_date("t0")) / 7).cast("bigint")
+    return (
+        ev.join(F.broadcast(first), "user_id")
+        .groupBy(cohort.alias("cohort_week"), offset.alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

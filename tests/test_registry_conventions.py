@@ -34,3 +34,47 @@ def test_key_prefixes_map_to_survey_sections():
     valid = re.compile(r"^(s|p|j|a|w|c|e|h|t|d|x|v|m)\d+[a-z]?_")
     for name in entrymod.queries():
         assert valid.match(name), name
+
+
+# Queries allowed to contain a BroadcastNestedLoopJoin. Two legitimate
+# shapes only — both have a provably SMALL broadcast side, so the nested
+# loop is O(N·small), never O(N²):
+# 1. 1-row aggregate bounds folded back into the plan (global total / max /
+#    corpus size / domain bound) — the correct alternative to a driver
+#    collect;
+# 2. non-equi joins against a bounded broadcast side (interval-overlap
+#    against the chunk list, ≠-self joins against a handful of query
+#    vectors, seed/probe lookups of K centroids).
+ONE_ROW_BOUND_QUERIES = {
+    "a3_gap_detection",
+    "h11_important_parts",
+    "h15_top_supplier",
+    "h22_idle_rich_customers",
+    "x11_tfidf_top_terms",
+    "x13_mixture_plan",
+}
+SMALL_NONEQUI_BROADCAST_QUERIES = {
+    "a2_interval_subtraction",  # closed-form interval arithmetic, small side
+    "j7_range_chunk_assignment",  # files × chunk intervals (chunks tiny)
+    "v1_cosine_topk",  # corpus × 5 broadcast query vectors (≠ condition)
+    "v3_ivf_topk",  # seed row + probe lookups (K=16 rows)
+    "v4_ivf_trained",  # centroid row broadcast per Lloyd iteration
+    "v6_reranked_topk",  # corpus × 5 broadcast query vectors (≠ condition)
+}
+BNLJ_ALLOWED = ONE_ROW_BOUND_QUERIES | SMALL_NONEQUI_BROADCAST_QUERIES
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    """No registry query may plan a CartesianProduct, and only the 1-row-
+    bound queries may plan a BroadcastNestedLoopJoin. Guards every future
+    query against the O(N²) scale-killer."""
+    cartesian, bnlj = {}, {}
+    for name, fn in entrymod.queries().items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            cartesian[name] = True
+        n = plan.count("BroadcastNestedLoopJoin")
+        if n and name not in BNLJ_ALLOWED:
+            bnlj[name] = n
+    assert not cartesian, f"cartesian products: {sorted(cartesian)}"
+    assert not bnlj, f"unexpected nested-loop joins: {bnlj}"
