@@ -3066,3 +3066,36 @@ def a12_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(cohort.alias("cohort_week"), offset.alias("week_offset"))
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@query(
+    "m2_frame_sample_plan",
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id, 500 * (doc_id % 20 + 1) AS duration_ms
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT m.media_id, CAST(t.i * 1000 AS BIGINT) AS frame_ts_ms
+    FROM media m, range(0, 11) t(i)
+    WHERE t.i * 1000 <= m.duration_ms
+    """,
+)
+def m2_frame_sample_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame-sampling plan: one row per (media_id, frame timestamp)
+    to decode, generated entirely in Catalyst (sequence + explode over the
+    clip duration — the decode itself is the Pandas codec stage). Media
+    rows are synthesized from documents with deterministic durations; the
+    oracle replays the expansion with generate_series."""
+    from .operators.multimodal import frame_sample_plan
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") % 3 == 0)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit("video/mp4").alias("mime"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit(64).alias("width"),
+        F.lit(64).alias("height"),
+        (500 * (F.col("doc_id") % 20 + 1)).alias("duration_ms"),
+    )
+    return frame_sample_plan(media, every_ms=1000)

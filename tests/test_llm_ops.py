@@ -390,3 +390,44 @@ def test_reranked_topk_matches_exact_top1(spark, sf_dir):
         .collect()
     }
     assert two_stage == exact
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_asof_left = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 20)), min_size=1, max_size=12
+)
+_asof_right = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 20), st.integers(0, 100)),
+    max_size=12,
+)
+
+
+@given(left=_asof_left, right=_asof_right)
+@settings(max_examples=12, deadline=None)
+def test_asof_join_matches_naive_model(spark, left, right):
+    """Property test (the reference's randomized style): the single-shuffle
+    union-trick as-of join must agree with a brute-force model on random
+    keyed timelines — latest right row at/before each left point, ties on
+    ts broken by max value, null when no prior row."""
+    from dshackle_archive_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "lid long, k long, t long"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, v) for (k, t, v) in right] or [(99, 99, 0)],
+        "k long, t long, val long",
+    )
+    out = {
+        r["lid"]: r["val"]
+        for r in asof_join(
+            ldf, rdf, key="k", left_ts="t", right_ts="t",
+            value_cols=["val"], tie_col="val",
+        ).collect()
+    }
+    for i, (k, t) in enumerate(left):
+        cands = [(rt, rv) for (rk, rt, rv) in right if rk == k and rt <= t]
+        expect = max(cands)[1] if cands else None
+        assert out[i] == expect, (i, k, t, cands, out[i])
