@@ -3099,3 +3099,65 @@ def m2_frame_sample_plan(spark: SparkSession, sf: str) -> DataFrame:
         (500 * (F.col("doc_id") % 20 + 1)).alias("duration_ms"),
     )
     return frame_sample_plan(media, every_ms=1000)
+
+
+@query(
+    "d7_simhash_near_pairs",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 100
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, concat(text, ' zz') AS text
+      FROM documents WHERE doc_id < 20
+    ), toks AS (
+      SELECT DISTINCT doc_id, tok AS token
+      FROM (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+            FROM corpus)
+      WHERE tok <> ''
+    ), digits AS (
+      SELECT doc_id, token, d.d,
+             strpos('0123456789abcdef',
+                    substring(md5(token), CAST(d.d AS INT) + 1, 1)) - 1 AS dig
+      FROM toks, range(0, 16) d(d)
+    ), bits AS (
+      SELECT doc_id, d * 4 + b.b AS bit,
+             CASE WHEN CAST(floor(dig / pow(2, b.b)) AS BIGINT) % 2 = 1
+                  THEN 1 ELSE -1 END AS w
+      FROM digits, range(0, 4) b(b)
+    ), bitsums AS (
+      SELECT doc_id, bit, sum(w) AS s FROM bits GROUP BY 1, 2
+    ), sigs AS (
+      SELECT doc_id,
+             sum(CASE WHEN bit < 32 AND s > 0
+                      THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS lo,
+             sum(CASE WHEN bit >= 32 AND s > 0
+                      THEN (CAST(1 AS BIGINT) << (bit - 32)) ELSE 0 END) AS hi
+      FROM bitsums GROUP BY 1
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+                  AS INT) AS hamming
+      FROM sigs a JOIN sigs b
+        ON (a.lo = b.lo OR a.hi = b.hi) AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 6
+    """,
+)
+def d7_simhash_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs under the value-hash gate: 64-bit md5-derived
+    token signatures, half-match blocking (a ≤6-of-64 hamming pair almost
+    surely agrees exactly on one 32-bit half → two equi joins, no
+    cartesian), planted one-token mutations (doc+100000) must collide at
+    low hamming. The oracle rebuilds every bit in SQL."""
+    from .operators.dedup import simhash64, simhash_near_pairs, tokens
+
+    docs = _t(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") < 100).select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+        )
+    )
+    sigs = simhash64(tokens(corpus))
+    pairs = simhash_near_pairs(sigs, max_hamming=6)
+    return pairs.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
