@@ -96,8 +96,9 @@ def _scope(args, provider) -> Range:
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="dshackle-archive-spark")
-    p.add_argument("command", choices=["archive", "stream", "compact", "fix", "verify"])
-    p.add_argument("--dir", required=True, help="archive root directory")
+    p.add_argument("command",
+                   choices=["archive", "stream", "compact", "fix", "verify", "curate"])
+    p.add_argument("--dir", default=None, help="archive root directory")
     p.add_argument("--range", help="block range N..M (or single N)")
     p.add_argument("--tail", type=int, help="operate on the last N blocks")
     p.add_argument("--tables", default="blocks,txes", help="comma list: blocks,txes,traces")
@@ -124,11 +125,23 @@ def main(argv: list[str] | None = None) -> int:
                    help="node endpoint URL (http://... or dshackle://host:port)")
     p.add_argument("--chain", default=None, help="blockchain id (ETH, BTC, ...)")
     p.add_argument("--mock-head", type=int, default=1_000_000)
+    p.add_argument("--input", default=None,
+                   help="curate: parquet path of the documents corpus")
+    p.add_argument("--output", default=None,
+                   help="curate: output path (partitioned by split)")
+    p.add_argument("--benchmark", default=None,
+                   help="curate: parquet path of the benchmark/eval docs "
+                        "to decontaminate against")
     p.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
     p.add_argument("--metrics", default=None, metavar="HOST:PORT",
                    help="serve Prometheus metrics at http://HOST:PORT/metrics "
                         "for the lifetime of the run (metrics/mod.rs:73-76)")
     args = p.parse_args(argv)
+    if args.command == "curate":
+        if not args.input:
+            raise SystemExit("curate requires --input")
+    elif not args.dir:
+        raise SystemExit("--dir is required")
 
     registry = None
     if args.metrics:
@@ -137,6 +150,22 @@ def main(argv: list[str] | None = None) -> int:
         host, _, port = args.metrics.partition(":")
         registry = MetricsRegistry()
         start_metrics_server(registry, host or "127.0.0.1", int(port))
+
+    if args.command == "curate":
+        from pyspark.sql import SparkSession
+
+        from .plans.curate_plan import curate
+
+        owns_session = SparkSession.getActiveSession() is None
+        spark = get_spark("dshackle-archive-curate", master=args.master)
+        docs = spark.read.parquet(args.input)
+        bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+        _, res = curate(docs, benchmark=bench, output_path=args.output)
+        print(json.dumps({"command": "curate", "stages": res.stage_counts,
+                          "output": res.output_path}))
+        if owns_session:
+            spark.stop()
+        return 0
 
     provider = _provider(args)
     tables = _tables(args.tables)

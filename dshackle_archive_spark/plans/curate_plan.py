@@ -1,0 +1,147 @@
+"""``curate`` — the end-to-end training-data curation pipeline, composing
+the corpus operators into the job a data team actually runs:
+
+    quality filter → exact dedup → near-dup dedup (MinHash/LSH → Jaccard
+    confirm → connected components → keep-best) → benchmark
+    decontamination → deterministic split → partitioned write
+
+Beyond-reference surface (the engine's north star): each stage is one of
+the independently oracle-verified operators; this plan chains them with
+the scale discipline they were built with — hashes and doc_ids shuffle,
+raw text never does (except the one window that picks the longest doc per
+duplicate cluster, whose partitions are duplicate-group-sized); the
+benchmark n-gram set broadcasts; the split is md5-banded (layout- and
+run-independent).
+
+Every run is REPRODUCIBLE: no RNG, no timestamps — re-running on the same
+input produces byte-identical survivors, which is what makes curation
+auditable (exactly why `df.sample`-based pipelines are not).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    benchmark_contamination,
+    cluster_representatives,
+    connected_components,
+    distinct_documents,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingles,
+)
+from ..operators.textan import quality_features
+
+
+@dataclass
+class CurateResult:
+    stage_counts: dict[str, int] = field(default_factory=dict)
+    output_path: str | None = None
+
+
+def quality_filter(
+    docs: DataFrame,
+    min_tokens: int = 10,
+    max_tokens: int = 5000,
+    min_stopword_ratio: float = 0.05,
+    max_punct_ratio: float = 0.2,
+) -> DataFrame:
+    """Keep docs passing the composite quality rules (the x7 rule set)."""
+    q = quality_features(docs).select(
+        "doc_id", "n_tokens", "stopword_ratio", "punct_ratio"
+    )
+    keep = q.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("stopword_ratio") >= min_stopword_ratio)
+        & (F.col("punct_ratio") <= max_punct_ratio)
+    ).select("doc_id")
+    return docs.join(keep, "doc_id", "left_semi")
+
+
+def neardup_filter(
+    docs: DataFrame,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Drop near-duplicates, keeping the longest doc per duplicate cluster.
+
+    LSH candidates → Jaccard confirmation at ``jaccard_threshold`` →
+    connected components → keep-best representative. Only confirmed pairs
+    enter the component graph, so transitive chains of merely-candidate
+    pairs cannot glue unrelated docs together."""
+    sh = shingles(docs, n=shingle_n)
+    sigs = minhash_signatures(sh, num_hashes=16, token_col="shingle")
+    cands = lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    confirmed = (
+        jaccard_pairs(sh, threshold=jaccard_threshold, token_col="shingle")
+        .join(cands, ["doc_a", "doc_b"], "left_semi")
+        .select("doc_a", "doc_b")
+    )
+    clusters = connected_components(confirmed)
+    reps = cluster_representatives(clusters, docs)
+    drop = clusters.join(
+        reps.select(F.col("rep_doc_id").alias("doc_id")), "doc_id", "left_anti"
+    ).select("doc_id")
+    return docs.join(drop, "doc_id", "left_anti")
+
+
+def split_column(id_col: str = "doc_id"):
+    """The x6 md5-banded ~80/10/10 split, as a column."""
+    b = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    return F.when(b < "cd", "train").when(b < "e6", "val").otherwise("test")
+
+
+def curate(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    output_path: str | None = None,
+    min_tokens: int = 10,
+    max_tokens: int = 5000,
+    min_stopword_ratio: float = 0.05,
+    max_punct_ratio: float = 0.2,
+    jaccard_threshold: float = 0.8,
+    contamination_n: int = 5,
+    contamination_threshold: float = 0.05,
+) -> tuple[DataFrame, CurateResult]:
+    """Run the full curation chain; returns (curated DataFrame with a
+    ``split`` column, stage-count result). When ``output_path`` is given
+    the survivors are written as parquet partitioned by split.
+
+    Stage counts cost one count-action per stage — intentional: a curation
+    job IS an audit artifact, and the per-stage attrition numbers are its
+    primary output after the data itself."""
+    res = CurateResult()
+    res.stage_counts["input"] = docs.count()
+
+    stage = quality_filter(
+        docs, min_tokens, max_tokens, min_stopword_ratio, max_punct_ratio
+    )
+    res.stage_counts["quality"] = stage.count()
+
+    stage = distinct_documents(stage)
+    res.stage_counts["exact_dedup"] = stage.count()
+
+    stage = neardup_filter(stage, jaccard_threshold=jaccard_threshold)
+    res.stage_counts["neardup"] = stage.count()
+
+    if benchmark is not None:
+        flagged = benchmark_contamination(
+            stage,
+            benchmark,
+            n=contamination_n,
+            threshold=contamination_threshold,
+        ).select("doc_id")
+        stage = stage.join(flagged, "doc_id", "left_anti")
+        res.stage_counts["decontaminated"] = stage.count()
+
+    out = stage.withColumn("split", split_column())
+    if output_path is not None:
+        out.write.mode("overwrite").partitionBy("split").parquet(output_path)
+        res.output_path = output_path
+    return out, res

@@ -1,0 +1,107 @@
+"""End-to-end curation pipeline: planted junk, duplicates, and benchmark
+leaks must each be removed by their stage, attrition counts must be
+monotone, and the run must be byte-reproducible."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from dshackle_archive_spark.plans.curate_plan import curate
+
+
+def _corpus(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    planted = [
+        # exact duplicate of doc 3 (id far outside the real range)
+        (900001, None, 3),
+        # junk: too short
+        (900002, "tiny", None),
+        # junk: no stopwords
+        (900003, "zrqx " * 40, None),
+    ]
+    base3 = docs.filter("doc_id = 3").select("text").collect()[0]["text"]
+    extra = spark.createDataFrame(
+        [
+            (900001, base3),
+            (900002, "tiny"),
+            (900003, ("zrqx " * 40).strip()),
+            # near-duplicate of doc 3: same text plus two tokens
+            (900004, base3 + " tail tok"),
+        ],
+        "doc_id long, text string",
+    )
+    return docs.unionByName(extra)
+
+
+def test_curate_removes_planted_problems(spark, sf_dir, tmp_path):
+    docs = _corpus(spark, sf_dir)
+    bench = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        "doc_id % 29 = 0"
+    ).select("doc_id", "text")
+    corpus = docs.filter("doc_id % 29 != 0 or doc_id > 899999")
+
+    out, res = curate(
+        corpus, benchmark=bench, output_path=str(tmp_path / "curated")
+    )
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+
+    # junk removed by quality stage
+    assert 900002 not in ids and 900003 not in ids
+    # the exact-dup pair (3, 900001): exactly one survives
+    assert len(ids & {3, 900001}) <= 1
+    # the near-dup of doc 3: the longest one wins, the other is gone
+    assert not {3, 900004} <= ids
+    # attrition is monotone and recorded stage by stage
+    c = res.stage_counts
+    assert c["input"] >= c["quality"] >= c["exact_dedup"] >= c["neardup"] >= c["decontaminated"]
+    assert c["decontaminated"] == len(ids)
+    # decontamination actually dropped full copies of benchmark docs
+    # (the corpus contains exact dups of benchmark docs via the planted id)
+    assert c["decontaminated"] <= c["neardup"]
+
+    # partitioned write by split
+    parts = {p.split("split=")[1].split("/")[0] for p in glob.glob(str(tmp_path / "curated/split=*"))}
+    assert parts == {"train", "val", "test"}
+
+
+def test_curate_is_reproducible(spark, sf_dir):
+    docs = _corpus(spark, sf_dir)
+    out1, _ = curate(docs)
+    out2, _ = curate(docs)
+    a = sorted((r["doc_id"], r["split"]) for r in out1.select("doc_id", "split").collect())
+    b = sorted((r["doc_id"], r["split"]) for r in out2.select("doc_id", "split").collect())
+    assert a == b and len(a) > 0
+
+
+def test_curate_no_benchmark_skips_stage(spark, sf_dir):
+    docs = _corpus(spark, sf_dir)
+    _, res = curate(docs)
+    assert "decontaminated" not in res.stage_counts
+
+
+def test_curate_cli_end_to_end(spark, sf_dir, tmp_path):
+    """CLI drive: curate the real documents parquet, JSON stats line out,
+    partitioned output in place."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from dshackle_archive_spark.cli import main
+
+    out = str(tmp_path / "cli_curated")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main([
+            "curate",
+            "--input", f"{sf_dir}/documents.parquet",
+            "--benchmark", f"{sf_dir}/documents.parquet",
+            "--output", out,
+        ])
+    assert rc == 0
+    line = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert line["command"] == "curate"
+    assert line["stages"]["input"] > 0
+    assert line["stages"]["decontaminated"] == 0  # benchmark == corpus → all leak
+    assert line["output"] == out
