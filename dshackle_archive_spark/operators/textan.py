@@ -125,28 +125,33 @@ def repetition_features(
     with array expressions — NO explode, NO shuffle, so it streams over a
     100 TB documents scan at full width.
 
-    The gram array is materialized in its OWN projection and the counts in
-    a second one. Higher-order functions run interpreted (no whole-stage
-    codegen, hence no common-subexpression elimination), so inlining the
-    array into every consumer would rebuild it once per reference — 8× per
-    row in the first cut of this operator, measured ~8× slower. Keeping the
-    builder separate makes CollapseProject leave it alone (an expensive
-    expression consumed more than once is not collapsed) and the array is
-    built exactly once per row.
+    The gram array is ``arrays_zip`` of ``n`` shifted slices of the token
+    array — n-grams as STRUCTS, never concatenated strings, and crucially
+    NO lambda anywhere: higher-order functions (transform/filter) evaluate
+    interpreted, outside whole-stage codegen, and the lambda formulation of
+    this operator measured ~12× slower (23 s vs ~2 s warm over a 105k-doc
+    / 12M-gram corpus on local[32]). Struct equality equals string-gram equality here
+    (tokens cannot contain the join character), so ``array_distinct`` over
+    structs counts exactly the same distinct grams. Trailing partial grams
+    carry NULL fields, matching the partial-shingle contract; empty docs
+    are handled by a cheap scalar guard instead of a per-element filter.
     """
     toks = F.split(normalized_text(text_col), " ")
-    grams = F.filter(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-        lambda g: F.length(g) > 0,
+    built = docs.select(F.col(id_col), toks.alias("_t"), F.col(text_col).alias("_txt"))
+    sz = F.size("_t")
+    shifted = [F.col("_t")] + [
+        F.slice("_t", k + 1, F.greatest(sz - k, F.lit(0))) for k in range(1, n)
+    ]
+    grams = F.slice(
+        F.arrays_zip(*shifted), 1, F.greatest(sz - (n - 1), F.lit(1))
     )
-    built = docs.select(F.col(id_col), grams.alias("_grams"))
+    empty = F.length(F.trim("_txt")) == 0
     counted = built.select(
         F.col(id_col),
-        F.size("_grams").alias("n_ngrams"),
-        F.size(F.array_distinct("_grams")).alias("n_distinct"),
+        F.when(empty, F.lit(0)).otherwise(F.size(grams)).alias("n_ngrams"),
+        F.when(empty, F.lit(0))
+        .otherwise(F.size(F.array_distinct(grams)))
+        .alias("n_distinct"),
     )
     n_grams = F.col("n_ngrams")
     n_distinct = F.col("n_distinct")
