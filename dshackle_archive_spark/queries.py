@@ -3161,3 +3161,38 @@ def d7_simhash_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
     sigs = simhash64(tokens(corpus))
     pairs = simhash_near_pairs(sigs, max_hamming=6)
     return pairs.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+@query(
+    "p10_json_props_agg",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 10
+    GROUP BY 1
+    """,
+)
+def p10_json_props_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-on-read over the dynamic payload column (the reference's
+    `json` field pattern, P4 at aggregation scale): extract a property
+    from the raw JSON string, filter and aggregate on it — all inside
+    whole-stage codegen via get_json_object (no parse-to-struct
+    materialization). Integer sums are exact, so the aggregate is
+    order-independent."""
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k") >= 10)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
