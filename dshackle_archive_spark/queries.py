@@ -3196,3 +3196,66 @@ def p10_json_props_agg(spark: SparkSession, sf: str) -> DataFrame:
             F.max("k").alias("k_max"),
         )
     )
+
+
+@query(
+    "x15_corpus_diff",
+    f"""
+    WITH v1 AS (
+      SELECT doc_id, md5({_NORM_SQL}) AS h FROM documents
+    ), v2 AS (
+      -- next corpus version: 10 docs mutated, 5 dropped, 5 added
+      SELECT doc_id, md5(regexp_replace(lower(trim(
+               CASE WHEN doc_id % 50 = 0 THEN concat(text, ' edit')
+                    ELSE text END)), '\\s+', ' ', 'g')) AS h
+      FROM documents WHERE doc_id % 97 <> 0
+      UNION ALL
+      SELECT doc_id + 500000 AS doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents WHERE doc_id < 5
+    ), j AS (
+      SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+             a.h AS h1, b.h AS h2
+      FROM v1 a FULL OUTER JOIN v2 b USING (doc_id)
+    )
+    SELECT CASE WHEN h1 IS NULL THEN 'added'
+                WHEN h2 IS NULL THEN 'removed'
+                WHEN h1 <> h2 THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           count(*) AS n_docs
+    FROM j GROUP BY 1
+    """,
+)
+def x15_corpus_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-version diff: classify every doc_id across two corpus
+    snapshots as added / removed / changed / unchanged by comparing
+    normalized content hashes through a full outer join — the incremental-
+    ingest primitive that decides what a delta pipeline must reprocess.
+    Only 32-byte hashes shuffle, never text; the v2 snapshot is
+    synthesized deterministically (mutate every 50th doc, drop every
+    97th, add 5)."""
+    from .operators.dedup import content_hash
+
+    docs = _t(spark, sf, "documents")
+    v1 = docs.select("doc_id", content_hash("text").alias("h1"))
+    mutated = F.when(
+        F.col("doc_id") % 50 == 0, F.concat(F.col("text"), F.lit(" edit"))
+    ).otherwise(F.col("text"))
+    v2 = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", mutated.alias("text"))
+        .select("doc_id", content_hash("text").alias("h2"))
+        .unionByName(
+            docs.filter(F.col("doc_id") < 5).select(
+                (F.col("doc_id") + 500000).alias("doc_id"),
+                F.md5(F.col("doc_id").cast("string")).alias("h2"),
+            )
+        )
+    )
+    j = v1.join(v2, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("h1").isNull(), "added")
+        .when(F.col("h2").isNull(), "removed")
+        .when(F.col("h1") != F.col("h2"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.groupBy(status.alias("status")).agg(F.count("*").alias("n_docs"))
