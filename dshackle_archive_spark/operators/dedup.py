@@ -73,12 +73,15 @@ def shingles(
 
     Plan shape: tokenize ONCE into a materialized array column, explode a
     cheap integer position sequence, then build each shingle by direct
-    ``element_at`` indexing. The obvious alternatives measured 14× slower
-    at sf0.1: a ``transform``+``slice`` higher-order build runs interpreted
-    (no codegen) and re-allocates a slice per position, whether inlined
-    into the explode or materialized first. Out-of-range ``element_at``
-    yields NULL and ``concat_ws`` skips NULLs, so docs shorter than ``n``
-    tokens produce one partial shingle — same contract as before.
+    ``try_element_at`` indexing — every expression codegen-capable. The
+    ``transform``+``slice`` higher-order build this replaced measured 14×
+    slower at sf0.1 (3.4 s vs 0.25 s): HOF lambdas evaluate interpreted,
+    outside whole-stage codegen, and allocate a slice per position.
+    (Plain ``explode(split(...))`` is NOT affected — a generator's child
+    evaluates once per input row; the lambda was the cost, not the
+    explode.) Out-of-range ``try_element_at`` yields NULL and
+    ``concat_ws`` skips NULLs, so docs shorter than ``n`` tokens produce
+    one partial shingle — same contract as before.
     (``try_element_at``, not ``element_at`` — the latter throws under ANSI
     semantics when a position runs past the array.)"""
     toks = F.split(normalized_text(text_col), " ")
