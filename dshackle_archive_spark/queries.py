@@ -1299,7 +1299,7 @@ def v1_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.similarity import cosine_topk
 
     emb = _t(spark, sf, "embeddings")
-    return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=3, dim=64)
 
 
 @query(
@@ -2969,7 +2969,7 @@ def v6_reranked_topk(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.similarity import reranked_topk
 
     emb = _t(spark, sf, "embeddings")
-    return reranked_topk(emb, emb.filter(F.col("vec_id") < 5), k=3, shortlist=10)
+    return reranked_topk(emb, emb.filter(F.col("vec_id") < 5), k=3, shortlist=10, dim=64)
 
 
 @query(
