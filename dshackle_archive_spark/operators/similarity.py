@@ -163,6 +163,7 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: each query probes its ``nprobe`` nearest
     cells and runs exact cosine only against their members — the classic
@@ -196,7 +197,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
+            F.round(cosine(F.col("q_vec"), F.col("c_vec"), dim), 6).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))

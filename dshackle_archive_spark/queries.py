@@ -1433,7 +1433,7 @@ def v3_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.similarity import ivf_topk
 
     emb = _t(spark, sf, "embeddings")
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=3, n_cells=16, nprobe=2)
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=3, n_cells=16, nprobe=2, dim=64)
 
 
 @query(
