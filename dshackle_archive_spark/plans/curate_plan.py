@@ -20,6 +20,8 @@ auditable (exactly why `df.sample`-based pipelines are not).
 
 from __future__ import annotations
 
+import json
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -144,4 +146,22 @@ def curate(
     if output_path is not None:
         out.write.mode("overwrite").partitionBy("split").parquet(output_path)
         res.output_path = output_path
+        # audit manifest beside the data: the attrition numbers and the
+        # exact thresholds that produced this corpus version (curation is
+        # an audit artifact — a corpus without its recipe is unreviewable)
+        manifest = {
+            "stages": res.stage_counts,
+            "params": {
+                "min_tokens": min_tokens,
+                "max_tokens": max_tokens,
+                "min_stopword_ratio": min_stopword_ratio,
+                "max_punct_ratio": max_punct_ratio,
+                "jaccard_threshold": jaccard_threshold,
+                "contamination_n": contamination_n,
+                "contamination_threshold": contamination_threshold,
+                "decontaminated": benchmark is not None,
+            },
+        }
+        with open(os.path.join(output_path, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f, indent=2, sort_keys=True)
     return out, res

@@ -105,3 +105,15 @@ def test_curate_cli_end_to_end(spark, sf_dir, tmp_path):
     assert line["stages"]["input"] > 0
     assert line["stages"]["decontaminated"] == 0  # benchmark == corpus → all leak
     assert line["output"] == out
+
+
+def test_curate_writes_audit_manifest(spark, sf_dir, tmp_path):
+    import json
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    out = str(tmp_path / "with_manifest")
+    _, res = curate(docs, output_path=out, min_stopword_ratio=0.0)
+    m = json.load(open(f"{out}/_MANIFEST.json"))
+    assert m["stages"] == res.stage_counts
+    assert m["params"]["min_stopword_ratio"] == 0.0
+    assert m["params"]["decontaminated"] is False

@@ -111,3 +111,29 @@ def test_rows_only_queries_run(spark, sf_dir_mod):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0 and df.columns
+
+
+def test_p10_tolerates_malformed_json(spark):
+    """get_json_object must yield NULL (filtered out), never throw, on
+    malformed/missing props — live event streams always contain garbage."""
+    from dshackle_archive_spark.queries import registry
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [
+            (1, "click", '{"k": 50}'),
+            (2, "click", "not json at all"),
+            (3, "click", None),
+            (4, "click", '{"other": 1}'),
+        ],
+        "event_id long, event_type string, props string",
+    )
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    rows = (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k") >= 10)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("k").alias("k_sum"))
+        .collect()
+    )
+    assert len(rows) == 1 and rows[0]["n"] == 1 and rows[0]["k_sum"] == 50
