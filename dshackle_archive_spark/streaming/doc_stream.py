@@ -52,3 +52,29 @@ def streaming_exact_dedup(
             known_hashes.select("content_hash"), "content_hash", "left_anti"
         )
     return out
+
+
+def streaming_curate(
+    stream_docs: DataFrame,
+    known_hashes: DataFrame | None = None,
+    min_tokens: int = 10,
+    max_tokens: int = 5000,
+    watermark: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Incremental curation over a document stream: stateless quality gate
+    (token bounds — cheap per-row math, no state) followed by the stateful
+    exact dedup above. The quality gate runs FIRST so junk never enters
+    the dedup state store — at ingest scale the state size is the
+    constraint, and rejected docs must not occupy it.
+
+    Near-dup and decontamination stay batch stages (they need corpus-wide
+    posting lists); the streaming pass is the front door that keeps the
+    batch corpus append-only and exact-dup-free."""
+    from ..operators.textan import token_count
+
+    gated = stream_docs.withColumn("_n_tok", token_count()).filter(
+        (F.col("_n_tok") >= min_tokens) & (F.col("_n_tok") <= max_tokens)
+    ).drop("_n_tok")
+    return streaming_exact_dedup(
+        gated, known_hashes=known_hashes, watermark=watermark
+    )

@@ -380,3 +380,54 @@ def test_streaming_dedup_with_watermark_bounds_state(spark, tmp_path):
     hashes = [r["content_hash"] for r in rows]
     assert len(hashes) == len(set(hashes)), "watermark dedup must drop in-horizon repeats"
     assert len(hashes) >= 4
+
+
+def test_streaming_curate_gates_then_dedups(spark, tmp_path):
+    """Quality gate + stateful dedup on a stream: short docs never surface
+    (and never enter dedup state), repeats appear once."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dshackle_archive_spark.streaming.doc_stream import streaming_curate
+
+    # value v -> doc floor(v/2); even docs are long enough, odd docs too short
+    long_text = " ".join(f"w{i}" for i in range(12))
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 30)
+        .load()
+        .select(
+            F.floor(F.col("value") / 2).alias("doc_id"),
+            F.when(
+                F.floor(F.col("value") / 2) % 2 == 0,
+                F.concat(F.lit(long_text + " doc "), F.floor(F.col("value") / 2)),
+            )
+            .otherwise(F.lit("too short"))
+            .alias("text"),
+        )
+    )
+    out = streaming_curate(src, min_tokens=10)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("scurate")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "_ckpt_scurate"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM scurate").collect()
+            if len({r["doc_id"] for r in rows if r["doc_id"] % 2 == 0}) >= 3:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    ids = [r["doc_id"] for r in rows]
+    evens = [i for i in ids if i % 2 == 0]
+    assert len(evens) == len(set(evens)), "dedup must hold"
+    # odd (short) docs are filtered; "too short" itself dedups to ≤1 row and
+    # must never appear since it fails the token gate
+    assert all(i % 2 == 0 for i in ids), f"short docs leaked: {ids}"
