@@ -20,22 +20,13 @@ from pyspark.sql import functions as F
 
 
 def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
-    """Vector dot product. With ``dim`` known, the sum is UNROLLED into a
-    flat product-add tree of ``try_element_at`` terms — every expression
-    codegen-capable, measured ~1.9× faster than the HOF fold at 500k
-    pairs × 64 dims (zip_with allocates an array per pair and the lambda
-    runs interpreted). Identical bits either way: both sum in index order
-    (the fold starts 0.0+t1 ≡ t1)."""
-    if dim is not None:
-        terms = [
-            F.try_element_at(a, F.lit(k + 1)).cast("double")
-            * F.try_element_at(b, F.lit(k + 1)).cast("double")
-            for k in range(dim)
-        ]
-        out = terms[0]
-        for t in terms[1:]:
-            out = out + t
-        return out
+    """Vector dot product (HOF fold; ``dim`` accepted for signature
+    stability but ignored). A fixed-dim UNROLLED 64-term product-add tree
+    was tried and measured SLOWER at every scale once norms were hoisted
+    out of the per-pair expression (3.3 s vs 0.9 s at a 100k corpus): the
+    ~190-node tree overflows codegen limits into interpreted tree-walks
+    and pays 64 py4j round-trips per plan build. The fold sums in index
+    order, so results are bit-stable."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -48,6 +39,10 @@ def _norm(a: Column, dim: int | None = None) -> Column:
 
 
 def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Per-pair cosine. Callers that score MANY pairs should hoist
+    ``_norm`` into a column on each join side and divide a lone ``_dot``
+    by the norm product — N+Q norm evaluations instead of 2·N·Q (the
+    pattern cosine_topk / ann_topk / ivf_topk / reranked_topk use)."""
     return _dot(a, b, dim) / (_norm(a, dim) * _norm(b, dim))
 
 
@@ -55,10 +50,11 @@ def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
 # with F.lit() costs one py4j round-trip per element — thousands of calls for
 # a 64-dim × 48-plane signature (~4 s of pure driver time). Constant arrays
 # are therefore built as ONE ``F.expr("array(...)")`` string (single JVM
-# parse). Unrolling calibration, both measured: ONE 64-term dot stays inside
-# codegen and beats the HOF fold ~1.9× (``_dot`` above); a 48-plane × 64-dim
-# signature projection (3k+ terms) overflows codegen limits into interpreted
-# tree-walks and is SLOWER unrolled — the signature stage stays in HOF form.
+# parse). Fully unrolling per-row arithmetic into flat Add/Multiply trees
+# was measured SLOWER at both tested sizes (one 64-term dot AND the 48-plane
+# signature projection): large expression trees overflow codegen limits into
+# interpreted tree-walks — the per-row math stays in the HOF forms above,
+# with norms hoisted to per-side columns so each pair pays ONE fold.
 
 
 def const_array(values: list[float]) -> Column:
@@ -77,12 +73,25 @@ def cosine_topk(
 ) -> DataFrame:
     """Brute-force cosine top-k: for each query vector the k nearest corpus
     vectors (excluding itself). Queries are broadcast; ranking has a total
-    tiebreak (sim desc, neighbor id asc) for determinism."""
+    tiebreak (sim desc, neighbor id asc) for determinism.
+
+    Norms are PRECOMPUTED as columns on each side before the pair join —
+    N+Q norm evaluations instead of 2·N·Q (the inlined ``cosine`` form
+    re-derived both norms per pair, measured ~2× slower end-to-end), and
+    the per-pair expression shrinks to one dot product."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col), dim).alias("q_nrm"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
-    sim = cosine(F.col("q_vec"), F.col("c_vec"), dim)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col), dim).alias("c_nrm"),
+    )
+    sim = _dot(F.col("q_vec"), F.col("c_vec"), dim) / (
+        F.col("q_nrm") * F.col("c_nrm")
+    )
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     scored = (
@@ -189,15 +198,27 @@ def ivf_topk(
     cand = probes.join(assign, "cell_id").filter(
         F.col("vec_id") != F.col("query_id")
     ).select("query_id", F.col("vec_id").alias("neighbor_id"))
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    cv = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col), dim).alias("q_nrm"),
+    )
+    cv = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col), dim).alias("c_nrm"),
+    )
     scored = (
         cand.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec"), dim), 6).alias("sim"),
+            F.round(
+                _dot(F.col("q_vec"), F.col("c_vec"), dim)
+                / (F.col("q_nrm") * F.col("c_nrm")),
+                6,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -296,17 +317,33 @@ def ann_topk(
     if materialize:
         sigs = sigs.localCheckpoint(eager=True)
     cands = ann_candidate_pairs(sigs)
-    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col), dim).alias("nrm"),
+    )
+    va = v.select(
+        F.col("vec_id").alias("vec_a"), F.col("vec").alias("a_vec"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    vb = v.select(
+        F.col("vec_id").alias("vec_b"), F.col("vec").alias("b_vec"),
+        F.col("nrm").alias("b_nrm"),
+    )
     both = (
         cands.unionByName(
             cands.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
         )
-        .join(v.withColumnRenamed("vec_id", "vec_a").withColumnRenamed("vec", "a_vec"), "vec_a")
-        .join(v.withColumnRenamed("vec_id", "vec_b").withColumnRenamed("vec", "b_vec"), "vec_b")
+        .join(va, "vec_a")
+        .join(vb, "vec_b")
         .select(
             F.col("vec_a").alias("query_id"),
             F.col("vec_b").alias("neighbor_id"),
-            F.round(cosine(F.col("a_vec"), F.col("b_vec"), dim), 6).alias("sim"),
+            F.round(
+                _dot(F.col("a_vec"), F.col("b_vec"), dim)
+                / (F.col("a_nrm") * F.col("b_nrm")),
+                6,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -429,12 +466,14 @@ def reranked_topk(
         F.col(vec_col).alias("c_vec"),
         F.col("scale").alias("c_scale"),
         F.col("qvec").alias("c_q"),
+        _norm(F.col(vec_col), dim).alias("c_nrm"),
     )
     q = quantized_vectors(queries, id_col, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         F.col("scale").alias("q_scale"),
         F.col("qvec").alias("q_q"),
+        _norm(F.col(vec_col), dim).alias("q_nrm"),
     )
     intdot = F.aggregate(
         F.zip_with("q_q", "c_q", lambda x, y: (x * y).cast("bigint")),
@@ -443,7 +482,8 @@ def reranked_topk(
     )
     ap = intdot.cast("double") * F.col("q_scale") * F.col("c_scale")
     pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
-        "query_id", "neighbor_id", "q_vec", "c_vec", ap.alias("ap")
+        "query_id", "neighbor_id", "q_vec", "c_vec", "q_nrm", "c_nrm",
+        ap.alias("ap"),
     )
     w1 = Window.partitionBy("query_id").orderBy(F.desc("ap"), F.asc("neighbor_id"))
     short = (
@@ -451,7 +491,11 @@ def reranked_topk(
         .filter(F.col("r1") <= shortlist)
         .drop("r1")
     )
-    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec"), dim), 6)
+    sim = F.round(
+        _dot(F.col("q_vec"), F.col("c_vec"), dim)
+        / (F.col("q_nrm") * F.col("c_nrm")),
+        6,
+    )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         short.select("query_id", "neighbor_id", "ap", sim.alias("sim"))
