@@ -3259,3 +3259,39 @@ def x15_corpus_diff(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise("unchanged")
     )
     return j.groupBy(status.alias("status")).agg(F.count("*").alias("n_docs"))
+
+
+@query(
+    "a13_discrete_median",
+    """
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type, round(value, 6) AS median_value
+    FROM ranked WHERE rn = (n + 1) // 2
+    """,
+)
+def a13_discrete_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact DISCRETE median per group (the lower median — an actual data
+    value, selected by rank). Interpolating medians (percentile_cont /
+    F.median) mix engine-specific float interpolation into the result;
+    rank selection is pure integer arithmetic, so the value is
+    bit-deterministic. One shuffle on the group key; (value, event_id)
+    makes the order total."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    cnt = Window.partitionBy("event_type")
+    return (
+        ev.select(
+            "event_type",
+            "value",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(cnt).alias("n"),
+        )
+        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select("event_type", F.round("value", 6).alias("median_value"))
+    )
