@@ -65,6 +65,10 @@ HEADLINE += [
     "h13_customer_distribution",
     "h18_large_volume_customers",
     "h21_sole_blamed_supplier",
+    "t9_funnel",
+    "a12_cohort_retention",
+    "a13_discrete_median",
+    "p10_json_props_agg",
 ]
 
 # appended as implemented (LLM-pipeline operator benches)
@@ -83,6 +87,8 @@ EXTRA = [
     "v3_ivf_topk",
     "v6_reranked_topk",
     "x14_length_outliers",
+    "x12_stratified_sample",
+    "x15_corpus_diff",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))
