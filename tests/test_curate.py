@@ -117,3 +117,19 @@ def test_curate_writes_audit_manifest(spark, sf_dir, tmp_path):
     assert m["stages"] == res.stage_counts
     assert m["params"]["min_stopword_ratio"] == 0.0
     assert m["params"]["decontaminated"] is False
+
+
+def test_curate_empty_input(spark, tmp_path):
+    """An empty corpus must flow through every stage without error: zero
+    counts, a valid manifest, no split partitions."""
+    import json
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = str(tmp_path / "empty_out")
+    df, res = curate(empty, output_path=out)
+    assert df.count() == 0
+    assert res.stage_counts == {
+        "input": 0, "quality": 0, "exact_dedup": 0, "neardup": 0
+    }
+    m = json.load(open(f"{out}/_MANIFEST.json"))
+    assert m["stages"]["input"] == 0
