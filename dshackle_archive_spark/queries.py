@@ -2999,39 +2999,15 @@ def t9_funnel(spark: SparkSession, sf: str) -> DataFrame:
     chained by broadcast joins on user_id; every stage's key set shrinks,
     so the expensive scans stay on the (filtered, pushed-down) event_type
     partitions."""
+    from .operators.funnel import funnel_counts
+
     ev = _t(spark, sf, "events")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("tv"))
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(F.broadcast(v), "user_id")
-        .filter(F.col("ts") > F.col("tv"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("tc"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(c), "user_id")
-        .filter(F.col("ts") > F.col("tc"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("tp"))
-    )
-    return (
-        v.agg(F.count("*").alias("n_users")).select(F.lit("view").alias("stage"), "n_users")
-        .unionByName(
-            c.agg(F.count("*").alias("n_users")).select(
-                F.lit("click_after_view").alias("stage"), "n_users"
-            )
-        )
-        .unionByName(
-            p.agg(F.count("*").alias("n_users")).select(
-                F.lit("purchase_after_click").alias("stage"), "n_users"
-            )
-        )
-    )
+    steps = [
+        ("view", F.col("event_type") == "view"),
+        ("click_after_view", F.col("event_type") == "click"),
+        ("purchase_after_click", F.col("event_type") == "purchase"),
+    ]
+    return funnel_counts(ev, steps).withColumnRenamed("n_keys", "n_users")
 
 
 @query(

@@ -432,3 +432,33 @@ def test_asof_join_matches_naive_model(spark, left, right):
         cands = [(rt, rv) for (rk, rt, rv) in right if rk == k and rt <= t]
         expect = max(cands)[1] if cands else None
         assert out[i] == expect, (i, k, t, cands, out[i])
+
+
+def test_funnel_operator_ordering_semantics(spark):
+    """Step i counts only events strictly after step i-1's first time:
+    a purchase BEFORE the first view must not complete the funnel."""
+    from dshackle_archive_spark.operators.funnel import funnel_counts, funnel_times
+
+    rows = [
+        # user 1: full ordered journey
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        # user 2: purchase before view → stops at click
+        (2, "purchase", 5), (2, "view", 10), (2, "click", 15),
+        # user 3: view only
+        (3, "view", 1),
+        # user 4: click with no view → never enters
+        (4, "click", 7),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts long")
+    steps = [
+        ("view", F.col("event_type") == "view"),
+        ("click", F.col("event_type") == "click"),
+        ("purchase", F.col("event_type") == "purchase"),
+    ]
+    t = {r["user_id"]: r for r in funnel_times(ev, steps).collect()}
+    assert set(t) == {1, 2, 3}
+    assert (t[1]["t_view"], t[1]["t_click"], t[1]["t_purchase"]) == (10, 20, 30)
+    assert t[2]["t_purchase"] is None and t[2]["t_click"] == 15
+    assert t[3]["t_click"] is None
+    c = {r["stage"]: r["n_keys"] for r in funnel_counts(ev, steps).collect()}
+    assert c == {"view": 3, "click": 2, "purchase": 1}
