@@ -3271,3 +3271,41 @@ def a13_discrete_median(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
         .select("event_type", F.round("value", 6).alias("median_value"))
     )
+
+
+@query(
+    "x17_inverted_index",
+    f"""
+    WITH pairs AS (
+      SELECT DISTINCT doc_id, tok AS token
+      FROM (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+            FROM documents)
+      WHERE tok <> ''
+    )
+    SELECT token, count(*) AS df,
+           array_to_string((list(doc_id ORDER BY doc_id))[1:10], ',')
+             AS postings_head
+    FROM pairs GROUP BY token HAVING count(*) >= 3
+    """,
+)
+def x17_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverted-index build: token → document frequency + the head of its
+    sorted posting list — the persisted structure behind corpus search and
+    the posting-join dedup family. Postings are SORTED then TRUNCATED to a
+    bounded head (collect_list order is partition-dependent; sort_array
+    restores determinism, and the cap bounds hot-token rows — a full
+    posting list for a stopword would be corpus-sized). One shuffle on
+    token with map-side combine; hapax tokens (df < 3) are dropped."""
+    from .operators.dedup import tokens
+
+    pairs = tokens(_t(spark, sf, "documents"))
+    return (
+        pairs.groupBy("token")
+        .agg(
+            F.count("*").alias("df"),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10), ","
+            ).alias("postings_head"),
+        )
+        .filter(F.col("df") >= 3)
+    )
