@@ -3309,3 +3309,48 @@ def x17_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("df") >= 3)
     )
+
+
+@query(
+    "x18_keyword_search",
+    f"""
+    WITH pairs AS (
+      SELECT doc_id, tok AS token, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+            FROM documents)
+      WHERE tok <> ''
+      GROUP BY 1, 2
+    ), a AS (SELECT doc_id, tf FROM pairs WHERE token = 'table'),
+    b AS (SELECT doc_id, tf FROM pairs WHERE token = 'query')
+    SELECT a.doc_id, a.tf + b.tf AS score
+    FROM a JOIN b USING (doc_id)
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def x18_keyword_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Conjunctive keyword search over the posting lists: docs containing
+    BOTH query terms ('table' AND 'query'), ranked by combined term frequency with a total
+    tiebreak. The per-term posting sets come from one tokenize pass; the
+    AND is an equi join of two tiny term slices (at scale: index lookups,
+    never a corpus scan); top-k via TakeOrderedAndProject."""
+    docs = _t(spark, sf, "documents")
+    from .operators.dedup import normalized_text
+
+    pairs = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(normalized_text("text"), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    a = pairs.filter(F.col("token") == "table").select("doc_id", F.col("tf").alias("tf_a"))
+    b = pairs.filter(F.col("token") == "query").select("doc_id", F.col("tf").alias("tf_b"))
+    return (
+        a.join(b, "doc_id")
+        .select("doc_id", (F.col("tf_a") + F.col("tf_b")).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
