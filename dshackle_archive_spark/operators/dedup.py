@@ -391,3 +391,49 @@ def benchmark_contamination(
         .filter(F.col("contamination") >= threshold)
         .select("doc_id", "n_hit", "n_ngrams", "contamination")
     )
+
+
+def jaccard_for_pairs(
+    pairs: DataFrame,
+    doc_tokens: DataFrame,
+    threshold: float = 0.6,
+    token_col: str = "shingle",
+) -> DataFrame:
+    """Jaccard similarity computed ONLY for the given candidate pairs.
+
+    ``jaccard_pairs`` joins the full posting lists — correct for
+    survey-style all-pairs-above-threshold queries, but its cost is
+    Σ df(token)², which explodes on low-entropy corpora (a 105k-doc
+    boilerplate-heavy probe OOMed: a small shared vocabulary put every
+    token near its df cap → ~3·10⁹ candidate rows). When an LSH pass has
+    already produced candidates, score exactly those: each pair expands
+    by ONE side's token list and intersects via an equi join — cost
+    |pairs|·|doc|, bounded by the LSH collision rate, independent of
+    vocabulary shape."""
+    toks = doc_tokens.select("doc_id", F.col(token_col).alias("_tok"))
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "_tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "_tok")
+    # join strategies pinned: the candidate-pair side broadcasts (bounded
+    # by the LSH collision rate), and the intersection join against the
+    # full token stream is FORCED to shuffle — AQE's size estimate for an
+    # exploded stream undershoots and it tried to broadcast the 12M-row
+    # side on the 105k-doc probe (512 MB single allocation → heap death)
+    inter = (
+        ta.join(F.broadcast(pairs), "doc_a")
+        .join(tb.hint("SHUFFLE_HASH"), ["doc_b", "_tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("_n"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("_n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("_n").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
+    )

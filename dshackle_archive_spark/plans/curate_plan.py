@@ -32,7 +32,7 @@ from ..operators.dedup import (
     cluster_representatives,
     connected_components,
     distinct_documents,
-    jaccard_pairs,
+    jaccard_for_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
     shingles,
@@ -76,15 +76,18 @@ def neardup_filter(
     LSH candidates → Jaccard confirmation at ``jaccard_threshold`` →
     connected components → keep-best representative. Only confirmed pairs
     enter the component graph, so transitive chains of merely-candidate
-    pairs cannot glue unrelated docs together."""
+    pairs cannot glue unrelated docs together.
+
+    Jaccard is scored ONLY on the LSH candidate pairs
+    (``jaccard_for_pairs``): a full posting-list join costs Σ df², which
+    OOMed a 105k-doc low-entropy probe corpus — candidate-scoped scoring
+    is bounded by the LSH collision rate regardless of vocabulary."""
     sh = shingles(docs, n=shingle_n)
     sigs = minhash_signatures(sh, num_hashes=16, token_col="shingle")
     cands = lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
-    confirmed = (
-        jaccard_pairs(sh, threshold=jaccard_threshold, token_col="shingle")
-        .join(cands, ["doc_a", "doc_b"], "left_semi")
-        .select("doc_a", "doc_b")
-    )
+    confirmed = jaccard_for_pairs(
+        cands, sh, threshold=jaccard_threshold, token_col="shingle"
+    ).select("doc_a", "doc_b")
     clusters = connected_components(confirmed)
     reps = cluster_representatives(clusters, docs)
     drop = clusters.join(
@@ -117,19 +120,27 @@ def curate(
 
     Stage counts cost one count-action per stage — intentional: a curation
     job IS an audit artifact, and the per-stage attrition numbers are its
-    primary output after the data itself."""
+    primary output after the data itself.
+
+    Every stage boundary is ``localCheckpoint``-materialized: the dedup
+    stages are multi-join DAGs, and leaving them as lineage means (a) each
+    later stage re-executes the whole upstream chain and (b) AQE plans
+    joins against size ESTIMATES compounded through that chain — a 105k-doc
+    probe corpus drove it to broadcast a corpus-sized side and exhaust the
+    heap. Checkpointing gives AQE true sizes and bounds recomputation; at
+    cluster scale these boundaries would be persisted tables anyway."""
     res = CurateResult()
     res.stage_counts["input"] = docs.count()
 
     stage = quality_filter(
         docs, min_tokens, max_tokens, min_stopword_ratio, max_punct_ratio
-    )
+    ).localCheckpoint()
     res.stage_counts["quality"] = stage.count()
 
-    stage = distinct_documents(stage)
+    stage = distinct_documents(stage).localCheckpoint()
     res.stage_counts["exact_dedup"] = stage.count()
 
-    stage = neardup_filter(stage, jaccard_threshold=jaccard_threshold)
+    stage = neardup_filter(stage, jaccard_threshold=jaccard_threshold).localCheckpoint()
     res.stage_counts["neardup"] = stage.count()
 
     if benchmark is not None:
@@ -139,7 +150,7 @@ def curate(
             n=contamination_n,
             threshold=contamination_threshold,
         ).select("doc_id")
-        stage = stage.join(flagged, "doc_id", "left_anti")
+        stage = stage.join(flagged, "doc_id", "left_anti").localCheckpoint()
         res.stage_counts["decontaminated"] = stage.count()
 
     out = stage.withColumn("split", split_column())

@@ -462,3 +462,25 @@ def test_funnel_operator_ordering_semantics(spark):
     assert t[3]["t_click"] is None
     c = {r["stage"]: r["n_keys"] for r in funnel_counts(ev, steps).collect()}
     assert c == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_jaccard_for_pairs_matches_full_join(spark, docs):
+    """Candidate-scoped Jaccard must equal the full posting-join Jaccard on
+    the pairs it is asked about."""
+    toks = D.tokens(docs)
+    full = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 6)
+        for r in D.jaccard_pairs(toks, threshold=0.0, token_col="token").collect()
+    }
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 3), (0, 4), (3, 4)], "doc_a long, doc_b long"
+    )
+    scoped = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 6)
+        for r in D.jaccard_for_pairs(pairs, toks, threshold=0.0, token_col="token").collect()
+    }
+    # pairs with zero token intersection drop out of BOTH formulations
+    # (their jaccard is 0 and can never pass a positive threshold)
+    assert set(scoped) == {(0, 1), (0, 3)}
+    for k, v in scoped.items():
+        assert v == full[k], (k, v, full.get(k))
