@@ -156,3 +156,29 @@ def windowed_throughput(
         .agg(F.count("*").alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "n_events")
     )
+
+
+def session_windows_stream(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "5 seconds",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Streaming sessionization (T8's streaming form): per-key sessions
+    close after ``gap`` of inactivity, computed with Spark's native
+    ``session_window`` state — sessions merge as late-but-in-watermark
+    events arrive, and state is bounded by the watermark horizon.
+    Output: one row per closed session (key, start/end epoch, n_events).
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(key))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -431,3 +431,52 @@ def test_streaming_curate_gates_then_dedups(spark, tmp_path):
     # odd (short) docs are filtered; "too short" itself dedups to ≤1 row and
     # must never appear since it fails the token gate
     assert all(i % 2 == 0 for i in ids), f"short docs leaked: {ids}"
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    """Native session_window over a stream: a key's rapid events coalesce
+    into ONE session per burst; sessions only emit once closed by the
+    watermark."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dshackle_archive_spark.streaming.stateful import session_windows_stream
+
+    # rate source 20 rows/s: key = value % 2; every event within 1s of the
+    # next → one long open session per key until the stream's tail passes
+    # the watermark. To get CLOSED sessions, burst pattern: active for
+    # values 0-39, silent for 40-79 (filtered), active again ≥80.
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 20)
+        .load()
+        .filter((F.col("value") % 80) < 40)
+        .select(
+            (F.col("value") % 2).alias("user_id"),
+            F.col("timestamp").alias("ts"),
+        )
+    )
+    out = session_windows_stream(src, gap="1 seconds", watermark="2 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "_ckpt_sess"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM sess_out").collect()
+            if len(rows) >= 2:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert len(rows) >= 2, "no sessions closed"
+    for r in rows:
+        assert r["n_events"] >= 2
+        assert r["session_end"] > r["session_start"]
+    assert {r["user_id"] for r in rows} <= {0, 1}
