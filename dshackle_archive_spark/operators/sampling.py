@@ -89,3 +89,41 @@ def mixture_plan(
         )
         .select(source_col, "n_docs", "n_tokens", "weight", "epochs")
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    token_count_col,
+    context_len: int = 512,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign documents to fixed-token training sequences — the
+    concat-then-chunk packing every pretraining pipeline runs: documents
+    are laid out in a deterministic order (md5-shuffled within each
+    stratum), the token stream is cut every ``context_len`` tokens, and
+    each doc belongs to the sequence where it STARTS.
+
+    Output: ``(id, stratum, n_tokens, seq_id, offset)`` with ``seq_id``
+    the per-stratum sequence index and ``offset`` the doc's first-token
+    position inside it.
+
+    Determinism & scale: the order key is md5 (layout/seed independent);
+    the running total is a window cumsum per stratum — one shuffle, and
+    the window partitions are strata (bounded, parallel), never a global
+    single-partition sort. All integer math."""
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    cum_before = F.coalesce(
+        F.sum(token_count_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.col(strata_col),
+        token_count_col.alias("n_tokens") if not isinstance(token_count_col, str)
+        else F.col(token_count_col).alias("n_tokens"),
+        F.floor(cum_before / context_len).cast("long").alias("seq_id"),
+        (cum_before % context_len).cast("long").alias("offset"),
+    )

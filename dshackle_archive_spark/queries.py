@@ -3354,3 +3354,39 @@ def x18_keyword_search(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+@query(
+    "x19_sequence_packing",
+    """
+    WITH tok AS (
+      SELECT doc_id, source,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+      FROM documents
+    ), laid AS (
+      SELECT doc_id, source, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM tok
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(floor(cum_before / 512) AS BIGINT) AS seq_id,
+           CAST(cum_before % 512 AS BIGINT) AS offset
+    FROM laid
+    """,
+)
+def x19_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-then-chunk sequence packing: each doc assigned to the
+    512-token training sequence where it starts, per source, in an
+    md5-deterministic layout order. Pure integer window math — the doc→
+    sequence map a dataloader needs, computed without materializing any
+    token stream."""
+    from .operators.sampling import pack_sequences
+    from .operators.textan import token_count
+
+    docs = _t(spark, sf, "documents")
+    return pack_sequences(docs, token_count(), context_len=512)
