@@ -3390,3 +3390,35 @@ def x19_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = _t(spark, sf, "documents")
     return pack_sequences(docs, token_count(), context_len=512)
+
+
+@query(
+    "a14_daily_growth",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(d AS VARCHAR) AS day, n,
+           round(CAST(n AS DOUBLE) / lag(n) OVER (
+             PARTITION BY event_type ORDER BY d), 6) AS growth
+    FROM daily
+    """,
+)
+def a14_daily_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Day-over-day growth per event type — a window analytic over an
+    ALREADY-AGGREGATED series (the two-level shape behind every metrics
+    dashboard): the heavy shuffle happens once at the daily rollup; the
+    lag window then runs on ~30 rows per series. Integer counts divide
+    exactly, NULL growth on each series' first day."""
+    ev = _t(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    return daily.select(
+        "event_type",
+        F.col("d").cast("string").alias("day"),
+        "n",
+        F.round(F.col("n") / F.lag("n").over(w), 6).alias("growth"),
+    )
