@@ -3422,3 +3422,76 @@ def a14_daily_growth(spark: SparkSession, sf: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.lag("n").over(w), 6).alias("growth"),
     )
+
+
+@query(
+    "j9_banded_range_self_join",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS d,
+             CAST(floor(datediff('day', DATE '1995-01-01',
+                                 CAST(o_orderdate AS DATE)) / 30) AS BIGINT) AS band
+      FROM orders
+    ), expanded AS (
+      SELECT o.*, o.band + t.i AS probe_band FROM o, range(0, 2) t(i)
+    ), pairs AS (
+      SELECT a.o_custkey AS custkey,
+             a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+             datediff('day', a.d, b.d) AS gap_days
+      FROM expanded a JOIN o b
+        ON b.o_custkey = a.o_custkey AND b.band = a.probe_band
+      WHERE (a.d < b.d OR (a.d = b.d AND a.o_orderkey < b.o_orderkey))
+        AND datediff('day', a.d, b.d) <= 30
+    )
+    SELECT custkey, count(*) AS n_rapid_pairs, min(gap_days) AS min_gap
+    FROM pairs GROUP BY 1 HAVING count(*) >= 3
+    """,
+)
+def j9_banded_range_self_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Banded range SELF-join: customers placing orders within 30 days of
+    a previous order. A naive |date_a − date_b| ≤ 30 theta-join is a
+    per-customer cartesian; BANDING makes it an equi join — each order
+    lands in a 30-day band, probes its own and the NEXT band (any ≤30-day
+    pair is within one band step), and the residual date predicate runs
+    post-join. The standard rewrite for temporal proximity joins at scale;
+    the oracle replays the identical banding."""
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.floor(
+            F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")) / 30
+        ).cast("long").alias("band"),
+    )
+    expanded = o.select(
+        "*", F.explode(F.array(F.col("band"), F.col("band") + 1)).alias("probe_band")
+    )
+    b = o.select(
+        F.col("o_custkey").alias("b_custkey"),
+        F.col("o_orderkey").alias("order_b"),
+        F.col("d").alias("b_d"),
+        F.col("band").alias("b_band"),
+    )
+    pairs = (
+        expanded.join(
+            b,
+            (F.col("b_custkey") == F.col("o_custkey"))
+            & (F.col("b_band") == F.col("probe_band")),
+        )
+        .filter(
+            (
+                (F.col("d") < F.col("b_d"))
+                | ((F.col("d") == F.col("b_d")) & (F.col("o_orderkey") < F.col("order_b")))
+            )
+            & (F.datediff(F.col("b_d"), F.col("d")) <= 30)
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.datediff(F.col("b_d"), F.col("d")).alias("gap_days"),
+        )
+    )
+    return (
+        pairs.groupBy("custkey")
+        .agg(F.count("*").alias("n_rapid_pairs"), F.min("gap_days").alias("min_gap"))
+        .filter(F.col("n_rapid_pairs") >= 3)
+    )
