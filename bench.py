@@ -89,6 +89,8 @@ EXTRA = [
     "x14_length_outliers",
     "x12_stratified_sample",
     "x15_corpus_diff",
+    "x19_sequence_packing",
+    "j9_banded_range_self_join",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))

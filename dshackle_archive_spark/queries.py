@@ -3495,3 +3495,69 @@ def j9_banded_range_self_join(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("n_rapid_pairs"), F.min("gap_days").alias("min_gap"))
         .filter(F.col("n_rapid_pairs") >= 3)
     )
+
+
+@query(
+    "x20_source_vocab_overlap",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT source, tok AS token
+      FROM (SELECT source, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+            FROM documents)
+      WHERE tok <> ''
+    ), sizes AS (
+      SELECT source, count(*) AS n FROM toks GROUP BY 1
+    ), inter AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_inter
+      FROM toks a JOIN toks b
+        ON a.token = b.token AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b, i.n_inter, sa.n AS n_a, sb.n AS n_b,
+           round(CAST(i.n_inter AS DOUBLE)
+                 / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    """,
+)
+def x20_source_vocab_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary-overlap matrix between sources (Jaccard of distinct
+    token sets) — the corpus-composition diagnostic behind mixing
+    decisions: near-identical vocabularies suggest redundant sources. The
+    pair space is |sources|², tiny by construction (sources are a
+    metadata-scale dimension), while the token posting join carries only
+    (source, token) distinct pairs — never documents."""
+    from .operators.dedup import normalized_text
+
+    docs = _t(spark, sf, "documents")
+    toks = (
+        docs.select(
+            "source",
+            F.explode(F.split(normalized_text("text"), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    sizes = toks.groupBy("source").agg(F.count("*").alias("n"))
+    a = toks.select(F.col("source").alias("source_a"), "token")
+    b = toks.select(F.col("source").alias("source_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a", "source_b", "n_inter", "n_a", "n_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
