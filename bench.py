@@ -183,6 +183,35 @@ def main() -> None:
     canary_after = round(canary_time(spark, sf_dir), 4)
 
     total = round(sum(times.values()), 4)
+    meta = {
+        "commit": git_sha(),
+        "started_utc": started,
+        "suite_seconds": round(time.perf_counter() - t_suite, 1),
+        "cpus": int(cpus),
+    }
+    canary = {
+        "query": "lineitem count+sum",
+        "before": canary_before,
+        "after": canary_after,
+    }
+    # The driver captures only a tail of stdout; round 4's artifact lost the
+    # head of one giant JSON line (sweep dicts made it ~8 KB). The stdout
+    # line is now compact (headline total + per-query medians + canary +
+    # meta only); the bulky sweep/best/ratio detail goes to a sidecar file
+    # committed to the repo.
+    detail = {
+        "queries_best": best,
+        "sweep_median": sweep,
+        "ratio_vs_sf0.01": ratios,
+        "canary": canary,
+        "meta": meta,
+        "queries_median": times,
+        "total": total,
+        "sf": sf,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
     print(
         json.dumps(
             {
@@ -193,20 +222,8 @@ def main() -> None:
                 "sf": sf,
                 "reps": REPS,
                 "stat": "median",
-                "queries_best": best,
-                "sweep_median": sweep,
-                "ratio_vs_sf0.01": ratios,
-                "canary": {
-                    "query": "lineitem count+sum",
-                    "before": canary_before,
-                    "after": canary_after,
-                },
-                "meta": {
-                    "commit": git_sha(),
-                    "started_utc": started,
-                    "suite_seconds": round(time.perf_counter() - t_suite, 1),
-                    "cpus": int(cpus),
-                },
+                "canary": canary,
+                "meta": meta,
             }
         )
     )

@@ -385,10 +385,13 @@ def benchmark_contamination(
             F.count("_hit").alias("n_hit"),
         )
         .filter(F.col("n_hit") > 0)
+        # filter on the RAW ratio; round only the projected column (the x9
+        # oracle filters raw — rounding first would admit ratios in
+        # [threshold-5e-7, threshold) that the oracle rejects)
+        .filter(F.col("n_hit") / F.col("n_ngrams") >= threshold)
         .withColumn(
             "contamination", F.round(F.col("n_hit") / F.col("n_ngrams"), 6)
         )
-        .filter(F.col("contamination") >= threshold)
         .select("doc_id", "n_hit", "n_ngrams", "contamination")
     )
 

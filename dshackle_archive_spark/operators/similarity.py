@@ -422,7 +422,11 @@ def quantized_vectors(
     """Per-vector symmetric int8 quantization: scale = round(max|x|/127, 6),
     q[i] = round(x[i]/scale). The scale is materialized in its own
     projection before the transform consumes it (HOFs run interpreted —
-    an inlined scale would recompute the array-max per element)."""
+    an inlined scale would recompute the array-max per element).
+
+    An all-zero embedding yields scale 0; x/0 would be NULL in Spark but
+    inf in DuckDB, so that case is pinned explicitly: scale 0 → zero qvec
+    (exact — the vector has no magnitude to encode)."""
     mx = F.array_max(F.transform(vec_col, lambda x: F.abs(x.cast("double"))))
     scaled = vectors.select(
         F.col(id_col),
@@ -434,7 +438,10 @@ def quantized_vectors(
         vec_col,
         "scale",
         F.transform(
-            vec_col, lambda x: F.round(x.cast("double") / F.col("scale")).cast("int")
+            vec_col,
+            lambda x: F.when(F.col("scale") == 0.0, F.lit(0))
+            .otherwise(F.round(x.cast("double") / F.col("scale")).cast("int"))
+            .cast("int"),
         ).alias("qvec"),
     )
 

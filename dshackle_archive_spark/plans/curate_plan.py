@@ -173,6 +173,17 @@ def curate(
                 "decontaminated": benchmark is not None,
             },
         }
-        with open(os.path.join(output_path, "_MANIFEST.json"), "w") as f:
-            json.dump(manifest, f, indent=2, sort_keys=True)
+        payload = json.dumps(manifest, indent=2, sort_keys=True)
+        if "://" in output_path:
+            # non-posix roots (s3://, hdfs://…) go through pyarrow's
+            # FileSystem — a local open() here would fail AFTER the
+            # expensive parquet write succeeded
+            import pyarrow.fs as pafs
+
+            fs, fs_path = pafs.FileSystem.from_uri(output_path)
+            with fs.open_output_stream(fs_path.rstrip("/") + "/_MANIFEST.json") as f:
+                f.write(payload.encode())
+        else:
+            with open(os.path.join(output_path, "_MANIFEST.json"), "w") as f:
+                f.write(payload)
     return out, res
