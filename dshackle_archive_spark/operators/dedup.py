@@ -298,6 +298,12 @@ def connected_components(
     if nodes is not None:
         verts = verts.unionByName(nodes.select(F.col("doc_id").alias("node"))).distinct()
     labels = verts.withColumn("label", F.col("node"))
+    # convergence probe: labels only ever DECREASE (least(old, nbr-min)), so
+    # Σlabel is monotone non-increasing and stalls exactly at the fixpoint —
+    # one cheap single-stage agg over the checkpointed frame per round
+    # instead of a self-join diff (decimal(38,0) so 10⁸ nodes × 64-bit ids
+    # cannot overflow the probe)
+    prev_sum = None
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["src"] == labels["node"])
@@ -310,17 +316,109 @@ def connected_components(
             F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
         )
         new_labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if prev_sum is not None and cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 30,
+) -> tuple[DataFrame, int]:
+    """Connected components via alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) → ``((doc_id, cluster), rounds_run)``.
+
+    This is the adversarial-graph upgrade over ``connected_components``:
+    min-label propagation needs O(diameter) rounds, so a chain-shaped
+    duplicate graph (A~B~C~…, common when boilerplate strings documents
+    together) costs O(n) shuffles. Star contraction instead HALVES long
+    paths every round — O(log n) rounds regardless of shape — at the price
+    of two shuffles per round instead of one, so the clique-ish LSH default
+    stays on min-label and this kicks in when diameter is unknown.
+
+    One round = two grouped passes, each ONE shuffle on the node key:
+
+    - large-star: group the symmetric edge list by ``u``; with
+      ``m = min(N(u) ∪ {u})``, re-point every neighbor ``v > u`` at ``m``;
+    - small-star: orient every edge ``(hi → lo)``, group by ``hi``; with
+      ``m = min(N(u) ∪ {u})``, re-point ``u`` and all its kept neighbors
+      at ``m``.
+
+    Both emit strictly-smaller-target edges, so the edge set converges to
+    disjoint stars centered on each component's min node; convergence =
+    edge set fixpoint (probed via ``exceptAll`` + count on the
+    checkpointed frames — two metadata-cheap jobs per round). Edges are
+    ``localCheckpoint``ed every round to truncate iterative lineage.
+    """
+    # canonical undirected edge set as (hi, lo): self-loops dropped
+    e0 = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    edges = (
+        e0.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = edges.count()
+    rounds = 0
+    for _ in range(max_iter):
+        # -- large-star: symmetric neighborhoods, re-point bigger neighbors
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        lmin = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.join(lmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        # -- small-star: (hi → lo) orientation, re-point u and neighbors at m
+        smin = large.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        with_self = large.unionByName(
+            smin.select("u", F.col("u").alias("v"))
+        ).distinct()
+        small = (
+            with_self.join(smin, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1
+        new_n = small.count()
+        changed = (
+            new_n != n_edges
+            or small.exceptAll(edges).limit(1).count() > 0
+        )
+        edges, n_edges = small, new_n
+        if not changed:
+            break
+    roots = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster"))
+    verts = e0.select(F.col("a").alias("doc_id")).unionByName(
+        e0.select(F.col("b").alias("doc_id"))
+    )
+    if nodes is not None:
+        verts = verts.unionByName(nodes.select(F.col("doc_id")))
+    singletons = verts.distinct().join(roots, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("cluster")
+    )
+    return roots.unionByName(singletons), rounds
 
 
 def cluster_representatives(

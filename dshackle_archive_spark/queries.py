@@ -1734,7 +1734,7 @@ def _cc_corpus_and_clusters(spark: SparkSession, sf: str):
     """Shared build for d5/d6: planted-duplicate corpus → MinHash LSH pairs
     → connected components."""
     from .operators.dedup import (
-        connected_components,
+        connected_components_star,
         lsh_candidate_pairs,
         minhash_signatures,
         shingles,
@@ -1749,7 +1749,7 @@ def _cc_corpus_and_clusters(spark: SparkSession, sf: str):
     )
     sigs = minhash_signatures(shingles(corpus, n=3), num_hashes=16, token_col="shingle")
     pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
-    clusters = connected_components(pairs, nodes=corpus.select("doc_id"))
+    clusters, _ = connected_components_star(pairs, nodes=corpus.select("doc_id"))
     return corpus, clusters
 
 
@@ -1762,11 +1762,12 @@ def _cc_corpus_and_clusters(spark: SparkSession, sf: str):
 def d5_neardup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup CLUSTERS: candidate pairs chain (A~B, B~C ⇒ one duplicate
     group), so keep-one dedup operates on connected components, not pairs.
-    Spark side: iterative min-label propagation (one equi-join shuffle per
-    round, localCheckpoint lineage truncation, converges in diameter
-    rounds). Oracle: DuckDB recursive-CTE reachability closure — an
-    iterative Spark algorithm hash-checked against a fixpoint the SQL
-    engine computes independently."""
+    Spark side: alternating large-star/small-star contraction (two grouped
+    shuffles per round, localCheckpoint lineage truncation, O(log n) rounds
+    on ANY graph shape — chain-shaped duplicate graphs included). Oracle:
+    DuckDB recursive-CTE reachability closure — an iterative Spark
+    algorithm hash-checked against a fixpoint the SQL engine computes
+    independently."""
     _, clusters = _cc_corpus_and_clusters(spark, sf)
     return clusters
 

@@ -233,6 +233,47 @@ def test_connected_components_long_chain_converges(spark):
     assert {r["cluster"] for r in got} == {0} and len(got) == 13
 
 
+def test_star_cc_matches_label_propagation(spark):
+    from dshackle_archive_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # mixed shapes: chain, triangle overlapping the chain, isolated pair,
+    # singleton — star contraction must agree with min-label propagation
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (10, 11), (7, 7)],
+        "doc_a long, doc_b long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 7, 10, 11, 20)],
+                                  "doc_id long")
+    base = {r["doc_id"]: r["cluster"]
+            for r in connected_components(pairs, nodes=nodes).collect()}
+    star_df, rounds = connected_components_star(pairs, nodes=nodes)
+    star = {r["doc_id"]: r["cluster"] for r in star_df.collect()}
+    assert star == base == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 10: 10, 11: 10, 20: 20}
+    assert rounds <= 5
+
+
+def test_star_cc_chain_graph_logarithmic_rounds(spark):
+    """The adversarial case min-label propagation cannot handle: a 4096-node
+    path graph has diameter 4095 (O(n) label-propagation rounds) but star
+    contraction halves path length every round — O(log n) rounds, asserted."""
+    import math
+
+    from dshackle_archive_spark.operators.dedup import connected_components_star
+
+    n = 4096
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got, rounds = connected_components_star(pairs)
+    rows = got.collect()
+    assert {r["cluster"] for r in rows} == {0} and len(rows) == n
+    # 2·log2(n)+4 bound: large+small star contract path length ~2× per round
+    assert rounds <= 2 * int(math.log2(n)) + 4, rounds
+
+
 def test_cluster_representatives_longest_wins(spark):
     from dshackle_archive_spark.operators.dedup import (
         cluster_representatives,
