@@ -1,0 +1,232 @@
+"""Manifest-pinned snapshot commits over the native archive layout.
+
+The base layout (``ref_layout.py``) commits each FILE atomically (tmp+rename)
+— the reference's model (``objects.rs`` tmp-object rename), where multi-file
+consistency is recovered after the fact by ``verify`` (append both fork
+branches, prune losers later, ``verify.rs:328-369``). That leaves a window
+where a reader scanning the directory mid-correction sees a half-corrected
+chain: some heights already re-pointed to the winning fork, others still on
+the loser.
+
+This module closes that window with the standard table-format trick
+(Iceberg/Delta-style, reduced to its stdlib core): a SNAPSHOT is an immutable
+JSON manifest listing exactly the data files that make up one consistent
+version of the archive. Writers never mutate published files — they write new
+files beside the old ones and publish a new manifest; the only mutable object
+is a one-line ``_CURRENT`` pointer swapped by atomic rename. Readers pin a
+manifest once and resolve every scan through its file list, so a concurrent
+fork correction is invisible until they re-pin.
+
+Scale notes (100 TB archive ≈ 10⁸ files): the manifest is metadata — file
+paths only, no data motion; a fork correction rewrites only the files whose
+range intersects the reorg (tail blocks, a handful of files) and republishes;
+``read_snapshot`` hands Spark the explicit file list, so planning cost is the
+listing the manifest already paid for (no directory walk). Manifest size at
+10⁸ files motivates the same sharding Iceberg uses (manifest-of-manifests);
+the JSON layout keeps that upgrade seam open via the ``files`` key.
+
+Commit protocol (posix; object stores swap rename for copy+if-match):
+1. write ``_manifests/v{N}.json.inprogress`` and ``os.replace`` to its final
+   name — O_EXCL claim on the version number doubles as the optimistic lock
+   (two racing writers cannot both own ``v{N}``);
+2. swap ``_manifests/_CURRENT`` (one line: the version number) via
+   tmp + ``os.replace``. A crash between 1 and 2 leaves an orphan manifest,
+   never a torn pointer — readers keep resolving the previous version.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST_DIR = "_manifests"
+CURRENT = "_CURRENT"
+
+
+@dataclass(frozen=True)
+class Snapshot:
+    """An immutable, pinned archive version: resolve all reads through it."""
+
+    root: str
+    version: int
+    files: tuple[str, ...]  # relative to root, sorted
+    parent: int | None = None
+    note: str = ""
+    extra: dict = field(default_factory=dict)
+
+    def paths(self) -> list[str]:
+        return [os.path.join(self.root, f) for f in self.files]
+
+
+def _mdir(root: str) -> str:
+    return os.path.join(root, MANIFEST_DIR)
+
+
+def _manifest_path(root: str, version: int) -> str:
+    return os.path.join(_mdir(root), f"v{version}.json")
+
+
+def current_version(root: str) -> int | None:
+    try:
+        with open(os.path.join(_mdir(root), CURRENT)) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def load_snapshot(root: str, version: int | None = None) -> Snapshot | None:
+    """Pin a snapshot: ``version=None`` resolves ``_CURRENT`` once, then the
+    returned object never changes — later publishes are invisible to it."""
+    v = current_version(root) if version is None else version
+    if v is None:
+        return None
+    try:
+        with open(_manifest_path(root, v)) as f:
+            m = json.load(f)
+    except OSError:
+        return None
+    return Snapshot(
+        root=root,
+        version=v,
+        files=tuple(m["files"]),
+        parent=m.get("parent"),
+        note=m.get("note", ""),
+        extra=m.get("extra", {}),
+    )
+
+
+def publish_snapshot(
+    root: str,
+    files: list[str],
+    parent: int | None = None,
+    note: str = "",
+    extra: dict | None = None,
+    max_retries: int = 50,
+) -> Snapshot:
+    """Publish a new snapshot listing ``files`` (paths relative to root).
+
+    Claims the next free version number via O_EXCL (optimistic concurrency:
+    a racing writer that loses the claim retries against the next number),
+    then swaps ``_CURRENT`` atomically. Returns the published Snapshot.
+    """
+    os.makedirs(_mdir(root), exist_ok=True)
+    base = current_version(root)
+    if parent is None:
+        parent = base
+    payload = {
+        "files": sorted(files),
+        "parent": parent,
+        "note": note,
+        "extra": extra or {},
+    }
+    v = (base or 0) + 1
+    for _ in range(max_retries):
+        target = _manifest_path(root, v)
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            v += 1
+            continue
+        with os.fdopen(fd, "w") as f:
+            json.dump({**payload, "version": v}, f, indent=1, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        break
+    else:
+        raise RuntimeError(f"could not claim a manifest version under {root}")
+    tmp = os.path.join(_mdir(root), CURRENT + ".inprogress")
+    with open(tmp, "w") as f:
+        f.write(str(v))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(_mdir(root), CURRENT))
+    return Snapshot(root=root, version=v, files=tuple(sorted(files)), parent=parent,
+                    note=note, extra=extra or {})
+
+
+def read_snapshot(
+    spark: SparkSession, snap: Snapshot, fmt: str = "parquet"
+) -> DataFrame:
+    """Scan exactly the pinned snapshot's files — an explicit file list, so
+    a concurrent manifest swap (fork correction, compaction) cannot change
+    what this reader sees mid-query."""
+    paths = snap.paths()
+    if not paths:
+        raise ValueError(f"snapshot v{snap.version} of {snap.root} lists no files")
+    return spark.read.format(fmt).load(paths)
+
+
+def merge_replace(
+    root: str,
+    remove: list[str],
+    add: list[str],
+    note: str = "",
+    base: Snapshot | None = None,
+) -> Snapshot:
+    """MERGE-style commit: next snapshot = base − ``remove`` + ``add``.
+
+    The fork-correction primitive (reference semantics ``verify.rs:328-369``
+    re-expressed transactionally): the corrector writes replacement files for
+    the reorged heights FIRST (new names beside the old files), then calls
+    this — one atomic pointer swap moves every affected height to the
+    winning fork together. Compaction (N singles → one range file) is the
+    same call. ``base`` defaults to the current snapshot; pass an explicit
+    one for optimistic validation against concurrent publishes.
+    """
+    cur = base if base is not None else load_snapshot(root)
+    if cur is None:
+        raise ValueError(f"no current snapshot under {root}")
+    missing = set(remove) - set(cur.files)
+    if missing:
+        raise ValueError(f"merge removes files not in snapshot v{cur.version}: "
+                         f"{sorted(missing)[:5]}")
+    files = sorted((set(cur.files) - set(remove)) | set(add))
+    return publish_snapshot(root, files, parent=cur.version, note=note)
+
+
+def vacuum(root: str, keep_last: int = 2, dry_run: bool = False) -> list[str]:
+    """Delete data files referenced by NO retained manifest (the newest
+    ``keep_last`` manifests are retained; older manifests are dropped with
+    their exclusively-owned files). Readers pinned within the keep window
+    stay valid — deeper pins trade off against storage, exactly the
+    Iceberg/Delta retention knob."""
+    mdir = _mdir(root)
+    if not os.path.isdir(mdir):
+        return []
+    versions = sorted(
+        int(n[1:-5]) for n in os.listdir(mdir)
+        if n.startswith("v") and n.endswith(".json")
+    )
+    keep, drop = versions[-keep_last:], versions[:-keep_last]
+    live: set[str] = set()
+    for v in keep:
+        s = load_snapshot(root, v)
+        if s:
+            live |= set(s.files)
+    doomed: set[str] = set()
+    for v in drop:
+        s = load_snapshot(root, v)
+        if s:
+            doomed |= set(s.files) - live
+    removed = []
+    for rel in sorted(doomed):
+        p = os.path.join(root, rel)
+        if os.path.isfile(p) or os.path.isdir(p):
+            removed.append(rel)
+            if not dry_run:
+                if os.path.isdir(p):
+                    import shutil
+
+                    shutil.rmtree(p, ignore_errors=True)
+                else:
+                    os.remove(p)
+    if not dry_run:
+        for v in drop:
+            try:
+                os.remove(_manifest_path(root, v))
+            except OSError:
+                pass
+    return removed

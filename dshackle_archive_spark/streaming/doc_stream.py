@@ -78,3 +78,209 @@ def streaming_curate(
     return streaming_exact_dedup(
         gated, known_hashes=known_hashes, watermark=watermark
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming NEAR-dup: stateful LSH-band matching across micro-batches
+# ---------------------------------------------------------------------------
+#
+# Exact-hash dedup above misses mutated copies (one changed token changes the
+# content hash). The near-dup front door applies the batch MinHash+LSH family
+# incrementally: a document is dropped iff ANY of its LSH band hashes was
+# already observed — in an earlier micro-batch (within the watermark horizon)
+# or earlier in the same batch.
+#
+# Why ``foreachBatch`` and not a chained stateful operator: the doc-level
+# verdict spans multiple state keys (a doc owns ``bands`` band hashes; any
+# single collision kills it), so it cannot be keyed into one
+# ``dropDuplicates``/``applyInPandasWithState`` group, and a band-keyed
+# stateful op followed by a doc-keyed aggregation is a chained-stateful shape
+# Structured Streaming only supports for time-window aggs. ``foreachBatch``
+# turns each micro-batch into plain batch DataFrame algebra (the same
+# shingle/minhash/banding operators as the batch path) against a
+# watermark-pruned band-hash store — the standard production shape for
+# streaming LSH.
+#
+# State design (100 TB/day honest): only (band_id, band_hash, event_time)
+# rows are stored — never text, never signatures. The store is bounded by the
+# watermark horizon: generation ``gen=<batch_id>`` is the horizon-pruned
+# union of the previous generation and this batch's bands, so its size is
+# O(docs within the watermark × bands). Batch retries are deterministic:
+# batch N always reads the newest generation < N and overwrites gen N.
+
+
+def _gen_dirs(state_dir: str) -> list[tuple[int, str]]:
+    import os
+
+    if not os.path.isdir(state_dir):
+        return []
+    out = []
+    for name in os.listdir(state_dir):
+        if name.startswith("gen="):
+            try:
+                out.append((int(name[4:]), os.path.join(state_dir, name)))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def neardup_batch_step(
+    batch_docs: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    watermark_delay_sec: int | None = None,
+    event_time_col: str = "event_time",
+    text_col: str = "text",
+) -> DataFrame:
+    """One micro-batch of streaming near-dup dedup (pure batch logic).
+
+    Returns the surviving (non-near-dup) docs of ``batch_docs`` and writes
+    band-store generation ``gen=<batch_id>``. Semantics: a doc survives iff
+    it is the FIRST carrier — in (event_time, doc_id) stream order — of
+    every one of its band hashes, both against the store and within the
+    batch. Band hashes of dropped docs still enter the store (a near-dup
+    chain A~B, B~C drops both B and C, matching batch keep-one on the
+    connected component).
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from ..operators.dedup import minhash_signatures, shingles
+
+    spark = batch_docs.sparkSession
+    batch_docs = batch_docs.localCheckpoint(eager=True)
+
+    sigs = minhash_signatures(
+        shingles(batch_docs, n=n, text_col=text_col), num_hashes=num_hashes
+    )
+    bands_col = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col("signature")[b * rows_per_band + r]
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    ev = (
+        batch_docs.select("doc_id", F.col(event_time_col).alias("_ev"))
+        if event_time_col in batch_docs.columns
+        else batch_docs.select("doc_id", F.lit(None).cast("timestamp").alias("_ev"))
+    )
+    doc_bands = (
+        sigs.select("doc_id", F.explode(bands_col).alias("band"))
+        .select("doc_id", "band.band_id", "band.band_hash")
+        .join(ev, "doc_id")
+    )
+
+    gens = [(g, p) for (g, p) in _gen_dirs(state_dir) if g < batch_id]
+    if gens:
+        store = spark.read.parquet(gens[-1][1])
+    else:
+        store = spark.createDataFrame(
+            [], "band_id int, band_hash string, _ev timestamp"
+        )
+
+    # advance the horizon with THIS batch's event times and prune the store
+    # BEFORE the collision check — an expired band must not veto a new doc
+    if watermark_delay_sec is not None:
+        horizon = (
+            doc_bands.select(F.col("_ev"))
+            .unionByName(store.select("_ev"))
+            .agg(F.max("_ev").alias("mx"))
+            .collect()[0]["mx"]
+        )
+        if horizon is not None:
+            store = store.filter(
+                F.col("_ev").isNull()
+                | (
+                    F.col("_ev")
+                    >= F.lit(horizon) - F.expr(f"INTERVAL {watermark_delay_sec} SECOND")
+                )
+            )
+
+    # docs colliding with the store on any band
+    store_hit = (
+        doc_bands.join(
+            store.select("band_id", "band_hash"), ["band_id", "band_hash"], "left_semi"
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    # docs beaten to any of their bands within the batch (stream order)
+    w = Window.partitionBy("band_id", "band_hash").orderBy(
+        F.col("_ev").asc_nulls_last(), F.col("doc_id").asc()
+    )
+    batch_hit = (
+        doc_bands.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select("doc_id")
+        .distinct()
+    )
+    dropped = store_hit.unionByName(batch_hit).distinct()
+    survivors = batch_docs.join(dropped, "doc_id", "left_anti")
+
+    # next generation: union of the (already horizon-pruned) store and ALL
+    # batch bands (kept or dropped), deduped per key keeping the newest
+    # event time
+    new_store = (
+        store.unionByName(doc_bands.select("band_id", "band_hash", "_ev"))
+        .groupBy("band_id", "band_hash")
+        .agg(F.max("_ev").alias("_ev"))
+    )
+    gen_path = os.path.join(state_dir, f"gen={batch_id}")
+    new_store.write.mode("overwrite").parquet(gen_path)
+    # GC all but the two newest generations (retry of batch N needs < N)
+    for g, p in _gen_dirs(state_dir)[:-2]:
+        shutil.rmtree(p, ignore_errors=True)
+    return survivors
+
+
+def start_streaming_neardup_dedup(
+    stream_docs: DataFrame,
+    state_dir: str,
+    output_path: str,
+    checkpoint: str,
+    watermark_delay_sec: int | None = None,
+    trigger_processing_time: str | None = None,
+    **step_kwargs,
+):
+    """Wire ``neardup_batch_step`` into a StreamingQuery: each micro-batch's
+    survivors append to ``output_path`` (parquet). Returns the query handle.
+
+    ``trigger_processing_time``: e.g. ``"10 seconds"`` — batch the step's
+    fixed per-batch cost (store read + generation write) over more rows; at
+    ingest scale the step cost is dominated by the batch's own minhash pass,
+    so longer triggers amortize the store overhead without growing state.
+    """
+
+    def on_batch(bdf: DataFrame, batch_id: int) -> None:
+        surv = neardup_batch_step(
+            bdf,
+            state_dir,
+            batch_id,
+            watermark_delay_sec=watermark_delay_sec,
+            **step_kwargs,
+        )
+        surv.write.mode("append").parquet(output_path)
+
+    w = stream_docs.writeStream.foreachBatch(on_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_processing_time is not None:
+        w = w.trigger(processingTime=trigger_processing_time)
+    return w.start()

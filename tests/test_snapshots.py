@@ -1,0 +1,143 @@
+"""Manifest-pinned snapshot commits: atomic multi-file fork correction.
+
+The torn-read scenario these tests pin down: a reorg corrector replaces the
+tail files of the chain while a reader is mid-query. With directory scans
+(append + verify-later, reference `verify.rs:328-369`) the reader can see a
+MIXTURE of fork branches; with manifest pinning it sees exactly one
+consistent version, before or after — never between.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dshackle_archive_spark.sources import snapshots as S
+
+
+def _chain_rows(heights, branch, parent_of_first):
+    """Consistent hash-linked block rows: hash = f'{branch}{h}'."""
+    rows = []
+    prev = parent_of_first
+    for h in heights:
+        hsh = f"{branch}{h}"
+        rows.append((h, hsh, prev))
+        prev = hsh
+    return rows
+
+
+def _write(spark, root, rel, rows):
+    df = spark.createDataFrame(rows, "height long, hash string, parent_hash string")
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(root, rel))
+    return rel
+
+
+def _linkage_breaks(df) -> int:
+    """Count parent-hash mismatches against the previous height (W1)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("height")
+    return (
+        df.withColumn("_prev", F.lag("hash").over(w))
+        .filter(F.col("_prev").isNotNull() & (F.col("parent_hash") != F.col("_prev")))
+        .count()
+    )
+
+
+@pytest.fixture()
+def forked_archive(spark, tmp_path):
+    """v1 = base(0-4) + fork-loser tail X(5-9); winner tail Y written beside
+    it but not yet committed."""
+    root = str(tmp_path / "arch")
+    base = _write(spark, root, "base_0_4.parquet", _chain_rows(range(5), "a", "genesis"))
+    loser = _write(spark, root, "tail_5_9_x.parquet", _chain_rows(range(5, 10), "x", "a4"))
+    winner = _write(spark, root, "tail_5_9_y.parquet", _chain_rows(range(5, 10), "y", "a4"))
+    snap1 = S.publish_snapshot(root, [base, loser], note="initial archive")
+    return root, base, loser, winner, snap1
+
+
+def test_reader_pinned_across_fork_merge_sees_one_branch(spark, forked_archive):
+    root, base, loser, winner, snap1 = forked_archive
+
+    pinned = S.load_snapshot(root)  # reader pins BEFORE the correction
+    assert pinned.version == snap1.version
+
+    # fork correction commits mid-"query": one atomic swap
+    snap2 = S.merge_replace(root, remove=[loser], add=[winner], note="reorg @5")
+
+    # the pinned reader resolves through its manifest: full loser branch,
+    # zero linkage breaks — no mixture of x/y rows
+    old_view = S.read_snapshot(spark, pinned)
+    assert _linkage_breaks(old_view) == 0
+    assert set(old_view.filter("height >= 5").select("hash").toPandas()["hash"]) == {
+        f"x{h}" for h in range(5, 10)
+    }
+
+    # a reader pinning AFTER the swap sees the full winner branch
+    new_view = S.read_snapshot(spark, S.load_snapshot(root))
+    assert _linkage_breaks(new_view) == 0
+    assert set(new_view.filter("height >= 5").select("hash").toPandas()["hash"]) == {
+        f"y{h}" for h in range(5, 10)
+    }
+    assert S.load_snapshot(root).version == snap2.version
+
+    # sanity: the torn read the manifest prevents WOULD be detectable —
+    # a mixture of branches breaks the hash chain
+    torn = spark.read.parquet(
+        os.path.join(root, base), os.path.join(root, loser), os.path.join(root, winner)
+    )
+    assert _linkage_breaks(torn) > 0
+
+
+def test_crash_between_manifest_and_pointer_swap_is_invisible(spark, forked_archive):
+    root, base, loser, winner, snap1 = forked_archive
+
+    # simulate a corrector that wrote manifest v2 but died before swapping
+    # _CURRENT: readers keep resolving v1
+    orphan = {"files": sorted([base, winner]), "parent": snap1.version,
+              "note": "crashed mid-commit", "extra": {}, "version": snap1.version + 1}
+    with open(os.path.join(root, S.MANIFEST_DIR, f"v{snap1.version + 1}.json"), "w") as f:
+        json.dump(orphan, f)
+    assert S.load_snapshot(root).version == snap1.version
+    view = S.read_snapshot(spark, S.load_snapshot(root))
+    assert set(view.filter("height >= 5").select("hash").toPandas()["hash"]) == {
+        f"x{h}" for h in range(5, 10)
+    }
+
+    # the orphaned version number is skipped by the next successful commit
+    # (O_EXCL claim) — no torn pointer, no version collision
+    snap3 = S.merge_replace(root, remove=[loser], add=[winner], note="retry")
+    assert snap3.version == snap1.version + 2
+    assert S.load_snapshot(root).version == snap3.version
+
+
+def test_vacuum_drops_only_unreferenced_files(spark, forked_archive):
+    root, base, loser, winner, snap1 = forked_archive
+    S.merge_replace(root, remove=[loser], add=[winner], note="reorg @5")
+
+    # keep_last=2 retains v1+v2: nothing removable
+    assert S.vacuum(root, keep_last=2, dry_run=True) == []
+    # keep_last=1 retains only v2: the loser tail is exclusively v1's
+    assert S.vacuum(root, keep_last=1) == [loser]
+    assert not os.path.exists(os.path.join(root, loser))
+    # survivors still scan clean
+    view = S.read_snapshot(spark, S.load_snapshot(root))
+    assert view.count() == 10 and _linkage_breaks(view) == 0
+
+
+def test_merge_validates_against_base_snapshot(spark, forked_archive):
+    root, base, loser, winner, snap1 = forked_archive
+    with pytest.raises(ValueError, match="not in snapshot"):
+        S.merge_replace(root, remove=["never_published.parquet"], add=[winner])
+
+
+def test_concurrent_publishers_get_distinct_versions(spark, forked_archive):
+    root, base, loser, winner, snap1 = forked_archive
+    a = S.publish_snapshot(root, [base, loser], note="writer A")
+    b = S.publish_snapshot(root, [base, winner], note="writer B")
+    assert a.version != b.version
+    assert S.current_version(root) == b.version
+    # both manifests independently loadable (time travel)
+    assert set(S.load_snapshot(root, a.version).files) == {base, loser}
+    assert set(S.load_snapshot(root, b.version).files) == {base, winner}

@@ -480,3 +480,132 @@ def test_streaming_session_windows(spark, tmp_path):
         assert r["n_events"] >= 2
         assert r["session_end"] > r["session_start"]
     assert {r["user_id"] for r in rows} <= {0, 1}
+
+
+def test_neardup_batch_step_semantics(spark, tmp_path):
+    """Pure-batch contract of the streaming near-dup step: mutated copies of
+    an earlier batch's doc (or of an earlier doc in the same batch) are
+    dropped; fresh docs survive; a near-dup chain drops every later link."""
+    from dshackle_archive_spark.streaming.doc_stream import neardup_batch_step
+
+    state = str(tmp_path / "band_state")
+    base = " ".join(f"token{i} filler{i} common{i}" for i in range(30))
+    other = " ".join(f"zebra{i} quartz{i} vortex{i}" for i in range(30))
+
+    # batch 0: two distinct docs + an in-batch mutated copy of doc 1
+    b0 = spark.createDataFrame(
+        [(1, base), (2, other), (3, base + " mutated")],
+        "doc_id long, text string",
+    )
+    s0 = sorted(r["doc_id"] for r in neardup_batch_step(b0, state, 0).collect())
+    assert s0 == [1, 2], f"batch 0 survivors: {s0}"
+
+    # batch 1: mutated copy of batch-0 doc 1 (cross-batch), plus a fresh doc
+    fresh = " ".join(f"apple{i} banana{i} cherry{i}" for i in range(30))
+    b1 = spark.createDataFrame(
+        [(10, base + " tweaked tail"), (11, fresh)],
+        "doc_id long, text string",
+    )
+    s1 = sorted(r["doc_id"] for r in neardup_batch_step(b1, state, 1).collect())
+    assert s1 == [11], f"batch 1 survivors: {s1}"
+
+    # batch 2: near-copy of the DROPPED doc 3 — its bands were still minted,
+    # so the chain member is dropped too (batch keep-one-per-component)
+    b2 = spark.createDataFrame(
+        [(20, base + " mutated")], "doc_id long, text string"
+    )
+    s2 = [r["doc_id"] for r in neardup_batch_step(b2, state, 2).collect()]
+    assert s2 == [], f"batch 2 survivors: {s2}"
+
+
+def test_neardup_state_bounded_by_watermark(spark, tmp_path):
+    """With a watermark delay, band-store generations prune entries older
+    than (max event time − delay): an old doc's bands expire, so a late
+    near-copy of it is (by design) admitted, and the store stays bounded."""
+    import datetime as dt
+
+    from dshackle_archive_spark.streaming.doc_stream import neardup_batch_step
+
+    state = str(tmp_path / "band_state_wm")
+    base = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(30))
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    b0 = spark.createDataFrame(
+        [(1, base, t0)], "doc_id long, text string, event_time timestamp"
+    )
+    assert [r["doc_id"] for r in neardup_batch_step(
+        b0, state, 0, watermark_delay_sec=60
+    ).collect()] == [1]
+
+    # 10 min later: the batch's own max event time advances the horizon far
+    # past doc 1's bands → store prunes them → the near-copy survives
+    b1 = spark.createDataFrame(
+        [(2, base + " shifted", t0 + dt.timedelta(minutes=10))],
+        "doc_id long, text string, event_time timestamp",
+    )
+    surv = [r["doc_id"] for r in neardup_batch_step(
+        b1, state, 1, watermark_delay_sec=60
+    ).collect()]
+    assert surv == [2], surv
+
+    # bounded state: gen=1 holds only doc 2's bands (doc 1's expired)
+    store = spark.read.parquet(str(tmp_path / "band_state_wm" / "gen=1"))
+    assert store.count() == 4  # bands=4 rows for exactly one doc
+
+
+def test_streaming_neardup_across_microbatches(spark, tmp_path):
+    """End-to-end StreamingQuery: planted mutated duplicates arriving in
+    later micro-batches never reach the sink; distinct docs all do."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dshackle_archive_spark.streaming.doc_stream import (
+        start_streaming_neardup_dedup,
+    )
+
+    # value v -> doc floor(v/4): variant v%4 appends a 1-token mutation, so
+    # each doc arrives as 4 near-copies spread across micro-batches
+    body = " ".join(f"w{i} q{i} z{i}" for i in range(25))
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 20)
+        .load()
+        .select(
+            F.col("value").alias("doc_id"),
+            F.concat(
+                F.lit(body + " doc "),
+                F.floor(F.col("value") / 4),
+                F.lit(" variant "),
+                F.col("value") % 4,
+            ).alias("text"),
+            F.col("timestamp").alias("event_time"),
+        )
+    )
+    out_dir = str(tmp_path / "neardup_out")
+    q = start_streaming_neardup_dedup(
+        src,
+        state_dir=str(tmp_path / "neardup_state"),
+        output_path=out_dir,
+        checkpoint=str(tmp_path / "_ckpt_neardup"),
+        watermark_delay_sec=3600,
+        trigger_processing_time="5 seconds",
+    )
+    try:
+        deadline = time.time() + 240
+        rows = []
+        while time.time() < deadline:
+            try:
+                rows = spark.read.parquet(out_dir).collect()
+            except Exception:
+                rows = []
+            if len({r["doc_id"] // 4 for r in rows}) >= 3:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert len(rows) >= 2, "stream produced too little output to judge"
+    groups = [r["doc_id"] // 4 for r in rows]
+    assert len(groups) == len(set(groups)), (
+        f"near-dup variants leaked into the sink: {sorted(r['doc_id'] for r in rows)}"
+    )
