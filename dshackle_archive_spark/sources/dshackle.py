@@ -16,11 +16,14 @@ public and small, so this module implements them directly with the stdlib:
   message shapes above, field numbers matching the public emerald-grpc
   ``blockchain.proto``;
 - gRPC's length-prefixed message framing — 1-byte compressed flag + 4-byte
-  big-endian length + body, gzip when the flag is set, and a grpc-web-style
-  trailer frame (flag ``0x80``) carrying ``grpc-status``/``grpc-message``;
-- a plain TCP carrier with a single ``PATH /emerald.Blockchain/<Method>``
-  preamble line standing in for HTTP/2 headers (the container has no
-  HTTP/2; everything above the carrier is the real gRPC shape).
+  big-endian length + body, gzip when the flag is set;
+- a real HTTP/2 carrier (``sources/h2.py``, stdlib-only RFC 7540 + 7541):
+  client preface, SETTINGS exchange, HPACK'd request HEADERS
+  (``:method POST``, ``:path /emerald.Blockchain/<Method>``,
+  ``content-type application/grpc``, ``te trailers``), messages in DATA
+  frames, ``grpc-status``/``grpc-message`` in the trailing HEADERS frame —
+  the wire shape a real dshackle server speaks. (Rounds ≤4 used a TCP
+  preamble stand-in; the carrier is now wire-complete.)
 
 ``DshackleClient`` exposes the same ``call``/``call_bytes``/``call_raw``
 surface as ``JsonRpcClient``, so every provider plugs into either transport
@@ -226,6 +229,30 @@ def read_frame(sock_file) -> tuple[int, bytes] | None:
     return flag, body
 
 
+def grpc_frame_bytes(body: bytes, compress: bool = False) -> bytes:
+    """One gRPC length-prefixed message as bytes (for an HTTP/2 DATA frame)."""
+    buf = io.BytesIO()
+    write_frame(buf, body, compress=compress)
+    return buf.getvalue()
+
+
+def split_grpc_frames(buf: bytearray) -> list[tuple[int, bytes]]:
+    """Consume every COMPLETE gRPC frame from ``buf`` (in place) — DATA
+    frame boundaries are transport artifacts; messages may span or share
+    them."""
+    out = []
+    while len(buf) >= 5:
+        flag, ln = struct.unpack(">BI", bytes(buf[:5]))
+        if len(buf) < 5 + ln:
+            break
+        body = bytes(buf[5 : 5 + ln])
+        del buf[: 5 + ln]
+        if flag & FLAG_GZIP:
+            body = gzip.decompress(body)
+        out.append((flag, body))
+    return out
+
+
 def parse_trailer(body: bytes) -> tuple[int, str]:
     status, message = 2, ""  # UNKNOWN unless stated
     for line in body.decode().splitlines():
@@ -234,6 +261,17 @@ def parse_trailer(body: bytes) -> tuple[int, str]:
             status = int(v.strip())
         elif k.strip() == "grpc-message":
             message = v.strip()
+    return status, message
+
+
+def trailer_status(headers: list[tuple[str, str]]) -> tuple[int, str]:
+    """``grpc-status``/``grpc-message`` from a trailing HEADERS block."""
+    status, message = 2, ""
+    for k, v in headers:
+        if k == "grpc-status":
+            status = int(v)
+        elif k == "grpc-message":
+            message = v
     return status, message
 
 
@@ -269,6 +307,7 @@ class DshackleClient:
         self._id = 0
         self._sock: socket.socket | None = None
         self._file: io.BufferedRWPair | None = None
+        self._h2 = None
         # optional (observer, blockchain_id) — reference observe_request
         # (connection.rs:66); registry observers are driver-only (shed on
         # pickle), SparkRequestRecorder (worker_safe) rides into tasks
@@ -278,6 +317,7 @@ class DshackleClient:
         state = self.__dict__.copy()
         state["_sock"] = None
         state["_file"] = None
+        state["_h2"] = None
         state["_sem"] = None
         m = state.get("metrics")
         if m is not None and not getattr(m[0], "worker_safe", False):
@@ -290,11 +330,15 @@ class DshackleClient:
 
     # -- connection management ----------------------------------------------
     def _connect(self):
+        """One kept-alive HTTP/2 connection; sequential gRPC streams on it."""
+        from .h2 import H2ClientConnection
+
         if self._sock is None:
             s = socket.create_connection((self.host, self.port), timeout=self.timeout_s)
             self._sock = s
             self._file = s.makefile("rwb")
-        return self._file
+            self._h2 = H2ClientConnection(self._file)
+        return self._h2
 
     def close(self) -> None:
         if self._sock is not None:
@@ -305,30 +349,43 @@ class DshackleClient:
                 pass
             self._sock = None
             self._file = None
+            self._h2 = None
 
-    def _open_stream(self, path: str, request: bytes):
-        f = self._connect()
-        f.write(f"PATH {path}\n".encode())
-        write_frame(f, request, compress=self.use_gzip)
-        return f
+    def _open_stream(self, path: str, request: bytes) -> tuple[object, int]:
+        """New gRPC stream: HPACK'd request HEADERS + the request message as
+        one DATA frame, half-closed (unary request side)."""
+        h2 = self._connect()
+        extra = [("grpc-encoding", "gzip")] if self.use_gzip else []
+        sid = h2.request(path, f"{self.host}:{self.port}", extra=extra)
+        h2.send_data(
+            sid, grpc_frame_bytes(request, compress=self.use_gzip), end_stream=True
+        )
+        return h2, sid
 
     # -- NativeCall ----------------------------------------------------------
     def _native_call_once(self, method: str, payload: bytes) -> bytes:
         self._id += 1
         req = encode_native_call_request(self.chain_ref, [(1, method, payload)])
-        f = self._open_stream(PATH_NATIVE_CALL, req)
+        h2, sid = self._open_stream(PATH_NATIVE_CALL, req)
         reply: tuple[int, bool, bytes, str] | None = None
-        while True:
-            frame = read_frame(f)
-            if frame is None:
+        buf = bytearray()
+        ended = False
+        for kind, val in h2.events(sid):
+            if kind == "closed":
                 raise DshackleConnectionClosed(f"{method}: connection closed mid-call")
-            flag, body = frame
-            if flag & FLAG_TRAILER:
-                status, msg = parse_trailer(body)
+            if kind == "rst":
+                raise DshackleError(f"{method}: stream reset ({val})")
+            if kind == "data":
+                buf += val
+                for _flag, body in split_grpc_frames(buf):
+                    reply = decode_reply_item(body)
+            elif kind == "trailers":
+                status, msg = trailer_status(val)
                 if status != 0:
                     raise DshackleError(f"{method}: grpc-status {status} {msg}")
-                break
-            reply = decode_reply_item(body)
+                ended = True
+        if not ended:
+            raise DshackleConnectionClosed(f"{method}: stream ended without trailers")
         if reply is None:
             # the reference treats an empty stream as an IO error
             raise DshackleError(f"{method}: no response from blockchain")
@@ -375,22 +432,31 @@ class DshackleClient:
         subscription until the server ends the stream or the connection
         drops (``StopIteration``); reconnect policy lives in the caller
         (``streaming.head_source.HeadStream``)."""
-        # a dedicated connection: the subscription occupies the stream
+        from .h2 import H2ClientConnection, H2Error
+
+        # a dedicated connection: the subscription occupies its stream for
+        # the connection's lifetime
         s = socket.create_connection((self.host, self.port), timeout=self.timeout_s)
         f = s.makefile("rwb")
         try:
-            f.write(f"PATH {PATH_SUBSCRIBE_HEAD}\n".encode())
-            write_frame(f, encode_chain(self.chain_ref), compress=self.use_gzip)
-            while True:
-                frame = read_frame(f)
-                if frame is None:
-                    return  # server closed / connection dropped
-                flag, body = frame
-                if flag & FLAG_TRAILER:
-                    return
-                _, height, block_id = decode_chain_head(body)
-                yield height, block_id
-        except (OSError, EOFError):
+            h2 = H2ClientConnection(f)
+            extra = [("grpc-encoding", "gzip")] if self.use_gzip else []
+            sid = h2.request(PATH_SUBSCRIBE_HEAD, f"{self.host}:{self.port}", extra=extra)
+            h2.send_data(
+                sid,
+                grpc_frame_bytes(encode_chain(self.chain_ref), compress=self.use_gzip),
+                end_stream=True,
+            )
+            buf = bytearray()
+            for kind, val in h2.events(sid):
+                if kind in ("closed", "rst", "trailers"):
+                    return  # stream over — caller reconnects
+                if kind == "data":
+                    buf += val
+                    for _flag, body in split_grpc_frames(buf):
+                        _, height, block_id = decode_chain_head(body)
+                        yield height, block_id
+        except (OSError, EOFError, H2Error):
             return  # dropped mid-stream — caller reconnects
         finally:
             try:

@@ -1,10 +1,11 @@
-"""Local dshackle-shaped gRPC stub (NativeCall + SubscribeHead framing).
+"""Local dshackle-shaped gRPC-over-HTTP/2 stub (NativeCall + SubscribeHead).
 
-Speaks the same framed protocol as ``sources.dshackle`` — protobuf wire
-messages inside gRPC length-prefixed frames over TCP — backed by the
-deterministic chain models from ``stub_rpc``, so archive→verify runs
-end-to-end over the reference's primary transport shape without a real
-dshackle in the container.
+Speaks the same wire protocol as ``sources.dshackle`` — protobuf messages in
+gRPC length-prefixed frames, carried in real HTTP/2 frames (preface,
+SETTINGS exchange, HPACK'd HEADERS, DATA, trailing HEADERS with
+``grpc-status``) — backed by the deterministic chain models from
+``stub_rpc``, so archive→verify runs end-to-end over the reference's primary
+transport shape without a real dshackle in the container.
 """
 
 from __future__ import annotations
@@ -15,17 +16,16 @@ import threading
 import time
 
 from dshackle_archive_spark.sources.dshackle import (
-    FLAG_GZIP,
-    FLAG_TRAILER,
     PATH_NATIVE_CALL,
     PATH_SUBSCRIBE_HEAD,
     decode_chain,
     decode_native_call_request,
     encode_chain_head,
     encode_reply_item,
-    read_frame,
-    write_frame,
+    grpc_frame_bytes,
+    split_grpc_frames,
 )
+from dshackle_archive_spark.sources.h2 import H2Error, H2ServerConnection
 
 
 def start_dshackle_stub(
@@ -43,34 +43,60 @@ def start_dshackle_stub(
     class Handler(socketserver.StreamRequestHandler):
         def handle(self):
             srv.accepts += 1
-            # sequential streams over one connection — the TCP analog of
-            # gRPC multiplexing many streams on one HTTP/2 channel
+            try:
+                conn = H2ServerConnection(self._rw())
+            except (H2Error, OSError):
+                return
+            # sequential gRPC streams over one HTTP/2 connection (the
+            # client serializes calls; head subscriptions use their own)
             while not srv.stopping:
                 try:
-                    line = self.rfile.readline().decode().strip()
-                except OSError:
+                    req = conn.accept_request()
+                except (H2Error, OSError):
                     return
-                if not line.startswith("PATH "):
-                    return  # client closed (empty line) or spoke garbage
-                path = line[5:]
-                frame = read_frame(self.rfile)
-                if frame is None:
+                if req is None:
                     return
-                flag, body = frame
-                compress = bool(flag & FLAG_GZIP)
-                if path == PATH_NATIVE_CALL:
-                    self._native_call(body, compress)
-                elif path == PATH_SUBSCRIBE_HEAD:
-                    self._subscribe_head(body, compress)
-                    return  # subscription occupies the stream to its end
-                else:
-                    write_frame(
-                        self.wfile, b"grpc-status: 12\r\ngrpc-message: unimplemented",
-                        flag=FLAG_TRAILER,
-                    )
+                sid, headers, body = req
+                hdrs = dict(headers)
+                path = hdrs.get(":path", "")
+                compress = hdrs.get("grpc-encoding") == "gzip"
+                frames = split_grpc_frames(bytearray(body))
+                msg = frames[0][1] if frames else b""
+                try:
+                    if path == PATH_NATIVE_CALL:
+                        self._native_call(conn, sid, msg, compress)
+                    elif path == PATH_SUBSCRIBE_HEAD:
+                        self._subscribe_head(conn, sid, msg, compress)
+                        return  # subscription holds the connection to its end
+                    else:
+                        conn.send_response_headers(sid)
+                        conn.send_trailers(sid, 12, "unimplemented")
+                except (H2Error, OSError, BrokenPipeError):
+                    return
 
-        def _native_call(self, body: bytes, compress: bool):
+        def _rw(self):
+            """Single file object doing both directions for H2ServerConnection."""
+
+            class RW:
+                def __init__(s, r, w):
+                    s.r, s.w = r, w
+
+                def read(s, n):
+                    return s.r.read(n)
+
+                def write(s, b):
+                    return s.w.write(b)
+
+                def flush(s):
+                    s.w.flush()
+
+            return RW(self.rfile, self.wfile)
+
+        def _native_call(self, conn, sid, body: bytes, compress: bool):
             _chain, items = decode_native_call_request(body)
+            conn.send_response_headers(
+                sid, [("grpc-encoding", "gzip")] if compress else []
+            )
             for item_id, method, payload in items:
                 srv.calls += 1
                 try:
@@ -80,11 +106,14 @@ def start_dshackle_stub(
                     reply = encode_reply_item(item_id, True, out)
                 except Exception as e:  # application error rides in the item
                     reply = encode_reply_item(item_id, False, b"", str(e))
-                write_frame(self.wfile, reply, compress=compress)
-            write_frame(self.wfile, b"grpc-status: 0", flag=FLAG_TRAILER)
+                conn.send_data(sid, grpc_frame_bytes(reply, compress=compress))
+            conn.send_trailers(sid, 0)
 
-        def _subscribe_head(self, body: bytes, compress: bool):
+        def _subscribe_head(self, conn, sid, body: bytes, compress: bool):
             decode_chain(body)  # chain select (single-chain stub)
+            conn.send_response_headers(
+                sid, [("grpc-encoding", "gzip")] if compress else []
+            )
             sent = 0
             last = None
             while not srv.stopping:
@@ -92,10 +121,12 @@ def start_dshackle_stub(
                 if last is None or head > last:
                     lo = head if last is None else last + 1
                     for h in range(lo, head + 1):
-                        write_frame(
-                            self.wfile,
-                            encode_chain_head(1, h, model.block_hash(h)),
-                            compress=compress,
+                        conn.send_data(
+                            sid,
+                            grpc_frame_bytes(
+                                encode_chain_head(1, h, model.block_hash(h)),
+                                compress=compress,
+                            ),
                         )
                         sent += 1
                         if (

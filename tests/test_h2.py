@@ -1,0 +1,212 @@
+"""Unit tests for the stdlib HTTP/2 + HPACK layer (RFC 7540 / 7541).
+
+The interop tests live in test_dshackle.py (client ↔ stub over real h2
+frames); these pin the codec layer itself, including RFC worked examples.
+"""
+
+import io
+import struct
+
+import pytest
+
+from dshackle_archive_spark.sources import h2 as H
+
+
+def test_hpack_integer_rfc7541_examples():
+    # C.1.1: 10 in a 5-bit prefix -> 0x0a
+    assert H.encode_int(10, 5) == b"\x0a"
+    assert H.decode_int(b"\x0a", 0, 5) == (10, 1)
+    # C.1.2: 1337 in a 5-bit prefix -> 1f 9a 0a
+    assert H.encode_int(1337, 5) == b"\x1f\x9a\x0a"
+    assert H.decode_int(b"\x1f\x9a\x0a", 0, 5) == (1337, 3)
+    # C.1.3: 42 in an 8-bit prefix -> 2a
+    assert H.encode_int(42, 8) == b"\x2a"
+    assert H.decode_int(b"\x2a", 0, 8) == (42, 1)
+
+
+def test_hpack_static_table_indexed_fields():
+    enc, dec = H.HpackCodec(), H.HpackCodec()
+    hdrs = [(":method", "POST"), (":scheme", "http"), (":status", "200")]
+    block = enc.encode(hdrs)
+    # all three are exact static-table hits -> single indexed bytes each
+    assert block == bytes([0x80 | 3, 0x80 | 6, 0x80 | 8])
+    assert dec.decode(block) == hdrs
+
+
+def test_hpack_dynamic_table_reuse_across_blocks():
+    enc, dec = H.HpackCodec(), H.HpackCodec()
+    hdrs = [(":path", "/emerald.Blockchain/NativeCall"), ("te", "trailers")]
+    b1 = enc.encode(hdrs)
+    b2 = enc.encode(hdrs)
+    assert dec.decode(b1) == hdrs
+    assert dec.decode(b2) == hdrs
+    # second block refers to the dynamic table: strictly smaller
+    assert len(b2) < len(b1)
+    assert len(b2) == 2  # two indexed fields
+
+
+def test_hpack_eviction_respects_max_size():
+    enc = H.HpackCodec(max_size=64)  # fits one small entry only
+    enc.encode([("a", "1"), ("b", "2"), ("c", "3")])
+    assert enc.size <= 64 and len(enc.dyn) == 1 and enc.dyn[0] == ("c", "3")
+
+
+def test_hpack_rejects_huffman():
+    dec = H.HpackCodec()
+    # literal with incremental indexing, new name, H bit set on the name
+    bad = bytes([0x40, 0x81, 0xFF])
+    with pytest.raises(H.H2Error, match="Huffman"):
+        dec.decode(bad)
+
+
+def test_frame_roundtrip_and_padding():
+    buf = io.BytesIO()
+    H.write_frame(buf, H.DATA, H.F_END_STREAM, 7, b"payload")
+    buf.seek(0)
+    assert H.read_frame(buf) == (H.DATA, H.F_END_STREAM, 7, b"payload")
+    # PADDED flag: 3 pad bytes stripped
+    padded = bytes([3]) + b"body" + b"\x00\x00\x00"
+    assert H._strip_padding_priority(H.F_PADDED, padded) == b"body"
+    # PRIORITY on HEADERS: 5-byte dep+weight stripped
+    prio = b"\x00\x00\x00\x00\x10headers"
+    assert H._strip_padding_priority(H.F_PRIORITY, prio) == b"headers"
+
+
+def _pipe_pair():
+    """Two file-like endpoints over an in-memory socketpair."""
+    import socket
+
+    a, b = socket.socketpair()
+    return a, b, a.makefile("rwb"), b.makefile("rwb")
+
+
+def test_connection_handshake_and_roundtrip():
+    import threading
+
+    sa, sb, fa, fb = _pipe_pair()
+    got = {}
+
+    def server():
+        conn = H.H2ServerConnection(fb)
+        sid, headers, body = conn.accept_request()
+        got["headers"] = dict(headers)
+        got["body"] = body
+        conn.send_response_headers(sid)
+        conn.send_data(sid, b"\x01\x02\x03")
+        conn.send_trailers(sid, 0)
+
+    t = threading.Thread(target=server, daemon=True)
+    t.start()
+    client = H.H2ClientConnection(fa)
+    sid = client.request("/svc/Method", "example:1", extra=[("x-k", "v")])
+    client.send_data(sid, b"reqbytes", end_stream=True)
+    events = list(client.events(sid))
+    t.join(timeout=5)
+
+    assert got["headers"][":method"] == "POST"
+    assert got["headers"][":path"] == "/svc/Method"
+    assert got["headers"]["x-k"] == "v"
+    assert got["body"] == b"reqbytes"
+    kinds = [k for k, _ in events]
+    assert kinds == ["headers", "data", "trailers"]
+    assert events[1][1] == b"\x01\x02\x03"
+    assert dict(events[0][1])[":status"] == "200"
+    assert dict(events[2][1])["grpc-status"] == "0"
+    for h in (fa, fb, sa, sb):
+        h.close()
+
+
+def test_continuation_frames_reassembled():
+    import socket
+    import threading
+
+    sa, sb = socket.socketpair()
+    fa, fb = sa.makefile("rwb"), sb.makefile("rwb")
+
+    def server():
+        conn = H.H2ServerConnection(fb)
+        sid, headers, _ = conn.accept_request()
+        # response header block split across HEADERS + CONTINUATION
+        block = conn.enc.encode([(":status", "200"), ("x-long", "y" * 40)])
+        H.write_frame(conn.f, H.HEADERS, 0, sid, block[:10])
+        H.write_frame(conn.f, H.CONTINUATION, H.F_END_HEADERS, sid, block[10:])
+        conn.send_trailers(sid, 0)
+
+    t = threading.Thread(target=server, daemon=True)
+    t.start()
+    client = H.H2ClientConnection(fa)
+    sid = client.request("/x", "a")
+    client.send_data(sid, b"", end_stream=True)
+    events = list(client.events(sid))
+    t.join(timeout=5)
+    assert dict(events[0][1])["x-long"] == "y" * 40
+    for h in (fa, fb, sa, sb):
+        h.close()
+
+
+def test_ping_answered_with_ack():
+    import socket
+    import threading
+
+    sa, sb = socket.socketpair()
+    fa, fb = sa.makefile("rwb"), sb.makefile("rwb")
+    acked = {}
+
+    def server():
+        conn = H.H2ServerConnection(fb)
+        sid, _, _ = conn.accept_request()
+        conn.send_response_headers(sid)
+        H.write_frame(conn.f, H.PING, 0, 0, b"12345678")
+        # client must answer PING ack before it sees the trailer
+        while True:
+            fr = H.read_frame(conn.f)
+            if fr and fr[0] == H.PING and fr[1] & H.F_ACK:
+                acked["payload"] = fr[3]
+                break
+        conn.send_trailers(sid, 0)
+
+    t = threading.Thread(target=server, daemon=True)
+    t.start()
+    client = H.H2ClientConnection(fa)
+    sid = client.request("/x", "a")
+    client.send_data(sid, b"", end_stream=True)
+    events = list(client.events(sid))
+    t.join(timeout=5)
+    assert acked["payload"] == b"12345678"
+    assert [k for k, _ in events] == ["headers", "trailers"]
+    for h in (fa, fb, sa, sb):
+        h.close()
+
+
+def test_bad_preface_rejected():
+    class FakeFile(io.BytesIO):
+        def flush(self):
+            pass
+
+    f = FakeFile(b"GET / HTTP/1.1\r\n" + b"\x00" * 16)
+    with pytest.raises(H.H2Error, match="preface"):
+        H.H2ServerConnection(f)
+
+
+def test_rst_stream_surfaces():
+    import socket
+    import threading
+
+    sa, sb = socket.socketpair()
+    fa, fb = sa.makefile("rwb"), sb.makefile("rwb")
+
+    def server():
+        conn = H.H2ServerConnection(fb)
+        sid, _, _ = conn.accept_request()
+        H.write_frame(conn.f, H.RST_STREAM, 0, sid, struct.pack(">I", 8))  # CANCEL
+
+    t = threading.Thread(target=server, daemon=True)
+    t.start()
+    client = H.H2ClientConnection(fa)
+    sid = client.request("/x", "a")
+    client.send_data(sid, b"", end_stream=True)
+    events = list(client.events(sid))
+    t.join(timeout=5)
+    assert ("rst", 8) in events
+    for h in (fa, fb, sa, sb):
+        h.close()
