@@ -219,18 +219,50 @@ def inventory_df_hadoop(spark: SparkSession, root: str, blockchain: str | None =
     )
 
 
+def list_archive_files_pyarrow(root: str) -> list[str]:
+    """Recursive listing of a URI-rooted archive (``s3://…``, ``gs://…``)
+    through pyarrow's FileSystem — the same seam ``ref_layout`` writes
+    through, so an object-store archive lists without Hadoop connector
+    jars. URI query params (``endpoint_override``, ``scheme``…) ride along,
+    which is how the S3 round-trip test points this at a local endpoint.
+
+    S2 parity: one ordered prefix listing (``objects.rs:79-168``);
+    directory markers are dropped (FileType.File only)."""
+    import pyarrow.fs as pafs
+
+    fs, base = pafs.FileSystem.from_uri(root)
+    base = base.rstrip("/")
+    try:
+        infos = fs.get_file_info(pafs.FileSelector(base, recursive=True))
+    except FileNotFoundError:
+        return []
+    out = [
+        i.path[len(base) + 1 :]
+        for i in infos
+        if i.type == pafs.FileType.File and i.path.startswith(base + "/")
+    ]
+    return sorted(out)
+
+
 def inventory_df(spark: SparkSession, root: str, blockchain: str | None = None) -> DataFrame:
     """File-inventory DataFrame: parse (kind, start, end, hash) from paths.
 
     Non-matching (foreign) files are skipped, as in ``filenames.rs:29-49``.
+    URI roots (``s3://…``) list through pyarrow; posix roots walk locally.
     """
-    base = os.path.join(root, blockchain.lower()) if blockchain else root
+    if "://" in root:
+        # a URI query string (endpoint_override etc.) stays after the path
+        r, sep, q = root.partition("?")
+        base = f"{r.rstrip('/')}/{blockchain.lower()}{sep}{q}" if blockchain else root
+        listed = list_archive_files_pyarrow(base)
+    else:
+        base = os.path.join(root, blockchain.lower()) if blockchain else root
+        listed = list_archive_files(base) if os.path.isdir(base) else []
     rows = []
-    if os.path.isdir(base):
-        for rel in list_archive_files(base):
-            fi = parse_filename(rel)
-            if fi is not None:
-                rows.append((rel, fi.kind.value, fi.range.start, fi.range.end, fi.hash))
+    for rel in listed:
+        fi = parse_filename(rel)
+        if fi is not None:
+            rows.append((rel, fi.kind.value, fi.range.start, fi.range.end, fi.hash))
     return spark.createDataFrame(rows, INVENTORY_SCHEMA)
 
 

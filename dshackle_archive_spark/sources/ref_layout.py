@@ -70,6 +70,16 @@ def _pa_schema(kind: DataKind):
     return pa.schema(fields)
 
 
+
+def _join_path(base: str, *parts: str) -> str:
+    """Join path parts under posix OR URI roots; a URI query string
+    (``?endpoint_override=…`` — see the S3 stub tests) stays at the end."""
+    if "://" not in base:
+        return os.path.join(base, *parts)
+    b, sep, q = base.partition("?")
+    return "/".join([b.rstrip("/"), *parts]) + sep + q
+
+
 def _fs_and_path(path: str):
     """Resolve a URI (``s3://…``, ``gs://…``, ``file://…``) to a pyarrow
     FileSystem + fs-native path — the S12 object-store writer seam. Plain
@@ -193,7 +203,7 @@ def _write_group_fn(
                 hi_r = min(hi_r, requested[1])
             rel = range_file_path(Range(lo_r, hi_r), kind, fmt=fmt)
         is_uri = "://" in base_dir
-        path = f"{base_dir}/{rel}" if is_uri else os.path.join(base_dir, rel)
+        path = _join_path(base_dir, rel)
         if is_uri:
             fs, fs_path = _fs_and_path(path)
             skipped = _fs_exists(fs, fs_path) and not overwrite
@@ -268,7 +278,7 @@ def write_range_files(
     shuffle on the chunk key; each output file is produced by exactly one
     task.
     """
-    base = os.path.join(root, blockchain.lower())
+    base = _join_path(root, blockchain.lower())
     req = (requested.start, requested.end) if requested is not None else None
     grouped = df.withColumn("_file_group", F.floor(F.col("height") / chunk))
     # chunk-key domain comes from the REQUEST, not the data rows: a chunk
@@ -312,7 +322,7 @@ def write_piece_files(
     gap, ``fix.rs:39-69``; serial job launches would dominate on a fragmented
     archive). Every piece emits its file even with zero rows.
     """
-    base = os.path.join(root, blockchain.lower())
+    base = _join_path(root, blockchain.lower())
     spark = df.sparkSession
     norm = [(p.start, p.end) if isinstance(p, Range) else (int(p[0]), int(p[1])) for p in pieces]
     pieces_df = spark.createDataFrame(norm, "p_start long, p_end long")
@@ -355,7 +365,7 @@ def write_single_files(
     ``requested`` (non-fork mode only) makes every height in the range emit a
     file even when it has no rows — e.g. a transaction-less block still gets
     its ``NNN.txes`` file, like the reference's unconditional create."""
-    base = os.path.join(root, blockchain.lower())
+    base = _join_path(root, blockchain.lower())
     keys = ["height", "blockId"] if hash_in_name else ["height"]
     grouped = df.withColumn("_file_group", F.concat_ws("_", *[F.col(k) for k in keys]))
     if requested is not None and not hash_in_name:
@@ -388,6 +398,6 @@ def read_archive_files(spark, root: str, blockchain: str, paths: Iterable[str], 
     path attached — thin wrapper over the format-dispatching reader."""
     from .avro_io import read_archive_data
 
-    base = os.path.join(root, blockchain.lower())
+    base = _join_path(root, blockchain.lower())
     full = [os.path.join(base, p) for p in paths]
     return read_archive_data(spark, full, kind)
