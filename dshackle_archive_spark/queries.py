@@ -58,7 +58,7 @@ _DRIVER_PRIORITY = [
     "d7_simhash_near_pairs", "p10_json_props_agg", "x15_corpus_diff",
     "a13_discrete_median", "x17_inverted_index", "x18_keyword_search",
     "x19_sequence_packing", "a14_daily_growth", "j9_banded_range_self_join",
-    "x20_source_vocab_overlap",
+    "x20_source_vocab_overlap", "d8_chain_components",
 ]
 
 
@@ -1795,6 +1795,44 @@ def d6_dedup_representatives(spark: SparkSession, sf: str) -> DataFrame:
 
     corpus, clusters = _cc_corpus_and_clusters(spark, sf)
     return cluster_representatives(clusters, corpus)
+
+
+@query(
+    "d8_chain_components",
+    """
+    WITH RECURSIVE nodes AS (
+      SELECT doc_id FROM documents WHERE doc_id < 60
+    ), edges AS (
+      -- path segments of 10: i ~ i+1 unless i ends a segment
+      SELECT doc_id AS a, doc_id + 1 AS b FROM nodes
+      WHERE doc_id < 59 AND doc_id % 10 <> 9
+    ), sym AS (
+      SELECT a, b FROM edges UNION SELECT b, a FROM edges
+    ), reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node
+    )
+    SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
+    """,
+)
+def d8_chain_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components on a CHAIN-shaped graph — the adversarial case
+    for min-label propagation (O(diameter) rounds): six 10-node path
+    segments over the documents ids. Spark runs large-star/small-star
+    contraction (O(log n) rounds on any shape, two grouped shuffles per
+    round); the oracle computes the same fixpoint via recursive-CTE
+    reachability — entirely different algorithm, same answer."""
+    from .operators.dedup import connected_components_star
+
+    nodes = _t(spark, sf, "documents").filter(F.col("doc_id") < 60).select("doc_id")
+    pairs = nodes.filter(
+        (F.col("doc_id") < 59) & (F.col("doc_id") % 10 != 9)
+    ).select(
+        F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1).alias("doc_b")
+    )
+    clusters, _rounds = connected_components_star(pairs, nodes=nodes)
+    return clusters
 
 
 @query(

@@ -81,19 +81,44 @@ def notification_json_df(write_results: DataFrame) -> DataFrame:
     )
 
 
+def _produce_partition_kafka(bootstrap: str, topic: str, partition: int, rows) -> None:
+    """One Kafka wire-protocol producer per partition (executor-side)."""
+    from .kafka_wire import KafkaWireProducer
+
+    batch = [r["value"].encode() for r in rows]
+    if not batch:
+        return
+    p = KafkaWireProducer(bootstrap, topic, partition)
+    try:
+        p.produce(batch)
+    finally:
+        p.close()
+
+
 def send_notifications(
     write_results: DataFrame, fmt: str, path: str | None = None, **options
 ) -> None:
     """Batch notification send through any Spark sink format.
 
     ``fmt="pulsar"``/``"kafka"`` need the respective connector jar on the
-    classpath (none ships in this container); ``fmt="socket"`` produces
-    JSONL to a broker at ``host``/``port`` (one connection per partition,
-    executor-side); ``fmt="json"`` is the S15 directory sink shape."""
+    classpath (none ships in this container); ``fmt="kafka-wire"`` speaks
+    the Kafka binary protocol itself (``kafka_wire.py`` — checksummed
+    MessageSet v0, acks=1, one producer per Spark partition) to
+    ``bootstrap``/``topic``; ``fmt="socket"`` produces JSONL to a broker at
+    ``host``/``port`` (one connection per partition, executor-side);
+    ``fmt="json"`` is the S15 directory sink shape."""
     vdf = notification_json_df(write_results)
     if fmt == "socket":
         host, port = options["host"], int(options["port"])
         vdf.foreachPartition(lambda rows: _produce_partition(host, port, rows))
+        return
+    if fmt == "kafka-wire":
+        bootstrap, topic = options["bootstrap"], options["topic"]
+        vdf.rdd.mapPartitionsWithIndex(
+            lambda idx, rows: (
+                _produce_partition_kafka(bootstrap, topic, idx, rows) or iter(())
+            )
+        ).count()
         return
     writer = vdf.write.format(fmt).options(**options).mode("append")
     if path is not None:

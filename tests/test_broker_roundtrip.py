@@ -111,3 +111,76 @@ def test_stream_mode_maturity_reaches_consumer(spark, tmp_path):
         assert all(list(d) == REF_FIELDS for d in docs)
     finally:
         srv.shutdown()
+
+
+def test_kafka_wire_codec_roundtrips():
+    """Produce v0 codec: request/response and the CRC-checked MessageSet."""
+    from dshackle_archive_spark.sources import kafka_wire as K
+
+    vals = [b'{"a":1}', b'{"b":2}', b"x" * 1000]
+    ms = K.encode_message_set(vals)
+    decoded = K.decode_message_set(ms)
+    assert [v for _o, _k, v in decoded] == vals
+
+    req = K.encode_produce_request(7, "cid", "notif", 3, vals)
+    corr, cid, topic, part, ms2 = K.decode_produce_request(req[4:])
+    assert (corr, cid, topic, part) == (7, "cid", "notif", 3)
+    assert [v for _o, _k, v in K.decode_message_set(ms2)] == vals
+
+    resp = K.encode_produce_response(7, "notif", 3, 0, 41)
+    assert K.decode_produce_response(resp[4:]) == (7, "notif", 3, 0, 41)
+
+    # corruption is detected by the checksum, like a real broker
+    corrupted = bytearray(ms)
+    corrupted[-1] ^= 0xFF
+    import pytest as _pytest
+
+    with _pytest.raises(K.KafkaWireError, match="CRC"):
+        K.decode_message_set(bytes(corrupted))
+
+
+def test_kafka_wire_produce_roundtrip(spark, tmp_path):
+    """archive → Kafka binary-protocol producer (per-partition) → stub
+    broker (CRC-verifying) → offsets assigned, payloads byte-equal."""
+    from stub_kafka import start_kafka_stub
+
+    bootstrap, srv = start_kafka_stub()
+    try:
+        res = archive(spark, CHAIN, str(tmp_path), Range(100, 299), tables=BT,
+                      chunk=100, policy=POLICY, run="archive")
+        wr = _wr(res)
+        expected = sorted(r["value"] for r in notification_json_df(wr).collect())
+        send_notifications(wr, "kafka-wire", bootstrap=bootstrap, topic="notif")
+        got = sorted(
+            v.decode()
+            for (topic, _p), entries in srv.log.items()
+            for (_off, v) in entries
+            if topic == "notif"
+        )
+        assert got == expected  # byte-equal payloads through the wire
+        # offsets are broker-assigned and dense per partition
+        for (_t, _p), entries in srv.log.items():
+            assert [o for o, _v in entries] == list(range(len(entries)))
+    finally:
+        srv.shutdown()
+
+
+def test_kafka_wire_producer_api(tmp_path):
+    """Direct producer surface: sequential correlation ids, base offsets
+    advance across batches, picklable into tasks."""
+    import pickle
+
+    from dshackle_archive_spark.sources.kafka_wire import KafkaWireProducer
+    from stub_kafka import start_kafka_stub
+
+    bootstrap, srv = start_kafka_stub()
+    try:
+        p = KafkaWireProducer(bootstrap, "t")
+        assert p.produce([b"m1", b"m2"]) == 0
+        assert p.produce([b"m3"]) == 2
+        p2 = pickle.loads(pickle.dumps(p))
+        assert p2.produce([b"m4"]) == 3
+        p.close(); p2.close()
+        assert [v for _o, v in srv.log[("t", 0)]] == [b"m1", b"m2", b"m3", b"m4"]
+    finally:
+        srv.shutdown()
