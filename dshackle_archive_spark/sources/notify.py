@@ -95,18 +95,36 @@ def _produce_partition_kafka(bootstrap: str, topic: str, partition: int, rows) -
         p.close()
 
 
+def _produce_partition_pulsar(service_url: str, topic: str, partition: int, rows) -> None:
+    """One Pulsar binary-protocol producer per partition (executor-side) —
+    the reference's producer loop (``pulsar.rs:30-68``) at protocol level."""
+    from .pulsar_wire import PulsarWireProducer
+
+    batch = [r["value"].encode() for r in rows]
+    if not batch:
+        return
+    p = PulsarWireProducer(service_url, topic, producer_id=partition + 1)
+    try:
+        for payload in batch:
+            p.send(payload)
+    finally:
+        p.close()
+
+
 def send_notifications(
     write_results: DataFrame, fmt: str, path: str | None = None, **options
 ) -> None:
     """Batch notification send through any Spark sink format.
 
     ``fmt="pulsar"``/``"kafka"`` need the respective connector jar on the
-    classpath (none ships in this container); ``fmt="kafka-wire"`` speaks
-    the Kafka binary protocol itself (``kafka_wire.py`` — checksummed
-    MessageSet v0, acks=1, one producer per Spark partition) to
-    ``bootstrap``/``topic``; ``fmt="socket"`` produces JSONL to a broker at
-    ``host``/``port`` (one connection per partition, executor-side);
-    ``fmt="json"`` is the S15 directory sink shape."""
+    classpath (none ships in this container); ``fmt="kafka-wire"`` /
+    ``"pulsar-wire"`` speak the broker's binary protocol directly
+    (``kafka_wire.py``: checksummed MessageSet v0, acks=1;
+    ``pulsar_wire.py``: CONNECT/PRODUCER/SEND with CRC32C frames, per-send
+    receipts) — one producer per Spark partition, no connector jar;
+    ``fmt="socket"`` produces JSONL to a broker at ``host``/``port`` (one
+    connection per partition, executor-side); ``fmt="json"`` is the S15
+    directory sink shape."""
     vdf = notification_json_df(write_results)
     if fmt == "socket":
         host, port = options["host"], int(options["port"])
@@ -117,6 +135,14 @@ def send_notifications(
         vdf.rdd.mapPartitionsWithIndex(
             lambda idx, rows: (
                 _produce_partition_kafka(bootstrap, topic, idx, rows) or iter(())
+            )
+        ).count()
+        return
+    if fmt == "pulsar-wire":
+        service_url, topic = options["service_url"], options["topic"]
+        vdf.rdd.mapPartitionsWithIndex(
+            lambda idx, rows: (
+                _produce_partition_pulsar(service_url, topic, idx, rows) or iter(())
             )
         ).count()
         return

@@ -184,3 +184,83 @@ def test_kafka_wire_producer_api(tmp_path):
         assert [v for _o, v in srv.log[("t", 0)]] == [b"m1", b"m2", b"m3", b"m4"]
     finally:
         srv.shutdown()
+
+
+def test_pulsar_wire_crc32c_and_codec():
+    """CRC32C check vector + command/message codec roundtrips."""
+    from dshackle_archive_spark.sources import pulsar_wire as P
+
+    # the Castagnoli check value (RFC 3720 appendix): crc32c("123456789")
+    assert P.crc32c(b"123456789") == 0xE3069283
+
+    import io
+
+    class F(io.BytesIO):
+        def flush(self):
+            pass
+
+    f = F()
+    P.write_command(f, P.encode_connect())
+    f.seek(0)
+    t, cmd, tail = P.read_command(f)
+    assert t == P.CONNECT and tail == b""
+
+    f = F()
+    md = P.encode_metadata("p1", 7, 123456)
+    P.write_message(f, P.encode_send(1, 7), md, b'{"x":1}')
+    f.seek(0)
+    t, cmd, tail = P.read_command(f)  # verifies the checksum internally
+    assert t == P.SEND
+    md2, payload = P.split_message_tail(tail)
+    assert payload == b'{"x":1}'
+
+    # corrupting one payload byte must fail the CRC like a real broker
+    raw = bytearray(f.getvalue())
+    raw[-1] ^= 0xFF
+    g = F(bytes(raw))
+    import pytest as _pytest
+
+    with _pytest.raises(P.PulsarWireError, match="CRC32C"):
+        P.read_command(g)
+
+
+def test_pulsar_wire_produce_roundtrip(spark, tmp_path):
+    """archive → Pulsar binary-protocol producer (CONNECT/PRODUCER/SEND
+    with per-send receipts) → CRC32C-verifying stub broker."""
+    from stub_pulsar import start_pulsar_stub
+
+    service_url, srv = start_pulsar_stub()
+    try:
+        res = archive(spark, CHAIN, str(tmp_path), Range(100, 299), tables=BT,
+                      chunk=100, policy=POLICY, run="archive")
+        wr = _wr(res)
+        expected = sorted(r["value"] for r in notification_json_df(wr).collect())
+        send_notifications(wr, "pulsar-wire", service_url=service_url, topic="notif")
+        got = sorted(p.decode() for _e, p in srv.topics.get("notif", []))
+        assert got == expected  # byte-equal payloads through the wire
+        # entry ids are broker-assigned and dense
+        assert [e for e, _p in srv.topics["notif"]] == list(range(len(expected)))
+    finally:
+        srv.shutdown()
+
+
+def test_pulsar_wire_producer_api():
+    """Direct producer surface: broker-assigned name, receipts advance,
+    picklable, PING answered mid-stream."""
+    import pickle
+
+    from dshackle_archive_spark.sources.pulsar_wire import PulsarWireProducer
+    from stub_pulsar import start_pulsar_stub
+
+    service_url, srv = start_pulsar_stub()
+    try:
+        p = PulsarWireProducer(service_url, "t")
+        assert p.send(b"m1") == (1, 0)
+        assert p.send(b"m2") == (1, 1)
+        assert p.producer_name == "stub-producer-1"
+        p2 = pickle.loads(pickle.dumps(p))
+        assert p2.send(b"m3")[1] == 2
+        p.close(); p2.close()
+        assert [v for _e, v in srv.topics[("t")]] == [b"m1", b"m2", b"m3"]
+    finally:
+        srv.shutdown()
