@@ -58,7 +58,8 @@ _DRIVER_PRIORITY = [
     "d7_simhash_near_pairs", "p10_json_props_agg", "x15_corpus_diff",
     "a13_discrete_median", "x17_inverted_index", "x18_keyword_search",
     "x19_sequence_packing", "a14_daily_growth", "j9_banded_range_self_join",
-    "x20_source_vocab_overlap", "d8_chain_components",
+    "x20_source_vocab_overlap", "d8_chain_components", "x21_doc_chunking",
+    "x22_token_entropy",
 ]
 
 
@@ -2973,6 +2974,98 @@ def x14_length_outliers(spark: SparkSession, sf: str) -> DataFrame:
             .otherwise(F.lit("long"))
             .alias("tag"),
         )
+    )
+
+
+@query(
+    "x21_doc_chunking",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+    ), st AS (
+      SELECT doc_id, toks, u.s
+      FROM norm, unnest(generate_series(1, greatest(len(toks), 1), 24)) u(s)
+    ), ch AS (
+      SELECT doc_id, CAST((s - 1) / 24 AS INT) AS chunk_id,
+             list_slice(toks, s, least(s + 31, len(toks))) AS sl
+      FROM st
+    )
+    SELECT doc_id, chunk_id,
+           CAST(len(sl) AS INT) AS n_tokens,
+           md5(array_to_string(sl, ' ')) AS chunk_hash
+    FROM ch WHERE length(array_to_string(sl, ' ')) > 0
+    """,
+)
+def x21_doc_chunking(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window document chunking (size 32, stride 24 → 8-token
+    overlap) — the retrieval/packing prep every RAG or long-context
+    pipeline runs before embedding. Entirely map-side array math: one
+    ``sequence`` of chunk starts per doc, ``transform``+``slice`` to cut
+    windows, one explode — no shuffle at all, so it streams at scan speed
+    over 100 TB. The content hash pins every chunk's exact text under the
+    value gate without shipping raw text."""
+    from .operators.dedup import normalized_text
+
+    C, S = 32, 24
+    docs = _t(spark, sf, "documents")
+    toks = F.split(normalized_text("text"), " ")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(S))
+    chunk = F.explode(starts).alias("s")
+    out = docs.select("doc_id", toks.alias("_toks"), chunk).select(
+        "doc_id",
+        (((F.col("s") - 1) / S).cast("int")).alias("chunk_id"),
+        F.slice("_toks", F.col("s"), F.lit(C)).alias("_sl"),
+    )
+    txt = F.concat_ws(" ", F.col("_sl"))
+    return (
+        out.filter(F.length(txt) > 0)
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("_sl").alias("n_tokens"),
+            F.md5(txt).alias("chunk_hash"),
+        )
+    )
+
+
+@query(
+    "x22_token_entropy",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+    ), tok AS (
+      SELECT doc_id, t.tok FROM norm, unnest(toks) t(tok) WHERE t.tok <> ''
+    ), counts AS (
+      SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+    FROM counts GROUP BY doc_id
+    """,
+)
+def x22_token_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-distribution Shannon entropy per document — the repetition/
+    boilerplate quality signal (template docs score low, natural prose
+    high). Computed as ln(n) − Σc·ln(c)/n so the only shuffle is the
+    (doc_id, token) count (combiner-friendly) plus the per-doc fold; the
+    algebra keeps one log per DISTINCT token instead of per occurrence.
+    Rounded to 6 dp to absorb float-summation order across engines."""
+    from .operators.dedup import normalized_text
+
+    docs = _t(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(normalized_text("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.round(
+            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 6
+        ).alias("entropy"),
     )
 
 
