@@ -91,6 +91,9 @@ EXTRA = [
     "x15_corpus_diff",
     "x19_sequence_packing",
     "j9_banded_range_self_join",
+    "d8_chain_components",
+    "x21_doc_chunking",
+    "x22_token_entropy",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))
