@@ -44,6 +44,7 @@ class CompactResult:
     skipped_chunks: list[tuple[int, int, str]] = field(default_factory=list)
     written: list[str] = field(default_factory=list)
     deleted: list[str] = field(default_factory=list)
+    snapshot_version: int | None = None
 
 
 def _gate(
@@ -144,6 +145,7 @@ def compact(
     dry_run: bool = False,
     block_json_schema=None,
     tx_list_field: str = "transactions",
+    snapshot: bool = False,
 ) -> CompactResult:
     from ..sources.avro_io import read_archive_data
 
@@ -328,6 +330,31 @@ def compact(
                     continue
                 to_delete.extend(sources.get((s, kind), []))
             result.compacted_chunks.append((s, e))
+    if snapshot:
+        # transactional commit (T5 upgrade): the consumed singles leave the
+        # ARCHIVE atomically — one manifest swap replaces them with the new
+        # range files — but stay on DISK until vacuum's retention window
+        # expires, so readers pinned to an older snapshot keep working.
+        from ..sources import snapshots as SNAP
+        from ..sources.archive import list_archive_files
+
+        cur = SNAP.load_snapshot(base)
+        if cur is None:
+            # first snapshot: adopt the full pre-compact listing as v1 so
+            # the merge has a base (metadata-scale walk)
+            pre = sorted(set(list_archive_files(base)) - {
+                os.path.relpath(p, base) for p in result.written
+            })
+            cur = SNAP.publish_snapshot(base, pre, note="adopt pre-compact")
+        snap = SNAP.merge_replace(
+            base,
+            remove=sorted(set(to_delete) & set(cur.files)),
+            add=sorted(os.path.relpath(p, base) for p in result.written),
+            note=f"compact {rng.start}..{rng.end}",
+            base=cur,
+        )
+        result.snapshot_version = snap.version
+        return result
     res = delete_files(base, sorted(to_delete), dry_run=dry_run)
     result.deleted.extend(res.deleted)
     return result

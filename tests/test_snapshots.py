@@ -141,3 +141,49 @@ def test_concurrent_publishers_get_distinct_versions(spark, forked_archive):
     # both manifests independently loadable (time travel)
     assert set(S.load_snapshot(root, a.version).files) == {base, loser}
     assert set(S.load_snapshot(root, b.version).files) == {base, winner}
+
+
+def test_compact_snapshot_mode_is_transactional(spark, tmp_path):
+    """compact(snapshot=True): singles leave the archive by ONE manifest
+    swap; a reader pinned pre-compact still scans them (files stay on disk
+    until vacuum); the new snapshot reads the compacted ranges only."""
+    from dshackle_archive_spark.core import DataKind, Range
+    from dshackle_archive_spark.plans.archive_plan import archive_single_blocks
+    from dshackle_archive_spark.plans.compact_plan import compact
+    from dshackle_archive_spark.sources.fetcher import FetchPolicy
+    from dshackle_archive_spark.sources.mock_chain import MockChain
+
+    chain = MockChain(head_height=10_000)
+    policy = FetchPolicy(parallel=4)
+    root = str(tmp_path)
+    base = os.path.join(root, "eth")
+    archive_single_blocks(
+        spark, chain, root, Range(100, 199),
+        tables=(DataKind.BLOCKS,), policy=policy,
+    )
+
+    res = compact(
+        spark, root, "ETH", Range(100, 199),
+        tables=(DataKind.BLOCKS,), chunk=100, snapshot=True,
+    )
+    assert res.compacted_chunks == [(100, 199)]
+    assert res.snapshot_version is not None and res.deleted == []
+
+    cur = S.load_snapshot(base)
+    assert cur.version == res.snapshot_version
+    # new snapshot: exactly the range file(s), no singles
+    assert all("range-" in f for f in cur.files), cur.files
+    new_view = S.read_snapshot(spark, cur)
+    assert new_view.select("height").distinct().count() == 100
+
+    # the pre-compact snapshot (v1, adopted) still reads the singles —
+    # they were NOT physically deleted
+    pre = S.load_snapshot(base, cur.parent)
+    assert all("range-" not in f for f in pre.files)
+    old_view = S.read_snapshot(spark, pre)
+    assert old_view.select("height").distinct().count() == 100
+
+    # vacuum with keep_last=1 drops the singles from disk
+    removed = S.vacuum(base, keep_last=1)
+    assert len(removed) == 100
+    assert S.read_snapshot(spark, S.load_snapshot(base)).count() == new_view.count()
