@@ -106,6 +106,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--parallel", type=int, default=16, help="API rate cap (1-512)")
     p.add_argument("--dry-run", action="store_true")
     p.add_argument("--fix-clean", action="store_true", help="verify: delete incomplete groups")
+    p.add_argument("--snapshot", action="store_true",
+                   help="verify/compact: commit prunes/rewrites as ONE atomic "
+                        "manifest swap (sources/snapshots.py) instead of "
+                        "physical deletes; old files stay until vacuum")
     p.add_argument("--continue", dest="continue_", action="store_true",
                    help="stream: backfill the previous 100 blocks first")
     p.add_argument("--follow", choices=["latest", "finalized"], default="latest")
@@ -212,10 +216,11 @@ def main(argv: list[str] | None = None) -> int:
 
         rng = _scope(args, provider)
         rep = verify(spark, provider, args.dir, rng, tables=tables,
-                     fix_clean=args.fix_clean, dry_run=args.dry_run)
+                     fix_clean=args.fix_clean, dry_run=args.dry_run,
+                     snapshot=args.snapshot)
         out = {"command": "verify", "range": str(rng), "groups": rep.groups_total,
                "ok": rep.groups_ok, "failures": rep.failures, "deleted": rep.deleted,
-               "dry_run": rep.dry_run}
+               "dry_run": rep.dry_run, "snapshot_version": rep.snapshot_version}
     elif args.command == "compact":
         from .plans.compact_plan import compact
 
@@ -223,10 +228,12 @@ def main(argv: list[str] | None = None) -> int:
         res = compact(spark, args.dir, provider.blockchain_id, rng, tables=tables,
                       chunk=args.chunk, dry_run=args.dry_run,
                       block_json_schema=provider.block_json_schema,
-                      tx_list_field=getattr(provider, "tx_list_field", "transactions"))
+                      tx_list_field=getattr(provider, "tx_list_field", "transactions"),
+                      snapshot=args.snapshot)
         out = {"command": "compact", "range": str(rng),
                "compacted": res.compacted_chunks, "skipped": res.skipped_chunks,
-               "deleted_sources": len(res.deleted)}
+               "deleted_sources": len(res.deleted),
+               "snapshot_version": res.snapshot_version}
     else:  # stream
         from .streaming.stream_plan import run_stream
 

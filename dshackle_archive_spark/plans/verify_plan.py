@@ -41,6 +41,7 @@ class VerifyReport:
     failures: list[dict] = field(default_factory=list)  # per failing group
     deleted: list[str] = field(default_factory=list)
     dry_run: bool = False
+    snapshot_version: int | None = None
 
 
 def _payload_invalid(col: str) -> F.Column:
@@ -162,6 +163,7 @@ def verify(
     tables: tuple[DataKind, ...] = (DataKind.BLOCKS, DataKind.TRANSACTIONS),
     fix_clean: bool = False,
     dry_run: bool = False,
+    snapshot: bool = False,
 ) -> VerifyReport:
     blockchain = provider.blockchain_id
     base = os.path.join(root, blockchain.lower())
@@ -464,8 +466,34 @@ def verify(
             failed_group_keys.add((r["start"], r["end"]))
 
     report.groups_ok = report.groups_total - len(failed_group_keys)
-    res = delete_files(base, sorted(to_delete), dry_run=dry_run)
-    report.deleted = res.deleted
+    if snapshot and not dry_run:
+        # fork MERGE (T5 transactional upgrade): every pruned file — fork
+        # losers, duplicates, overlap losers — leaves the archive in ONE
+        # manifest swap; a reader pinned mid-query keeps a consistent chain.
+        # Files stay on disk for older pins until vacuum.
+        from ..sources import snapshots as SNAP
+        from ..sources.archive import list_archive_files
+
+        cur = SNAP.load_snapshot(base)
+        if cur is None:
+            cur = SNAP.publish_snapshot(
+                base, sorted(list_archive_files(base)), note="adopt pre-verify"
+            )
+        if to_delete:
+            snap = SNAP.merge_replace(
+                base,
+                remove=sorted(set(to_delete) & set(cur.files)),
+                add=[],
+                note=f"verify prune {rng.start}..{rng.end}",
+                base=cur,
+            )
+            report.snapshot_version = snap.version
+        else:
+            report.snapshot_version = cur.version
+        report.deleted = sorted(to_delete)
+    else:
+        res = delete_files(base, sorted(to_delete), dry_run=dry_run)
+        report.deleted = res.deleted
     inv.unpersist()
     surviving_inv.unpersist()
     if bdf is not None:

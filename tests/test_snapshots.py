@@ -187,3 +187,49 @@ def test_compact_snapshot_mode_is_transactional(spark, tmp_path):
     removed = S.vacuum(base, keep_last=1)
     assert len(removed) == 100
     assert S.read_snapshot(spark, S.load_snapshot(base)).count() == new_view.count()
+
+
+def test_verify_snapshot_mode_fork_merge(spark, tmp_path):
+    """verify(snapshot=True) on a forked archive: the loser's file leaves
+    the archive by one manifest swap; a reader pinned before verification
+    still sees both fork versions (its snapshot's files are untouched on
+    disk), the new snapshot reads a clean single chain."""
+    from dshackle_archive_spark.core import DataKind, Range
+    from dshackle_archive_spark.plans.archive_plan import archive_single_blocks
+    from dshackle_archive_spark.plans.verify_plan import verify
+    from dshackle_archive_spark.sources.fetcher import FetchPolicy
+    from dshackle_archive_spark.sources.mock_chain import MockChain
+
+    fork_chain = MockChain(head_height=10_000, fork_at=frozenset({105}))
+    live_chain = MockChain(head_height=10_000)
+    policy = FetchPolicy(parallel=4)
+    root = str(tmp_path)
+    base = os.path.join(root, "eth")
+    # fork-tolerant single-block files: height 105 lands twice (both hashes)
+    archive_single_blocks(
+        spark, fork_chain, root, Range(100, 109),
+        tables=(DataKind.BLOCKS,), policy=policy, forks=True,
+    )
+    import glob
+
+    all_files = sorted(
+        os.path.relpath(p, base)
+        for p in glob.glob(os.path.join(base, "**", "*.parquet"), recursive=True)
+    )
+    assert len(all_files) == 11  # 10 heights + 1 fork twin at 105
+    pre = S.publish_snapshot(base, all_files, note="pre-verify with fork twin")
+
+    rep = verify(
+        spark, live_chain, root, Range(100, 109),
+        tables=(DataKind.BLOCKS,), snapshot=True,
+    )
+    assert rep.snapshot_version == pre.version + 1
+    assert len(rep.deleted) == 1  # exactly the fork loser
+    loser_rel = rep.deleted[0]
+    # loser file still on disk (older pin valid), but out of the archive
+    assert os.path.exists(os.path.join(base, loser_rel))
+    cur = S.load_snapshot(base)
+    assert loser_rel not in cur.files
+    assert len(cur.files) == len(pre.files) - 1
+    # the winning 105 file is still in the new snapshot
+    assert sum(1 for f in cur.files if "000000105" in f) == 1
