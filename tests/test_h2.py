@@ -210,3 +210,41 @@ def test_rst_stream_surfaces():
     assert ("rst", 8) in events
     for h in (fa, fb, sa, sb):
         h.close()
+
+
+def test_hpack_property_roundtrip():
+    """Any header list roundtrips through paired encoder/decoder contexts,
+    including repeated blocks exercising the dynamic table."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    name_st = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz-:0123456789", min_size=1, max_size=24
+    )
+    value_st = st.text(min_size=0, max_size=48).filter(
+        lambda s: all(ord(c) < 0x110000 for c in s)
+    )
+    headers_st = st.lists(st.tuples(name_st, value_st), min_size=0, max_size=12)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(headers_st, min_size=1, max_size=4))
+    def check(blocks):
+        enc, dec = H.HpackCodec(), H.HpackCodec()
+        for hdrs in blocks:
+            assert dec.decode(enc.encode(hdrs)) == hdrs
+
+    check()
+
+
+def test_hpack_integer_property_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(0, 2**40), st.integers(1, 8))
+    def check(value, prefix):
+        data = H.encode_int(value, prefix)
+        got, used = H.decode_int(data, 0, prefix)
+        assert got == value and used == len(data)
+
+    check()

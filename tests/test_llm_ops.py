@@ -595,3 +595,31 @@ def test_token_entropy_extremes(spark):
     assert ent[1] == 0.0
     assert abs(ent[2] - round(math.log(4), 6)) < 1e-9
     assert ent[1] < ent[3] < ent[2]
+
+
+def test_star_cc_random_graphs_match_label_propagation(spark):
+    """Property check: on random edge lists (including self-loops, dup
+    edges, isolated nodes), star contraction and min-label propagation
+    compute identical components. Seeds fixed for reproducibility; graphs
+    kept small because each check runs two iterative Spark jobs."""
+    import random
+
+    from dshackle_archive_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(20260814)
+    for _trial in range(4):
+        n = rng.randint(5, 25)
+        m = rng.randint(0, 30)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        pairs = spark.createDataFrame(
+            edges or [(0, 0)], "doc_a long, doc_b long"
+        )
+        base = {r["doc_id"]: r["cluster"]
+                for r in connected_components(pairs, nodes=nodes).collect()}
+        star_df, _ = connected_components_star(pairs, nodes=nodes)
+        star = {r["doc_id"]: r["cluster"] for r in star_df.collect()}
+        assert star == base, (n, sorted(edges))
