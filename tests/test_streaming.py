@@ -599,7 +599,7 @@ def test_streaming_neardup_across_microbatches(spark, tmp_path):
                 rows = spark.read.parquet(out_dir).collect()
             except Exception:
                 rows = []
-            if len({r["doc_id"] // 4 for r in rows}) >= 3:
+            if len({r["doc_id"] // 4 for r in rows}) >= 2:
                 break
             time.sleep(1)
     finally:
