@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -97,7 +98,8 @@ def _scope(args, provider) -> Range:
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="dshackle-archive-spark")
     p.add_argument("command",
-                   choices=["archive", "stream", "compact", "fix", "verify", "curate"])
+                   choices=["archive", "stream", "compact", "fix", "verify", "curate",
+                            "vacuum"])
     p.add_argument("--dir", default=None, help="archive root directory")
     p.add_argument("--range", help="block range N..M (or single N)")
     p.add_argument("--tail", type=int, help="operate on the last N blocks")
@@ -110,6 +112,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="verify/compact: commit prunes/rewrites as ONE atomic "
                         "manifest swap (sources/snapshots.py) instead of "
                         "physical deletes; old files stay until vacuum")
+    p.add_argument("--keep-last", type=int, default=2,
+                   help="vacuum: retain the newest N snapshots (default 2)")
     p.add_argument("--continue", dest="continue_", action="store_true",
                    help="stream: backfill the previous 100 blocks first")
     p.add_argument("--follow", choices=["latest", "finalized"], default="latest")
@@ -146,6 +150,19 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit("curate requires --input")
     elif not args.dir:
         raise SystemExit("--dir is required")
+
+    if args.command == "vacuum":
+        # snapshot retention GC: no Spark session needed (pure metadata)
+        from .sources import snapshots as SNAP
+
+        chain = (args.chain or "eth").lower()
+        base = os.path.join(args.dir, chain)
+        removed = SNAP.vacuum(base, keep_last=args.keep_last, dry_run=args.dry_run)
+        print(json.dumps({"command": "vacuum", "base": base,
+                          "keep_last": args.keep_last, "dry_run": args.dry_run,
+                          "removed": removed,
+                          "current": SNAP.current_version(base)}))
+        return 0
 
     registry = None
     if args.metrics:

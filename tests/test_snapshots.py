@@ -233,3 +233,32 @@ def test_verify_snapshot_mode_fork_merge(spark, tmp_path):
     assert len(cur.files) == len(pre.files) - 1
     # the winning 105 file is still in the new snapshot
     assert sum(1 for f in cur.files if "000000105" in f) == 1
+
+
+def test_cli_vacuum_command(spark, tmp_path, capsys):
+    """CLI lifecycle: compact --snapshot then vacuum --keep-last 1 removes
+    the consumed singles and reports the surviving version."""
+    import json as J
+
+    from dshackle_archive_spark import cli
+    from dshackle_archive_spark.core import DataKind, Range
+    from dshackle_archive_spark.plans.archive_plan import archive_single_blocks
+    from dshackle_archive_spark.plans.compact_plan import compact
+    from dshackle_archive_spark.sources.fetcher import FetchPolicy
+    from dshackle_archive_spark.sources.mock_chain import MockChain
+
+    chain = MockChain(head_height=10_000)
+    root = str(tmp_path)
+    archive_single_blocks(
+        spark, chain, root, Range(100, 199),
+        tables=(DataKind.BLOCKS,), policy=FetchPolicy(parallel=4),
+    )
+    res = compact(spark, root, "ETH", Range(100, 199),
+                  tables=(DataKind.BLOCKS,), chunk=100, snapshot=True)
+    assert res.snapshot_version is not None
+
+    rc = cli.main(["vacuum", "--dir", root, "--chain", "ETH", "--keep-last", "1"])
+    assert rc == 0
+    out = J.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["command"] == "vacuum" and len(out["removed"]) == 100
+    assert out["current"] == res.snapshot_version
