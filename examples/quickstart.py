@@ -52,5 +52,19 @@ with tempfile.TemporaryDirectory() as root:
                      tables=BT, chunk=500)
     print(f"[compact] chunks={cp.compacted_chunks} skipped={len(cp.skipped_chunks)}")
 
+    # 6. transactional variant: compact commits as ONE manifest swap;
+    #    consumed singles stay on disk for pinned readers until vacuum
+    from dshackle_archive_spark.sources import snapshots as snap
+
+    lo = (st.archived_heights[0] // 500 + 1) * 500
+    cp2 = das.compact(spark, root, "ETH", das.Range(lo, lo + 499),
+                      tables=BT, chunk=500, snapshot=True)
+    base = os.path.join(root, "eth")
+    cur = snap.load_snapshot(base)
+    if cur is not None:
+        print(f"[snapshot] v{cur.version}: {len(cur.files)} files; "
+              f"vacuum(dry) would remove "
+              f"{len(snap.vacuum(base, keep_last=1, dry_run=True))}")
+
 spark.stop()
 print("done")
