@@ -225,9 +225,10 @@ def main(argv: list[str] | None = None) -> int:
 
         rng = _scope(args, provider)
         res = fix(spark, provider, args.dir, rng, tables=tables, chunk=args.chunk,
-                  policy=policy, dry_run=args.dry_run)
+                  policy=policy, dry_run=args.dry_run, snapshot=args.snapshot)
         out = {"command": "fix", "range": str(rng), "missing": res.missing,
-               "archived_runs": len(res.archived)}
+               "archived_runs": len(res.archived),
+               "snapshot_version": res.snapshot_version}
     elif args.command == "verify":
         from .plans.verify_plan import verify
 

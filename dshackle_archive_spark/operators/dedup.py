@@ -402,10 +402,10 @@ def connected_components_star(
         )
         rounds += 1
         new_n = small.count()
-        changed = (
-            new_n != n_edges
-            or small.exceptAll(edges).limit(1).count() > 0
-        )
+        # the exceptAll diff (a join-shaped job) only runs when the cheap
+        # count probe is inconclusive — most non-final rounds change the
+        # edge count, so the expensive probe fires ~once per run
+        changed = new_n != n_edges or small.exceptAll(edges).limit(1).count() > 0
         edges, n_edges = small, new_n
         if not changed:
             break

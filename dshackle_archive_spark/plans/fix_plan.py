@@ -30,6 +30,7 @@ from .archive_plan import ArchiveResult
 class FixResult:
     missing: list[tuple[str, int, int]]
     archived: list[ArchiveResult] = field(default_factory=list)
+    snapshot_version: int | None = None
 
 
 def fix(
@@ -41,6 +42,7 @@ def fix(
     chunk: int = 1000,
     policy: FetchPolicy = FetchPolicy(),
     dry_run: bool = False,
+    snapshot: bool = False,
 ) -> FixResult:
     inv = inventory_df(spark, root, provider.blockchain_id)
     kinds = tuple(k.value for k in tables)
@@ -85,4 +87,27 @@ def fix(
                     files=[r["location"] for r in rows if not r["skipped"]],
                 )
             )
-    return FixResult(missing=work, archived=results)
+    out = FixResult(missing=work, archived=results)
+    if snapshot and not dry_run:
+        # add-only manifest commit: the repaired files join the archive in
+        # one swap, so a reader re-pinning mid-fix sees either the gap or
+        # the full repair — never a partially restored kind
+        import os
+
+        from ..sources import snapshots as SNAP
+        from ..sources.archive import list_archive_files
+
+        base = os.path.join(root, provider.blockchain_id.lower())
+        cur = SNAP.load_snapshot(base)
+        new_files = sorted(
+            os.path.relpath(f, base) for r in results for f in r.files
+        )
+        if cur is None:
+            pre = sorted(set(list_archive_files(base)) - set(new_files))
+            cur = SNAP.publish_snapshot(base, pre, note="adopt pre-fix")
+        snap = SNAP.merge_replace(
+            base, remove=[], add=new_files,
+            note=f"fix {rng.start}..{rng.end}", base=cur,
+        )
+        out.snapshot_version = snap.version
+    return out

@@ -262,3 +262,38 @@ def test_cli_vacuum_command(spark, tmp_path, capsys):
     out = J.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["command"] == "vacuum" and len(out["removed"]) == 100
     assert out["current"] == res.snapshot_version
+
+
+def test_fix_snapshot_mode_add_only_merge(spark, tmp_path):
+    """fix(snapshot=True): repaired files join the archive in one add-only
+    manifest commit; the pre-fix snapshot still describes the gappy view."""
+    from dshackle_archive_spark.core import DataKind, Range
+    from dshackle_archive_spark.plans.archive_plan import archive
+    from dshackle_archive_spark.plans.fix_plan import fix
+    from dshackle_archive_spark.sources.archive import delete_files
+    from dshackle_archive_spark.sources.fetcher import FetchPolicy
+    from dshackle_archive_spark.sources.mock_chain import MockChain
+
+    chain = MockChain(head_height=10_000)
+    policy = FetchPolicy(parallel=4)
+    root = str(tmp_path)
+    base = os.path.join(root, "eth")
+    archive(spark, chain, root, Range(100, 299),
+            tables=(DataKind.BLOCKS, DataKind.TRANSACTIONS), chunk=100,
+            policy=policy)
+    # knock out one txes file -> a gap
+    victim = "000000000/range-000000200_000000299.txes.parquet"
+    delete_files(base, [victim])
+
+    res = fix(spark, chain, root, Range(100, 299),
+              tables=(DataKind.BLOCKS, DataKind.TRANSACTIONS), chunk=100,
+              policy=policy, snapshot=True)
+    assert res.missing == [("transactions", 200, 299)]
+    assert res.snapshot_version is not None
+
+    cur = S.load_snapshot(base)
+    assert cur.version == res.snapshot_version
+    assert victim in cur.files  # repaired file is in the new snapshot
+    pre = S.load_snapshot(base, cur.parent)
+    assert victim not in pre.files  # adopted pre-fix view has the gap
+    assert set(cur.files) - set(pre.files) == {victim}
