@@ -179,6 +179,38 @@ def stream_notifications(
             .queryName(query_name)
             .start()
         )
+    if fmt == "kafka-wire":
+        bootstrap, topic = options["bootstrap"], options["topic"]
+        return (
+            vdf.writeStream.foreachBatch(
+                lambda df, _bid: df.rdd.mapPartitionsWithIndex(
+                    lambda idx, rows: (
+                        _produce_partition_kafka(bootstrap, topic, idx, rows)
+                        or iter(())
+                    )
+                ).count()
+                and None
+            )
+            .option("checkpointLocation", checkpoint_dir)
+            .queryName(query_name)
+            .start()
+        )
+    if fmt == "pulsar-wire":
+        service_url, topic = options["service_url"], options["topic"]
+        return (
+            vdf.writeStream.foreachBatch(
+                lambda df, _bid: df.rdd.mapPartitionsWithIndex(
+                    lambda idx, rows: (
+                        _produce_partition_pulsar(service_url, topic, idx, rows)
+                        or iter(())
+                    )
+                ).count()
+                and None
+            )
+            .option("checkpointLocation", checkpoint_dir)
+            .queryName(query_name)
+            .start()
+        )
     return (
         vdf.writeStream.format(fmt)
         .options(**options)

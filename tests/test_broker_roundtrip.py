@@ -264,3 +264,47 @@ def test_pulsar_wire_producer_api():
         assert [v for _e, v in srv.topics[("t")]] == [b"m1", b"m2", b"m3"]
     finally:
         srv.shutdown()
+
+
+def test_streaming_kafka_wire_roundtrip(spark, tmp_path):
+    """Checkpointed streaming delivery to the Kafka wire-protocol broker:
+    micro-batch payloads land byte-equal with dense offsets."""
+    import time as _time
+
+    from dshackle_archive_spark.sources import ref_layout
+    from dshackle_archive_spark.sources.notify import stream_notifications
+    from stub_kafka import start_kafka_stub
+
+    bootstrap, srv = start_kafka_stub()
+    try:
+        res = archive(spark, CHAIN, str(tmp_path), Range(100, 199), tables=BT,
+                      chunk=100, policy=POLICY, run="archive")
+        wr = _wr(res)
+        expected = sorted(r["value"] for r in notification_json_df(wr).collect())
+        wr.write.parquet(str(tmp_path / "wr"))
+
+        src = (
+            spark.readStream.schema(ref_layout.WRITE_RESULT_SCHEMA)
+            .parquet(str(tmp_path / "wr"))
+        )
+        q = stream_notifications(
+            src, "kafka-wire", str(tmp_path / "_ckpt_kw"),
+            bootstrap=bootstrap, topic="stream-notif",
+        )
+        try:
+            deadline = _time.time() + 30
+            while _time.time() < deadline:
+                got = sorted(
+                    v.decode()
+                    for (t, _p), entries in srv.log.items()
+                    for (_o, v) in entries
+                    if t == "stream-notif"
+                )
+                if len(got) >= len(expected):
+                    break
+                _time.sleep(0.3)
+        finally:
+            q.stop()
+        assert got == expected
+    finally:
+        srv.shutdown()
