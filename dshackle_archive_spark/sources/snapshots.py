@@ -148,15 +148,89 @@ def publish_snapshot(
 
 
 def read_snapshot(
-    spark: SparkSession, snap: Snapshot, fmt: str = "parquet"
+    spark: SparkSession,
+    snap: Snapshot,
+    fmt: str = "parquet",
+    where: tuple[str, int, int] | None = None,
 ) -> DataFrame:
     """Scan exactly the pinned snapshot's files — an explicit file list, so
     a concurrent manifest swap (fork correction, compaction) cannot change
-    what this reader sees mid-query."""
+    what this reader sees mid-query.
+
+    ``where=(col, lo, hi)`` enables MANIFEST-LEVEL file skipping: files
+    whose recorded [min, max] for ``col`` (see ``file_stats`` /
+    ``publish_snapshot(extra={"stats": …})``) don't intersect [lo, hi] are
+    dropped from the scan before Spark ever opens them. This is the
+    Iceberg min/max-pruning play: at 10⁸ files the manifest filter is a
+    driver-side list comprehension, and the cluster touches only matching
+    files — directory layout no longer has to encode the partitioning.
+    Files with no recorded stats are conservatively kept. A residual
+    row-level filter is still applied (stats prune files, not rows).
+    """
     paths = snap.paths()
+    if where is not None:
+        col, lo, hi = where
+        stats: dict = snap.extra.get("stats", {})
+        kept = []
+        for f in snap.files:
+            s = stats.get(f, {}).get(col)
+            if s is None or (s[1] >= lo and s[0] <= hi):
+                kept.append(os.path.join(snap.root, f))
+        paths = kept
     if not paths:
-        raise ValueError(f"snapshot v{snap.version} of {snap.root} lists no files")
-    return spark.read.format(fmt).load(paths)
+        raise ValueError(
+            f"snapshot v{snap.version} of {snap.root}: no files"
+            + (f" match {where}" if where else " listed")
+        )
+    df = spark.read.format(fmt).load(paths)
+    if where is not None:
+        col, lo, hi = where
+        df = df.filter((df[col] >= lo) & (df[col] <= hi))
+    return df
+
+
+def file_stats(
+    spark: SparkSession, root: str, files: list[str], cols: list[str],
+    fmt: str = "parquet",
+) -> dict:
+    """Per-file [min, max] for ``cols`` → the ``stats`` mapping
+    ``publish_snapshot(extra={"stats": …})`` expects. ONE distributed job
+    over all files (input_file_name groupBy), not a job per file."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.format(fmt).load([os.path.join(root, f) for f in files])
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+    rows = (
+        df.withColumn("_f", F.input_file_name())
+        .groupBy("_f")
+        .agg(*aggs)
+        .collect()
+    )
+    prefix = "file:" + os.path.abspath(root).rstrip("/") + "/"
+    out: dict = {}
+    for r in rows:
+        p = r["_f"]
+        for pre in (prefix, "file://" + os.path.abspath(root).rstrip("/") + "/"):
+            if p.startswith(pre):
+                p = p[len(pre):]
+                break
+        # Spark lists the leaf parquet part-file; map back to the manifest's
+        # file entry (which may be the directory containing it)
+        rel = p
+        for f in files:
+            if rel == f or rel.startswith(f.rstrip("/") + "/"):
+                rel = f
+                break
+        ent = out.setdefault(rel, {})
+        for c in cols:
+            mn, mx = r[f"_mn_{c}"], r[f"_mx_{c}"]
+            if c in ent:
+                ent[c] = [min(ent[c][0], mn), max(ent[c][1], mx)]
+            else:
+                ent[c] = [mn, mx]
+    return out
 
 
 def merge_replace(

@@ -297,3 +297,37 @@ def test_fix_snapshot_mode_add_only_merge(spark, tmp_path):
     pre = S.load_snapshot(base, cur.parent)
     assert victim not in pre.files  # adopted pre-fix view has the gap
     assert set(cur.files) - set(pre.files) == {victim}
+
+
+def test_manifest_stat_pruning_skips_files(spark, tmp_path):
+    """Iceberg-style min/max skipping: a height-bounded read through the
+    manifest opens ONLY the files whose recorded range intersects — checked
+    via inputFiles(), not just row results."""
+    root = str(tmp_path / "stats_arch")
+    files = []
+    for i in range(8):
+        rel = f"part_{i}.parquet"
+        spark.range(i * 100, (i + 1) * 100).selectExpr(
+            "id AS height", "concat('h', id) AS hash", "'' AS parent_hash"
+        ).coalesce(1).write.parquet(os.path.join(root, rel))
+        files.append(rel)
+    stats = S.file_stats(spark, root, files, ["height"])
+    assert stats[files[3]]["height"] == [300, 399]
+    snap = S.publish_snapshot(root, files, extra={"stats": stats})
+
+    pinned = S.load_snapshot(root)
+    pruned = S.read_snapshot(spark, pinned, where=("height", 250, 449))
+    opened = {p for p in pruned.inputFiles()}
+    # exactly 3 of 8 files intersect [250, 449]
+    assert len(opened) == 3, opened
+    assert all(any(f"part_{i}.parquet" in p for p in opened) for i in (2, 3, 4))
+    # residual row filter still applies inside the boundary files
+    assert pruned.count() == 200
+    assert pruned.agg({"height": "min"}).first()[0] == 250
+
+    # files without stats are conservatively scanned
+    nostats = S.publish_snapshot(root, files, extra={})
+    full = S.read_snapshot(spark, S.load_snapshot(root, nostats.version),
+                           where=("height", 250, 449))
+    assert len(set(full.inputFiles())) == 8
+    assert full.count() == 200
