@@ -346,12 +346,18 @@ def compact(
                 os.path.relpath(p, base) for p in result.written
             })
             cur = SNAP.publish_snapshot(base, pre, note="adopt pre-compact")
+        added = sorted(os.path.relpath(p, base) for p in result.written)
         snap = SNAP.merge_replace(
             base,
             remove=sorted(set(to_delete) & set(cur.files)),
-            add=sorted(os.path.relpath(p, base) for p in result.written),
+            add=added,
             note=f"compact {rng.start}..{rng.end}",
             base=cur,
+            # keep the manifest's min/max skipping index current: one
+            # distributed stats job over just the new range files
+            add_stats=(
+                SNAP.file_stats(spark, base, added, ["height"]) if added else None
+            ),
         )
         result.snapshot_version = snap.version
         return result

@@ -239,6 +239,7 @@ def merge_replace(
     add: list[str],
     note: str = "",
     base: Snapshot | None = None,
+    add_stats: dict | None = None,
 ) -> Snapshot:
     """MERGE-style commit: next snapshot = base − ``remove`` + ``add``.
 
@@ -249,6 +250,10 @@ def merge_replace(
     winning fork together. Compaction (N singles → one range file) is the
     same call. ``base`` defaults to the current snapshot; pass an explicit
     one for optimistic validation against concurrent publishes.
+
+    The base's manifest stats (min/max pruning metadata) carry forward:
+    removed files drop out, ``add_stats`` (from ``file_stats``) merges in —
+    so every workflow commit keeps the file-skipping index current.
     """
     cur = base if base is not None else load_snapshot(root)
     if cur is None:
@@ -258,7 +263,13 @@ def merge_replace(
         raise ValueError(f"merge removes files not in snapshot v{cur.version}: "
                          f"{sorted(missing)[:5]}")
     files = sorted((set(cur.files) - set(remove)) | set(add))
-    return publish_snapshot(root, files, parent=cur.version, note=note)
+    extra = dict(cur.extra)
+    stats = {f: s for f, s in extra.get("stats", {}).items() if f not in set(remove)}
+    if add_stats:
+        stats.update(add_stats)
+    if stats:
+        extra["stats"] = stats
+    return publish_snapshot(root, files, parent=cur.version, note=note, extra=extra)
 
 
 def vacuum(root: str, keep_last: int = 2, dry_run: bool = False) -> list[str]:

@@ -331,3 +331,31 @@ def test_manifest_stat_pruning_skips_files(spark, tmp_path):
                            where=("height", 250, 449))
     assert len(set(full.inputFiles())) == 8
     assert full.count() == 200
+
+
+def test_compact_snapshot_carries_pruning_stats(spark, tmp_path):
+    """compact --snapshot keeps the manifest's min/max index current: a
+    bounded read through the post-compact snapshot opens only the range
+    file that covers the window."""
+    from dshackle_archive_spark.core import DataKind, Range
+    from dshackle_archive_spark.plans.archive_plan import archive_single_blocks
+    from dshackle_archive_spark.plans.compact_plan import compact
+    from dshackle_archive_spark.sources.fetcher import FetchPolicy
+    from dshackle_archive_spark.sources.mock_chain import MockChain
+
+    chain = MockChain(head_height=10_000)
+    root = str(tmp_path)
+    base = os.path.join(root, "eth")
+    archive_single_blocks(
+        spark, chain, root, Range(100, 299),
+        tables=(DataKind.BLOCKS,), policy=FetchPolicy(parallel=4),
+    )
+    res = compact(spark, root, "ETH", Range(100, 299),
+                  tables=(DataKind.BLOCKS,), chunk=100, snapshot=True)
+    assert len(res.compacted_chunks) == 2
+    cur = S.load_snapshot(base)
+    stats = cur.extra.get("stats", {})
+    assert len(stats) == 2 and all("height" in v for v in stats.values())
+    view = S.read_snapshot(spark, cur, where=("height", 120, 140))
+    assert len(set(view.inputFiles())) == 1  # only the 100-199 range file
+    assert view.count() == 21
