@@ -202,6 +202,52 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    doc_tokens: DataFrame,
+    threshold: float = 0.5,
+    token_col: str = "token",
+    max_token_df: int | None = 1000,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: shingle-set containment |A∩B| / |A| per ordered
+    candidate pair — the sub-document duplication detector (a short doc
+    whose content lives inside a long one scores containment ≈ 1 while its
+    Jaccard ≈ |A|/|B| stays low, so symmetric dedup never sees it; this is
+    the standard quote/boilerplate/excerpt sweep in corpus curation).
+
+    Same posting-list shape and ``max_token_df`` cap as ``jaccard_pairs``
+    (sub-quadratic candidate join, no cartesian); keeps (doc_a < doc_b)
+    pairs where EITHER direction's containment clears ``threshold`` and
+    reports both directions."""
+    toks = doc_tokens.select("doc_id", F.col(token_col).alias("token"))
+    if max_token_df is not None:
+        rare = (
+            toks.groupBy("token").agg(F.count("*").alias("df")).filter(F.col("df") <= max_token_df)
+        )
+        toks = toks.join(rare.select("token"), "token", "left_semi")
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tokens").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tokens").alias("n_b"))
+    ca = F.col("n_inter") / F.col("n_a")
+    cb = F.col("n_inter") / F.col("n_b")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.greatest(ca, cb) >= threshold)
+        .select(
+            "doc_a", "doc_b", "n_inter", "n_a", "n_b",
+            F.round(ca, 6).alias("containment_a"),
+            F.round(cb, 6).alias("containment_b"),
+        )
+    )
+
+
 def simhash64(doc_tokens: DataFrame, token_col: str = "token") -> DataFrame:
     """64-bit SimHash per doc from md5-derived token bits.
 

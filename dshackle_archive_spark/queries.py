@@ -59,7 +59,7 @@ _DRIVER_PRIORITY = [
     "a13_discrete_median", "x17_inverted_index", "x18_keyword_search",
     "x19_sequence_packing", "a14_daily_growth", "j9_banded_range_self_join",
     "x20_source_vocab_overlap", "d8_chain_components", "x21_doc_chunking",
-    "x22_token_entropy",
+    "x22_token_entropy", "x23_containment_neardup",
 ]
 
 
@@ -3027,6 +3027,69 @@ def x21_doc_chunking(spark: SparkSession, sf: str) -> DataFrame:
             F.md5(txt).alias("chunk_hash"),
         )
     )
+
+
+@query(
+    "x23_containment_neardup",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 80
+    ), basenorm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM base
+    ), corpus AS (
+      SELECT doc_id, toks FROM basenorm
+      UNION ALL
+      -- planted fragments: the first half of every 4th doc — contained in
+      -- the original (containment ≈ 1) but Jaccard-low vs a long doc
+      SELECT doc_id + 200000 AS doc_id,
+             list_slice(toks, 1, greatest(len(toks) // 2, 4)) AS toks
+      FROM basenorm WHERE doc_id % 4 = 0
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+      FROM corpus, unnest(generate_series(1, greatest(len(toks), 1))) t(i)
+      WHERE i <= greatest(len(toks) - 2, 1)
+        AND length(concat_ws(' ', toks[i], toks[i+1], toks[i+2])) > 0
+    ), shf AS (
+      SELECT sh.doc_id, sh.shingle FROM sh
+      JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000) f
+        USING (shingle)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_inter, sa.n AS n_a, sb.n AS n_b,
+           round(CAST(n_inter AS DOUBLE) / sa.n, 6) AS containment_a,
+           round(CAST(n_inter AS DOUBLE) / sb.n, 6) AS containment_b
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+               JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE greatest(CAST(n_inter AS DOUBLE) / sa.n,
+                   CAST(n_inter AS DOUBLE) / sb.n) >= 0.5
+    """,
+)
+def x23_containment_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric containment dedup (|A∩B|/|A|): catches sub-document
+    duplication — excerpts, quotes, boilerplate fragments — that symmetric
+    Jaccard misses (a half-doc fragment has Jaccard ≈ 0.5 vs its source but
+    containment ≈ 1.0). Planted fragments (first half of every 4th doc)
+    guarantee visible recall. Posting-list join with the df cap — same
+    sub-quadratic shape as d3."""
+    from .operators.dedup import containment_pairs, normalized_text, shingles
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 80)
+    toks = F.split(normalized_text("text"), " ")
+    half = F.slice(toks, 1, F.greatest((F.size(toks) / 2).cast("int"), F.lit(4)))
+    corpus = docs.select("doc_id", F.col("text")).unionByName(
+        docs.filter(F.col("doc_id") % 4 == 0).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat_ws(" ", half).alias("text"),
+        )
+    )
+    sh = shingles(corpus, n=3)
+    return containment_pairs(sh, threshold=0.5, token_col="shingle")
 
 
 @query(

@@ -623,3 +623,28 @@ def test_star_cc_random_graphs_match_label_propagation(spark):
         star_df, _ = connected_components_star(pairs, nodes=nodes)
         star = {r["doc_id"]: r["cluster"] for r in star_df.collect()}
         assert star == base, (n, sorted(edges))
+
+
+def test_containment_catches_fragment_jaccard_misses(spark):
+    """A fragment wholly inside a long doc: containment ≈ 1, Jaccard low —
+    containment_pairs flags it, jaccard_pairs at the same 0.5 bar doesn't."""
+    from dshackle_archive_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+        shingles,
+    )
+
+    long_text = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(40))
+    frag = " ".join(long_text.split()[: 24])  # 20% of the long doc
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, frag), (3, "totally unrelated words here")],
+        "doc_id long, text string",
+    )
+    sh = shingles(docs, n=3)
+    cont = {(r["doc_a"], r["doc_b"]): (r["containment_a"], r["containment_b"])
+            for r in containment_pairs(sh, threshold=0.5, token_col="shingle").collect()}
+    assert (1, 2) in cont
+    ca, cb = cont[(1, 2)]
+    assert cb == 1.0 and ca < 0.5  # fragment fully contained, source not
+    jac = {(r["doc_a"], r["doc_b"]) for r in jaccard_pairs(sh, threshold=0.5, token_col="shingle").collect()}
+    assert (1, 2) not in jac  # symmetric dedup misses it
