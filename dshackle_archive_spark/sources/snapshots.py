@@ -79,7 +79,8 @@ def current_version(root: str) -> int | None:
 
 def load_snapshot(root: str, version: int | None = None) -> Snapshot | None:
     """Pin a snapshot: ``version=None`` resolves ``_CURRENT`` once, then the
-    returned object never changes — later publishes are invisible to it."""
+    returned object never changes — later publishes are invisible to it.
+    Sharded manifests (see ``publish_snapshot``) are reassembled here."""
     v = current_version(root) if version is None else version
     if v is None:
         return None
@@ -88,14 +89,24 @@ def load_snapshot(root: str, version: int | None = None) -> Snapshot | None:
             m = json.load(f)
     except OSError:
         return None
+    if m.get("shards"):
+        files: list[str] = []
+        for shard in m["shards"]:
+            with open(os.path.join(_mdir(root), shard)) as f:
+                files.extend(json.load(f))
+    else:
+        files = m["files"]
     return Snapshot(
         root=root,
         version=v,
-        files=tuple(m["files"]),
+        files=tuple(files),
         parent=m.get("parent"),
         note=m.get("note", ""),
         extra=m.get("extra", {}),
     )
+
+
+SHARD_SIZE = 250_000  # file entries per manifest shard
 
 
 def publish_snapshot(
@@ -105,23 +116,27 @@ def publish_snapshot(
     note: str = "",
     extra: dict | None = None,
     max_retries: int = 50,
+    shard_size: int = SHARD_SIZE,
 ) -> Snapshot:
     """Publish a new snapshot listing ``files`` (paths relative to root).
 
     Claims the next free version number via O_EXCL (optimistic concurrency:
     a racing writer that loses the claim retries against the next number),
     then swaps ``_CURRENT`` atomically. Returns the published Snapshot.
+
+    Above ``shard_size`` entries the file list splits across sidecar shard
+    JSONs (manifest-of-manifests, Iceberg's manifest-list move): the root
+    manifest stays O(shards) small, each shard is independently parseable,
+    and a 10⁸-file archive (100 TB at 1000-block files) is ~400 shards of
+    a few MB instead of one multi-GB JSON. Shards are written BEFORE the
+    version claim completes the commit, so a crash leaves orphan shards,
+    never a torn snapshot.
     """
     os.makedirs(_mdir(root), exist_ok=True)
     base = current_version(root)
     if parent is None:
         parent = base
-    payload = {
-        "files": sorted(files),
-        "parent": parent,
-        "note": note,
-        "extra": extra or {},
-    }
+    files = sorted(files)
     v = (base or 0) + 1
     for _ in range(max_retries):
         target = _manifest_path(root, v)
@@ -130,6 +145,19 @@ def publish_snapshot(
         except FileExistsError:
             v += 1
             continue
+        payload = {"parent": parent, "note": note, "extra": extra or {}}
+        if len(files) > shard_size:
+            shards = []
+            for i in range(0, len(files), shard_size):
+                name = f"v{v}-shard-{i // shard_size:05d}.json"
+                tmp = os.path.join(_mdir(root), name + ".inprogress")
+                with open(tmp, "w") as sf:
+                    json.dump(files[i : i + shard_size], sf)
+                os.replace(tmp, os.path.join(_mdir(root), name))
+                shards.append(name)
+            payload.update({"files": [], "shards": shards, "n_files": len(files)})
+        else:
+            payload["files"] = files
         with os.fdopen(fd, "w") as f:
             json.dump({**payload, "version": v}, f, indent=1, sort_keys=True)
             f.flush()
@@ -278,12 +306,15 @@ def vacuum(root: str, keep_last: int = 2, dry_run: bool = False) -> list[str]:
     their exclusively-owned files). Readers pinned within the keep window
     stay valid — deeper pins trade off against storage, exactly the
     Iceberg/Delta retention knob."""
+    import re
+
     mdir = _mdir(root)
     if not os.path.isdir(mdir):
         return []
     versions = sorted(
-        int(n[1:-5]) for n in os.listdir(mdir)
-        if n.startswith("v") and n.endswith(".json")
+        int(m.group(1))
+        for n in os.listdir(mdir)
+        if (m := re.fullmatch(r"v(\d+)\.json", n))
     )
     keep, drop = versions[-keep_last:], versions[:-keep_last]
     live: set[str] = set()
@@ -310,6 +341,16 @@ def vacuum(root: str, keep_last: int = 2, dry_run: bool = False) -> list[str]:
                     os.remove(p)
     if not dry_run:
         for v in drop:
+            try:
+                with open(_manifest_path(root, v)) as f:
+                    shards = json.load(f).get("shards") or []
+            except OSError:
+                shards = []
+            for sh in shards:
+                try:
+                    os.remove(os.path.join(mdir, sh))
+                except OSError:
+                    pass
             try:
                 os.remove(_manifest_path(root, v))
             except OSError:

@@ -359,3 +359,46 @@ def test_compact_snapshot_carries_pruning_stats(spark, tmp_path):
     view = S.read_snapshot(spark, cur, where=("height", 120, 140))
     assert len(set(view.inputFiles())) == 1  # only the 100-199 range file
     assert view.count() == 21
+
+
+def test_sharded_manifest_million_files(tmp_path):
+    """Manifest-of-manifests at 10⁶ entries: publish splits into shards,
+    load reassembles exactly, merge works on the sharded base, vacuum
+    removes dropped versions' shards. Publish+load wall times printed to
+    keep the 10⁸-file extrapolation honest."""
+    import time
+
+    root = str(tmp_path / "big")
+    os.makedirs(root)
+    files = [f"eth/{i // 1000:09d}/range-{i:09d}_{i + 999:09d}.blocks.parquet"
+             for i in range(0, 1_000_000_000, 1000)][:1_000_000]
+
+    t0 = time.perf_counter()
+    snap = S.publish_snapshot(root, files, note="million")
+    t_pub = time.perf_counter() - t0
+    mdir = os.path.join(root, S.MANIFEST_DIR)
+    shards = [n for n in os.listdir(mdir) if "-shard-" in n]
+    assert len(shards) == 4  # 1M / 250k
+
+    t0 = time.perf_counter()
+    loaded = S.load_snapshot(root)
+    t_load = time.perf_counter() - t0
+    assert len(loaded.files) == 1_000_000
+    assert list(loaded.files) == sorted(files)
+    print(f"[sharded] publish {t_pub:.2f}s load {t_load:.2f}s "
+          f"shards={len(shards)}")
+    assert t_pub < 30 and t_load < 30
+
+    # merge on the sharded base: drop 1000, add 1
+    snap2 = S.merge_replace(root, remove=files[:1000], add=["eth/merged.parquet"],
+                            base=loaded)
+    re2 = S.load_snapshot(root)
+    assert len(re2.files) == 1_000_000 - 999
+    assert "eth/merged.parquet" in re2.files
+
+    # vacuum drops v1 and its shards (no data files exist on disk — only
+    # manifest hygiene is under test here)
+    S.vacuum(root, keep_last=1)
+    remaining = os.listdir(mdir)
+    assert not any(n.startswith(f"v{snap.version}-shard") for n in remaining)
+    assert len(S.load_snapshot(root).files) == 1_000_000 - 999
