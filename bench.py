@@ -94,6 +94,7 @@ EXTRA = [
     "d8_chain_components",
     "x21_doc_chunking",
     "x22_token_entropy",
+    "x23_containment_neardup",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))
