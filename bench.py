@@ -95,6 +95,12 @@ EXTRA = [
     "x21_doc_chunking",
     "x22_token_entropy",
     "x23_containment_neardup",
+    "x24_boilerplate_ngrams",
+    "x25_vocab_growth",
+    "x26_source_kl_drift",
+    "a15_quantile_bands",
+    "d9_minhash_error_audit",
+    "m3_audio_feature_energy",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))

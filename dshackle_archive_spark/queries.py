@@ -60,6 +60,10 @@ _DRIVER_PRIORITY = [
     "x19_sequence_packing", "a14_daily_growth", "j9_banded_range_self_join",
     "x20_source_vocab_overlap", "d8_chain_components", "x21_doc_chunking",
     "x22_token_entropy", "x23_containment_neardup",
+    # round-5 additions — never driver-checked, so they fill the window to
+    # exactly 50
+    "x24_boilerplate_ngrams", "x25_vocab_growth", "x26_source_kl_drift",
+    "a15_quantile_bands", "d9_minhash_error_audit", "m3_audio_feature_energy",
 ]
 
 
@@ -3804,4 +3808,407 @@ def x20_source_vocab_overlap(spark: SparkSession, sf: str) -> DataFrame:
                 6,
             ).alias("jaccard"),
         )
+    )
+
+
+_DISCLAIMER = (
+    "this document is provided as is without warranty of any kind"
+)
+
+
+@query(
+    "x24_boilerplate_ngrams",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN concat('{_DISCLAIMER} ', text) ELSE text END AS text
+      FROM documents
+    ), norm AS (
+      SELECT doc_id, string_split(
+        regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+      FROM corpus
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+      FROM norm, unnest(generate_series(1, greatest(len(toks), 1))) t(i)
+      WHERE i <= greatest(len(toks) - 2, 1)
+        AND length(concat_ws(' ', toks[i], toks[i+1], toks[i+2])) > 0
+    )
+    SELECT shingle, CAST(count(*) AS BIGINT) AS n_docs
+    FROM sh GROUP BY shingle HAVING count(*) >= 10
+    ORDER BY n_docs DESC, shingle ASC LIMIT 20
+    """,
+)
+def x24_boilerplate_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Boilerplate mining: the most document-frequent word 3-grams across the
+    corpus — the signal behind template/disclaimer stripping in pretraining
+    pipelines (a shingle shared by thousands of documents is layout, not
+    content). A fixed legal disclaimer is planted on every 7th document so
+    recall is visible: its shingles must dominate the top-k.
+
+    Scale shape: ``shingles`` emits distinct (doc, shingle) pairs, ONE
+    groupBy(shingle) with partial-agg count, top-k via
+    TakeOrderedAndProject — no joins at all, linear in corpus tokens."""
+    from .operators.dedup import shingles
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(_DISCLAIMER + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    sh = shingles(docs, n=3)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 10)
+        .orderBy(F.desc("n_docs"), F.asc("shingle"))
+        .limit(20)
+    )
+
+
+@query(
+    "x25_vocab_growth",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, concat_ws(' ', toks[i], toks[i+1]) AS gram
+      FROM norm, unnest(generate_series(1, greatest(len(toks), 1))) t(i)
+      WHERE i <= greatest(len(toks) - 1, 1)
+        AND length(concat_ws(' ', toks[i], toks[i+1])) > 0
+    ), first_seen AS (
+      SELECT gram, CAST(floor(min(doc_id) / 100) AS INT) AS bucket
+      FROM sh GROUP BY gram
+    ), per_bucket AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS new_grams
+      FROM first_seen GROUP BY bucket
+    )
+    SELECT bucket, new_grams,
+           CAST(sum(new_grams) OVER (ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_vocab
+    FROM per_bucket
+    """,
+)
+def x25_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve over ingestion order: per
+    100-document bucket, how many bigrams appear for the FIRST time, plus
+    the running vocabulary size. A flattening curve tells a data-collection
+    pipeline that a source is exhausted (new data adds no new language).
+
+    Scale shape: first-occurrence via ONE groupBy(gram) min — never a
+    cumulative distinct (which Spark windows cannot express without a
+    quadratic self-join); the cumulative sum runs over the bucket-count
+    table, metadata-sized (≤ n_docs/100 rows) on a single partition."""
+    from .operators.dedup import shingles
+
+    docs = _t(spark, sf, "documents")
+    first_seen = (
+        shingles(docs.select("doc_id", "text"), n=2)
+        .withColumnRenamed("shingle", "gram")
+        .groupBy("gram")
+        .agg((F.min("doc_id") / 100).cast("int").alias("bucket"))
+    )
+    per_bucket = first_seen.groupBy("bucket").agg(
+        F.count("*").alias("new_grams")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return per_bucket.select(
+        "bucket",
+        "new_grams",
+        F.sum("new_grams").over(w).alias("cum_vocab"),
+    )
+
+
+@query(
+    "x26_source_kl_drift",
+    f"""
+    WITH tok AS (
+      SELECT source, t.tok AS token
+      FROM (SELECT source, string_split({_NORM_SQL}, ' ') AS toks
+            FROM documents) n, unnest(toks) t(tok)
+      WHERE t.tok <> ''
+    ), sc AS (
+      SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2
+    ), stot AS (
+      SELECT source, sum(c) AS n_s FROM sc GROUP BY source
+    ), gtot AS (
+      SELECT token, sum(c) AS g FROM sc GROUP BY token
+    ), n AS (SELECT sum(c) AS total FROM sc)
+    SELECT s.source, CAST(any_value(t.n_s) AS BIGINT) AS n_tokens,
+           round(sum((s.c / t.n_s)
+                     * ln((s.c / t.n_s) / (g.g / n.total))), 6) AS kl
+    FROM sc s
+    JOIN stot t USING (source)
+    JOIN gtot g USING (token)
+    CROSS JOIN n
+    GROUP BY s.source
+    """,
+)
+def x26_source_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source distribution drift: KL(source unigram dist ‖ corpus
+    unigram dist) — the mixture-monitoring statistic behind "did this crawl
+    slice change register?" alerts in training-data pipelines. High KL =
+    the source's language diverges from the corpus average.
+
+    Scale shape: raw tokens collapse immediately to (source, token) counts
+    (ONE shuffle, partial-agg combined); everything after runs on the
+    vocabulary-sized count table — the global token totals and corpus total
+    ride back in as broadcast joins, never a second pass over documents."""
+    from .operators.dedup import normalized_text
+
+    docs = _t(spark, sf, "documents")
+    tok = (
+        docs.select(
+            "source",
+            F.explode(F.split(normalized_text("text"), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    sc = tok.groupBy("source", "token").agg(F.count("*").alias("c"))
+    stot = sc.groupBy("source").agg(F.sum("c").alias("n_s"))
+    gtot = sc.groupBy("token").agg(F.sum("c").alias("g"))
+    n = sc.groupBy().agg(F.sum("c").alias("total"))
+    p = F.col("c") / F.col("n_s")
+    q = F.col("g") / F.col("total")
+    return (
+        sc.join(F.broadcast(stot), "source")
+        .join(F.broadcast(gtot), "token")
+        .crossJoin(F.broadcast(n))
+        .groupBy("source")
+        .agg(
+            F.any_value("n_s").cast("bigint").alias("n_tokens"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl"),
+        )
+    )
+
+
+@query(
+    "a15_quantile_bands",
+    """
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(n_chars, 0.25), 6) AS p25,
+           round(quantile_cont(n_chars, 0.5), 6) AS p50,
+           round(quantile_cont(n_chars, 0.75), 6) AS p75,
+           round(quantile_cont(n_chars, 0.95), 6) AS p95
+    FROM documents GROUP BY source
+    """,
+)
+def a15_quantile_bands(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-source length quantile bands (p25/p50/p75/p95 of document
+    size) — the profile a curation pipeline thresholds against (e.g. "drop
+    below this source's p25"). EXACT ``percentile`` (linear interpolation,
+    same contract as DuckDB ``quantile_cont``), not ``percentile_approx``:
+    the sketch's error bounds are engine-specific and would not oracle.
+
+    Scale shape: one shuffle on source; exact percentile holds a per-group
+    sorted buffer — bounded here because groups are sources (metadata-scale
+    cardinality) and the buffered value is one BIGINT per doc. For
+    billion-row groups the approx variant is the documented fallback."""
+    docs = _t(spark, sf, "documents")
+    pct = F.expr(
+        "percentile(n_chars, array(0.25D, 0.5D, 0.75D, 0.95D))"
+    )
+    return (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n_docs"), pct.alias("_q"))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("_q")[0], 6).alias("p25"),
+            F.round(F.col("_q")[1], 6).alias("p50"),
+            F.round(F.col("_q")[2], 6).alias("p75"),
+            F.round(F.col("_q")[3], 6).alias("p95"),
+        )
+    )
+
+
+_SIG_MATCH_SQL = " + ".join(
+    f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(16)
+)
+
+
+@query(
+    "d9_minhash_error_audit",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 100
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, concat(text, ' zz') AS text
+      FROM documents WHERE doc_id < 20
+    ), norm AS (
+      SELECT doc_id, string_split({{norm}}, ' ') AS toks FROM corpus
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+      FROM norm, unnest(generate_series(1, greatest(len(toks), 1))) t(i)
+      WHERE i <= greatest(len(toks) - 2, 1)
+        AND length(concat_ws(' ', toks[i], toks[i+1], toks[i+2])) > 0
+    ), sigs AS (
+      SELECT doc_id,
+           {{minhash}}
+      FROM sh GROUP BY doc_id
+    ), banded AS ({{bands}}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ), est AS (
+      SELECT p.doc_a, p.doc_b,
+             ({_SIG_MATCH_SQL}) / 16.0 AS est_jaccard
+      FROM pairs p
+      JOIN sigs sa ON sa.doc_id = p.doc_a
+      JOIN sigs sb ON sb.doc_id = p.doc_b
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+      FROM pairs p
+      JOIN sh a ON a.doc_id = p.doc_a
+      JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT e.doc_a, e.doc_b,
+           round(e.est_jaccard, 6) AS est_jaccard,
+           round(CAST(i.n_inter AS DOUBLE)
+                 / (sa.n + sb.n - i.n_inter), 6) AS jaccard,
+           round(abs(e.est_jaccard
+                     - CAST(i.n_inter AS DOUBLE)
+                       / (sa.n + sb.n - i.n_inter)), 6) AS abs_err
+    FROM est e
+    JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+    JOIN sizes sa ON sa.doc_id = e.doc_a
+    JOIN sizes sb ON sb.doc_id = e.doc_b
+    """.format(norm=_NORM_SQL, minhash=_MINHASH_AGGS_SQL, bands=_BANDS_SQL),
+)
+def d9_minhash_error_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-quality audit: for every LSH candidate pair, the MinHash
+    ESTIMATE of Jaccard (fraction of agreeing signature positions) next to
+    the EXACT shingle Jaccard and their absolute error — the measurement
+    that justifies (or rejects) a signature width before a corpus-wide
+    dedup run. Same planted near-dup corpus as d2, so high-similarity
+    pairs are guaranteed present.
+
+    Scale shape: the estimate joins two 16-element signature rows per
+    CANDIDATE pair (bounded by LSH collision rate, broadcast-joined); the
+    exact side reuses ``jaccard_for_pairs`` — cost |pairs|·|doc|, never
+    the Σdf² posting blowup (see dedup.py:543)."""
+    from .operators.dedup import (
+        jaccard_for_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = _t(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") < 100).select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+        )
+    )
+    sh = shingles(corpus, n=3)
+    sigs = minhash_signatures(sh, num_hashes=16, token_col="shingle")
+    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("_sa"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("_sb"))
+    matches = F.aggregate(
+        F.zip_with("_sa", "_sb", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    est = (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", (matches / 16.0).alias("_est"))
+    )
+    exact = jaccard_for_pairs(pairs, sh, threshold=0.0).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    return est.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        F.round("_est", 6).alias("est_jaccard"),
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round(F.abs(F.col("_est") - F.col("jaccard")), 6).alias("abs_err"),
+    )
+
+
+def _sha_byte_sql(i: int) -> str:
+    """DuckDB expression for byte ``i`` of a hex sha256 digest column
+    ``sha`` (two hex chars → int via a strpos lookup — engine-portable,
+    no blob indexing)."""
+    hexmap = "'0123456789abcdef'"
+    hi = f"(strpos({hexmap}, substr(sha, {2 * i + 1}, 1)) - 1)"
+    lo = f"(strpos({hexmap}, substr(sha, {2 * i + 2}, 1)) - 1)"
+    return f"({hi} * 16 + {lo})"
+
+
+# features travel as float32 (ArrayType(FloatType) — the realistic embedding
+# width); the oracle replays the quantization: each term is rounded to REAL
+# before the double-precision fold, exactly like Arrow float32 → Spark double
+_ENERGY_SQL = " + ".join(
+    f"CAST(CAST({_sha_byte_sql(i)} / 255.0 AS REAL) AS DOUBLE)" for i in range(8)
+)
+_PEAK_SQL = "greatest(" + ", ".join(
+    f"CAST(CAST({_sha_byte_sql(i)} / 255.0 AS REAL) AS DOUBLE)" for i in range(8)
+) + ")"
+
+
+@query(
+    "m3_audio_feature_energy",
+    f"""
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             octet_length(encode(text)) AS n_bytes,
+             sha256(text) AS sha
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT media_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+           round(({_ENERGY_SQL}) / 8, 6) AS energy,
+           round({_PEAK_SQL}, 6) AS peak
+    FROM media
+    """,
+)
+def m3_audio_feature_energy(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio-branch multimodal pipeline with the feature VALUES under
+    oracle (m1 checks only metadata): synthesized waveform payloads →
+    Arrow-batched ``extract_features`` (``mapInPandas``) → per-clip energy
+    (mean of the feature vector) and peak (max). The deterministic codec
+    derives features from the payload sha256, so DuckDB replays the exact
+    doubles from the hex digest — every Arrow batch boundary, UDF
+    signature, and schema on the Spark side is the real production shape.
+
+    Scale shape: payloads are projected down to 8-float features inside
+    the one UDF stage; energy/peak are map-side array folds — nothing
+    shuffles at all."""
+    from .operators.multimodal import extract_features
+    from .session import ship_package
+
+    ship_package(spark)
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.lit("audio/wav").alias("mime"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.col("doc_id") % 30 * 100 + 100).cast("long").alias("duration_ms"),
+    )
+    feats = extract_features(media)
+    energy = F.aggregate(
+        "feature", F.lit(0.0), lambda acc, x: acc + x
+    ) / F.lit(8)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(energy, 6).alias("energy"),
+        F.round(F.array_max("feature").cast("double"), 6).alias("peak"),
     )
