@@ -140,6 +140,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--benchmark", default=None,
                    help="curate: parquet path of the benchmark/eval docs "
                         "to decontaminate against")
+    p.add_argument("--incremental", action="store_true",
+                   help="curate: treat --input as a NEW batch to add to the "
+                        "already-curated corpus at --output (dedups against "
+                        "its persisted _index, appends survivors + manifest "
+                        "increment; never rescans the prior corpus)")
     p.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
     p.add_argument("--metrics", default=None, metavar="HOST:PORT",
                    help="serve Prometheus metrics at http://HOST:PORT/metrics "
@@ -175,14 +180,21 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "curate":
         from pyspark.sql import SparkSession
 
-        from .plans.curate_plan import curate
+        from .plans.curate_plan import curate, curate_incremental
 
         owns_session = SparkSession.getActiveSession() is None
         spark = get_spark("dshackle-archive-curate", master=args.master)
         docs = spark.read.parquet(args.input)
         bench = spark.read.parquet(args.benchmark) if args.benchmark else None
-        _, res = curate(docs, benchmark=bench, output_path=args.output)
+        if args.incremental:
+            if not args.output:
+                raise SystemExit("curate --incremental requires --output "
+                                 "(the existing curated corpus root)")
+            _, res = curate_incremental(docs, args.output, benchmark=bench)
+        else:
+            _, res = curate(docs, benchmark=bench, output_path=args.output)
         print(json.dumps({"command": "curate", "stages": res.stage_counts,
+                          "incremental": args.incremental,
                           "output": res.output_path}))
         if owns_session:
             spark.stop()

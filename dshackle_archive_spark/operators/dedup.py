@@ -122,14 +122,14 @@ def minhash_signatures(
     return doc_tokens.groupBy("doc_id").agg(sig.alias("signature"))
 
 
-def lsh_candidate_pairs(
+def band_rows(
     signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
 ) -> DataFrame:
-    """LSH banding: docs agreeing on all rows of any band become candidates.
-
-    Output: (doc_a, doc_b) with doc_a < doc_b, distinct across bands. The
-    join key is (band_id, band_hash) — an equi join Catalyst hash-partitions;
-    no cartesian anywhere."""
+    """LSH band rows ``(doc_id, band_id, band_hash)`` — the joinable (and
+    persistable) form of a signature: equal ``(band_id, band_hash)`` ⇒
+    candidate pair. Persisted by ``curate`` as the corpus's near-dup INDEX
+    so an incremental batch can probe the prior corpus without rescanning
+    it."""
     assert bands * rows_per_band <= 64
     bands_col = F.array(
         *[
@@ -144,9 +144,20 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
-    banded = signatures.select("doc_id", F.explode(bands_col).alias("band")).select(
+    return signatures.select("doc_id", F.explode(bands_col).alias("band")).select(
         "doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash")
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: docs agreeing on all rows of any band become candidates.
+
+    Output: (doc_a, doc_b) with doc_a < doc_b, distinct across bands. The
+    join key is (band_id, band_hash) — an equi join Catalyst hash-partitions;
+    no cartesian anywhere."""
+    banded = band_rows(signatures, bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -28,9 +28,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    band_rows,
     benchmark_contamination,
     cluster_representatives,
     connected_components,
+    content_hash,
     distinct_documents,
     jaccard_for_pairs,
     lsh_candidate_pairs,
@@ -173,17 +175,189 @@ def curate(
                 "decontaminated": benchmark is not None,
             },
         }
-        payload = json.dumps(manifest, indent=2, sort_keys=True)
-        if "://" in output_path:
-            # non-posix roots (s3://, hdfs://…) go through pyarrow's
-            # FileSystem — a local open() here would fail AFTER the
-            # expensive parquet write succeeded
-            import pyarrow.fs as pafs
+        manifest["total_docs"] = res.stage_counts[
+            "decontaminated" if benchmark is not None else "neardup"
+        ]
+        manifest["increments"] = []
+        _write_text(output_path, "_MANIFEST.json", json.dumps(manifest, indent=2, sort_keys=True))
+        _write_index(out, output_path, mode="overwrite")
+    return out, res
 
-            fs, fs_path = pafs.FileSystem.from_uri(output_path)
-            with fs.open_output_stream(fs_path.rstrip("/") + "/_MANIFEST.json") as f:
-                f.write(payload.encode())
-        else:
-            with open(os.path.join(output_path, "_MANIFEST.json"), "w") as f:
-                f.write(payload)
+
+def _join(root: str, *parts: str) -> str:
+    if "://" in root:
+        return root.rstrip("/") + "/" + "/".join(parts)
+    return os.path.join(root, *parts)
+
+
+def _write_text(root: str, name: str, payload: str) -> None:
+    """Manifest write that works on posix paths AND object-store URIs —
+    a local open() on an s3:// root would fail AFTER the expensive
+    parquet write succeeded."""
+    if "://" in root:
+        import pyarrow.fs as pafs
+
+        fs, fs_path = pafs.FileSystem.from_uri(root)
+        with fs.open_output_stream(fs_path.rstrip("/") + "/" + name) as f:
+            f.write(payload.encode())
+    else:
+        with open(os.path.join(root, name), "w") as f:
+            f.write(payload)
+
+
+def _read_text(root: str, name: str) -> str:
+    if "://" in root:
+        import pyarrow.fs as pafs
+
+        fs, fs_path = pafs.FileSystem.from_uri(root)
+        with fs.open_input_stream(fs_path.rstrip("/") + "/" + name) as f:
+            return f.read().decode()
+    with open(os.path.join(root, name)) as f:
+        return f.read()
+
+
+def _write_index(survivors: DataFrame, output_path: str, mode: str) -> None:
+    """The corpus's dedup INDEX, persisted beside the data: content hashes
+    (exact-dup probe) and LSH band rows (near-dup probe). An incremental
+    batch joins against THESE — sized ~17 small rows per document — instead
+    of rescanning the corpus text, which is what makes adding 1 TB to a
+    100 TB corpus cost O(batch), not O(corpus)."""
+    hashes = survivors.select(
+        "doc_id", content_hash("text").alias("content_hash")
+    )
+    hashes.write.mode(mode).parquet(_join(output_path, "_index", "hashes"))
+    sigs = minhash_signatures(
+        shingles(survivors, n=3), num_hashes=16, token_col="shingle"
+    )
+    band_rows(sigs, bands=4, rows_per_band=4).write.mode(mode).parquet(
+        _join(output_path, "_index", "bands")
+    )
+
+
+def curate_incremental(
+    new_docs: DataFrame,
+    prev_output_path: str,
+    benchmark: DataFrame | None = None,
+    min_tokens: int = 10,
+    max_tokens: int = 5000,
+    min_stopword_ratio: float = 0.05,
+    max_punct_ratio: float = 0.2,
+    jaccard_threshold: float = 0.8,
+    contamination_n: int = 5,
+    contamination_threshold: float = 0.05,
+) -> tuple[DataFrame, CurateResult]:
+    """Add a batch to an existing curated corpus WITHOUT reprocessing it.
+
+    The whole point at scale: a 100 TB corpus must not be rescanned to
+    admit a 1 TB batch. Every cross-corpus check runs against the
+    persisted ``_index`` (content hashes + LSH band rows, ~17 small rows
+    per prior doc), and prior TEXT is touched only for the docs whose band
+    hashes actually collide with the batch — a semi-join-pruned point
+    lookup, bounded by the LSH collision rate:
+
+    1. quality filter + in-batch exact dedup (same rules as ``curate``);
+    2. exact cross-corpus dedup: anti join on ``content_hash`` vs the
+       hash index;
+    3. in-batch near-dup dedup (``neardup_filter``);
+    4. cross-corpus near-dup: batch band rows equi-join the band index →
+       candidate (new, prior) pairs → Jaccard confirmed on shingles, with
+       the prior side's shingles built from ONLY the colliding prior docs;
+    5. optional decontamination;
+    6. survivors appended to the data AND to the index; the manifest
+       gains an ``increments`` entry (the corpus recipe stays auditable).
+
+    Contract: ``doc_id`` must be unique across corpus versions (ingestion
+    pipelines already guarantee monotone ids); survivors carry the same
+    schema as the base corpus.
+    """
+    spark = new_docs.sparkSession
+    res = CurateResult()
+    res.stage_counts["input"] = new_docs.count()
+
+    stage = quality_filter(
+        new_docs, min_tokens, max_tokens, min_stopword_ratio, max_punct_ratio
+    ).localCheckpoint()
+    res.stage_counts["quality"] = stage.count()
+
+    stage = distinct_documents(stage).localCheckpoint()
+    res.stage_counts["exact_dedup"] = stage.count()
+
+    # 2. exact cross-corpus: hash anti join against the index (never text)
+    prior_hashes = spark.read.parquet(
+        _join(prev_output_path, "_index", "hashes")
+    ).select("content_hash")
+    stage = (
+        stage.withColumn("_h", content_hash("text"))
+        .join(
+            prior_hashes.withColumnRenamed("content_hash", "_h"),
+            "_h",
+            "left_anti",
+        )
+        .drop("_h")
+        .localCheckpoint()
+    )
+    res.stage_counts["prior_exact"] = stage.count()
+
+    stage = neardup_filter(stage, jaccard_threshold=jaccard_threshold).localCheckpoint()
+    res.stage_counts["neardup"] = stage.count()
+
+    # 4. cross-corpus near-dup: probe the band index, confirm on shingles
+    sh_new = shingles(stage, n=3)
+    sigs_new = minhash_signatures(sh_new, num_hashes=16, token_col="shingle")
+    bands_new = band_rows(sigs_new, bands=4, rows_per_band=4)
+    prior_bands = spark.read.parquet(_join(prev_output_path, "_index", "bands"))
+    cand = (
+        bands_new.join(
+            prior_bands.select(
+                F.col("doc_id").alias("prior_id"), "band_id", "band_hash"
+            ),
+            ["band_id", "band_hash"],
+        )
+        .select(F.col("doc_id").alias("doc_a"), F.col("prior_id").alias("doc_b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    hit_ids = cand.select(F.col("doc_b").alias("doc_id")).distinct()
+    prior_docs = spark.read.parquet(prev_output_path)
+    # text is read ONLY for colliding prior docs (semi-join-pruned scan)
+    sh_prior = shingles(prior_docs.join(hit_ids, "doc_id", "left_semi"), n=3)
+    confirmed = jaccard_for_pairs(
+        cand,
+        sh_new.unionByName(sh_prior),
+        threshold=jaccard_threshold,
+        token_col="shingle",
+    ).select("doc_a")
+    stage = stage.join(
+        confirmed.withColumnRenamed("doc_a", "doc_id").distinct(),
+        "doc_id",
+        "left_anti",
+    ).localCheckpoint()
+    res.stage_counts["prior_neardup"] = stage.count()
+
+    if benchmark is not None:
+        flagged = benchmark_contamination(
+            stage,
+            benchmark,
+            n=contamination_n,
+            threshold=contamination_threshold,
+        ).select("doc_id")
+        stage = stage.join(flagged, "doc_id", "left_anti").localCheckpoint()
+        res.stage_counts["decontaminated"] = stage.count()
+
+    out = stage.withColumn("split", split_column())
+    out.write.mode("append").partitionBy("split").parquet(prev_output_path)
+    _write_index(stage, prev_output_path, mode="append")
+    res.output_path = prev_output_path
+
+    admitted = res.stage_counts[
+        "decontaminated" if benchmark is not None else "prior_neardup"
+    ]
+    manifest = json.loads(_read_text(prev_output_path, "_MANIFEST.json"))
+    manifest.setdefault("increments", []).append(
+        {"stages": res.stage_counts, "admitted": admitted}
+    )
+    manifest["total_docs"] = manifest.get("total_docs", 0) + admitted
+    _write_text(
+        prev_output_path, "_MANIFEST.json", json.dumps(manifest, indent=2, sort_keys=True)
+    )
     return out, res

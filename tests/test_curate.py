@@ -133,3 +133,93 @@ def test_curate_empty_input(spark, tmp_path):
     }
     m = json.load(open(f"{out}/_MANIFEST.json"))
     assert m["stages"]["input"] == 0
+
+
+def test_curate_incremental_admits_only_new_content(spark, sf_dir, tmp_path):
+    """Incremental batch against a curated corpus: exact copies and
+    near-dups of PRIOR docs are dropped via the persisted index, junk is
+    quality-filtered, fresh docs are appended; the manifest stays a
+    cumulative audit record."""
+    from dshackle_archive_spark.plans.curate_plan import curate_incremental
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    base = docs.filter("doc_id < 120")
+    root = str(tmp_path / "curated")
+    _, base_res = curate(base, output_path=root, min_stopword_ratio=0.0)
+    base_n = base_res.stage_counts["neardup"]
+
+    prior5 = base.filter("doc_id = 5").collect()[0]["text"]
+    prior7 = base.filter("doc_id = 7").collect()[0]["text"]
+    fresh = docs.filter("doc_id >= 200 and doc_id < 220")
+    planted = spark.createDataFrame(
+        [
+            (910001, prior5),              # exact copy of prior corpus doc
+            (910002, prior7 + " zz yy"),   # near-dup of prior corpus doc
+            (910003, "tiny"),              # junk (quality)
+        ],
+        "doc_id long, text string",
+    )
+    batch = fresh.unionByName(planted)
+
+    out, res = curate_incremental(batch, root, min_stopword_ratio=0.0)
+    c = res.stage_counts
+    assert c["input"] == 23
+    assert c["quality"] == c["input"] - 1              # junk dropped
+    assert c["prior_exact"] == c["exact_dedup"] - 1    # exact copy dropped
+    assert c["prior_neardup"] <= c["neardup"] - 1      # near-dup dropped
+    admitted_ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert 910001 not in admitted_ids
+    assert 910002 not in admitted_ids
+    assert 910003 not in admitted_ids
+
+    # the corpus on disk = base survivors + admitted batch docs
+    on_disk = spark.read.parquet(root)
+    assert on_disk.count() == base_n + c["prior_neardup"]
+
+    # manifest: cumulative total + one increment record
+    import json
+
+    man = json.loads((tmp_path / "curated" / "_MANIFEST.json").read_text())
+    assert man["total_docs"] == base_n + c["prior_neardup"]
+    assert len(man["increments"]) == 1
+    assert man["increments"][0]["admitted"] == c["prior_neardup"]
+
+    # idempotence of content: re-sending the same fresh TEXT under new ids
+    # admits nothing (caught by the now-grown hash index)
+    resend = fresh.select(
+        (F.col("doc_id") + 920000).alias("doc_id"), "text"
+    )
+    _, res2 = curate_incremental(resend, root, min_stopword_ratio=0.0)
+    assert res2.stage_counts["prior_exact"] == 0
+    man2 = json.loads((tmp_path / "curated" / "_MANIFEST.json").read_text())
+    assert man2["total_docs"] == man["total_docs"]
+    assert len(man2["increments"]) == 2
+
+
+def test_curate_cli_incremental(spark, sf_dir, tmp_path):
+    """CLI drive of the incremental path: base curate, then --incremental
+    with a batch parquet; survivors append and the manifest gains an
+    increment."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from dshackle_archive_spark.cli import main
+
+    out = str(tmp_path / "cli_inc")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    base_p = str(tmp_path / "base.parquet")
+    batch_p = str(tmp_path / "batch.parquet")
+    docs.filter("doc_id < 100").write.parquet(base_p)
+    docs.filter("doc_id >= 100 and doc_id < 130").write.parquet(batch_p)
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main(["curate", "--input", base_p, "--output", out]) == 0
+        assert main(["curate", "--input", batch_p, "--output", out,
+                     "--incremental"]) == 0
+    line = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert line["incremental"] is True
+    assert "prior_neardup" in line["stages"]
+    man = json.loads((tmp_path / "cli_inc" / "_MANIFEST.json").read_text())
+    assert len(man["increments"]) == 1
