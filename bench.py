@@ -101,6 +101,7 @@ EXTRA = [
     "a15_quantile_bands",
     "d9_minhash_error_audit",
     "m3_audio_feature_energy",
+    "x27_kmv_distinct_sketch",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))

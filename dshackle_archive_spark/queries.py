@@ -64,6 +64,7 @@ _DRIVER_PRIORITY = [
     # exactly 50
     "x24_boilerplate_ngrams", "x25_vocab_growth", "x26_source_kl_drift",
     "a15_quantile_bands", "d9_minhash_error_audit", "m3_audio_feature_energy",
+    "x27_kmv_distinct_sketch",
 ]
 
 
@@ -4211,4 +4212,94 @@ def m3_audio_feature_energy(spark: SparkSession, sf: str) -> DataFrame:
         "n_bytes",
         F.round(energy, 6).alias("energy"),
         F.round(F.array_max("feature").cast("double"), 6).alias("peak"),
+    )
+
+
+_HEXMAP = "'0123456789abcdef'"
+_U32_SQL = " + ".join(
+    f"(strpos({_HEXMAP}, substr(md5(token), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+
+@query(
+    "x27_kmv_distinct_sketch",
+    f"""
+    WITH norm AS (
+      SELECT source, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+    ), tok AS (
+      -- bigram vocabulary: large enough per source (~700) that the sketch
+      -- regime (n > k) actually exercises, unlike the ~31-word unigram set
+      SELECT DISTINCT source, concat_ws(' ', toks[i], toks[i+1]) AS token
+      FROM norm, unnest(generate_series(1, greatest(len(toks) - 1, 1))) t(i)
+      WHERE length(concat_ws(' ', toks[i], toks[i+1])) > 0
+    ), u AS (
+      SELECT source, token,
+             ({_U32_SQL}) / 4294967296.0 AS u
+      FROM tok
+    ), ranked AS (
+      SELECT source, u,
+             row_number() OVER (PARTITION BY source ORDER BY u, token) AS rn,
+             count(*) OVER (PARTITION BY source) AS n_exact
+      FROM u
+    )
+    SELECT source,
+           CAST(any_value(n_exact) AS BIGINT) AS n_exact,
+           round(CASE WHEN any_value(n_exact) <= 64
+                      THEN CAST(any_value(n_exact) AS DOUBLE)
+                      ELSE 63.0 / max(CASE WHEN rn = 64 THEN u END) END,
+                 6) AS est,
+           round(abs(CASE WHEN any_value(n_exact) <= 64
+                          THEN CAST(any_value(n_exact) AS DOUBLE)
+                          ELSE 63.0 / max(CASE WHEN rn = 64 THEN u END) END
+                     - any_value(n_exact)) / any_value(n_exact), 6) AS rel_err
+    FROM ranked GROUP BY source
+    """,
+)
+def x27_kmv_distinct_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, k=64, next to the
+    exact count and its relative error — the ENGINE-PORTABLE cardinality
+    sketch: HLL registers differ between Spark and DuckDB (and between
+    Spark versions), but "the k-th smallest md5-derived uniform" is a pure
+    function of the value set, so the sketch itself is oracle-checkable.
+    Estimator: (k-1)/u_(k); exact regime below k values.
+
+    Scale shape: per-key distinct once (shuffle on (source, token) with
+    partial-agg dedup), then ONE window shuffle on source over the
+    vocabulary-sized stream. At true scale the window becomes a
+    bounded-heap aggregator (collect the k smallest per group); the
+    estimator and its oracle are unchanged — that swap is plan-local."""
+    from .operators.dedup import shingles
+
+    docs = _t(spark, sf, "documents")
+    # bigram vocabulary per source — ``shingles`` keyed on source dedups
+    # straight to the (source, gram) level
+    tok = shingles(docs.select("source", "text"), n=2, id_col="source").select(
+        F.col("doc_id").alias("source"), F.col("shingle").alias("token")
+    )
+    u = tok.select(
+        "source",
+        "token",
+        (F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+         / F.lit(4294967296.0)).alias("u"),
+    )
+    w = Window.partitionBy("source").orderBy("u", "token")
+    wc = Window.partitionBy("source")
+    ranked = u.select(
+        "source",
+        "u",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n_exact"),
+    )
+    est = F.when(
+        F.any_value("n_exact") <= 64, F.any_value("n_exact").cast("double")
+    ).otherwise(
+        F.lit(63.0) / F.max(F.when(F.col("rn") == 64, F.col("u")))
+    )
+    return ranked.groupBy("source").agg(
+        F.any_value("n_exact").cast("bigint").alias("n_exact"),
+        F.round(est, 6).alias("est"),
+        F.round(
+            F.abs(est - F.any_value("n_exact")) / F.any_value("n_exact"), 6
+        ).alias("rel_err"),
     )
