@@ -39,3 +39,16 @@ with tempfile.TemporaryDirectory() as out:
     print("\nper-split counts:")
     curated.groupBy("split").count().orderBy("split").show()
     print("output:", res.output_path)
+
+    # --- incremental: admit a second batch without reprocessing the corpus
+    from dshackle_archive_spark.plans.curate_plan import curate_incremental
+
+    batch = docs.filter(F.col("doc_id") % 29 != 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    ).limit(200)  # re-sent content: the _index catches every copy
+    _, inc = curate_incremental(
+        batch, os.path.join(out, "curated"), min_stopword_ratio=0.0
+    )
+    print("\nincremental attrition (all re-sent content rejected):")
+    for stage, n in inc.stage_counts.items():
+        print(f"  {stage:16s} {n}")
