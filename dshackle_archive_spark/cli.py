@@ -190,9 +190,11 @@ def main(argv: list[str] | None = None) -> int:
             if not args.output:
                 raise SystemExit("curate --incremental requires --output "
                                  "(the existing curated corpus root)")
-            _, res = curate_incremental(docs, args.output, benchmark=bench)
+            _, res = curate_incremental(docs, args.output, benchmark=bench,
+                                        snapshot=args.snapshot)
         else:
-            _, res = curate(docs, benchmark=bench, output_path=args.output)
+            _, res = curate(docs, benchmark=bench, output_path=args.output,
+                            snapshot=args.snapshot)
         print(json.dumps({"command": "curate", "stages": res.stage_counts,
                           "incremental": args.incremental,
                           "output": res.output_path}))

@@ -108,6 +108,7 @@ def curate(
     docs: DataFrame,
     benchmark: DataFrame | None = None,
     output_path: str | None = None,
+    snapshot: bool = False,
     min_tokens: int = 10,
     max_tokens: int = 5000,
     min_stopword_ratio: float = 0.05,
@@ -157,7 +158,10 @@ def curate(
 
     out = stage.withColumn("split", split_column())
     if output_path is not None:
-        out.write.mode("overwrite").partitionBy("split").parquet(output_path)
+        if snapshot:
+            _commit_snapshot(out, output_path, tag="b000000", note="curate base")
+        else:
+            out.write.mode("overwrite").partitionBy("split").parquet(output_path)
         res.output_path = output_path
         # audit manifest beside the data: the attrition numbers and the
         # exact thresholds that produced this corpus version (curation is
@@ -180,7 +184,8 @@ def curate(
         ]
         manifest["increments"] = []
         _write_text(output_path, "_MANIFEST.json", json.dumps(manifest, indent=2, sort_keys=True))
-        _write_index(out, output_path, mode="overwrite")
+        if not snapshot:
+            _write_index(out, output_path, mode="overwrite")
     return out, res
 
 
@@ -216,7 +221,13 @@ def _read_text(root: str, name: str) -> str:
         return f.read()
 
 
-def _write_index(survivors: DataFrame, output_path: str, mode: str) -> None:
+def _write_index(
+    survivors: DataFrame,
+    output_path: str,
+    mode: str,
+    hashes_dir: str | None = None,
+    bands_dir: str | None = None,
+) -> None:
     """The corpus's dedup INDEX, persisted beside the data: content hashes
     (exact-dup probe) and LSH band rows (near-dup probe). An incremental
     batch joins against THESE — sized ~17 small rows per document — instead
@@ -225,19 +236,96 @@ def _write_index(survivors: DataFrame, output_path: str, mode: str) -> None:
     hashes = survivors.select(
         "doc_id", content_hash("text").alias("content_hash")
     )
-    hashes.write.mode(mode).parquet(_join(output_path, "_index", "hashes"))
+    hashes.write.mode(mode).parquet(
+        hashes_dir or _join(output_path, "_index", "hashes")
+    )
     sigs = minhash_signatures(
         shingles(survivors, n=3), num_hashes=16, token_col="shingle"
     )
     band_rows(sigs, bands=4, rows_per_band=4).write.mode(mode).parquet(
-        _join(output_path, "_index", "bands")
+        bands_dir or _join(output_path, "_index", "bands")
     )
+
+
+def _list_parquet_rel(root: str, subdir: str) -> list[str]:
+    """All parquet part files under root/subdir, as root-relative paths."""
+    out = []
+    base = os.path.join(root, subdir)
+    for dirpath, _dirs, files in os.walk(base):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.append(os.path.relpath(os.path.join(dirpath, f), root))
+    return sorted(out)
+
+
+def _commit_snapshot(
+    out: DataFrame,
+    root: str,
+    tag: str,
+    note: str,
+    base_files: tuple[str, ...] = (),
+) -> None:
+    """Transactional curation commit (Iceberg-style, via ``sources/
+    snapshots``): the batch's data AND its dedup-index rows are written to
+    fresh ``{tag}`` directories that no reader resolves yet, then ONE
+    manifest publish makes data+index visible together. A crash mid-write
+    leaves orphan files under an unpublished tag — readers and later
+    incrementals keep resolving the previous version, never a half-visible
+    batch (plain ``mode=append`` cannot give this: Spark commits each part
+    file independently). ``vacuum`` reclaims orphans.
+
+    Posix roots only (the snapshot layer's ``os.replace`` commit protocol);
+    object stores use the plain-append path or a conditional-put port."""
+    from ..sources import snapshots as SNAP
+
+    out.write.mode("overwrite").partitionBy("split").parquet(
+        _join(root, "data", tag)
+    )
+    _write_index(
+        out,
+        root,
+        mode="overwrite",
+        hashes_dir=_join(root, "_index", "hashes", tag),
+        bands_dir=_join(root, "_index", "bands", tag),
+    )
+    files = list(base_files)
+    for sub in (f"data/{tag}", f"_index/hashes/{tag}", f"_index/bands/{tag}"):
+        files.extend(_list_parquet_rel(root, sub))
+    SNAP.publish_snapshot(root, files, note=note)
+
+
+def _snapshot_paths(root: str, prefix: str, version: int | None = None) -> list[str]:
+    """Absolute paths of the current (or pinned) snapshot's files under
+    ``prefix`` — how a reader or an incremental run resolves data/index
+    through the manifest instead of a directory walk."""
+    from ..sources import snapshots as SNAP
+
+    snap = SNAP.load_snapshot(root, version)
+    if snap is None:
+        raise ValueError(
+            f"{root}: no curation snapshot published (curate with snapshot=True)"
+        )
+    return [
+        os.path.join(root, f) for f in snap.files if f.startswith(prefix)
+    ]
+
+
+def read_curated(spark, root: str, version: int | None = None) -> DataFrame:
+    """Scan a pinned corpus version: the explicit manifest file list, so a
+    concurrent incremental commit cannot change what this reader sees
+    mid-query; pass ``version`` for time travel across increments. The
+    ``split`` column is recomputed (it is a pure function of ``doc_id``),
+    so no partition-discovery assumptions ride on the batch directory
+    layout."""
+    df = spark.read.parquet(*_snapshot_paths(root, "data/", version))
+    return df.withColumn("split", split_column())
 
 
 def curate_incremental(
     new_docs: DataFrame,
     prev_output_path: str,
     benchmark: DataFrame | None = None,
+    snapshot: bool = False,
     min_tokens: int = 10,
     max_tokens: int = 5000,
     min_stopword_ratio: float = 0.05,
@@ -283,9 +371,22 @@ def curate_incremental(
     res.stage_counts["exact_dedup"] = stage.count()
 
     # 2. exact cross-corpus: hash anti join against the index (never text)
-    prior_hashes = spark.read.parquet(
-        _join(prev_output_path, "_index", "hashes")
-    ).select("content_hash")
+    if snapshot:
+        from ..sources import snapshots as SNAP
+
+        snap = SNAP.load_snapshot(prev_output_path)
+        if snap is None:
+            raise ValueError(
+                f"{prev_output_path}: no snapshot — base corpus must be "
+                "curated with snapshot=True"
+            )
+        prior_hashes = spark.read.parquet(
+            *_snapshot_paths(prev_output_path, "_index/hashes/")
+        ).select("content_hash")
+    else:
+        prior_hashes = spark.read.parquet(
+            _join(prev_output_path, "_index", "hashes")
+        ).select("content_hash")
     stage = (
         stage.withColumn("_h", content_hash("text"))
         .join(
@@ -305,7 +406,14 @@ def curate_incremental(
     sh_new = shingles(stage, n=3)
     sigs_new = minhash_signatures(sh_new, num_hashes=16, token_col="shingle")
     bands_new = band_rows(sigs_new, bands=4, rows_per_band=4)
-    prior_bands = spark.read.parquet(_join(prev_output_path, "_index", "bands"))
+    if snapshot:
+        prior_bands = spark.read.parquet(
+            *_snapshot_paths(prev_output_path, "_index/bands/")
+        )
+    else:
+        prior_bands = spark.read.parquet(
+            _join(prev_output_path, "_index", "bands")
+        )
     cand = (
         bands_new.join(
             prior_bands.select(
@@ -318,7 +426,12 @@ def curate_incremental(
         .localCheckpoint()
     )
     hit_ids = cand.select(F.col("doc_b").alias("doc_id")).distinct()
-    prior_docs = spark.read.parquet(prev_output_path)
+    if snapshot:
+        prior_docs = spark.read.parquet(
+            *_snapshot_paths(prev_output_path, "data/")
+        )
+    else:
+        prior_docs = spark.read.parquet(prev_output_path)
     # text is read ONLY for colliding prior docs (semi-join-pruned scan)
     sh_prior = shingles(prior_docs.join(hit_ids, "doc_id", "left_semi"), n=3)
     confirmed = jaccard_for_pairs(
@@ -345,8 +458,17 @@ def curate_incremental(
         res.stage_counts["decontaminated"] = stage.count()
 
     out = stage.withColumn("split", split_column())
-    out.write.mode("append").partitionBy("split").parquet(prev_output_path)
-    _write_index(stage, prev_output_path, mode="append")
+    if snapshot:
+        _commit_snapshot(
+            out,
+            prev_output_path,
+            tag=f"b{snap.version + 1:06d}",
+            note=f"curate increment on v{snap.version}",
+            base_files=snap.files,
+        )
+    else:
+        out.write.mode("append").partitionBy("split").parquet(prev_output_path)
+        _write_index(stage, prev_output_path, mode="append")
     res.output_path = prev_output_path
 
     admitted = res.stage_counts[

@@ -223,3 +223,57 @@ def test_curate_cli_incremental(spark, sf_dir, tmp_path):
     assert "prior_neardup" in line["stages"]
     man = json.loads((tmp_path / "cli_inc" / "_MANIFEST.json").read_text())
     assert len(man["increments"]) == 1
+
+
+def test_curate_snapshot_transactional_increments(spark, sf_dir, tmp_path):
+    """snapshot=True: every curate/incremental commit is one manifest
+    publish — readers pin a version (time travel works), stray files not
+    in the manifest are invisible, and the next incremental resolves the
+    dedup index through the manifest too."""
+    from dshackle_archive_spark.plans.curate_plan import (
+        curate_incremental,
+        read_curated,
+    )
+    from dshackle_archive_spark.sources import snapshots as SNAP
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    root = str(tmp_path / "snapcorpus")
+    _, base_res = curate(
+        docs.filter("doc_id < 100"), output_path=root,
+        snapshot=True, min_stopword_ratio=0.0,
+    )
+    base_n = base_res.stage_counts["neardup"]
+    assert SNAP.current_version(root) == 1
+    assert read_curated(spark, root).count() == base_n
+    assert set(read_curated(spark, root).columns) >= {"doc_id", "text", "split"}
+
+    batch = docs.filter("doc_id >= 200 and doc_id < 215")
+    _, inc = curate_incremental(
+        batch, root, snapshot=True, min_stopword_ratio=0.0
+    )
+    admitted = inc.stage_counts["prior_neardup"]
+    assert SNAP.current_version(root) == 2
+    assert read_curated(spark, root).count() == base_n + admitted
+    # time travel: v1 is still exactly the base corpus
+    assert read_curated(spark, root, version=1).count() == base_n
+
+    # a torn/garbage file beside the data is invisible to manifest readers
+    import glob as _g
+    import shutil
+
+    docs.filter("doc_id < 3").write.mode("overwrite").parquet(
+        str(tmp_path / "stray")
+    )
+    stray_dir = _g.glob(str(tmp_path / "snapcorpus" / "data" / "*" / "split=*"))[0]
+    src = _g.glob(str(tmp_path / "stray" / "*.parquet"))[0]
+    shutil.copy(src, stray_dir + "/part-stray.parquet")
+    assert read_curated(spark, root).count() == base_n + admitted
+
+    # re-sent content is rejected via the manifest-resolved index
+    resend = batch.select((F.col("doc_id") + 500000).alias("doc_id"), "text")
+    _, inc2 = curate_incremental(
+        resend, root, snapshot=True, min_stopword_ratio=0.0
+    )
+    assert inc2.stage_counts["prior_exact"] == 0
+    assert SNAP.current_version(root) == 3
+    assert read_curated(spark, root).count() == base_n + admitted
