@@ -272,7 +272,9 @@ def _commit_snapshot(
     leaves orphan files under an unpublished tag — readers and later
     incrementals keep resolving the previous version, never a half-visible
     batch (plain ``mode=append`` cannot give this: Spark commits each part
-    file independently). ``vacuum`` reclaims orphans.
+    file independently). ``list_orphans`` finds such never-published files
+    for cleanup (``snapshots.vacuum`` handles the other retirement path:
+    files owned only by dropped manifests).
 
     Posix roots only (the snapshot layer's ``os.replace`` commit protocol);
     object stores use the plain-append path or a conditional-put port."""
@@ -308,6 +310,31 @@ def _snapshot_paths(root: str, prefix: str, version: int | None = None) -> list[
     return [
         os.path.join(root, f) for f in snap.files if f.startswith(prefix)
     ]
+
+
+def list_orphans(root: str) -> list[str]:
+    """Files under ``data/`` and ``_index/`` referenced by NO manifest —
+    the residue of a crashed snapshot commit (written, never published).
+    Safe to delete once no writer is mid-commit; returned as root-relative
+    paths so the caller stays in control of the actual deletion."""
+    from ..sources import snapshots as SNAP
+
+    mdir = os.path.join(root, "_manifests")
+    live: set[str] = set()
+    if os.path.isdir(mdir):
+        import re as _re
+
+        for n in os.listdir(mdir):
+            if (m := _re.fullmatch(r"v(\d+)\.json", n)):
+                snap = SNAP.load_snapshot(root, int(m.group(1)))
+                if snap:
+                    live |= set(snap.files)
+    orphans = []
+    for sub in ("data", "_index"):
+        for rel in _list_parquet_rel(root, sub):
+            if rel not in live:
+                orphans.append(rel)
+    return sorted(orphans)
 
 
 def read_curated(spark, root: str, version: int | None = None) -> DataFrame:

@@ -277,3 +277,24 @@ def test_curate_snapshot_transactional_increments(spark, sf_dir, tmp_path):
     assert inc2.stage_counts["prior_exact"] == 0
     assert SNAP.current_version(root) == 3
     assert read_curated(spark, root).count() == base_n + admitted
+
+
+def test_curate_snapshot_orphan_listing(spark, sf_dir, tmp_path):
+    """A crashed commit's never-published files are reported by
+    list_orphans (and pinned readers never saw them); published files are
+    not reported."""
+    from dshackle_archive_spark.plans.curate_plan import list_orphans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    root = str(tmp_path / "oc")
+    curate(docs.filter("doc_id < 60"), output_path=root,
+           snapshot=True, min_stopword_ratio=0.0)
+    assert list_orphans(root) == []
+
+    # simulate a crash mid-commit: batch data written, manifest never
+    # published
+    docs.filter("doc_id < 5").withColumn("split", F.lit("train")).write.parquet(
+        str(tmp_path / "oc" / "data" / "b_crashed")
+    )
+    orph = list_orphans(root)
+    assert orph and all(o.startswith("data/b_crashed") for o in orph)
