@@ -102,6 +102,7 @@ EXTRA = [
     "d9_minhash_error_audit",
     "m3_audio_feature_energy",
     "x27_kmv_distinct_sketch",
+    "x28_pmi_collocations",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))

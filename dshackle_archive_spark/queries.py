@@ -64,7 +64,7 @@ _DRIVER_PRIORITY = [
     # exactly 50
     "x24_boilerplate_ngrams", "x25_vocab_growth", "x26_source_kl_drift",
     "a15_quantile_bands", "d9_minhash_error_audit", "m3_audio_feature_energy",
-    "x27_kmv_distinct_sketch",
+    "x27_kmv_distinct_sketch", "x28_pmi_collocations",
 ]
 
 
@@ -4302,4 +4302,102 @@ def x27_kmv_distinct_sketch(spark: SparkSession, sf: str) -> DataFrame:
         F.round(
             F.abs(est - F.any_value("n_exact")) / F.any_value("n_exact"), 6
         ).alias("rel_err"),
+    )
+
+
+@query(
+    "x28_pmi_collocations",
+    f"""
+    WITH norm AS (
+      SELECT string_split({_NORM_SQL}, ' ') AS toks FROM documents
+    ), uni AS (
+      SELECT t.tok AS w, count(*) AS c
+      FROM norm, unnest(toks) t(tok) WHERE t.tok <> '' GROUP BY 1
+    ), bi AS (
+      SELECT toks[i] AS wa, toks[i+1] AS wb, count(*) AS c
+      FROM norm, unnest(generate_series(1, greatest(len(toks) - 1, 0))) t(i)
+      WHERE toks[i] <> '' AND toks[i+1] <> ''
+      GROUP BY 1, 2
+    ), nu AS (SELECT sum(c) AS n FROM uni),
+    nb AS (SELECT sum(c) AS n FROM bi)
+    SELECT b.wa, b.wb, CAST(b.c AS BIGINT) AS n_pair,
+           round(ln((CAST(b.c AS DOUBLE) / nb.n)
+                    / ((CAST(ua.c AS DOUBLE) / nu.n)
+                       * (CAST(ub.c AS DOUBLE) / nu.n))), 6) AS pmi
+    FROM bi b
+    JOIN uni ua ON ua.w = b.wa
+    JOIN uni ub ON ub.w = b.wb
+    CROSS JOIN nu CROSS JOIN nb
+    WHERE b.c >= 5
+    ORDER BY pmi DESC, b.wa ASC, b.wb ASC LIMIT 25
+    """,
+)
+def x28_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Collocation mining: top-25 adjacent-bigram PMI
+    ``ln(p(ab) / (p(a)p(b)))`` with a count floor — the phrase-detection
+    statistic (word2vec-phrases, boilerplate phrase discovery) behind
+    "should these two tokens be one token?" decisions in tokenizer and
+    corpus-prep pipelines.
+
+    Scale shape: bigram and unigram COUNT tables collapse immediately from
+    the token stream (one shuffle each, partial-agg combined); the PMI
+    join runs on the vocabulary-sized count tables with the two corpus
+    totals riding in as 1-row broadcasts; top-k via
+    TakeOrderedAndProject. All probabilities are exact-integer-count
+    ratios divided in a fixed order — no floating-point accumulation."""
+    from .operators.dedup import normalized_text
+
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(F.split(normalized_text("text"), " ").alias("_t"))
+    uni = (
+        toks.select(F.explode("_t").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    positions = toks.select(
+        "_t",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("_t") - 1, F.lit(0)))
+        ).alias("_i"),
+    ).filter(F.col("_i") >= 1)
+    bi = (
+        positions.select(
+            F.try_element_at("_t", F.col("_i")).alias("wa"),
+            F.try_element_at("_t", F.col("_i") + 1).alias("wb"),
+        )
+        .filter((F.col("wa") != "") & (F.col("wb") != ""))
+        .groupBy("wa", "wb")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= 5)
+    )
+    nu = uni.groupBy().agg(F.sum("c").alias("n_uni"))
+    nb_tot = (
+        positions.select(
+            F.try_element_at("_t", F.col("_i")).alias("wa"),
+            F.try_element_at("_t", F.col("_i") + 1).alias("wb"),
+        )
+        .filter((F.col("wa") != "") & (F.col("wb") != ""))
+        .groupBy()
+        .agg(F.count("*").alias("n_bi"))
+    )
+    ua = uni.select(F.col("w").alias("wa"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("w").alias("wb"), F.col("c").alias("cb"))
+    pmi = F.log(
+        (F.col("n_pair").cast("double") / F.col("n_bi"))
+        / (
+            (F.col("ca").cast("double") / F.col("n_uni"))
+            * (F.col("cb").cast("double") / F.col("n_uni"))
+        )
+    )
+    return (
+        bi.join(F.broadcast(ua), "wa")
+        .join(F.broadcast(ub), "wb")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb_tot))
+        .select(
+            "wa", "wb", "n_pair", F.round(pmi, 6).alias("pmi")
+        )
+        .orderBy(F.desc("pmi"), F.asc("wa"), F.asc("wb"))
+        .limit(25)
     )
