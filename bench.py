@@ -103,6 +103,7 @@ EXTRA = [
     "m3_audio_feature_energy",
     "x27_kmv_distinct_sketch",
     "x28_pmi_collocations",
+    "v8_pq_topk",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))

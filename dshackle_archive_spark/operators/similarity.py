@@ -516,3 +516,142 @@ def reranked_topk(
             F.round("ap", 6).alias("approx_sim"),
         )
     )
+
+
+def pq_codebook_row(
+    vectors: DataFrame,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebook folded into ONE broadcastable row:
+    the first ``n_codes`` vectors as a k-sorted array of (k, cvec) structs
+    (the same sampled-deterministic move as ``ivf_assign``'s seeds — no
+    trained codebook to drift between engines)."""
+    codes = vectors.filter(F.col(id_col) < n_codes).select(
+        F.col(id_col).alias("k"), F.col(vec_col).alias("cvec")
+    )
+    return codes.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("k", "cvec"))).alias("_codes")
+    )
+
+
+def _sub_l2(a: Column, b: Column) -> Column:
+    """Rounded squared-L2 between two equal-length array slices (map-side
+    fold in array order; rounded to 6 so the argmin tiebreak is identical
+    across engines — the ``_probe_cells`` precedent)."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    n_codes: int = 16,
+    n_sub: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    _codebook: DataFrame | None = None,
+) -> DataFrame:
+    """PQ encoding: each vector → ``n_sub`` small codes (nearest codeword
+    per subspace, L2, ties to the smaller k) → ``(vec_id, code0..code{M-1})``.
+
+    Scale shape: the codebook is ONE broadcast row; every subspace argmin
+    is a map-side ``array_min`` over rounded (dist, k) structs — zero
+    shuffle on the corpus, and the output is dim/UInt8-sized per vector
+    (the whole point of PQ: a 64-float vector compresses to M bytes of
+    codes for memory-resident ANN over billions of vectors)."""
+    sub_dim = dim // n_sub
+    seed = _codebook if _codebook is not None else F.broadcast(
+        pq_codebook_row(vectors, n_codes, id_col, vec_col)
+    )
+    cols = [F.col(id_col).alias("vec_id")]
+
+    def _scorer(m, sub):
+        # factory, not default-arg binding: Spark reads a Python lambda's
+        # PARAMETER COUNT as the higher-order-function arity, so defaults
+        # would make transform() look 3-ary
+        return lambda c: F.struct(
+            _sub_l2(sub, F.slice(c["cvec"], m * sub_dim + 1, sub_dim)).alias("d"),
+            c["k"].alias("k"),
+        )
+
+    for m in range(n_sub):
+        sub = F.slice(F.col(vec_col), m * sub_dim + 1, sub_dim)
+        scored = F.transform(F.col("_codes"), _scorer(m, sub))
+        cols.append(F.array_min(scored)["k"].alias(f"code{m}"))
+    return vectors.crossJoin(seed).select(*cols)
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_codes: int = 16,
+    n_sub: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ/ADC approximate top-k: queries precompute a per-subspace
+    dot-product table against the codebook (M·K entries), then every
+    corpus vector is scored by M table lookups on its codes — the
+    asymmetric-distance-computation scan (Jégou et al., PAMI'11) that
+    makes billion-scale ANN memory-resident.
+
+    Plan: ONE codebook row broadcast to both stages (encode + ADC
+    tables); the scan is corpus-codes × broadcast query tables (the same
+    small-non-equi broadcast class as ``cosine_topk``), windowed top-k
+    per query. No shuffle touches raw vectors — only (vec_id, M codes)."""
+    sub_dim = dim // n_sub
+    seed = F.broadcast(pq_codebook_row(vectors, n_codes, id_col, vec_col))
+    codes = pq_encode(vectors, n_codes, n_sub, dim, id_col, vec_col, _codebook=seed)
+    qcols = [F.col(id_col).alias("query_id")]
+
+    def _adc(m, sub):
+        return lambda c: F.round(
+            F.aggregate(
+                F.zip_with(
+                    sub,
+                    F.slice(c["cvec"], m * sub_dim + 1, sub_dim),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    for m in range(n_sub):
+        sub = F.slice(F.col(vec_col), m * sub_dim + 1, sub_dim)
+        qcols.append(F.transform(F.col("_codes"), _adc(m, sub)).alias(f"adc{m}"))
+    qtab = queries.crossJoin(seed).select(*qcols)
+    cand = codes.crossJoin(F.broadcast(qtab)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    approx = F.round(
+        sum(
+            F.element_at(f"adc{m}", (F.col(f"code{m}") + 1).cast("int"))
+            for m in range(n_sub)
+        ),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_dot"), F.asc("neighbor_id")
+    )
+    return (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            approx.alias("approx_dot"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "approx_dot")
+    )

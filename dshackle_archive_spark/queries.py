@@ -64,7 +64,7 @@ _DRIVER_PRIORITY = [
     # exactly 50
     "x24_boilerplate_ngrams", "x25_vocab_growth", "x26_source_kl_drift",
     "a15_quantile_bands", "d9_minhash_error_audit", "m3_audio_feature_energy",
-    "x27_kmv_distinct_sketch", "x28_pmi_collocations",
+    "x27_kmv_distinct_sketch", "x28_pmi_collocations", "v8_pq_topk",
 ]
 
 
@@ -4401,3 +4401,58 @@ def x28_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("pmi"), F.asc("wa"), F.asc("wb"))
         .limit(25)
     )
+
+
+@query(
+    "v8_pq_topk",
+    """
+    WITH flat AS (
+      SELECT vec_id, t.i - 1 AS i, CAST(embedding[t.i] AS DOUBLE) AS x
+      FROM embeddings, range(1, 65) t(i)
+    ), cb AS (
+      SELECT vec_id AS k, i, x FROM flat WHERE vec_id < 16
+    ), dist AS (
+      SELECT f.vec_id, CAST(floor(cb.i / 16) AS INT) AS m, cb.k,
+             round(sum((f.x - cb.x) * (f.x - cb.x)), 6) AS d
+      FROM flat f JOIN cb ON cb.i = f.i
+      GROUP BY 1, 2, 3
+    ), code AS (
+      SELECT vec_id, m, k FROM (
+        SELECT vec_id, m, k,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+        FROM dist) WHERE rn = 1
+    ), adc AS (
+      SELECT q.vec_id AS query_id, CAST(floor(cb.i / 16) AS INT) AS m, cb.k,
+             round(sum(q.x * cb.x), 6) AS t
+      FROM flat q JOIN cb ON cb.i = q.i
+      WHERE q.vec_id < 5
+      GROUP BY 1, 2, 3
+    ), approx AS (
+      SELECT a.query_id, c.vec_id AS neighbor_id,
+             round(max(CASE WHEN c.m = 0 THEN a.t END)
+                 + max(CASE WHEN c.m = 1 THEN a.t END)
+                 + max(CASE WHEN c.m = 2 THEN a.t END)
+                 + max(CASE WHEN c.m = 3 THEN a.t END), 6) AS approx_dot
+      FROM code c JOIN adc a ON a.m = c.m AND a.k = c.k
+      WHERE c.vec_id <> a.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, rank, approx_dot FROM (
+      SELECT query_id, neighbor_id, approx_dot,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY approx_dot DESC, neighbor_id) AS rank
+      FROM approx) WHERE rank <= 3
+    """,
+)
+def v8_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN (ADC scan) — completes the retrieval
+    family (flat v1, LSH v2, IVF v3/v4, int8 two-stage v5/v6): vectors
+    compress to 4 subspace codes against a 16-codeword deterministic
+    codebook; queries scan codes with table lookups instead of float
+    dot products. The oracle replays encode (argmin with the same
+    rounded-distance tiebreak) and the ADC pivot in pure SQL — an
+    independent formulation of the same arithmetic."""
+    from .operators.similarity import pq_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return pq_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)

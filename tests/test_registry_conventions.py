@@ -62,6 +62,7 @@ SMALL_NONEQUI_BROADCAST_QUERIES = {
     "v3_ivf_topk",  # seed row + probe lookups (K=16 rows)
     "v4_ivf_trained",  # centroid row broadcast per Lloyd iteration
     "v6_reranked_topk",  # corpus × 5 broadcast query vectors (≠ condition)
+    "v8_pq_topk",  # codebook row + corpus codes × 5 broadcast ADC tables
 }
 BNLJ_ALLOWED = ONE_ROW_BOUND_QUERIES | SMALL_NONEQUI_BROADCAST_QUERIES
 
