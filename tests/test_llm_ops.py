@@ -648,3 +648,29 @@ def test_containment_catches_fragment_jaccard_misses(spark):
     assert cb == 1.0 and ca < 0.5  # fragment fully contained, source not
     jac = {(r["doc_a"], r["doc_b"]) for r in jaccard_pairs(sh, threshold=0.5, token_col="shingle").collect()}
     assert (1, 2) not in jac  # symmetric dedup misses it
+
+
+def test_pq_encode_is_map_side_and_exact_on_codewords(spark, sf_dir):
+    """PQ encode must not shuffle the corpus (the codebook is one broadcast
+    row; every argmin is an array fold on the row), and every codebook
+    vector must encode to ITSELF (distance 0 in all subspaces)."""
+    from dshackle_archive_spark.operators.similarity import pq_encode
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    codes = pq_encode(emb)
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    # the ONLY exchange allowed is the broadcast of the 1-row codebook
+    import re
+
+    # allowed: the broadcast itself, and the SinglePartition fold that
+    # builds the 1-row codebook (moves K=16 rows, not the corpus)
+    non_broadcast = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln
+        and "Broadcast" not in ln
+        and "SinglePartition" not in ln
+    ]
+    assert not non_broadcast, non_broadcast
+    by_id = {r["vec_id"]: r for r in codes.filter("vec_id < 16").collect()}
+    for k in range(16):
+        assert [by_id[k][f"code{m}"] for m in range(4)] == [k, k, k, k]
