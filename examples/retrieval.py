@@ -1,0 +1,61 @@
+"""Retrieval-family tour: the six ANN strategies on the same corpus, each
+with recall@3 against the exact cosine baseline and wall time.
+
+The engine's similarity stack (operators/similarity.py), cheapest-per-query
+first at cluster scale:
+  v8 PQ/ADC     — vectors → M codebook codes; scan = table lookups
+  v3 IVF        — probe nprobe cells, exact cosine within them
+  v2 LSH        — hyperplane signatures, bucket-collision candidates
+  v1 exact      — the baseline everything is measured against
+
+Run: python examples/retrieval.py  (SPARK_GRAFT_SF_DIR to change scale)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import dshackle_archive_spark as das
+from pyspark.sql import functions as F
+from dshackle_archive_spark.operators.similarity import (
+    ann_topk,
+    cosine_topk,
+    ivf_topk,
+    pq_topk,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+spark = das.get_spark("retrieval-example", master="local[8]")
+spark.sparkContext.setLogLevel("ERROR")
+
+emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+queries = emb.filter(F.col("vec_id") < 5)
+
+def pairs(df):
+    return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+t0 = time.perf_counter()
+exact = pairs(cosine_topk(emb, queries, k=3, dim=64))
+t_exact = time.perf_counter() - t0
+
+print(f"{'method':12s} {'recall@3':>8s} {'seconds':>8s}")
+print(f"{'exact (v1)':12s} {1.0:8.2f} {t_exact:8.2f}")
+for name, fn in [
+    ("ivf (v3)", lambda: ivf_topk(emb, queries, k=3, dim=64)),
+    ("lsh (v2)", lambda: ann_topk(emb, dim=64, k=3).filter(
+        F.col("query_id") < 5)),
+    ("pq (v8)", lambda: pq_topk(emb, queries, k=3)),
+]:
+    t0 = time.perf_counter()
+    got = pairs(fn())
+    dt = time.perf_counter() - t0
+    print(f"{name:12s} {len(got & exact) / len(exact):8.2f} {dt:8.2f}")
+
+print("\n(the synthetic vectors are uniform-random — a worst case for every"
+      "\n approximate method; real embedding manifolds cluster and recall"
+      "\n rises accordingly. Each method's VALUES are oracle-verified in"
+      "\n tests/test_oracle_parity.py: v1-v8.)")
+spark.stop()
