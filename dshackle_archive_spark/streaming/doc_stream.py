@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.dedup import content_hash
+from ..operators.dedup import content_hash, normalized_text
 
 
 def streaming_exact_dedup(
@@ -277,6 +277,112 @@ def start_streaming_neardup_dedup(
             **step_kwargs,
         )
         surv.write.mode("append").parquet(output_path)
+
+    w = stream_docs.writeStream.foreachBatch(on_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_processing_time is not None:
+        w = w.trigger(processingTime=trigger_processing_time)
+    return w.start()
+
+
+def reference_token_distribution(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-wide unigram counts ``(token, g)`` + the total folded in as a
+    column — the frozen baseline a drift monitor compares live batches
+    against. Vocabulary-sized, so it broadcasts."""
+    tok = (
+        docs.select(
+            F.explode(F.split(normalized_text(text_col), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("g"))
+    )
+    total = tok.groupBy().agg(F.sum("g").alias("g_total"))
+    return tok.crossJoin(F.broadcast(total))
+
+
+def drift_batch_step(
+    batch_docs: DataFrame,
+    reference: DataFrame,
+    batch_id: int,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source distribution drift of ONE micro-batch vs the frozen
+    reference: KL(batch source dist ‖ reference dist) over the unigram
+    vocabulary (the x26 statistic, applied at the streaming front door —
+    "did this crawl slice change register MID-INGEST?").
+
+    Tokens absent from the reference contribute through Laplace-style
+    fallback mass (count 0 → treated as 1 in the reference) so a novel
+    token raises the score instead of dividing by zero.
+
+    Scale shape: the batch collapses to (source, token) counts in one
+    shuffle; the vocabulary-sized reference broadcasts. Output one row per
+    source per batch: ``(batch_id, source, n_tokens, novel_tokens, kl)``.
+    """
+    tok = (
+        batch_docs.select(
+            F.col(source_col).alias("source"),
+            F.explode(F.split(normalized_text(text_col), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    stot = tok.groupBy("source").agg(F.sum("c").alias("n_s"))
+    joined = (
+        tok.join(F.broadcast(reference), "token", "left")
+        .join(F.broadcast(stot), "source")
+    )
+    # the reference total rides in as a 1-row broadcast (NOT backfilled
+    # from matched rows: a batch of entirely novel text has no matches)
+    ref_total = reference.groupBy().agg(F.max("g_total").alias("_gt"))
+    joined = joined.crossJoin(F.broadcast(ref_total))
+    g = F.coalesce(F.col("g"), F.lit(1))
+    p = F.col("c") / F.col("n_s")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.any_value("n_s").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("g").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("novel_tokens"),
+            F.round(
+                F.sum(p * F.log(p / (g / F.col("_gt")))), 6
+            ).alias("kl"),
+        )
+        .select(
+            F.lit(batch_id).alias("batch_id"),
+            "source",
+            "n_tokens",
+            "novel_tokens",
+            "kl",
+        )
+    )
+
+
+def start_streaming_drift_monitor(
+    stream_docs: DataFrame,
+    reference: DataFrame,
+    output_path: str,
+    checkpoint: str,
+    alert_kl: float | None = None,
+    trigger_processing_time: str | None = None,
+):
+    """Wire ``drift_batch_step`` into a StreamingQuery: per-batch per-source
+    drift rows append to ``output_path`` (parquet) — the monitoring feed a
+    pipeline alarms on. ``alert_kl`` adds an ``alert`` boolean column. The
+    reference is localCheckpointed once up front so every batch reuses the
+    materialized vocabulary table instead of re-aggregating the corpus."""
+    ref = reference.localCheckpoint(eager=True)
+
+    def on_batch(bdf: DataFrame, batch_id: int) -> None:
+        scores = drift_batch_step(bdf, ref, batch_id)
+        if alert_kl is not None:
+            scores = scores.withColumn("alert", F.col("kl") >= alert_kl)
+        scores.write.mode("append").parquet(output_path)
 
     w = stream_docs.writeStream.foreachBatch(on_batch).option(
         "checkpointLocation", checkpoint

@@ -609,3 +609,85 @@ def test_streaming_neardup_across_microbatches(spark, tmp_path):
     assert len(groups) == len(set(groups)), (
         f"near-dup variants leaked into the sink: {sorted(r['doc_id'] for r in rows)}"
     )
+
+
+def test_drift_batch_step_flags_register_change(spark, sf_dir):
+    """Same-distribution batch scores near zero; a batch with injected
+    out-of-vocabulary skew scores high and reports novel tokens."""
+    from pyspark.sql import functions as F
+
+    from dshackle_archive_spark.streaming.doc_stream import (
+        drift_batch_step,
+        reference_token_distribution,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    ref = reference_token_distribution(docs.filter("doc_id < 300"))
+    same = drift_batch_step(docs.filter("doc_id >= 300 and doc_id < 360"), ref, 0)
+    skew = drift_batch_step(
+        docs.filter("doc_id >= 300 and doc_id < 360").withColumn(
+            "text", F.concat(F.col("text"), F.lit(" zzzq" * 40))
+        ),
+        ref,
+        1,
+    )
+    s = {r["source"]: r for r in same.collect()}
+    k = {r["source"]: r for r in skew.collect()}
+    assert set(same.columns) == {"batch_id", "source", "n_tokens",
+                                 "novel_tokens", "kl"}
+    for src in k:
+        assert k[src]["novel_tokens"] >= 1
+        assert k[src]["kl"] > s.get(src, {"kl": 0.0})["kl"] + 0.5
+    for src in s:
+        assert s[src]["novel_tokens"] == 0
+        assert s[src]["kl"] < 0.5
+
+
+def test_streaming_drift_monitor_end_to_end(spark, tmp_path, sf_dir):
+    """StreamingQuery wiring: per-batch drift rows land in the sink with
+    alert flags; the skewed stream trips the alert."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dshackle_archive_spark.streaming.doc_stream import (
+        reference_token_distribution,
+        start_streaming_drift_monitor,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref = reference_token_distribution(docs)
+    body = "totally novel register " + " ".join(f"nv{i}" for i in range(30))
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 40)
+        .load()
+        .select(
+            F.col("value").alias("doc_id"),
+            F.lit("streamsrc").alias("source"),
+            F.lit(body).alias("text"),
+        )
+    )
+    out = str(tmp_path / "drift_out")
+    q = start_streaming_drift_monitor(
+        src, ref, out, str(tmp_path / "ckpt"), alert_kl=1.0
+    )
+    try:
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline:
+            try:
+                rows = spark.read.parquet(out).collect()
+            except Exception:
+                rows = []
+            if len(rows) >= 2:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert len(rows) >= 2
+    assert all(r["source"] == "streamsrc" for r in rows)
+    assert all(r["alert"] for r in rows)  # novel register → high KL
+    assert all(r["novel_tokens"] >= 30 for r in rows)
