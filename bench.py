@@ -104,6 +104,7 @@ EXTRA = [
     "x27_kmv_distinct_sketch",
     "x28_pmi_collocations",
     "v8_pq_topk",
+    "x29_hybrid_rrf_retrieval",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))

@@ -65,6 +65,7 @@ _DRIVER_PRIORITY = [
     "x24_boilerplate_ngrams", "x25_vocab_growth", "x26_source_kl_drift",
     "a15_quantile_bands", "d9_minhash_error_audit", "m3_audio_feature_energy",
     "x27_kmv_distinct_sketch", "x28_pmi_collocations", "v8_pq_topk",
+    "x29_hybrid_rrf_retrieval",
 ]
 
 
@@ -4456,3 +4457,128 @@ def v8_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = _t(spark, sf, "embeddings")
     return pq_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+
+
+@query(
+    "x29_hybrid_rrf_retrieval",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+    ), tok AS (
+      SELECT DISTINCT doc_id, t.tok AS token
+      FROM norm, unnest(toks) t(tok) WHERE t.tok <> ''
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+    ), qtok AS (SELECT doc_id AS query_id, token FROM tok WHERE doc_id < 3),
+    inter AS (
+      SELECT q.query_id, c.doc_id AS cand_id, count(*) AS n_inter
+      FROM qtok q JOIN tok c ON c.token = q.token AND c.doc_id <> q.query_id
+      GROUP BY 1, 2
+    ), lex AS (
+      SELECT query_id, cand_id,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY CAST(i.n_inter AS DOUBLE) / (sq.n + sc.n - i.n_inter)
+                          DESC, cand_id ASC) AS lex_rank
+      FROM inter i
+      JOIN sizes sq ON sq.doc_id = i.query_id
+      JOIN sizes sc ON sc.doc_id = i.cand_id
+      QUALIFY lex_rank <= 10
+    ), flat AS (
+      SELECT vec_id, t.i, CAST(embedding[t.i] AS DOUBLE) AS x
+      FROM embeddings, range(1, 65) t(i)
+    ), norms AS (
+      SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id
+    ), dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id, sum(q.x * c.x) AS dot
+      FROM flat q JOIN flat c ON c.i = q.i AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 3
+      GROUP BY 1, 2
+    ), vec AS (
+      SELECT query_id, cand_id,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(dot / (nq.nrm * nc.nrm), 6) DESC, cand_id ASC)
+               AS vec_rank
+      FROM dots d
+      JOIN norms nq ON nq.vec_id = d.query_id
+      JOIN norms nc ON nc.vec_id = d.cand_id
+      QUALIFY vec_rank <= 10
+    ), fused AS (
+      SELECT coalesce(l.query_id, v.query_id) AS query_id,
+             coalesce(l.cand_id, v.cand_id) AS doc_id,
+             round(coalesce(1.0 / (60 + l.lex_rank), 0)
+                   + coalesce(1.0 / (60 + v.vec_rank), 0), 6) AS rrf
+      FROM lex l FULL OUTER JOIN vec v
+        ON v.query_id = l.query_id AND v.cand_id = l.cand_id
+    )
+    SELECT query_id, doc_id, rank, rrf FROM (
+      SELECT query_id, doc_id, rrf,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf DESC, doc_id ASC) AS rank
+      FROM fused) WHERE rank <= 5
+    """,
+)
+def x29_hybrid_rrf_retrieval(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion — the modern RAG-stack
+    default: a LEXICAL ranking (token-set Jaccard, the x18/d3 machinery)
+    and a VECTOR ranking (exact cosine, the v1 machinery) fuse per query
+    as Σ 1/(60+rank), so a document strong on either signal surfaces.
+    RRF needs no score calibration between the two sides — exactly why
+    production hybrid search uses it.
+
+    Scale shape: each side is its own bounded top-k (broadcast 3-query
+    side against posting lists / corpus scan); fusion joins two ≤k-row
+    rankings per query — metadata-sized. Ranks carry total tiebreaks so
+    the fused ordering is deterministic end-to-end."""
+    from .operators.dedup import tokens
+
+    docs = _t(spark, sf, "documents")
+    emb = _t(spark, sf, "embeddings")
+
+    tok = tokens(docs)
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    qtok = tok.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "token"
+    )
+    inter = (
+        tok.join(F.broadcast(qtok), "token")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("doc_id").alias("cand_id"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sq = sizes.select(F.col("doc_id").alias("query_id"), F.col("n").alias("n_q"))
+    sc = sizes.select(F.col("doc_id").alias("cand_id"), F.col("n").alias("n_c"))
+    jac = F.col("n_inter") / (F.col("n_q") + F.col("n_c") - F.col("n_inter"))
+    wl = Window.partitionBy("query_id").orderBy(F.desc(jac), F.asc("cand_id"))
+    lex = (
+        inter.join(F.broadcast(sq), "query_id")
+        .join(sc, "cand_id")
+        .withColumn("lex_rank", F.row_number().over(wl))
+        .filter(F.col("lex_rank") <= 10)
+        .select("query_id", "cand_id", "lex_rank")
+    )
+    from .operators.similarity import cosine_topk
+
+    vec = cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=10, dim=64).select(
+        "query_id", F.col("neighbor_id").alias("cand_id"),
+        F.col("rank").alias("vec_rank"),
+    )
+    fused = (
+        lex.join(vec, ["query_id", "cand_id"], "full_outer")
+        .select(
+            "query_id",
+            F.col("cand_id").alias("doc_id"),
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("vec_rank")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "doc_id", "rank", "rrf")
+    )

@@ -63,6 +63,7 @@ SMALL_NONEQUI_BROADCAST_QUERIES = {
     "v4_ivf_trained",  # centroid row broadcast per Lloyd iteration
     "v6_reranked_topk",  # corpus × 5 broadcast query vectors (≠ condition)
     "v8_pq_topk",  # codebook row + corpus codes × 5 broadcast ADC tables
+    "x29_hybrid_rrf_retrieval",  # cosine side: corpus × 3 broadcast queries
 }
 BNLJ_ALLOWED = ONE_ROW_BOUND_QUERIES | SMALL_NONEQUI_BROADCAST_QUERIES
 
