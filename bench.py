@@ -105,6 +105,7 @@ EXTRA = [
     "x28_pmi_collocations",
     "v8_pq_topk",
     "x29_hybrid_rrf_retrieval",
+    "x30_lsh_recall_audit",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))

@@ -65,7 +65,7 @@ _DRIVER_PRIORITY = [
     "x24_boilerplate_ngrams", "x25_vocab_growth", "x26_source_kl_drift",
     "a15_quantile_bands", "d9_minhash_error_audit", "m3_audio_feature_energy",
     "x27_kmv_distinct_sketch", "x28_pmi_collocations", "v8_pq_topk",
-    "x29_hybrid_rrf_retrieval",
+    "x29_hybrid_rrf_retrieval", "x30_lsh_recall_audit",
 ]
 
 
@@ -4581,4 +4581,110 @@ def x29_hybrid_rrf_retrieval(spark: SparkSession, sf: str) -> DataFrame:
         fused.withColumn("rank", F.row_number().over(wf))
         .filter(F.col("rank") <= 5)
         .select("query_id", "doc_id", "rank", "rrf")
+    )
+
+
+@query(
+    "x30_lsh_recall_audit",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 100
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, concat(text, ' zz') AS text
+      FROM documents WHERE doc_id < 20
+    ), norm AS (
+      SELECT doc_id, string_split({{norm}}, ' ') AS toks FROM corpus
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+      FROM norm, unnest(generate_series(1, greatest(len(toks), 1))) t(i)
+      WHERE i <= greatest(len(toks) - 2, 1)
+        AND length(concat_ws(' ', toks[i], toks[i+1], toks[i+2])) > 0
+    ), sigs AS (
+      SELECT doc_id,
+           {{minhash}}
+      FROM sh GROUP BY doc_id
+    ), banded AS ({{bands}}),
+    pred AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), truth AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.8
+    ), joined AS (
+      SELECT coalesce(p.doc_a, t.doc_a) AS doc_a,
+             CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_pred,
+             CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_truth
+      FROM pred p FULL OUTER JOIN truth t
+        ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b
+    )
+    SELECT CAST(sum(in_pred * in_truth) AS BIGINT) AS tp,
+           CAST(sum(in_pred * (1 - in_truth)) AS BIGINT) AS fp,
+           CAST(sum((1 - in_pred) * in_truth) AS BIGINT) AS fn,
+           round(CAST(sum(in_pred * in_truth) AS DOUBLE)
+                 / greatest(sum(in_truth), 1), 6) AS recall
+    FROM joined
+    """.format(norm=_NORM_SQL, minhash=_MINHASH_AGGS_SQL, bands=_BANDS_SQL),
+)
+def x30_lsh_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Set-level quality audit of the LSH candidate generator: confusion
+    counts (tp/fp/fn) and recall of the banded-MinHash candidates against
+    EXACT-Jaccard≥0.8 ground truth on the planted-duplicate corpus —
+    the go/no-go measurement before trusting a banding config on a real
+    corpus (d9 audits per-pair estimate error; this audits the RETRIEVAL
+    of pairs). fn = near-dup pairs the sketch would MISS.
+
+    Scale shape: ground truth is the posting-join Jaccard (bounded here by
+    corpus construction; at scale one runs it on a sampled slice), the
+    prediction side is the production LSH path, and the comparison is a
+    full-outer join of two metadata-sized pair lists."""
+    from .operators.dedup import (
+        lsh_candidate_pairs,
+        jaccard_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = _t(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") < 100).select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+        )
+    )
+    sh = shingles(corpus, n=3)
+    pred = lsh_candidate_pairs(
+        minhash_signatures(sh, num_hashes=16, token_col="shingle"),
+        bands=4,
+        rows_per_band=4,
+    ).withColumn("in_pred", F.lit(1))
+    truth = (
+        jaccard_pairs(sh, threshold=0.8, token_col="shingle", max_token_df=None)
+        .select("doc_a", "doc_b")
+        .withColumn("in_truth", F.lit(1))
+    )
+    joined = pred.join(truth, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce("in_pred", F.lit(0)).alias("in_pred"),
+        F.coalesce("in_truth", F.lit(0)).alias("in_truth"),
+    )
+    return joined.groupBy().agg(
+        F.sum(F.col("in_pred") * F.col("in_truth")).cast("bigint").alias("tp"),
+        F.sum(F.col("in_pred") * (1 - F.col("in_truth"))).cast("bigint").alias("fp"),
+        F.sum((1 - F.col("in_pred")) * F.col("in_truth")).cast("bigint").alias("fn"),
+        F.round(
+            F.sum(F.col("in_pred") * F.col("in_truth")).cast("double")
+            / F.greatest(F.sum("in_truth"), F.lit(1)),
+            6,
+        ).alias("recall"),
     )
