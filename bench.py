@@ -106,6 +106,7 @@ EXTRA = [
     "v8_pq_topk",
     "x29_hybrid_rrf_retrieval",
     "x30_lsh_recall_audit",
+    "a16_window_unique_actors",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))

@@ -66,6 +66,7 @@ _DRIVER_PRIORITY = [
     "a15_quantile_bands", "d9_minhash_error_audit", "m3_audio_feature_energy",
     "x27_kmv_distinct_sketch", "x28_pmi_collocations", "v8_pq_topk",
     "x29_hybrid_rrf_retrieval", "x30_lsh_recall_audit",
+    "a16_window_unique_actors",
 ]
 
 
@@ -4687,4 +4688,40 @@ def x30_lsh_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
             / F.greatest(F.sum("in_truth"), F.lit(1)),
             6,
         ).alias("recall"),
+    )
+
+
+@query(
+    "a16_window_unique_actors",
+    """
+    SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS day_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(CAST(count(*) AS DOUBLE)
+                 / count(DISTINCT user_id), 6) AS events_per_user
+    FROM events GROUP BY 1, 2
+    """,
+)
+def a16_window_unique_actors(spark: SparkSession, sf: str) -> DataFrame:
+    """Unique-actor windows: per day per event type, event count, EXACT
+    distinct users, and events-per-user — the engagement/abuse analytic a9
+    (pure throughput) cannot answer, and physically a different aggregate:
+    COUNT DISTINCT needs the partial-dedup expand/merge plan, not a plain
+    combiner sum.
+
+    Scale shape: Spark plans distinct-agg as a two-phase expand (dedup on
+    (day, type, user) map-side, then merge) — one logical shuffle keyed by
+    the window; no joins. Buckets are epoch longs (portable, never raw
+    timestamps)."""
+    ev = _t(spark, sf, "events")
+    day = (
+        F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 86400) * 86400
+    ).cast("long")
+    return ev.groupBy(day.alias("day_start"), "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(
+            F.count("*").cast("double") / F.countDistinct("user_id"), 6
+        ).alias("events_per_user"),
     )
