@@ -107,6 +107,7 @@ EXTRA = [
     "x29_hybrid_rrf_retrieval",
     "x30_lsh_recall_audit",
     "a16_window_unique_actors",
+    "x31_bigram_perplexity",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))
