@@ -108,6 +108,7 @@ EXTRA = [
     "x30_lsh_recall_audit",
     "a16_window_unique_actors",
     "x31_bigram_perplexity",
+    "x32_segment_dedup",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))

@@ -595,3 +595,82 @@ def jaccard_for_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
     )
+
+
+def repeated_segment_removal(
+    docs: DataFrame,
+    seg_len: int = 12,
+    min_df: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Repeated-passage removal (the RefinedWeb / CCNet "exact line dedup"
+    stage, adapted to fixed token segments because the synthetic corpus has
+    no newlines): cut every document into non-overlapping ``seg_len``-token
+    segments, count each segment's document frequency corpus-wide, strip
+    segments appearing in >= ``min_df`` distinct documents, and rebuild the
+    cleaned document in order. Unlike near-dup dedup (whole-doc granularity)
+    this removes boilerplate passages INSIDE otherwise-unique documents.
+
+    Returns per-doc ``(doc_id, n_segments, n_removed, kept_tokens,
+    cleaned_hash)`` where cleaned_hash = md5 of the kept segments joined in
+    segment order (md5('') when everything was boilerplate).
+
+    Scale shape: segments are pure map-side array math (sequence + slice +
+    one explode, as in doc chunking); document frequency is ONE
+    groupBy(segment-text) with partial aggregation; the strip is ONE
+    shuffle hash join back on segment text (output rows == segment rows, no
+    expansion — frequent segments skew a few reducers but AQE skew-split
+    handles value-heavy keys); reconstruction is one groupBy(doc) with an
+    ordered in-group sort, never a window over the corpus.
+    """
+    toks = F.split(normalized_text(text_col), " ")
+    n = F.size(F.col("_toks"))
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(seg_len))
+    seg = (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+        .select("doc_id", "_toks", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            (((F.col("s") - 1) / seg_len).cast("int")).alias("seg_id"),
+            F.slice("_toks", F.col("s"), F.lit(seg_len)).alias("_sl"),
+        )
+        .select(
+            "doc_id",
+            "seg_id",
+            F.concat_ws(" ", F.col("_sl")).alias("seg_txt"),
+            F.size("_sl").alias("n_toks"),
+        )
+        .filter(F.length("seg_txt") > 0)
+    )
+    rep = (
+        seg.select("doc_id", "seg_txt")
+        .distinct()
+        .groupBy("seg_txt")
+        .agg(F.count("*").alias("seg_df"))
+        .filter(F.col("seg_df") >= min_df)
+        .select("seg_txt", F.lit(1).alias("_rep"))
+    )
+    joined = seg.join(rep, "seg_txt", "left")
+    kept = F.when(F.col("_rep").isNull(), F.struct("seg_id", "seg_txt"))
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(F.when(F.col("_rep").isNotNull(), 1).otherwise(0)).alias(
+                "n_removed"
+            ),
+            F.sum(
+                F.when(F.col("_rep").isNull(), F.col("n_toks")).otherwise(0)
+            ).alias("kept_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(kept)),
+                        lambda x: x["seg_txt"],
+                    ),
+                )
+            ).alias("cleaned_hash"),
+        )
+    )

@@ -67,6 +67,7 @@ _DRIVER_PRIORITY = [
     "x27_kmv_distinct_sketch", "x28_pmi_collocations", "v8_pq_topk",
     "x29_hybrid_rrf_retrieval", "x30_lsh_recall_audit",
     "a16_window_unique_actors", "x31_bigram_perplexity",
+    "x32_segment_dedup",
 ]
 
 
@@ -4827,3 +4828,74 @@ def x31_bigram_perplexity(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("cross_entropy"),
     )
+
+
+@query(
+    "x32_segment_dedup",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN concat('{_DISCLAIMER} {_DISCLAIMER} {_DISCLAIMER} ',
+                              text)
+                  ELSE text END AS text
+      FROM documents
+    ), norm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM corpus
+    ), st AS (
+      SELECT doc_id, toks, u.s
+      FROM norm, unnest(generate_series(1, greatest(len(toks), 1), 12)) u(s)
+    ), seg AS (
+      SELECT doc_id, CAST((s - 1) / 12 AS INT) AS seg_id,
+             array_to_string(list_slice(toks, s, least(s + 11, len(toks))),
+                             ' ') AS seg_txt,
+             CAST(len(list_slice(toks, s, least(s + 11, len(toks))))
+               AS INT) AS n_toks
+      FROM st
+    ), segf AS (
+      SELECT * FROM seg WHERE length(seg_txt) > 0
+    ), rep AS (
+      SELECT seg_txt FROM (SELECT DISTINCT doc_id, seg_txt FROM segf)
+      GROUP BY seg_txt HAVING count(*) >= 5
+    ), marked AS (
+      SELECT s.doc_id, s.seg_id, s.seg_txt, s.n_toks,
+             r.seg_txt IS NOT NULL AS is_rep
+      FROM segf s LEFT JOIN rep r USING (seg_txt)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(CASE WHEN is_rep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           CAST(sum(CASE WHEN is_rep THEN 0 ELSE n_toks END) AS BIGINT)
+             AS kept_tokens,
+           md5(coalesce(
+             string_agg(CASE WHEN is_rep THEN NULL ELSE seg_txt END, ' '
+                        ORDER BY seg_id), '')) AS cleaned_hash
+    FROM marked GROUP BY doc_id
+    """,
+)
+def x32_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Repeated-passage removal (RefinedWeb's exact line dedup, on 12-token
+    segments since the synthetic corpus has no newlines): segments shared by
+    >= 5 documents are boilerplate and get stripped; each document is
+    rebuilt from its surviving segments in order. A tripled legal
+    disclaimer (33 tokens -> two full shared segments) is planted on every
+    7th document so the removal is visible; unique documents must pass
+    through with cleaned_hash == hash of their normalized text.
+
+    Scale shape (see ``operators/dedup.py:repeated_segment_removal``):
+    map-side chunking, one partial-agg groupBy for document frequency, one
+    equi join back (row-preserving), one per-doc agg with in-group ordered
+    rebuild — no windows over the corpus, no driver loop."""
+    from .operators.dedup import repeated_segment_removal
+
+    plant = F.lit(" ".join([_DISCLAIMER] * 3) + " ")
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(plant, F.col("text"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return repeated_segment_removal(docs, seg_len=12, min_df=5)
