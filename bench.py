@@ -109,6 +109,7 @@ EXTRA = [
     "a16_window_unique_actors",
     "x31_bigram_perplexity",
     "x32_segment_dedup",
+    "d10_semantic_dedup",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))

@@ -655,3 +655,63 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "approx_dot")
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster embeddings
+    with a coarse quantizer, then mark near-identical pairs WITHIN each
+    cluster — the semantic upgrade over MinHash dedup (catches paraphrases
+    with no token overlap). Keep-lowest-id greedy semantics as in the
+    MinHash/exact dedup family: a vector is removed when some smaller-id
+    cluster-mate has cosine >= ``threshold``.
+
+    Returns ``(vec_id, cell_id, kept_by, max_sim)`` for removed vectors
+    (kept_by = smallest such partner, max_sim = rounded max cosine).
+
+    Scale shape: the quantizer is the SAME map-side broadcast-seed argmax
+    as IVF assign (zero corpus shuffle); the pairwise stage is an equi
+    self-join on ``cell_id`` — cost Σ|cell|², the SemDeDup contract (cells
+    are bounded by the quantizer's balance, never the corpus), and norms
+    are hoisted to per-side columns so each pair pays one fold. Cross-
+    cluster duplicates are missed by design — that is the documented
+    SemDeDup approximation that makes it linear-ish at 100 TB."""
+    assign = ivf_assign(vectors, n_cells, id_col, vec_col)
+    v = (
+        vectors.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_vec")
+        )
+        .join(assign, "vec_id")
+        .withColumn("_nrm", _norm(F.col("_vec"), dim))
+    )
+    a = v.select(
+        F.col("vec_id").alias("_ida"),
+        "cell_id",
+        F.col("_vec").alias("_va"),
+        F.col("_nrm").alias("_na"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("_idb"),
+        "cell_id",
+        F.col("_vec").alias("_vb"),
+        F.col("_nrm").alias("_nb"),
+    )
+    cos = F.round(
+        _dot(F.col("_va"), F.col("_vb"), dim)
+        / (F.col("_na") * F.col("_nb")),
+        6,
+    )
+    return (
+        a.join(b, "cell_id")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .groupBy(F.col("_idb").alias("vec_id"), F.col("cell_id"))
+        .agg(F.min("_ida").alias("kept_by"), F.max("cos").alias("max_sim"))
+    )

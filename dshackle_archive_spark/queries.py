@@ -67,7 +67,7 @@ _DRIVER_PRIORITY = [
     "x27_kmv_distinct_sketch", "x28_pmi_collocations", "v8_pq_topk",
     "x29_hybrid_rrf_retrieval", "x30_lsh_recall_audit",
     "a16_window_unique_actors", "x31_bigram_perplexity",
-    "x32_segment_dedup",
+    "x32_segment_dedup", "d10_semantic_dedup",
 ]
 
 
@@ -4899,3 +4899,80 @@ def x32_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
         .alias("text"),
     )
     return repeated_segment_removal(docs, seg_len=12, min_df=5)
+
+
+@query(
+    "d10_semantic_dedup",
+    """
+    WITH flat0 AS (
+      SELECT vec_id, t.i AS i, CAST(embedding[t.i] AS DOUBLE) AS x
+      FROM embeddings, range(1, 65) t(i)
+    ), flat AS (
+      SELECT vec_id, i, x FROM flat0
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, i,
+             x + CASE WHEN i = 1 THEN 0.25 ELSE 0 END AS x
+      FROM flat0 WHERE vec_id % 25 = 0
+    ), norms AS (
+      SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1
+    ), celldots AS (
+      SELECT v.vec_id, s.vec_id AS cell_id,
+             round(sum(v.x * s.x) / (any_value(nv.nrm) * any_value(ns.nrm)), 6)
+               AS sim
+      FROM flat v JOIN flat s ON s.i = v.i AND s.vec_id < 16
+      JOIN norms nv ON nv.vec_id = v.vec_id
+      JOIN norms ns ON ns.vec_id = s.vec_id
+      GROUP BY v.vec_id, s.vec_id
+    ), assign AS (
+      SELECT vec_id, cell_id FROM celldots
+      QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY sim DESC, cell_id ASC) = 1
+    ), pairs AS (
+      SELECT aa.vec_id AS ida, bb.vec_id AS idb, aa.cell_id,
+             round(sum(fa.x * fb.x) / (any_value(na.nrm) * any_value(nb.nrm)),
+                   6) AS cos
+      FROM assign aa JOIN assign bb
+        ON aa.cell_id = bb.cell_id AND aa.vec_id < bb.vec_id
+      JOIN flat fa ON fa.vec_id = aa.vec_id
+      JOIN flat fb ON fb.vec_id = bb.vec_id AND fb.i = fa.i
+      JOIN norms na ON na.vec_id = aa.vec_id
+      JOIN norms nb ON nb.vec_id = bb.vec_id
+      GROUP BY 1, 2, 3
+    )
+    SELECT idb AS vec_id, cell_id,
+           CAST(min(ida) AS BIGINT) AS kept_by,
+           max(cos) AS max_sim
+    FROM pairs WHERE cos >= 0.9
+    GROUP BY idb, cell_id
+    """,
+)
+def d10_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup: embedding-space near-duplicate removal scoped to coarse
+    quantizer cells (paraphrase dedup that token n-grams cannot see).
+    Perturbed copies (+0.25 on dimension 0, exactly representable in
+    binary so the oracle replays it bit-for-bit) are planted for every
+    25th vector; at threshold 0.9 only planted pairs can match (the
+    natural within-cell cosine maxes out below 0.5 in this corpus).
+
+    Scale shape (see ``operators/similarity.py:semantic_dedup``): map-side
+    broadcast-seed assignment, equi self-join on cell_id (cost Σ|cell|²,
+    the SemDeDup contract), hoisted norms."""
+    from .operators.similarity import semantic_dedup
+
+    base = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    planted = base.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i == 0, x.cast("double") + 0.25).otherwise(
+                x.cast("double")
+            ),
+        ).alias("embedding"),
+    )
+    corpus = base.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    ).unionByName(planted)
+    return semantic_dedup(corpus, n_cells=16, threshold=0.9, dim=64)
