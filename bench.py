@@ -110,6 +110,7 @@ EXTRA = [
     "x31_bigram_perplexity",
     "x32_segment_dedup",
     "d10_semantic_dedup",
+    "x33_dsir_weights",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))

@@ -67,7 +67,7 @@ _DRIVER_PRIORITY = [
     "x27_kmv_distinct_sketch", "x28_pmi_collocations", "v8_pq_topk",
     "x29_hybrid_rrf_retrieval", "x30_lsh_recall_audit",
     "a16_window_unique_actors", "x31_bigram_perplexity",
-    "x32_segment_dedup", "d10_semantic_dedup",
+    "x32_segment_dedup", "d10_semantic_dedup", "x33_dsir_weights",
 ]
 
 
@@ -4976,3 +4976,115 @@ def d10_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
         ),
     ).unionByName(planted)
     return semantic_dedup(corpus, n_cells=16, threshold=0.9, dim=64)
+
+
+@query(
+    "x33_dsir_weights",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS toks
+      FROM documents
+    ), tok0 AS (
+      SELECT doc_id, lang, toks[i] AS token
+      FROM norm, unnest(generate_series(1, greatest(len(toks), 1))) t(i)
+      WHERE i <= len(toks) AND length(toks[i]) > 0
+    ), tok AS (
+      SELECT doc_id, lang, ({_U32_SQL}) % 256 AS bucket FROM tok0
+    ), bt AS (
+      SELECT bucket, count(*) AS ct FROM tok WHERE lang = 'en' GROUP BY 1
+    ), br AS (
+      SELECT bucket, count(*) AS cr FROM tok WHERE lang <> 'en' GROUP BY 1
+    ), wtab AS (
+      SELECT coalesce(bt.bucket, br.bucket) AS bucket,
+             coalesce(ct, 0) AS ct, coalesce(cr, 0) AS cr
+      FROM bt FULL JOIN br ON bt.bucket = br.bucket
+    ), lr AS (
+      SELECT bucket,
+             ln((ct + 1.0) / (sum(ct) OVER () + 256.0))
+               - ln((cr + 1.0) / (sum(cr) OVER () + 256.0)) AS w
+      FROM wtab
+    ), dtok AS (
+      SELECT doc_id, bucket, count(*) AS dc
+      FROM tok WHERE lang <> 'en' GROUP BY 1, 2
+    ), scored AS (
+      SELECT doc_id, CAST(sum(dc) AS BIGINT) AS n_tokens,
+             round(sum(dc * w) / sum(dc), 6) AS dsir_weight
+      FROM dtok JOIN lr USING (bucket) GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, dsir_weight
+    FROM scored ORDER BY dsir_weight DESC, doc_id ASC LIMIT 20
+    """,
+)
+def x33_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): score
+    every out-of-target document by how target-like its hashed-unigram
+    distribution is — avg log p_target/p_raw over 256 md5-hashed feature
+    buckets with Laplace smoothing — and return the top 20 resampling
+    candidates. Target = the English subcorpus; raw = everything else.
+
+    Scale shape: ONE explode over corpus tokens feeds both the two
+    256-row bucket-count aggs (partial-agg, map-side combine) and the
+    per-doc bucket counts; the log-ratio table is 256 rows and rides as a
+    broadcast join onto the per-doc stream (windows run over the 256-row
+    table only, never the corpus). Top-k via TakeOrderedAndProject on the
+    ROUNDED weight with doc_id tiebreak, so the boundary is deterministic
+    across engines."""
+    docs = _t(spark, sf, "documents")
+    from .operators.dedup import normalized_text
+
+    tok = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(normalized_text("text"), " ")).alias("token"),
+        )
+        .filter(F.length("token") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+                % 256
+            ).alias("bucket"),
+        )
+    )
+    bt = tok.filter(F.col("lang") == "en").groupBy("bucket").agg(
+        F.count("*").alias("ct")
+    )
+    br = tok.filter(F.col("lang") != "en").groupBy("bucket").agg(
+        F.count("*").alias("cr")
+    )
+    wtab = (
+        bt.join(br, "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+        )
+    )
+    wall = Window.partitionBy()
+    lr = wtab.select(
+        "bucket",
+        (
+            F.log((F.col("ct") + 1.0) / (F.sum("ct").over(wall) + 256.0))
+            - F.log((F.col("cr") + 1.0) / (F.sum("cr").over(wall) + 256.0))
+        ).alias("w"),
+    )
+    dtok = (
+        tok.filter(F.col("lang") != "en")
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("dc"))
+    )
+    scored = (
+        dtok.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("dc").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("dc") * F.col("w")) / F.sum("dc"), 6
+            ).alias("dsir_weight"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("dsir_weight"), F.asc("doc_id")
+    ).limit(20)
