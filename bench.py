@@ -111,6 +111,7 @@ EXTRA = [
     "x32_segment_dedup",
     "d10_semantic_dedup",
     "x33_dsir_weights",
+    "a17_countmin_heavy_hitters",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))

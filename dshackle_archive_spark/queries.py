@@ -68,6 +68,7 @@ _DRIVER_PRIORITY = [
     "x29_hybrid_rrf_retrieval", "x30_lsh_recall_audit",
     "a16_window_unique_actors", "x31_bigram_perplexity",
     "x32_segment_dedup", "d10_semantic_dedup", "x33_dsir_weights",
+    "a17_countmin_heavy_hitters",
 ]
 
 
@@ -4225,6 +4226,17 @@ _U32_SQL = " + ".join(
 )
 
 
+def _u32_sql(expr: str) -> str:
+    """First 32 bits of md5(expr) as an integer, in portable ANSI-ish SQL
+    (DuckDB has no hex-to-int conv); mirrors Spark's
+    ``conv(substring(md5(expr), 1, 8), 16, 10)``."""
+    return " + ".join(
+        f"(strpos({_HEXMAP}, substr(md5({expr}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
 @query(
     "x27_kmv_distinct_sketch",
     f"""
@@ -5088,3 +5100,124 @@ def x33_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
     return scored.orderBy(
         F.desc("dsir_weight"), F.asc("doc_id")
     ).limit(20)
+
+
+@query(
+    "a17_countmin_heavy_hitters",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+    ), tok AS (
+      SELECT concat(toks[i], ' ', toks[i+1]) AS token
+      FROM norm, unnest(generate_series(1, greatest(len(toks), 1))) t(i)
+      WHERE i <= len(toks) - 1
+        AND length(toks[i]) > 0 AND length(toks[i+1]) > 0
+    ), rows_ AS (SELECT r FROM range(0, 4) t(r)
+    ), hashed AS (
+      SELECT token, r,
+             ({_u32_sql("concat('cm', r, ':', token)")}) % 256 AS bucket
+      FROM tok, rows_
+    ), sketch AS (
+      SELECT r, bucket, CAST(count(*) AS BIGINT) AS cell
+      FROM hashed GROUP BY 1, 2
+    ), truth AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS true_count
+      FROM tok GROUP BY 1
+      ORDER BY true_count DESC, token ASC LIMIT 20
+    ), probes AS (
+      SELECT t.token, t.true_count, r.r,
+             ({_u32_sql("concat('cm', r.r, ':', t.token)")}) % 256 AS bucket
+      FROM truth t, rows_ r
+    )
+    SELECT p.token, any_value(p.true_count) AS true_count,
+           min(s.cell) AS cm_est,
+           CAST(min(s.cell) - any_value(p.true_count) AS BIGINT)
+             AS overestimate
+    FROM probes p JOIN sketch s ON s.r = p.r AND s.bucket = p.bucket
+    GROUP BY p.token
+    """,
+)
+def a17_countmin_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over corpus
+    bigrams — the fixed-memory frequency estimator a streaming ingest
+    uses before exact counts exist — audited against the exact top-20:
+    estimate = min over 4 salted rows of a 4x256 counter grid, always an
+    OVERestimate (the invariant the test asserts). Like the KMV sketch,
+    every hash derives from md5 so the sketch is engine-portable and
+    value-replayable, unlike opaque built-in sketches.
+
+    Scale shape: the grid build is ONE groupBy over (4 x corpus bigrams)
+    with map-side partial agg into <= 1024 cells — the classic
+    sketch-merge shape (each executor's partial grid IS a mergeable
+    sketch); the probe side is 20 rows x 4 and joins the 1024-row grid
+    broadcast. Nothing corpus-sized ever shuffles by token."""
+    from .operators.dedup import normalized_text
+
+    docs = _t(spark, sf, "documents")
+    # bigram stream WITH multiplicity (vocab ~|V|^2 >> the 256-bucket grid,
+    # so hash collisions — the regime the sketch exists for — actually occur)
+    toks = docs.select(F.split(normalized_text("text"), " ").alias("_t"))
+    tok = (
+        toks.select(
+            "_t",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.size("_t") - 1, F.lit(0)))
+            ).alias("_i"),
+        )
+        .filter(F.col("_i") >= 1)
+        .select(
+            F.concat_ws(
+                " ",
+                F.try_element_at("_t", F.col("_i")),
+                F.try_element_at("_t", F.col("_i") + 1),
+            ).alias("token"),
+            F.try_element_at("_t", F.col("_i")).alias("_wa"),
+            F.try_element_at("_t", F.col("_i") + 1).alias("_wb"),
+        )
+        .filter((F.col("_wa") != "") & (F.col("_wb") != ""))
+        .select("token")
+    )
+    four = F.array(*[F.lit(i) for i in range(4)])
+
+    def bucket(tok_col, r_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("cm"), r_col, F.lit(":"), tok_col)),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 256
+        )
+
+    # 4 salted rows via map-side explode — no join, stays in codegen
+    hashed = tok.select("token", F.explode(four).alias("r")).select(
+        bucket(F.col("token"), F.col("r")).alias("bucket"), "r"
+    )
+    sketch = hashed.groupBy("r", "bucket").agg(F.count("*").alias("cell"))
+    truth = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("true_count"))
+        .orderBy(F.desc("true_count"), F.asc("token"))
+        .limit(20)
+    )
+    probes = truth.select(
+        "token", "true_count", F.explode(four).alias("r")
+    ).select(
+        "token",
+        "true_count",
+        "r",
+        bucket(F.col("token"), F.col("r")).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("token")
+        .agg(
+            F.any_value("true_count").alias("true_count"),
+            F.min("cell").alias("cm_est"),
+            (F.min("cell") - F.any_value("true_count")).alias("overestimate"),
+        )
+    )
