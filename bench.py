@@ -112,6 +112,7 @@ EXTRA = [
     "d10_semantic_dedup",
     "x33_dsir_weights",
     "a17_countmin_heavy_hitters",
+    "v9_matryoshka_recall",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))

@@ -68,7 +68,7 @@ _DRIVER_PRIORITY = [
     "x29_hybrid_rrf_retrieval", "x30_lsh_recall_audit",
     "a16_window_unique_actors", "x31_bigram_perplexity",
     "x32_segment_dedup", "d10_semantic_dedup", "x33_dsir_weights",
-    "a17_countmin_heavy_hitters",
+    "a17_countmin_heavy_hitters", "v9_matryoshka_recall",
 ]
 
 
@@ -5219,5 +5219,124 @@ def a17_countmin_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
             F.any_value("true_count").alias("true_count"),
             F.min("cell").alias("cm_est"),
             (F.min("cell") - F.any_value("true_count")).alias("overestimate"),
+        )
+    )
+
+
+@query(
+    "v9_matryoshka_recall",
+    """
+    WITH flat AS (
+      SELECT vec_id, t.i AS i, CAST(embedding[t.i] AS DOUBLE) AS x
+      FROM embeddings, range(1, 65) t(i)
+    ), norms AS (
+      SELECT vec_id, sqrt(sum(x * x)) AS nrm,
+             sqrt(sum(CASE WHEN i <= 16 THEN x * x ELSE 0 END)) AS nrm16
+      FROM flat GROUP BY 1
+    ), sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(sum(q.x * c.x)
+                   / (any_value(nq.nrm) * any_value(nc.nrm)), 6) AS sim_full,
+             round(sum(CASE WHEN q.i <= 16 THEN q.x * c.x ELSE 0 END)
+                   / (any_value(nq.nrm16) * any_value(nc.nrm16)), 6)
+               AS sim_trunc
+      FROM flat q JOIN flat c ON c.i = q.i AND q.vec_id < 5
+        AND c.vec_id <> q.vec_id
+      JOIN norms nq ON nq.vec_id = q.vec_id
+      JOIN norms nc ON nc.vec_id = c.vec_id
+      GROUP BY 1, 2
+    ), rk AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim_full DESC, neighbor_id ASC) AS r_full,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim_trunc DESC, neighbor_id ASC) AS r_trunc
+      FROM sims
+    )
+    SELECT query_id,
+           CAST(sum(CASE WHEN r_full <= 10 AND r_trunc <= 10
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           round(sum(CASE WHEN r_full <= 10 AND r_trunc <= 10
+                          THEN 1 ELSE 0 END) / 10.0, 6) AS recall_at_10
+    FROM rk GROUP BY query_id
+    """,
+)
+def v9_matryoshka_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka / truncated-dimension retrieval audit (Kusupati et al.
+    2022, arXiv:2205.13147): how much of the exact 64-dim cosine top-10
+    survives when retrieval uses only the first 16 dimensions — the
+    dimension-truncation trade every embedding-store makes before paying
+    for full-dim rerank. Completes the retrieval-audit family (x30 audits
+    LSH recall, d9 MinHash error; this audits prefix truncation).
+
+    Calibration note (honest): the synthetic embeddings are random, so a
+    16-of-64 prefix shares only ~chance structure with the full vector and
+    recall lands at 0.1-0.3. On actual Matryoshka-trained embeddings the
+    prefix concentrates information and recall approaches 1; the AUDIT
+    machinery (not the absolute number) is the deliverable here.
+
+    Scale shape: ONE corpus scan scores both similarities per candidate
+    pair (prefix dot via a zip_with that zeroes indices > 16 — no second
+    join); queries are a 5-row broadcast (the whitelisted small-nonequi
+    BNLJ shape, as v1); both rankings come from the same per-query window
+    over candidate rows."""
+    from .operators.similarity import _dot, _norm
+
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    pre = emb.select(
+        "vec_id",
+        "embedding",
+        F.slice("embedding", 1, 16).alias("emb16"),
+    )
+    c = pre.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("emb16").alias("c16"),
+        _norm(F.col("embedding")).alias("c_nrm"),
+        _norm(F.col("emb16")).alias("c_nrm16"),
+    )
+    q = pre.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("emb16").alias("q16"),
+        _norm(F.col("embedding")).alias("q_nrm"),
+        _norm(F.col("emb16")).alias("q_nrm16"),
+    )
+    sims = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_nrm") * F.col("c_nrm")),
+                6,
+            ).alias("sim_full"),
+            F.round(
+                _dot(F.col("q16"), F.col("c16"))
+                / (F.col("q_nrm16") * F.col("c_nrm16")),
+                6,
+            ).alias("sim_trunc"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_full"), F.asc("neighbor_id")
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_trunc"), F.asc("neighbor_id")
+    )
+    hit = F.when(
+        (F.col("r_full") <= 10) & (F.col("r_trunc") <= 10), 1
+    ).otherwise(0)
+    return (
+        sims.select(
+            "query_id",
+            F.row_number().over(wf).alias("r_full"),
+            F.row_number().over(wt).alias("r_trunc"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum(hit).alias("n_hit"),
+            F.round(F.sum(hit) / 10.0, 6).alias("recall_at_10"),
         )
     )

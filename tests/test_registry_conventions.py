@@ -66,6 +66,7 @@ SMALL_NONEQUI_BROADCAST_QUERIES = {
     "v8_pq_topk",  # codebook row + corpus codes × 5 broadcast ADC tables
     "x29_hybrid_rrf_retrieval",  # cosine side: corpus × 3 broadcast queries
     "d10_semantic_dedup",  # IVF seed row broadcast (K=16) for the assign stage
+    "v9_matryoshka_recall",  # corpus × 5 broadcast query vectors (≠ condition)
 }
 BNLJ_ALLOWED = ONE_ROW_BOUND_QUERIES | SMALL_NONEQUI_BROADCAST_QUERIES
 
