@@ -140,6 +140,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--benchmark", default=None,
                    help="curate: parquet path of the benchmark/eval docs "
                         "to decontaminate against")
+    p.add_argument("--strip-passages", action="store_true",
+                   help="curate: strip corpus-repeated 12-token passages "
+                        "(RefinedWeb line-dedup stage) before exact dedup")
     p.add_argument("--incremental", action="store_true",
                    help="curate: treat --input as a NEW batch to add to the "
                         "already-curated corpus at --output (dedups against "
@@ -194,7 +197,8 @@ def main(argv: list[str] | None = None) -> int:
                                         snapshot=args.snapshot)
         else:
             _, res = curate(docs, benchmark=bench, output_path=args.output,
-                            snapshot=args.snapshot)
+                            snapshot=args.snapshot,
+                            strip_passages=args.strip_passages)
         print(json.dumps({"command": "curate", "stages": res.stage_counts,
                           "incremental": args.incremental,
                           "output": res.output_path}))

@@ -613,8 +613,10 @@ def repeated_segment_removal(
     this removes boilerplate passages INSIDE otherwise-unique documents.
 
     Returns per-doc ``(doc_id, n_segments, n_removed, kept_tokens,
-    cleaned_hash)`` where cleaned_hash = md5 of the kept segments joined in
-    segment order (md5('') when everything was boilerplate).
+    cleaned_text)`` where cleaned_text = the kept segments joined in
+    segment order ('' when everything was boilerplate) — callers that only
+    need an audit fingerprint hash it (the x32 registry query); the curate
+    pipeline feeds it back in as the document text.
 
     Scale shape: segments are pure map-side array math (sequence + slice +
     one explode, as in doc chunking); document frequency is ONE
@@ -663,14 +665,12 @@ def repeated_segment_removal(
             F.sum(
                 F.when(F.col("_rep").isNull(), F.col("n_toks")).otherwise(0)
             ).alias("kept_tokens"),
-            F.md5(
-                F.concat_ws(
-                    " ",
-                    F.transform(
-                        F.array_sort(F.collect_list(kept)),
-                        lambda x: x["seg_txt"],
-                    ),
-                )
-            ).alias("cleaned_hash"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept)),
+                    lambda x: x["seg_txt"],
+                ),
+            ).alias("cleaned_text"),
         )
     )

@@ -1,9 +1,10 @@
 """``curate`` — the end-to-end training-data curation pipeline, composing
 the corpus operators into the job a data team actually runs:
 
-    quality filter → exact dedup → near-dup dedup (MinHash/LSH → Jaccard
-    confirm → connected components → keep-best) → benchmark
-    decontamination → deterministic split → partitioned write
+    quality filter → [repeated-passage strip] → exact dedup → near-dup
+    dedup (MinHash/LSH → Jaccard confirm → connected components →
+    keep-best) → benchmark decontamination → deterministic split →
+    partitioned write
 
 Beyond-reference surface (the engine's north star): each stage is one of
 the independently oracle-verified operators; this plan chains them with
@@ -37,6 +38,7 @@ from ..operators.dedup import (
     jaccard_for_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
+    repeated_segment_removal,
     shingles,
 )
 from ..operators.textan import quality_features
@@ -113,6 +115,9 @@ def curate(
     max_tokens: int = 5000,
     min_stopword_ratio: float = 0.05,
     max_punct_ratio: float = 0.2,
+    strip_passages: bool = False,
+    passage_min_df: int = 5,
+    passage_seg_len: int = 12,
     jaccard_threshold: float = 0.8,
     contamination_n: int = 5,
     contamination_threshold: float = 0.05,
@@ -139,6 +144,32 @@ def curate(
         docs, min_tokens, max_tokens, min_stopword_ratio, max_punct_ratio
     ).localCheckpoint()
     res.stage_counts["quality"] = stage.count()
+
+    if strip_passages:
+        # repeated-passage removal (RefinedWeb line-dedup stage) BEFORE
+        # exact dedup: documents that differ only in shared boilerplate
+        # collapse to the same cleaned text and fall to the next stage's
+        # hash dedup. Rebuilt text is the normalized form (downstream
+        # stages normalize anyway); docs stripped below the token floor
+        # exit here.
+        cleaned = repeated_segment_removal(
+            stage, seg_len=passage_seg_len, min_df=passage_min_df
+        )
+        stage = (
+            stage.drop("text")
+            .join(
+                cleaned.select(
+                    "doc_id",
+                    F.col("cleaned_text").alias("text"),
+                    "kept_tokens",
+                ),
+                "doc_id",
+            )
+            .filter(F.col("kept_tokens") >= min_tokens)
+            .drop("kept_tokens")
+            .localCheckpoint()
+        )
+        res.stage_counts["passage_strip"] = stage.count()
 
     stage = distinct_documents(stage).localCheckpoint()
     res.stage_counts["exact_dedup"] = stage.count()
@@ -173,6 +204,9 @@ def curate(
                 "max_tokens": max_tokens,
                 "min_stopword_ratio": min_stopword_ratio,
                 "max_punct_ratio": max_punct_ratio,
+                "strip_passages": strip_passages,
+                "passage_min_df": passage_min_df,
+                "passage_seg_len": passage_seg_len,
                 "jaccard_threshold": jaccard_threshold,
                 "contamination_n": contamination_n,
                 "contamination_threshold": contamination_threshold,
@@ -357,6 +391,9 @@ def curate_incremental(
     max_tokens: int = 5000,
     min_stopword_ratio: float = 0.05,
     max_punct_ratio: float = 0.2,
+    strip_passages: bool = False,
+    passage_min_df: int = 5,
+    passage_seg_len: int = 12,
     jaccard_threshold: float = 0.8,
     contamination_n: int = 5,
     contamination_threshold: float = 0.05,
@@ -393,6 +430,32 @@ def curate_incremental(
         new_docs, min_tokens, max_tokens, min_stopword_ratio, max_punct_ratio
     ).localCheckpoint()
     res.stage_counts["quality"] = stage.count()
+
+    if strip_passages:
+        # repeated-passage removal (RefinedWeb line-dedup stage) BEFORE
+        # exact dedup: documents that differ only in shared boilerplate
+        # collapse to the same cleaned text and fall to the next stage's
+        # hash dedup. Rebuilt text is the normalized form (downstream
+        # stages normalize anyway); docs stripped below the token floor
+        # exit here.
+        cleaned = repeated_segment_removal(
+            stage, seg_len=passage_seg_len, min_df=passage_min_df
+        )
+        stage = (
+            stage.drop("text")
+            .join(
+                cleaned.select(
+                    "doc_id",
+                    F.col("cleaned_text").alias("text"),
+                    "kept_tokens",
+                ),
+                "doc_id",
+            )
+            .filter(F.col("kept_tokens") >= min_tokens)
+            .drop("kept_tokens")
+            .localCheckpoint()
+        )
+        res.stage_counts["passage_strip"] = stage.count()
 
     stage = distinct_documents(stage).localCheckpoint()
     res.stage_counts["exact_dedup"] = stage.count()

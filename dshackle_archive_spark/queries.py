@@ -4910,7 +4910,14 @@ def x32_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    return repeated_segment_removal(docs, seg_len=12, min_df=5)
+    out = repeated_segment_removal(docs, seg_len=12, min_df=5)
+    return out.select(
+        "doc_id",
+        "n_segments",
+        "n_removed",
+        "kept_tokens",
+        F.md5("cleaned_text").alias("cleaned_hash"),
+    )
 
 
 @query(

@@ -298,3 +298,60 @@ def test_curate_snapshot_orphan_listing(spark, sf_dir, tmp_path):
     )
     orph = list_orphans(root)
     assert orph and all(o.startswith("data/b_crashed") for o in orph)
+
+
+def test_curate_strip_passages_stage(spark, sf_dir):
+    """strip_passages=True removes corpus-repeated passages BEFORE exact
+    dedup, so docs differing only in boilerplate collapse to one survivor;
+    boilerplate text itself never reaches the output."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # 12-token boilerplate unit, planted twice -> EXACTLY two full
+    # 12-token segments, so stripping leaves no residue tokens
+    plate = (
+        "this document is provided as is without warranty of any kind ever "
+    )
+    plate3 = plate * 2
+    # plant the same boilerplate prefix on every 6th doc, and TWO docs that
+    # are identical except for the boilerplate (dedup must collapse them).
+    # The base doc must itself survive the quality stage, so pick one that
+    # does rather than hardcoding an id.
+    from dshackle_archive_spark.plans.curate_plan import quality_filter
+
+    base_row = (
+        quality_filter(docs)
+        .filter("doc_id % 6 != 0")
+        .orderBy("doc_id")
+        .select("doc_id", "text")
+        .first()
+    )
+    base_id, base = base_row["doc_id"], base_row["text"]
+    planted = spark.createDataFrame(
+        [(910001, plate3 + base), (910002, base)],
+        "doc_id long, text string",
+    )
+    corpus = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 6 == 0, F.concat(F.lit(plate3), F.col("text"))
+        ).otherwise(F.col("text")),
+    ).unionByName(planted)
+
+    out, res = curate(corpus, strip_passages=True)
+    c = res.stage_counts
+    assert "passage_strip" in c and c["quality"] >= c["passage_strip"]
+
+    rows = out.collect()
+    ids = {r["doc_id"] for r in rows}
+    # the boilerplate-only difference collapsed in exact dedup: only one of
+    # (base_id, 910001, 910002) — all the same content class — survives
+    assert len(ids & {base_id, 910001, 910002}) == 1
+    # no surviving text contains a full boilerplate segment
+    seg = "this document is provided as is without warranty of any kind"
+    assert all(seg not in (r["text"] or "") for r in rows)
+
+    # default OFF: stage absent, boilerplate untouched
+    out2, res2 = curate(corpus)
+    assert "passage_strip" not in res2.stage_counts
+    assert any(seg in (r["text"] or "") for r in out2.collect())
