@@ -390,3 +390,163 @@ def start_streaming_drift_monitor(
     if trigger_processing_time is not None:
         w = w.trigger(processingTime=trigger_processing_time)
     return w.start()
+
+
+def countmin_batch_grid(
+    batch_docs: DataFrame,
+    depth: int = 4,
+    width: int = 256,
+    text_col: str = "text",
+) -> DataFrame:
+    """One micro-batch's count-min partial grid ``(r, bucket, cell)`` over
+    unigram tokens — the a17 sketch's streaming half. A partial grid IS a
+    mergeable sketch: cell-wise sum of two grids equals the grid of the
+    concatenated streams, which is what makes the cumulative state exact
+    to maintain and bounded at depth*width rows forever."""
+    tok = (
+        batch_docs.select(
+            F.explode(F.split(normalized_text(text_col), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+    )
+    salted = tok.select(
+        "token", F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cm"), F.col("r"), F.lit(":"), F.col("token"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+    return (
+        salted.select("r", bucket.alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count("*").alias("cell"))
+    )
+
+
+def countmin_merge_step(
+    batch_docs: DataFrame,
+    prior_grid: DataFrame | None,
+    batch_id: int,
+    depth: int = 4,
+    width: int = 256,
+    top_m: int = 10,
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch of the streaming heavy-hitter monitor (pure batch
+    logic): merge the batch's partial count-min grid into the cumulative
+    grid, then probe the batch's top-``top_m`` tokens (by exact BATCH
+    count — the candidate heap a sketch pipeline keeps beside the grid)
+    against the MERGED grid for their cumulative estimate.
+
+    Returns ``(new_grid, report)`` where report rows are
+    ``(batch_id, token, batch_count, est_total)`` — est_total carries the
+    count-min overestimate invariant vs the true cumulative count.
+
+    Scale shape: the grid state is ≤ depth*width rows regardless of stream
+    length (the entire point of sketching the stream); each batch costs one
+    partial-agg groupBy over (depth x batch tokens) plus metadata-sized
+    merges and probes."""
+    grid_b = countmin_batch_grid(batch_docs, depth, width, text_col)
+    merged = grid_b if prior_grid is None else (
+        grid_b.unionByName(prior_grid)
+        .groupBy("r", "bucket")
+        .agg(F.sum("cell").alias("cell"))
+    )
+    merged = merged.localCheckpoint(eager=True)
+
+    tok = (
+        batch_docs.select(
+            F.explode(F.split(normalized_text(text_col), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+    )
+    top = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("batch_count"))
+        .orderBy(F.desc("batch_count"), F.asc("token"))
+        .limit(top_m)
+    )
+    probes = top.select(
+        "token",
+        "batch_count",
+        F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r"),
+    ).select(
+        "token",
+        "batch_count",
+        "r",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("cm"), F.col("r"), F.lit(":"), F.col("token")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % width
+        ).alias("bucket"),
+    )
+    report = (
+        probes.join(F.broadcast(merged), ["r", "bucket"])
+        .groupBy("token")
+        .agg(
+            F.lit(batch_id).alias("batch_id"),
+            F.any_value("batch_count").alias("batch_count"),
+            F.min("cell").alias("est_total"),
+        )
+        .select("batch_id", "token", "batch_count", "est_total")
+    )
+    return merged, report
+
+
+def start_streaming_heavy_hitters(
+    stream_docs: DataFrame,
+    state_dir: str,
+    output_path: str,
+    checkpoint: str,
+    depth: int = 4,
+    width: int = 256,
+    top_m: int = 10,
+    trigger_processing_time: str | None = None,
+):
+    """Wire ``countmin_merge_step`` into a StreamingQuery: the cumulative
+    grid persists as ``gen=<batch_id>`` parquet generations under
+    ``state_dir`` (same recovery story as the near-dup band store — state
+    on storage, not in executor memory), per-batch heavy-hitter reports
+    append to ``output_path``."""
+    import os
+    import shutil
+
+    def on_batch(bdf: DataFrame, batch_id: int) -> None:
+        spark = bdf.sparkSession
+        gens = _gen_dirs(state_dir)
+        prior = spark.read.parquet(gens[-1][1]) if gens else None
+        merged, report = countmin_merge_step(
+            bdf, prior, batch_id, depth, width, top_m
+        )
+        gen_dir = os.path.join(state_dir, f"gen={batch_id}")
+        merged.coalesce(1).write.mode("overwrite").parquet(gen_dir)
+        for gid, path in gens:  # retain only the newest generation
+            if gid != batch_id:
+                shutil.rmtree(path, ignore_errors=True)
+        report.write.mode("append").parquet(output_path)
+
+    w = stream_docs.writeStream.foreachBatch(on_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_processing_time is not None:
+        w = w.trigger(processingTime=trigger_processing_time)
+    return w.start()

@@ -691,3 +691,109 @@ def test_streaming_drift_monitor_end_to_end(spark, tmp_path, sf_dir):
     assert all(r["source"] == "streamsrc" for r in rows)
     assert all(r["alert"] for r in rows)  # novel register → high KL
     assert all(r["novel_tokens"] >= 30 for r in rows)
+
+
+def test_countmin_merge_step_cumulative_invariant(spark, sf_dir):
+    """The batch-step logic alone: merging two batch grids equals sketching
+    the concatenated stream, and every probe estimate is >= the true
+    cumulative count (count-min's one-sided error)."""
+    from pyspark.sql import functions as F
+
+    from dshackle_archive_spark.streaming.doc_stream import (
+        countmin_batch_grid,
+        countmin_merge_step,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    b1 = docs.filter("doc_id < 60")
+    b2 = docs.filter("doc_id >= 60 and doc_id < 120")
+
+    g1, r1 = countmin_merge_step(b1, None, 0)
+    g2, r2 = countmin_merge_step(b2, g1, 1)
+
+    # mergeability: cumulative grid == grid of the concatenated stream
+    whole = countmin_batch_grid(b1.unionByName(b2))
+    merged = {(r["r"], r["bucket"]): r["cell"] for r in g2.collect()}
+    direct = {(r["r"], r["bucket"]): r["cell"] for r in whole.collect()}
+    assert merged == direct
+
+    # grid state stays bounded at depth*width
+    assert len(merged) <= 4 * 256
+
+    # one-sided error vs TRUE cumulative counts
+    from dshackle_archive_spark.operators.dedup import normalized_text
+
+    truth = {
+        r["token"]: r["n"]
+        for r in b1.unionByName(b2)
+        .select(F.explode(F.split(normalized_text("text"), " ")).alias("token"))
+        .filter("token != ''")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    rep2 = r2.collect()
+    assert len(rep2) == 10
+    assert all(r["est_total"] >= truth[r["token"]] for r in rep2)
+    # batch 2's report reflects CUMULATIVE mass, not just the batch
+    assert all(r["est_total"] >= r["batch_count"] for r in rep2)
+    assert any(r["est_total"] > r["batch_count"] for r in rep2)
+
+
+def test_streaming_heavy_hitters_end_to_end(spark, tmp_path):
+    """StreamingQuery wiring: reports append per batch, estimates grow
+    monotonically for the constant stream token, state dir keeps exactly
+    one grid generation."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dshackle_archive_spark.streaming.doc_stream import (
+        start_streaming_heavy_hitters,
+    )
+
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 40)
+        .load()
+        .select(
+            F.col("value").alias("doc_id"),
+            F.lit("alpha alpha beta gamma").alias("text"),
+        )
+    )
+    out = str(tmp_path / "hh_out")
+    state = str(tmp_path / "hh_state")
+    q = start_streaming_heavy_hitters(src, state, out, str(tmp_path / "ckpt"))
+    try:
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline:
+            try:
+                rows = spark.read.parquet(out).collect()
+            except Exception:
+                rows = []
+            if len({r["batch_id"] for r in rows}) >= 2:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    batches = sorted({r["batch_id"] for r in rows})
+    assert len(batches) >= 2
+    alpha = {r["batch_id"]: r["est_total"] for r in rows if r["token"] == "alpha"}
+    ests = [alpha[b] for b in batches if b in alpha]
+    assert len(ests) >= 2
+    # cumulative estimate strictly grows while the stream keeps emitting
+    assert all(a < b for a, b in zip(ests, ests[1:]))
+    # alpha appears twice per doc -> estimate ~2x beta's within a batch
+    by_batch = {}
+    for r in rows:
+        by_batch.setdefault(r["batch_id"], {})[r["token"]] = r["est_total"]
+    last = by_batch[batches[-1]]
+    if "beta" in last and "alpha" in last:
+        assert last["alpha"] >= 2 * last["beta"] - 2
+    # exactly one retained grid generation
+    gens = [d for d in os.listdir(state) if d.startswith("gen=")]
+    assert len(gens) == 1
