@@ -194,7 +194,8 @@ def main(argv: list[str] | None = None) -> int:
                 raise SystemExit("curate --incremental requires --output "
                                  "(the existing curated corpus root)")
             _, res = curate_incremental(docs, args.output, benchmark=bench,
-                                        snapshot=args.snapshot)
+                                        snapshot=args.snapshot,
+                                        strip_passages=args.strip_passages)
         else:
             _, res = curate(docs, benchmark=bench, output_path=args.output,
                             snapshot=args.snapshot,

@@ -597,12 +597,66 @@ def jaccard_for_pairs(
     )
 
 
+def document_segments(
+    docs: DataFrame,
+    seg_len: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Non-overlapping ``seg_len``-token segments of every (normalized)
+    document: ``(doc_id, seg_id, seg_txt, n_toks)``. Pure map-side array
+    math (sequence + slice + one explode) — the shared front half of
+    passage removal and of the incremental segment-df index."""
+    toks = F.split(normalized_text(text_col), " ")
+    n = F.size(F.col("_toks"))
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(seg_len))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+        .select("doc_id", "_toks", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            (((F.col("s") - 1) / seg_len).cast("int")).alias("seg_id"),
+            F.slice("_toks", F.col("s"), F.lit(seg_len)).alias("_sl"),
+        )
+        .select(
+            "doc_id",
+            "seg_id",
+            F.concat_ws(" ", F.col("_sl")).alias("seg_txt"),
+            F.size("_sl").alias("n_toks"),
+        )
+        .filter(F.length("seg_txt") > 0)
+    )
+
+
+def segment_df(
+    docs: DataFrame,
+    seg_len: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-segment document frequency ``(seg_hash, df)`` with seg_hash =
+    md5(segment text) — the persistable form of the corpus's boilerplate
+    knowledge (no raw text in the index). Rows from successive increments
+    SUM: df is additive over disjoint doc sets, which is what lets an
+    incremental batch strip passages by their CUMULATIVE corpus frequency
+    without rescanning prior text."""
+    seg = document_segments(docs, seg_len, id_col, text_col)
+    return (
+        seg.select("doc_id", "seg_txt")
+        .distinct()
+        .groupBy("seg_txt")
+        .agg(F.count("*").alias("df"))
+        .select(F.md5("seg_txt").alias("seg_hash"), "df")
+    )
+
+
 def repeated_segment_removal(
     docs: DataFrame,
     seg_len: int = 12,
     min_df: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    prior_segment_df: DataFrame | None = None,
 ) -> DataFrame:
     """Repeated-passage removal (the RefinedWeb / CCNet "exact line dedup"
     stage, adapted to fixed token segments because the synthetic corpus has
@@ -625,33 +679,39 @@ def repeated_segment_removal(
     expansion — frequent segments skew a few reducers but AQE skew-split
     handles value-heavy keys); reconstruction is one groupBy(doc) with an
     ordered in-group sort, never a window over the corpus.
+
+    ``prior_segment_df`` (optional ``(seg_hash, df)``, the persisted
+    ``segment_df`` store of previously-admitted corpus text) makes the
+    strip decision CUMULATIVE: a segment is boilerplate when its batch df
+    plus prior-corpus df reaches ``min_df`` — one-pass streaming
+    semantics (prior docs were judged with the information available when
+    THEY were admitted; the df store only grows).
     """
-    toks = F.split(normalized_text(text_col), " ")
-    n = F.size(F.col("_toks"))
-    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(seg_len))
-    seg = (
-        docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
-        .select("doc_id", "_toks", F.explode(starts).alias("s"))
-        .select(
-            "doc_id",
-            (((F.col("s") - 1) / seg_len).cast("int")).alias("seg_id"),
-            F.slice("_toks", F.col("s"), F.lit(seg_len)).alias("_sl"),
-        )
-        .select(
-            "doc_id",
-            "seg_id",
-            F.concat_ws(" ", F.col("_sl")).alias("seg_txt"),
-            F.size("_sl").alias("n_toks"),
-        )
-        .filter(F.length("seg_txt") > 0)
-    )
-    rep = (
+    seg = document_segments(docs, seg_len, id_col, text_col)
+    batch_df = (
         seg.select("doc_id", "seg_txt")
         .distinct()
         .groupBy("seg_txt")
         .agg(F.count("*").alias("seg_df"))
-        .filter(F.col("seg_df") >= min_df)
-        .select("seg_txt", F.lit(1).alias("_rep"))
+    )
+    if prior_segment_df is not None:
+        prior = prior_segment_df.groupBy("seg_hash").agg(
+            F.sum("df").alias("_pdf")
+        )
+        batch_df = (
+            batch_df.withColumn("_sh", F.md5("seg_txt"))
+            .join(
+                prior.withColumnRenamed("seg_hash", "_sh"), "_sh", "left"
+            )
+            .select(
+                "seg_txt",
+                (
+                    F.col("seg_df") + F.coalesce(F.col("_pdf"), F.lit(0))
+                ).alias("seg_df"),
+            )
+        )
+    rep = batch_df.filter(F.col("seg_df") >= min_df).select(
+        "seg_txt", F.lit(1).alias("_rep")
     )
     joined = seg.join(rep, "seg_txt", "left")
     kept = F.when(F.col("_rep").isNull(), F.struct("seg_id", "seg_txt"))

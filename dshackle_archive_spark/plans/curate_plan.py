@@ -39,6 +39,7 @@ from ..operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     repeated_segment_removal,
+    segment_df,
     shingles,
 )
 from ..operators.textan import quality_features
@@ -144,6 +145,7 @@ def curate(
         docs, min_tokens, max_tokens, min_stopword_ratio, max_punct_ratio
     ).localCheckpoint()
     res.stage_counts["quality"] = stage.count()
+    observed = stage  # post-quality, pre-strip: source of the segment-df index
 
     if strip_passages:
         # repeated-passage removal (RefinedWeb line-dedup stage) BEFORE
@@ -190,7 +192,8 @@ def curate(
     out = stage.withColumn("split", split_column())
     if output_path is not None:
         if snapshot:
-            _commit_snapshot(out, output_path, tag="b000000", note="curate base")
+            _commit_snapshot(out, output_path, tag="b000000",
+                             note="curate base", segments_source=observed)
         else:
             out.write.mode("overwrite").partitionBy("split").parquet(output_path)
         res.output_path = output_path
@@ -219,7 +222,8 @@ def curate(
         manifest["increments"] = []
         _write_text(output_path, "_MANIFEST.json", json.dumps(manifest, indent=2, sort_keys=True))
         if not snapshot:
-            _write_index(out, output_path, mode="overwrite")
+            _write_index(out, output_path, mode="overwrite",
+                         segments_source=observed)
     return out, res
 
 
@@ -261,6 +265,8 @@ def _write_index(
     mode: str,
     hashes_dir: str | None = None,
     bands_dir: str | None = None,
+    segments_dir: str | None = None,
+    segments_source: DataFrame | None = None,
 ) -> None:
     """The corpus's dedup INDEX, persisted beside the data: content hashes
     (exact-dup probe) and LSH band rows (near-dup probe). An incremental
@@ -279,6 +285,13 @@ def _write_index(
     band_rows(sigs, bands=4, rows_per_band=4).write.mode(mode).parquet(
         bands_dir or _join(output_path, "_index", "bands")
     )
+    # segment-df store: the corpus's boilerplate knowledge, from the
+    # OBSERVED (post-quality, pre-strip) text when the caller passes it —
+    # stripped boilerplate must keep accumulating df so future increments
+    # still recognize it
+    segment_df(segments_source if segments_source is not None else survivors).write.mode(
+        mode
+    ).parquet(segments_dir or _join(output_path, "_index", "segments"))
 
 
 def _list_parquet_rel(root: str, subdir: str) -> list[str]:
@@ -298,6 +311,7 @@ def _commit_snapshot(
     tag: str,
     note: str,
     base_files: tuple[str, ...] = (),
+    segments_source: DataFrame | None = None,
 ) -> None:
     """Transactional curation commit (Iceberg-style, via ``sources/
     snapshots``): the batch's data AND its dedup-index rows are written to
@@ -323,9 +337,12 @@ def _commit_snapshot(
         mode="overwrite",
         hashes_dir=_join(root, "_index", "hashes", tag),
         bands_dir=_join(root, "_index", "bands", tag),
+        segments_dir=_join(root, "_index", "segments", tag),
+        segments_source=segments_source,
     )
     files = list(base_files)
-    for sub in (f"data/{tag}", f"_index/hashes/{tag}", f"_index/bands/{tag}"):
+    for sub in (f"data/{tag}", f"_index/hashes/{tag}", f"_index/bands/{tag}",
+                f"_index/segments/{tag}"):
         files.extend(_list_parquet_rel(root, sub))
     SNAP.publish_snapshot(root, files, note=note)
 
@@ -430,6 +447,7 @@ def curate_incremental(
         new_docs, min_tokens, max_tokens, min_stopword_ratio, max_punct_ratio
     ).localCheckpoint()
     res.stage_counts["quality"] = stage.count()
+    observed = stage  # post-quality, pre-strip: source of the segment-df index
 
     if strip_passages:
         # repeated-passage removal (RefinedWeb line-dedup stage) BEFORE
@@ -438,8 +456,26 @@ def curate_incremental(
         # hash dedup. Rebuilt text is the normalized form (downstream
         # stages normalize anyway); docs stripped below the token floor
         # exit here.
+        # CUMULATIVE strip decision: batch df + the prior corpus's
+        # persisted segment-df store (missing store -> batch-scoped only,
+        # e.g. a base corpus curated before the store existed)
+        prior_seg = None
+        try:
+            if snapshot:
+                seg_paths = _snapshot_paths(
+                    prev_output_path, "_index/segments/"
+                )
+                if seg_paths:
+                    prior_seg = spark.read.parquet(*seg_paths)
+            else:
+                prior_seg = spark.read.parquet(
+                    _join(prev_output_path, "_index", "segments")
+                )
+        except Exception:
+            prior_seg = None
         cleaned = repeated_segment_removal(
-            stage, seg_len=passage_seg_len, min_df=passage_min_df
+            stage, seg_len=passage_seg_len, min_df=passage_min_df,
+            prior_segment_df=prior_seg,
         )
         stage = (
             stage.drop("text")
@@ -555,10 +591,12 @@ def curate_incremental(
             tag=f"b{snap.version + 1:06d}",
             note=f"curate increment on v{snap.version}",
             base_files=snap.files,
+            segments_source=observed,
         )
     else:
         out.write.mode("append").partitionBy("split").parquet(prev_output_path)
-        _write_index(stage, prev_output_path, mode="append")
+        _write_index(stage, prev_output_path, mode="append",
+                     segments_source=observed)
     res.output_path = prev_output_path
 
     admitted = res.stage_counts[

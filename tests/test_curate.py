@@ -355,3 +355,83 @@ def test_curate_strip_passages_stage(spark, sf_dir):
     out2, res2 = curate(corpus)
     assert "passage_strip" not in res2.stage_counts
     assert any(seg in (r["text"] or "") for r in out2.collect())
+
+
+def test_curate_incremental_strip_passages_cumulative(spark, sf_dir, tmp_path):
+    """Cross-increment boilerplate: a passage below min_df within the new
+    batch is still stripped because the prior corpus's persisted segment-df
+    store pushes its CUMULATIVE df over the threshold; without the store
+    (control) the same batch keeps it."""
+    import shutil
+
+    from dshackle_archive_spark.plans.curate_plan import curate_incremental
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plate = (
+        "this document is provided as is without warranty of any kind ever "
+    ) * 2  # exactly two 12-token segments
+    seg = "this document is provided as is without warranty of any kind ever"
+
+    base = docs.filter("doc_id < 300").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 6 == 0, F.concat(F.lit(plate), F.col("text"))
+        ).otherwise(F.col("text")),
+    )
+    root = str(tmp_path / "corpus")
+    out, res = curate(base, output_path=root, strip_passages=True)
+    assert res.stage_counts["passage_strip"] > 0
+
+    # batch: TWO planted docs (batch df 2 < min_df 5) on fresh,
+    # quality-passing base texts not present in the prior corpus
+    from dshackle_archive_spark.plans.curate_plan import quality_filter
+
+    carrier_ids = [
+        r["doc_id"]
+        for r in quality_filter(docs.filter("doc_id >= 300"))
+        .orderBy("doc_id")
+        .select("doc_id")
+        .limit(2)
+        .collect()
+    ]
+    carriers = (
+        docs.filter(F.col("doc_id").isin(carrier_ids))
+        .select(
+            (F.col("doc_id") + 700000).alias("doc_id"),
+            F.concat(F.lit(plate), F.col("text")).alias("text"),
+        )
+    )
+    planted_ids = [i + 700000 for i in carrier_ids]
+    batch = docs.filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 360)
+        & ~F.col("doc_id").isin(carrier_ids)
+    ).unionByName(carriers)
+
+    out2, res2 = curate_incremental(
+        batch, root, strip_passages=True
+    )
+    rows = {r["doc_id"]: r["text"] for r in out2.collect()}
+    admitted_carriers = [d for d in planted_ids if d in rows]
+    assert admitted_carriers, "carriers should pass quality and be admitted"
+    assert all(seg not in rows[d] for d in admitted_carriers), (
+        "prior-corpus df must strip the passage even at batch df 2"
+    )
+
+    # control: same batch against the same base but WITHOUT the store
+    root2 = str(tmp_path / "corpus_nostore")
+    curate(base, output_path=root2, strip_passages=True)
+    shutil.rmtree(f"{root2}/_index/segments")
+    out3, _ = curate_incremental(batch, root2, strip_passages=True)
+    rows3 = {r["doc_id"]: r["text"] for r in out3.collect()}
+    kept = [d for d in planted_ids if d in rows3]
+    assert any(seg in rows3[d] for d in kept), (
+        "without the store the batch-scoped df (2) must NOT strip"
+    )
+
+    # the store accumulated the batch's observed segments
+    import glob as _g
+
+    seg_store = spark.read.parquet(f"{root}/_index/segments")
+    assert seg_store.count() > 0
