@@ -99,7 +99,7 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="dshackle-archive-spark")
     p.add_argument("command",
                    choices=["archive", "stream", "compact", "fix", "verify", "curate",
-                            "vacuum"])
+                            "vacuum", "report"])
     p.add_argument("--dir", default=None, help="archive root directory")
     p.add_argument("--range", help="block range N..M (or single N)")
     p.add_argument("--tail", type=int, help="operate on the last N blocks")
@@ -153,9 +153,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="serve Prometheus metrics at http://HOST:PORT/metrics "
                         "for the lifetime of the run (metrics/mod.rs:73-76)")
     args = p.parse_args(argv)
-    if args.command == "curate":
+    if args.command in ("curate", "report"):
         if not args.input:
-            raise SystemExit("curate requires --input")
+            raise SystemExit(f"{args.command} requires --input")
     elif not args.dir:
         raise SystemExit("--dir is required")
 
@@ -170,6 +170,15 @@ def main(argv: list[str] | None = None) -> int:
                           "keep_last": args.keep_last, "dry_run": args.dry_run,
                           "removed": removed,
                           "current": SNAP.current_version(base)}))
+        return 0
+
+    if args.command == "report":
+        from .plans.report_plan import corpus_report
+
+        spark = get_spark("dshackle-archive-report", master=args.master)
+        docs = spark.read.parquet(args.input)
+        rep = corpus_report(docs)
+        print(json.dumps({"command": "report", **rep}, sort_keys=True))
         return 0
 
     registry = None

@@ -1,0 +1,134 @@
+"""``report`` — the corpus report card: one command that runs the
+diagnostic operator family over a documents table and emits a single JSON
+summary (the artifact a data team reviews before training on a corpus).
+
+Beyond-reference surface: the reference's `verify` reports archive
+integrity; this is the corpus-side analogue for training data. Every
+number is produced by an independently oracle-verified operator — the
+report just composes them.
+
+Scale notes: each section is one or two Spark jobs over the corpus; the
+collected results are all metadata-sized (top-k lists, per-language rows,
+scalar rates). Nothing corpus-sized reaches the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    content_hash,
+    normalized_text,
+    segment_df,
+)
+from ..operators.textan import quality_features
+
+
+def corpus_report(
+    docs: DataFrame,
+    top_k: int = 10,
+    boilerplate_min_df: int = 5,
+    seg_len: int = 12,
+    min_tokens: int = 10,
+    max_tokens: int = 5000,
+    min_stopword_ratio: float = 0.05,
+    max_punct_ratio: float = 0.2,
+) -> dict:
+    """Compute the report card. Returns a plain dict (JSON-ready):
+
+    - ``n_docs``, ``total_tokens``
+    - ``languages``: per-lang doc counts (descending)
+    - ``sources``: per-source doc counts (descending)
+    - ``exact_dup_rate``: share of docs whose content hash is non-unique
+    - ``quality_pass_rate``: share passing the curate quality gate
+    - ``token_length``: min/p50/mean/max document token counts
+    - ``boilerplate``: top-k repeated ``seg_len``-token segments by df
+      (df >= ``boilerplate_min_df``) — the passage-strip candidates
+    """
+    docs = docs.localCheckpoint(eager=True)
+
+    counts = docs.agg(
+        F.count("*").alias("n"),
+        F.sum(F.size(F.split(normalized_text("text"), " "))).alias("toks"),
+    ).collect()[0]
+
+    langs = [
+        {"lang": r["lang"], "n_docs": r["n"]}
+        for r in docs.groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("lang"))
+        .collect()
+    ] if "lang" in docs.columns else []
+    sources = [
+        {"source": r["source"], "n_docs": r["n"]}
+        for r in docs.groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("source"))
+        .collect()
+    ] if "source" in docs.columns else []
+
+    dup = (
+        docs.select(content_hash("text").alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0)).alias("d"),
+            F.sum("n").alias("t"),
+        )
+        .collect()[0]
+    )
+
+    q = quality_features(docs)
+    qpass = q.agg(
+        F.sum(
+            F.when(
+                (F.col("n_tokens") >= min_tokens)
+                & (F.col("n_tokens") <= max_tokens)
+                & (F.col("stopword_ratio") >= min_stopword_ratio)
+                & (F.col("punct_ratio") <= max_punct_ratio),
+                1,
+            ).otherwise(0)
+        ).alias("p"),
+        F.count("*").alias("t"),
+        F.min("n_tokens").alias("mn"),
+        F.expr("percentile(n_tokens, 0.5)").alias("p50"),
+        F.avg("n_tokens").alias("mean"),
+        F.max("n_tokens").alias("mx"),
+    ).collect()[0]
+
+    plate = [
+        {"df": r["df"], "seg_hash": r["seg_hash"]}
+        for r in segment_df(docs, seg_len=seg_len)
+        .filter(F.col("df") >= boilerplate_min_df)
+        .orderBy(F.desc("df"), F.asc("seg_hash"))
+        .limit(top_k)
+        .collect()
+    ]
+
+    n = counts["n"] or 0
+    return {
+        "n_docs": n,
+        "total_tokens": int(counts["toks"] or 0),
+        "languages": langs,
+        "sources": sources,
+        "exact_dup_rate": round(dup["d"] / dup["t"], 6) if dup["t"] else 0.0,
+        "quality_pass_rate": round(qpass["p"] / qpass["t"], 6) if qpass["t"] else 0.0,
+        "token_length": {
+            "min": int(qpass["mn"]) if n else 0,
+            "p50": float(qpass["p50"]) if n else 0.0,
+            "mean": round(float(qpass["mean"]), 2) if n else 0.0,
+            "max": int(qpass["mx"]) if n else 0,
+        },
+        "boilerplate": plate,
+        "params": {
+            "seg_len": seg_len,
+            "boilerplate_min_df": boilerplate_min_df,
+            "quality": {
+                "min_tokens": min_tokens,
+                "max_tokens": max_tokens,
+                "min_stopword_ratio": min_stopword_ratio,
+                "max_punct_ratio": max_punct_ratio,
+            },
+        },
+    }

@@ -435,3 +435,66 @@ def test_curate_incremental_strip_passages_cumulative(spark, sf_dir, tmp_path):
 
     seg_store = spark.read.parquet(f"{root}/_index/segments")
     assert seg_store.count() > 0
+
+
+def test_corpus_report_card(spark, sf_dir, tmp_path, capsys):
+    """The report plan's numbers must agree with direct computation, and
+    the CLI must emit them as one JSON object."""
+    import json
+
+    from dshackle_archive_spark.plans.report_plan import corpus_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # plant exact dups + boilerplate so those sections are non-trivial
+    plate = (
+        "this document is provided as is without warranty of any kind ever "
+    ) * 2
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 6 == 0, F.concat(F.lit(plate), F.col("text"))
+        ).otherwise(F.col("text")),
+    )
+    extra = planted.filter("doc_id < 10").select(
+        (F.col("doc_id") + 800000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    corpus = planted.unionByName(extra)
+
+    rep = corpus_report(corpus)
+    n = corpus.count()
+    assert rep["n_docs"] == n
+    assert rep["total_tokens"] > 0
+    # 10 planted dup pairs -> 20 docs in non-unique hash classes
+    assert rep["exact_dup_rate"] == round(20 / n, 6)
+    assert 0 < rep["quality_pass_rate"] < 1
+    assert sum(x["n_docs"] for x in rep["languages"]) == n
+    assert sum(x["n_docs"] for x in rep["sources"]) == n
+    # the planted plate segment dominates boilerplate df (its two
+    # occurrences per doc share one text, hence ONE df row)
+    assert len(rep["boilerplate"]) >= 1
+    seg0 = "this document is provided as is without warranty of any kind ever"
+    expect_df = corpus.filter(F.col("text").contains(seg0)).count()
+    import hashlib as _h
+
+    assert rep["boilerplate"][0] == {
+        "df": expect_df,
+        "seg_hash": _h.md5(seg0.encode()).hexdigest(),
+    }
+    tl = rep["token_length"]
+    assert tl["min"] <= tl["p50"] <= tl["max"]
+
+    # CLI round-trip
+    from dshackle_archive_spark.cli import main
+
+    path = str(tmp_path / "report_in.parquet")
+    corpus.write.parquet(path)
+    rc = main(["report", "--input", path, "--master", "local[4]"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["command"] == "report"
+    assert out["n_docs"] == rep["n_docs"]
+    assert out["exact_dup_rate"] == rep["exact_dup_rate"]
