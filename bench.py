@@ -113,6 +113,7 @@ EXTRA = [
     "x33_dsir_weights",
     "a17_countmin_heavy_hitters",
     "v9_matryoshka_recall",
+    "v10_ivf_pq_topk",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))

@@ -164,6 +164,38 @@ def ivf_assign(
     )
 
 
+def ivf_candidates(
+    vectors: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF candidate-generation half on its own: each query probes its
+    ``nprobe`` nearest cells, candidates = members of probed cells →
+    ``(query_id, neighbor_id)``. Shared by IVF-flat top-k (exact rerank)
+    and IVF+PQ (ADC rerank) — the coarse quantizer is the same either way.
+
+    One broadcast seed row feeds assign AND probe ranking (ReusedExchange);
+    the only join is the ``cell_id`` equi join; only ids shuffle."""
+    seed = F.broadcast(_seed_row(vectors, n_cells, id_col, vec_col))
+    assign = ivf_assign(vectors, n_cells, id_col, vec_col, _seed=seed)
+    probes = (
+        queries.crossJoin(seed)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.explode(
+                _probe_cells(F.col("_seeds"), F.col(vec_col), nprobe)
+            ).alias("_p"),
+        )
+        .select("query_id", F.col("_p.cell_id").alias("cell_id"))
+    )
+    return probes.join(assign, "cell_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"))
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -183,21 +215,7 @@ def ivf_topk(
     consumer); candidates come from an equi join on ``cell_id``, never an
     all-pairs product. Probe ranking is the same map-side array sort as the
     assign stage (no window shuffle)."""
-    seed = F.broadcast(_seed_row(vectors, n_cells, id_col, vec_col))
-    assign = ivf_assign(vectors, n_cells, id_col, vec_col, _seed=seed)
-    probes = (
-        queries.crossJoin(seed)
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.explode(
-                _probe_cells(F.col("_seeds"), F.col(vec_col), nprobe)
-            ).alias("_p"),
-        )
-        .select("query_id", F.col("_p.cell_id").alias("cell_id"))
-    )
-    cand = probes.join(assign, "cell_id").filter(
-        F.col("vec_id") != F.col("query_id")
-    ).select("query_id", F.col("vec_id").alias("neighbor_id"))
+    cand = ivf_candidates(vectors, queries, n_cells, nprobe, id_col, vec_col)
     qv = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
@@ -598,6 +616,7 @@ def pq_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """PQ/ADC approximate top-k: queries precompute a per-subspace
     dot-product table against the codebook (M·K entries), then every
@@ -632,9 +651,19 @@ def pq_topk(
         sub = F.slice(F.col(vec_col), m * sub_dim + 1, sub_dim)
         qcols.append(F.transform(F.col("_codes"), _adc(m, sub)).alias(f"adc{m}"))
     qtab = queries.crossJoin(seed).select(*qcols)
-    cand = codes.crossJoin(F.broadcast(qtab)).filter(
-        F.col("vec_id") != F.col("query_id")
-    )
+    if candidates is None:
+        cand = codes.crossJoin(F.broadcast(qtab)).filter(
+            F.col("vec_id") != F.col("query_id")
+        )
+    else:
+        # IVF-restricted ADC: score only the coarse quantizer's candidate
+        # list (query_id, neighbor_id) — the IVF-PQ composition. Codes join
+        # by id (equi), ADC tables still broadcast.
+        cand = (
+            candidates.withColumnRenamed("neighbor_id", "vec_id")
+            .join(codes, "vec_id")
+            .join(F.broadcast(qtab), "query_id")
+        )
     approx = F.round(
         sum(
             F.element_at(f"adc{m}", (F.col(f"code{m}") + 1).cast("int"))

@@ -67,6 +67,7 @@ SMALL_NONEQUI_BROADCAST_QUERIES = {
     "x29_hybrid_rrf_retrieval",  # cosine side: corpus × 3 broadcast queries
     "d10_semantic_dedup",  # IVF seed row broadcast (K=16) for the assign stage
     "v9_matryoshka_recall",  # corpus × 5 broadcast query vectors (≠ condition)
+    "v10_ivf_pq_topk",  # seed row + codebook row + 5-row ADC tables, all broadcast
 }
 BNLJ_ALLOWED = ONE_ROW_BOUND_QUERIES | SMALL_NONEQUI_BROADCAST_QUERIES
 
