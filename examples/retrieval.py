@@ -3,6 +3,7 @@ with recall@3 against the exact cosine baseline and wall time.
 
 The engine's similarity stack (operators/similarity.py), cheapest-per-query
 first at cluster scale:
+  v10 IVF+PQ    — coarse cells restrict the scan, ADC scores the rest
   v8 PQ/ADC     — vectors → M codebook codes; scan = table lookups
   v3 IVF        — probe nprobe cells, exact cosine within them
   v2 LSH        — hyperplane signatures, bucket-collision candidates
@@ -22,6 +23,7 @@ from pyspark.sql import functions as F
 from dshackle_archive_spark.operators.similarity import (
     ann_topk,
     cosine_topk,
+    ivf_candidates,
     ivf_topk,
     pq_topk,
 )
@@ -48,6 +50,9 @@ for name, fn in [
     ("lsh (v2)", lambda: ann_topk(emb, dim=64, k=3).filter(
         F.col("query_id") < 5)),
     ("pq (v8)", lambda: pq_topk(emb, queries, k=3)),
+    ("ivfpq (v10)", lambda: pq_topk(
+        emb, queries, k=3,
+        candidates=ivf_candidates(emb, queries, n_cells=16, nprobe=2))),
 ]:
     t0 = time.perf_counter()
     got = pairs(fn())
@@ -57,5 +62,5 @@ for name, fn in [
 print("\n(the synthetic vectors are uniform-random — a worst case for every"
       "\n approximate method; real embedding manifolds cluster and recall"
       "\n rises accordingly. Each method's VALUES are oracle-verified in"
-      "\n tests/test_oracle_parity.py: v1-v8.)")
+      "\n tests/test_oracle_parity.py: v1-v10.)")
 spark.stop()
