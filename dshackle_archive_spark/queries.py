@@ -38,56 +38,16 @@ def query(name: str, sql: str | None):
     return deco
 
 
-# The driver hash-checks only the first ~50 registry entries per round
-# (sample tracks dict order). Rounds 1-4 covered 54 keys; the first 50
-# below never appeared in a CORRECTNESS_r*.json before round 5, so they
-# fill the round-5 window. ROUND-6 ROTATION TODO: the keys past position
-# 50 (x27, x28, v8, x29, x30, a16, x31, and the round-5 additions x32,
-# d10, x33, a17, v9) have still never been driver-checked — move them to
-# the front next round. Local DuckDB parity (tests/test_oracle_parity.py)
-# stays value-exact for all keys regardless.
-_DRIVER_PRIORITY = [
-    "x6_train_split", "h10_returned_items", "h14_promo_revenue",
-    "h22_idle_rich_customers", "j8_asof_join", "h2_cheapest_supplier",
-    "a11_moving_avg", "h7_nation_volume", "h9_product_profit",
-    "h12_line_priority", "h13_customer_distribution",
-    "h17_small_quantity_revenue", "h18_large_volume_customers",
-    "h19_disjunctive_revenue", "h21_sole_blamed_supplier",
-    "x9_decontamination", "x10_repetition", "x11_tfidf_top_terms",
-    "x12_stratified_sample", "x13_mixture_plan", "h8_market_share",
-    "h11_important_parts", "h15_top_supplier", "h16_supplier_relation",
-    "h20_bulk_shippers", "x14_length_outliers", "v6_reranked_topk",
-    "t9_funnel", "a12_cohort_retention", "m2_frame_sample_plan",
-    "d7_simhash_near_pairs", "p10_json_props_agg", "x15_corpus_diff",
-    "a13_discrete_median", "x17_inverted_index", "x18_keyword_search",
-    "x19_sequence_packing", "a14_daily_growth", "j9_banded_range_self_join",
-    "x20_source_vocab_overlap", "d8_chain_components", "x21_doc_chunking",
-    "x22_token_entropy", "x23_containment_neardup",
-    # round-5 additions — never driver-checked, so they fill the window to
-    # exactly 50
-    "x24_boilerplate_ngrams", "x25_vocab_growth", "x26_source_kl_drift",
-    "a15_quantile_bands", "d9_minhash_error_audit", "m3_audio_feature_energy",
-    "x27_kmv_distinct_sketch", "x28_pmi_collocations", "v8_pq_topk",
-    "x29_hybrid_rrf_retrieval", "x30_lsh_recall_audit",
-    "a16_window_unique_actors", "x31_bigram_perplexity",
-    "x32_segment_dedup", "d10_semantic_dedup", "x33_dsir_weights",
-    "a17_countmin_heavy_hitters", "v9_matryoshka_recall",
-    "v10_ivf_pq_topk",
-]
-
-
-def _driver_order(d: dict) -> dict:
-    prio = [k for k in _DRIVER_PRIORITY if k in d]
-    rest = [k for k in d if k not in set(prio)]
-    return {k: d[k] for k in prio + rest}
-
-
 def registry() -> dict[str, QueryFn]:
-    return _driver_order(dict(_REGISTRY))
+    """All registered queries, in registration order (the order they appear
+    in this module). Any consumer-specific ordering — e.g. the external
+    correctness driver's coverage rotation — belongs to that consumer's
+    adapter (``__spark_entry__.py``), not to this API."""
+    return dict(_REGISTRY)
 
 
 def oracles() -> dict[str, str]:
-    return _driver_order(dict(_ORACLE))
+    return dict(_ORACLE)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -2329,10 +2289,10 @@ def h9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
     "h12_line_priority",
     """
     SELECT l.l_linestatus AS linestatus,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -2717,7 +2677,8 @@ def x12_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok
       FROM documents
     ), per_src AS (
-      SELECT source, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
              CAST(round(sqrt(sum(n_tok)), 6) AS DECIMAL(18,6)) AS w
       FROM tok GROUP BY 1
     ), tot AS (SELECT sum(w) AS w_total FROM per_src)
@@ -3384,7 +3345,8 @@ def d7_simhash_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum,
            min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
            max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
     FROM events

@@ -78,6 +78,23 @@ def as_rowset(cols, rows):
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_types_driver_safe(duck, name):
+    """The driver hash-compares *rendered* values, so an oracle whose sum()
+    comes back as HUGEINT renders `1764.0` while Spark's BIGINT renders
+    `1764` — values equal, hashes differ (bit round 5: h12/p10/x13). The
+    float-coercing comparator below can't see that, so gate on the DuckDB
+    result types directly: integer aggregates must be CAST(... AS BIGINT)
+    in the oracle SQL."""
+    types = [str(t) for t in duck.sql(ORACLES[name]).types]
+    banned = [t for t in types if t in ("HUGEINT", "UHUGEINT")]
+    assert not banned, (
+        f"{name}: oracle returns {banned} column(s) — wrap the integer "
+        f"aggregate in CAST(... AS BIGINT) so the driver's value hash "
+        f"renders identically to Spark's BIGINT (types: {types})"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, duck, sf_dir_mod, name):
     sdf = QUERIES[name](spark, sf_dir_mod)
     scols = sdf.columns
