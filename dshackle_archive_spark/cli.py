@@ -266,6 +266,7 @@ def main(argv: list[str] | None = None) -> int:
                      snapshot=args.snapshot)
         out = {"command": "verify", "range": str(rng), "groups": rep.groups_total,
                "ok": rep.groups_ok, "failures": rep.failures, "deleted": rep.deleted,
+               "pruned_from_snapshot": rep.pruned_from_snapshot,
                "dry_run": rep.dry_run, "snapshot_version": rep.snapshot_version}
     elif args.command == "compact":
         from .plans.compact_plan import compact

@@ -43,7 +43,10 @@ class CompactResult:
     compacted_chunks: list[tuple[int, int]] = field(default_factory=list)
     skipped_chunks: list[tuple[int, int, str]] = field(default_factory=list)
     written: list[str] = field(default_factory=list)
-    deleted: list[str] = field(default_factory=list)
+    deleted: list[str] = field(default_factory=list)  # physically removed
+    # snapshot mode: compacted-away sources leave the manifest but stay on
+    # disk until vacuum — reported here, never under ``deleted``
+    pruned_from_snapshot: list[str] = field(default_factory=list)
     snapshot_version: int | None = None
 
 
@@ -360,6 +363,7 @@ def compact(
             ),
         )
         result.snapshot_version = snap.version
+        result.pruned_from_snapshot = sorted(set(to_delete) & set(cur.files))
         return result
     res = delete_files(base, sorted(to_delete), dry_run=dry_run)
     result.deleted.extend(res.deleted)

@@ -459,6 +459,12 @@ def curate_incremental(
         # CUMULATIVE strip decision: batch df + the prior corpus's
         # persisted segment-df store (missing store -> batch-scoped only,
         # e.g. a base corpus curated before the store existed)
+        # Only a MISSING store degrades to batch-scoped passage stripping;
+        # a real read error (transient IO, corrupt parquet) must propagate —
+        # silently dropping the prior segment index would change the
+        # documented cumulative semantics without anyone noticing.
+        from pyspark.errors import AnalysisException
+
         prior_seg = None
         try:
             if snapshot:
@@ -471,7 +477,9 @@ def curate_incremental(
                 prior_seg = spark.read.parquet(
                     _join(prev_output_path, "_index", "segments")
                 )
-        except Exception:
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+                raise
             prior_seg = None
         cleaned = repeated_segment_removal(
             stage, seg_len=passage_seg_len, min_df=passage_min_df,

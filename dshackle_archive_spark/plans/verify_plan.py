@@ -39,7 +39,11 @@ class VerifyReport:
     groups_total: int = 0
     groups_ok: int = 0
     failures: list[dict] = field(default_factory=list)  # per failing group
-    deleted: list[str] = field(default_factory=list)
+    deleted: list[str] = field(default_factory=list)  # physically removed
+    # snapshot mode removes nothing from disk — losers drop out of the new
+    # manifest and persist until vacuum, so they are reported here, not
+    # under ``deleted``
+    pruned_from_snapshot: list[str] = field(default_factory=list)
     dry_run: bool = False
     snapshot_version: int | None = None
 
@@ -490,7 +494,7 @@ def verify(
             report.snapshot_version = snap.version
         else:
             report.snapshot_version = cur.version
-        report.deleted = sorted(to_delete)
+        report.pruned_from_snapshot = sorted(to_delete)
     else:
         res = delete_files(base, sorted(to_delete), dry_run=dry_run)
         report.deleted = res.deleted

@@ -132,9 +132,17 @@ def send_notifications(
         return
     if fmt == "kafka-wire":
         bootstrap, topic = options["bootstrap"], options["topic"]
+        # Map Spark partitions onto the TOPIC's partition count, not the
+        # DataFrame's: a topic typically has far fewer partitions than a
+        # 1000-executor job has tasks, and producing to partition 713 of a
+        # 12-partition topic is an unknown-partition error on any real
+        # broker. Default 1 matches the reference's single-partition
+        # notifications topic (pulsar.rs / kafka config).
+        n_parts = int(options.get("topic_partitions", 1))
         vdf.rdd.mapPartitionsWithIndex(
             lambda idx, rows: (
-                _produce_partition_kafka(bootstrap, topic, idx, rows) or iter(())
+                _produce_partition_kafka(bootstrap, topic, idx % n_parts, rows)
+                or iter(())
             )
         ).count()
         return

@@ -46,6 +46,12 @@ MANIFEST_DIR = "_manifests"
 CURRENT = "_CURRENT"
 
 
+class SnapshotConflict(RuntimeError):
+    """A concurrent writer published between reading the base snapshot and
+    committing: the commit was computed against a stale base and must be
+    retried on the new current (standard optimistic-concurrency loss)."""
+
+
 @dataclass(frozen=True)
 class Snapshot:
     """An immutable, pinned archive version: resolve all reads through it."""
@@ -109,6 +115,12 @@ def load_snapshot(root: str, version: int | None = None) -> Snapshot | None:
 SHARD_SIZE = 250_000  # file entries per manifest shard
 
 
+def _pause_before_swap(root: str, version: int) -> None:
+    """No-op seam between the version claim and the pointer swap. Tests
+    monkeypatch this to freeze one writer mid-commit and prove the slow
+    claimant of v{N} cannot regress ``_CURRENT`` after v{N+1} published."""
+
+
 def publish_snapshot(
     root: str,
     files: list[str],
@@ -117,12 +129,22 @@ def publish_snapshot(
     extra: dict | None = None,
     max_retries: int = 50,
     shard_size: int = SHARD_SIZE,
+    require_parent_current: bool = False,
 ) -> Snapshot:
     """Publish a new snapshot listing ``files`` (paths relative to root).
 
     Claims the next free version number via O_EXCL (optimistic concurrency:
     a racing writer that loses the claim retries against the next number),
-    then swaps ``_CURRENT`` atomically. Returns the published Snapshot.
+    then advances ``_CURRENT`` atomically — and only FORWARD: the pointer
+    swap happens under a short flock'd critical section that re-reads
+    ``_CURRENT``, so a slow writer that claimed v{N} while a faster one
+    already published v{N+1} cannot regress the pointer (its manifest is
+    still written, just never becomes current). With
+    ``require_parent_current=True`` the same critical section additionally
+    validates that ``_CURRENT`` still equals ``parent`` and raises
+    ``SnapshotConflict`` (removing the claimed manifest) otherwise — the
+    compare-and-swap used by ``merge_replace``. Returns the published
+    Snapshot.
 
     Above ``shard_size`` entries the file list splits across sidecar shard
     JSONs (manifest-of-manifests, Iceberg's manifest-list move): the root
@@ -138,6 +160,7 @@ def publish_snapshot(
         parent = base
     files = sorted(files)
     v = (base or 0) + 1
+    shard_names: list[str] = []
     for _ in range(max_retries):
         target = _manifest_path(root, v)
         try:
@@ -147,15 +170,17 @@ def publish_snapshot(
             continue
         payload = {"parent": parent, "note": note, "extra": extra or {}}
         if len(files) > shard_size:
-            shards = []
+            shard_names = []
             for i in range(0, len(files), shard_size):
                 name = f"v{v}-shard-{i // shard_size:05d}.json"
                 tmp = os.path.join(_mdir(root), name + ".inprogress")
                 with open(tmp, "w") as sf:
                     json.dump(files[i : i + shard_size], sf)
                 os.replace(tmp, os.path.join(_mdir(root), name))
-                shards.append(name)
-            payload.update({"files": [], "shards": shards, "n_files": len(files)})
+                shard_names.append(name)
+            payload.update(
+                {"files": [], "shards": shard_names, "n_files": len(files)}
+            )
         else:
             payload["files"] = files
         with os.fdopen(fd, "w") as f:
@@ -165,12 +190,46 @@ def publish_snapshot(
         break
     else:
         raise RuntimeError(f"could not claim a manifest version under {root}")
-    tmp = os.path.join(_mdir(root), CURRENT + ".inprogress")
-    with open(tmp, "w") as f:
-        f.write(str(v))
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(_mdir(root), CURRENT))
+
+    _pause_before_swap(root, v)  # test seam: deterministic race interleaving
+
+    # Pointer swap — the commit's linearization point. flock (released by the
+    # OS even on crash) serializes just this re-read + rename; the heavy work
+    # (shards, manifest body) stayed outside the lock.
+    def _swap() -> None:
+        cur = current_version(root) or 0
+        if require_parent_current and cur != (parent or 0):
+            # lost the race: drop the claimed manifest + shards and report
+            for name in shard_names:
+                try:
+                    os.remove(os.path.join(_mdir(root), name))
+                except OSError:
+                    pass
+            try:
+                os.remove(target)
+            except OSError:
+                pass
+            raise SnapshotConflict(
+                f"base v{parent or 0} is no longer current (now v{cur}) "
+                f"under {root}; re-read the snapshot and retry"
+            )
+        if v <= cur:  # a newer version already published — never regress
+            return
+        tmp = os.path.join(_mdir(root), CURRENT + ".inprogress")
+        with open(tmp, "w") as f:
+            f.write(str(v))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(_mdir(root), CURRENT))
+
+    try:
+        import fcntl
+
+        with open(os.path.join(_mdir(root), "_CURRENT.lock"), "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            _swap()
+    except ImportError:  # non-posix: keep the atomic rename, skip the lock
+        _swap()
     return Snapshot(root=root, version=v, files=tuple(sorted(files)), parent=parent,
                     note=note, extra=extra or {})
 
@@ -276,8 +335,11 @@ def merge_replace(
     the reorged heights FIRST (new names beside the old files), then calls
     this — one atomic pointer swap moves every affected height to the
     winning fork together. Compaction (N singles → one range file) is the
-    same call. ``base`` defaults to the current snapshot; pass an explicit
-    one for optimistic validation against concurrent publishes.
+    same call. ``base`` defaults to the current snapshot; either way the
+    commit is a compare-and-swap: if another writer published after ``base``
+    was read, the pointer swap raises ``SnapshotConflict`` instead of
+    silently clobbering (or being clobbered by) the concurrent commit —
+    re-read and retry, Iceberg's optimistic-commit loop.
 
     The base's manifest stats (min/max pruning metadata) carry forward:
     removed files drop out, ``add_stats`` (from ``file_stats``) merges in —
@@ -297,7 +359,8 @@ def merge_replace(
         stats.update(add_stats)
     if stats:
         extra["stats"] = stats
-    return publish_snapshot(root, files, parent=cur.version, note=note, extra=extra)
+    return publish_snapshot(root, files, parent=cur.version, note=note,
+                            extra=extra, require_parent_current=True)
 
 
 def vacuum(root: str, keep_last: int = 2, dry_run: bool = False) -> list[str]:

@@ -532,6 +532,11 @@ def start_streaming_heavy_hitters(
 
     def on_batch(bdf: DataFrame, batch_id: int) -> None:
         spark = bdf.sparkSession
+        # sweep first: a stop() that landed between the previous batch's gen
+        # write and its GC can leave a third generation behind — re-bound
+        # the store before growing it again
+        for _gid, path in _gen_dirs(state_dir)[:-2]:
+            shutil.rmtree(path, ignore_errors=True)
         gens = _gen_dirs(state_dir)
         prior = spark.read.parquet(gens[-1][1]) if gens else None
         merged, report = countmin_merge_step(
@@ -539,9 +544,12 @@ def start_streaming_heavy_hitters(
         )
         gen_dir = os.path.join(state_dir, f"gen={batch_id}")
         merged.coalesce(1).write.mode("overwrite").parquet(gen_dir)
-        for gid, path in gens:  # retain only the newest generation
-            if gid != batch_id:
-                shutil.rmtree(path, ignore_errors=True)
+        # GC all but the two newest generations, matching the near-dup band
+        # store: a retry of batch N must still find gen N-1, and a stop()
+        # landing between the write and this sweep must not be able to leave
+        # an unbounded tail (readers always take the newest gen).
+        for _gid, path in _gen_dirs(state_dir)[:-2]:
+            shutil.rmtree(path, ignore_errors=True)
         report.write.mode("append").parquet(output_path)
 
     w = stream_docs.writeStream.foreachBatch(on_batch).option(

@@ -44,7 +44,10 @@ def start_dshackle_stub(
         def handle(self):
             srv.accepts += 1
             try:
-                conn = H2ServerConnection(self._rw())
+                # huffman=True: response headers/trailers go out
+                # Huffman-coded, like a real gRPC server — exercising the
+                # client's RFC 7541 Appendix-B decode path end-to-end
+                conn = H2ServerConnection(self._rw(), huffman=True)
             except (H2Error, OSError):
                 return
             # sequential gRPC streams over one HTTP/2 connection (the

@@ -123,8 +123,8 @@ def test_kafka_wire_codec_roundtrips():
     assert [v for _o, _k, v in decoded] == vals
 
     req = K.encode_produce_request(7, "cid", "notif", 3, vals)
-    corr, cid, topic, part, ms2 = K.decode_produce_request(req[4:])
-    assert (corr, cid, topic, part) == (7, "cid", "notif", 3)
+    corr, cid, topic, part, ms2, ver = K.decode_produce_request(req[4:])
+    assert (corr, cid, topic, part, ver) == (7, "cid", "notif", 3, 0)
     assert [v for _o, _k, v in K.decode_message_set(ms2)] == vals
 
     resp = K.encode_produce_response(7, "notif", 3, 0, 41)
@@ -137,6 +137,83 @@ def test_kafka_wire_codec_roundtrips():
 
     with _pytest.raises(K.KafkaWireError, match="CRC"):
         K.decode_message_set(bytes(corrupted))
+
+
+def test_kafka_record_batch_v2_byte_exact():
+    """RecordBatch v2 structure pinned field-by-field: magic 2, CRC32C over
+    attributes..records, zigzag varint record fields — then the codec
+    round-trip and broker-style corruption detection."""
+    import struct
+
+    from dshackle_archive_spark.sources import kafka_wire as K
+
+    # zigzag varints (protobuf/Kafka shared encoding)
+    for n, b in [(0, b"\x00"), (-1, b"\x01"), (1, b"\x02"), (-2, b"\x03"),
+                 (150, b"\xac\x02")]:
+        assert K.encode_varint(n) == b
+        assert K.decode_varint(b, 0) == (n, len(b))
+
+    vals = [b'{"a":1}', b'{"b":2}']
+    batch = K.encode_record_batch(vals)
+    base_offset, batch_len = struct.unpack(">qi", batch[:12])
+    assert base_offset == 0 and batch_len == len(batch) - 12
+    body = batch[12:]
+    assert struct.unpack(">i", body[:4])[0] == 0          # partitionLeaderEpoch
+    assert body[4] == 2                                   # magic
+    crc = struct.unpack(">I", body[5:9])[0]
+    assert K.crc32c(body[9:]) == crc                      # CRC32C coverage
+    attrs, last_delta = struct.unpack(">hi", body[9:15])
+    assert attrs == 0 and last_delta == len(vals) - 1
+    pid, pepoch, bseq, nrec = struct.unpack(">qhii", body[31:49])
+    assert (pid, pepoch, bseq) == (-1, -1, -1)            # non-transactional
+    assert nrec == len(vals)
+
+    assert [(o, v) for o, _k, v in K.decode_record_batch(batch)] == [
+        (0, vals[0]), (1, vals[1])
+    ]
+    import pytest
+
+    corrupted = bytearray(batch)
+    corrupted[-1] ^= 0xFF
+    with pytest.raises(K.KafkaWireError, match="CRC32C"):
+        K.decode_record_batch(bytes(corrupted))
+
+    # ProduceRequest v3 carries the batch intact (transactional_id null)
+    req = K.encode_produce_request_v3(9, "cid", "notif", 1, vals)
+    corr, cid, topic, part, records, ver = K.decode_produce_request(req[4:])
+    assert (corr, cid, topic, part, ver) == (9, "cid", "notif", 1, 3)
+    assert records == batch
+
+
+def test_kafka_api_versions_negotiation():
+    """Modern broker → ApiVersions handshake picks Produce v3 and the stub
+    verifies a v2 batch byte-exactly; legacy broker (max v0) → the same
+    producer falls back to MessageSet v0. Offsets stay dense either way."""
+    from dshackle_archive_spark.sources.kafka_wire import KafkaWireProducer
+    from stub_kafka import start_kafka_stub
+
+    bootstrap, srv = start_kafka_stub()
+    try:
+        p = KafkaWireProducer(bootstrap, "t")
+        assert p.produce([b"m1", b"m2"]) == 0
+        assert p._produce_version == 3
+        assert p.produce([b"m3"]) == 2
+        p.close()
+        assert srv.batches == 2  # both sends went through RecordBatch v2
+        assert [v for _o, v in srv.log[("t", 0)]] == [b"m1", b"m2", b"m3"]
+    finally:
+        srv.shutdown()
+
+    bootstrap, srv = start_kafka_stub(legacy_only=True)
+    try:
+        p = KafkaWireProducer(bootstrap, "t")
+        assert p.produce([b"m1"]) == 0
+        assert p._produce_version == 0
+        p.close()
+        assert srv.batches == 0  # legacy path: MessageSet v0
+        assert [v for _o, v in srv.log[("t", 0)]] == [b"m1"]
+    finally:
+        srv.shutdown()
 
 
 def test_kafka_wire_produce_roundtrip(spark, tmp_path):

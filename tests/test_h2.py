@@ -51,12 +51,94 @@ def test_hpack_eviction_respects_max_size():
     assert enc.size <= 64 and len(enc.dyn) == 1 and enc.dyn[0] == ("c", "3")
 
 
-def test_hpack_rejects_huffman():
+# RFC 7541 Appendix C worked examples: plaintext -> exact Huffman bytes.
+RFC_HUFFMAN_EXAMPLES = {
+    b"www.example.com": "f1e3c2e5f23a6ba0ab90f4ff",        # C.4.1
+    b"no-cache": "a8eb10649cbf",                            # C.4.2
+    b"custom-key": "25a849e95ba97d7f",                      # C.4.3
+    b"custom-value": "25a849e95bb8e8b4bf",                  # C.4.3
+    b"302": "6402",                                         # C.6.1
+    b"private": "aec3771a4b",                               # C.6.1
+    b"Mon, 21 Oct 2013 20:13:21 GMT":
+        "d07abe941054d444a8200595040b8166e082a62d1bff",     # C.6.1
+    b"https://www.example.com": "9d29ad171863c78f0b97c8e9ae82ae43d3",
+    b"307": "640eff",                                       # C.6.2
+    b"gzip": "9bd9ab",                                      # C.6.3
+    b"foo=ASDJKHQKBZXOQWEOPIUAXQWEOIU; max-age=3600; version=1":
+        "94e7821dd7f2e6c7b335dfdfcd5b3960d5af27087f3672c1ab270fb5291f9587"
+        "316065c003ed4ee5b1063d5007",                       # C.6.3
+}
+
+
+def test_huffman_rfc7541_worked_examples_byte_exact():
+    for plain, hexs in RFC_HUFFMAN_EXAMPLES.items():
+        assert H.huffman_encode(plain).hex() == hexs, plain
+        assert H.huffman_decode(bytes.fromhex(hexs)) == plain
+
+
+def test_huffman_bad_padding_rejected():
+    # "0" is code 00000 (5 bits); padding the final octet with 0s instead of
+    # the all-ones EOS prefix violates RFC 7541 §5.2
+    with pytest.raises(H.H2Error, match="EOS prefix"):
+        H.huffman_decode(bytes([0b00000_000]))
+    # a whole octet of padding (0xFF after a complete symbol octet) is
+    # "padding longer than 7 bits"
+    ok = H.huffman_encode(b"www.example.com")
+    with pytest.raises(H.H2Error, match="padding longer"):
+        H.huffman_decode(ok + b"\xff")
+
+
+def test_hpack_decodes_huffman_literals():
+    enc = H.HpackCodec(huffman=True)
     dec = H.HpackCodec()
-    # literal with incremental indexing, new name, H bit set on the name
-    bad = bytes([0x40, 0x81, 0xFF])
-    with pytest.raises(H.H2Error, match="Huffman"):
-        dec.decode(bad)
+    headers = [("grpc-status", "0"), ("grpc-message", ""),
+               ("content-type", "application/grpc"),
+               ("date", "Mon, 21 Oct 2013 20:13:21 GMT")]
+    block = enc.encode(headers)
+    # the date literal must actually be Huffman-coded (shorter than raw)
+    assert bytes.fromhex(
+        RFC_HUFFMAN_EXAMPLES[b"Mon, 21 Oct 2013 20:13:21 GMT"]
+    ) in block
+    assert dec.decode(block) == headers
+
+
+def test_hpack_huffman_emitted_only_when_shorter():
+    # "302" huffman-codes to 2 bytes < 3 raw; a string of rare symbols
+    # (28-bit codes) would inflate, so it must go out literal
+    assert H._encode_str("302", huffman=True)[0] & 0x80
+    rare = "\x02\x03\x04"
+    out = H._encode_str(rare, huffman=True)
+    assert not out[0] & 0x80 and out[1:] == rare.encode()
+
+
+def test_hpack_property_roundtrip_huffman():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    header = st.tuples(
+        st.text(min_size=1, max_size=30), st.text(max_size=60)
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(st.lists(header, max_size=8), max_size=4))
+    def check(blocks):
+        enc, dec = H.HpackCodec(huffman=True), H.HpackCodec()
+        for hdrs in blocks:
+            assert dec.decode(enc.encode(hdrs)) == hdrs
+
+    check()
+
+
+def test_huffman_property_roundtrip_bytes():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=200))
+    def check(data):
+        assert H.huffman_decode(H.huffman_encode(data)) == data
+
+    check()
 
 
 def test_frame_roundtrip_and_padding():

@@ -143,6 +143,83 @@ def test_concurrent_publishers_get_distinct_versions(spark, forked_archive):
     assert set(S.load_snapshot(root, b.version).files) == {base, winner}
 
 
+def test_slow_claimer_cannot_regress_pointer(forked_archive, monkeypatch):
+    """The writer-writer race ADVICE r5 flagged: A claims v2, stalls; B claims
+    v3 and publishes. When A finally swaps, _CURRENT must stay at 3 — A's
+    manifest exists (time travel works) but never becomes current."""
+    import threading
+
+    root, base, loser, winner, snap1 = forked_archive
+    a_claimed = threading.Event()
+    b_published = threading.Event()
+
+    def pause(r, v):
+        if threading.current_thread().name == "slowA":
+            a_claimed.set()
+            assert b_published.wait(30)
+
+    monkeypatch.setattr(S, "_pause_before_swap", pause)
+    a_result: list = []
+    a = threading.Thread(
+        name="slowA",
+        target=lambda: a_result.append(
+            S.publish_snapshot(root, [base, loser], note="slow A")
+        ),
+    )
+    a.start()
+    assert a_claimed.wait(30)
+    b = S.publish_snapshot(root, [base, winner], note="fast B")
+    b_published.set()
+    a.join(30)
+    assert not a.is_alive()
+    (a_snap,) = a_result
+    assert a_snap.version == snap1.version + 1
+    assert b.version == snap1.version + 2  # claim walked past A's version
+    assert S.current_version(root) == b.version  # no regression to A's
+    # A's commit is still a loadable (non-current) version — time travel
+    assert set(S.load_snapshot(root, a_snap.version).files) == {base, loser}
+
+
+def test_merge_replace_conflicts_on_stale_base(forked_archive):
+    """merge_replace computed against a base that is no longer current must
+    raise SnapshotConflict and leave no claimed-manifest orphan."""
+    root, base, loser, winner, snap1 = forked_archive
+    other = S.publish_snapshot(root, [base, loser, winner], note="interloper")
+    with pytest.raises(S.SnapshotConflict, match="no longer current"):
+        S.merge_replace(root, remove=[loser], add=[winner], base=snap1)
+    assert S.current_version(root) == other.version
+    # the conflicting writer's claimed manifest was cleaned up
+    assert S.load_snapshot(root, other.version + 1) is None
+    # retry against the fresh current succeeds
+    snap3 = S.merge_replace(root, remove=[loser], add=[winner])
+    assert S.current_version(root) == snap3.version
+    assert set(snap3.files) == {base, winner}
+
+
+def test_two_writer_stress_no_torn_pointer(forked_archive):
+    """8 threads x 6 publishes each, all racing: every claim gets a distinct
+    version, _CURRENT always resolves to a complete manifest, and the final
+    pointer equals the max published version (forward-only swap)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    root, base, loser, winner, snap1 = forked_archive
+    def publish_n(i):
+        out = []
+        for k in range(6):
+            out.append(
+                S.publish_snapshot(root, [base, winner], note=f"w{i}.{k}")
+            )
+        return out
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        all_snaps = [s for f in ex.map(publish_n, range(8)) for s in f]
+    versions = [s.version for s in all_snaps]
+    assert len(set(versions)) == len(versions)  # O_EXCL: one owner per vN
+    assert S.current_version(root) == max(versions)
+    cur = S.load_snapshot(root)
+    assert cur is not None and set(cur.files) == {base, winner}
+
+
 def test_compact_snapshot_mode_is_transactional(spark, tmp_path):
     """compact(snapshot=True): singles leave the archive by ONE manifest
     swap; a reader pinned pre-compact still scans them (files stay on disk
@@ -224,8 +301,11 @@ def test_verify_snapshot_mode_fork_merge(spark, tmp_path):
         tables=(DataKind.BLOCKS,), snapshot=True,
     )
     assert rep.snapshot_version == pre.version + 1
-    assert len(rep.deleted) == 1  # exactly the fork loser
-    loser_rel = rep.deleted[0]
+    # snapshot mode: nothing physically deleted; the loser is pruned from
+    # the manifest and reported as such
+    assert rep.deleted == []
+    assert len(rep.pruned_from_snapshot) == 1  # exactly the fork loser
+    loser_rel = rep.pruned_from_snapshot[0]
     # loser file still on disk (older pin valid), but out of the archive
     assert os.path.exists(os.path.join(base, loser_rel))
     cur = S.load_snapshot(base)

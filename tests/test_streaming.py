@@ -794,6 +794,15 @@ def test_streaming_heavy_hitters_end_to_end(spark, tmp_path):
     last = by_batch[batches[-1]]
     if "beta" in last and "alpha" in last:
         assert last["alpha"] >= 2 * last["beta"] - 2
-    # exactly one retained grid generation
-    gens = [d for d in os.listdir(state) if d.startswith("gen=")]
-    assert len(gens) == 1
+    # retain-two generation GC: steady state keeps the two newest grid
+    # generations; a stop() landing between a gen write and its GC sweep can
+    # transiently leave a third (re-bounded at the next batch start). The
+    # invariants that matter: bounded count, and the newest gen covers the
+    # last reported batch — recovery always reads the newest gen.
+    gens = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(state)
+        if d.startswith("gen=")
+    )
+    assert 1 <= len(gens) <= 3
+    assert gens[-1] >= batches[-1]
