@@ -114,6 +114,8 @@ EXTRA = [
     "a17_countmin_heavy_hitters",
     "v9_matryoshka_recall",
     "v10_ivf_pq_topk",
+    "x34_duplicated_span_extents",
+    "x35_perplexity_terciles",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))

@@ -5398,3 +5398,210 @@ def v10_ivf_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5)
     cand = ivf_candidates(emb, queries, n_cells=16, nprobe=2)
     return pq_topk(emb, queries, k=3, candidates=cand)
+
+
+_SPAN_K = 8  # rolling-shingle length for duplicated-span detection
+
+
+@query(
+    "x34_duplicated_span_extents",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 9 = 1
+                  THEN text || ' {_DISCLAIMER}'
+                  WHEN doc_id % 11 = 3
+                  THEN text || ' {_DISCLAIMER} {_DISCLAIMER}'
+                  ELSE text END AS text
+      FROM documents
+    ), norm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM corpus
+    ), sh AS (
+      SELECT doc_id, len(toks) AS n_toks, u.p AS pos,
+             md5(array_to_string(list_slice(toks, u.p, u.p + {_SPAN_K} - 1),
+                                 ' ')) AS h
+      FROM norm,
+           unnest(generate_series(1, greatest(len(toks) - {_SPAN_K} + 1, 0)))
+             u(p)
+    ), dup AS (
+      SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ), marked AS (
+      SELECT s.doc_id, s.n_toks, s.pos FROM sh s JOIN dup USING (h)
+    ), brk AS (
+      SELECT doc_id, n_toks, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                       OR pos > lag(pos) OVER w + {_SPAN_K}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), grp AS (
+      SELECT doc_id, n_toks, pos,
+             sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM brk
+    ), spans AS (
+      SELECT doc_id, any_value(n_toks) AS n_toks,
+             max(pos) - min(pos) + {_SPAN_K} AS span
+      FROM grp GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_dup_spans,
+           CAST(max(span) AS BIGINT) AS max_span_tokens,
+           CAST(sum(span) AS BIGINT) AS dup_tokens,
+           round(CAST(sum(span) AS DOUBLE) / any_value(n_toks), 6)
+             AS dup_ratio
+    FROM spans GROUP BY doc_id
+    """,
+)
+def x34_duplicated_span_extents(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring duplicate SPANS (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): where x32 strips fixed
+    segments shared corpus-wide, this measures the *extent* of verbatim
+    cross-document repetition — every length-8 rolling token shingle that
+    occurs in >= 2 distinct documents marks its 8-token interval, and
+    overlapping/adjacent intervals merge into maximal duplicated spans
+    (the practical shingle-hash stand-in for the paper's suffix-array
+    scan). Per document: span count, longest span, duplicated-token
+    coverage and ratio — the signal used to cut memorization-prone
+    documents. Planted: every 9th document carries one shared disclaimer
+    (one ~12-token span), every 11th a doubled one (a longer span).
+
+    Scale shape: rolling shingles are corpus-token-scale but map-side
+    (one explode, md5 of a slice — no per-row Python); duplicated-shingle
+    detection is ONE groupBy on the 16-byte hash with map-side partial
+    agg; the survivors (a small fraction) equi-join back and the island
+    merge is a per-document window — no corpus-wide window, no
+    all-pairs."""
+    from .operators.dedup import normalized_text
+
+    k = _SPAN_K
+    plant1 = F.lit(" " + _DISCLAIMER)
+    plant2 = F.lit(" " + _DISCLAIMER + " " + _DISCLAIMER)
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 9 == 1, F.concat(F.col("text"), plant1))
+        .when(F.col("doc_id") % 11 == 3, F.concat(F.col("text"), plant2))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    toks = docs.select(
+        "doc_id", F.split(normalized_text("text"), " ").alias("_t")
+    )
+    sh = (
+        toks.select(
+            "doc_id",
+            F.size("_t").alias("n_toks"),
+            F.explode(
+                F.when(
+                    F.size("_t") >= k,
+                    F.sequence(F.lit(1), F.size("_t") - k + 1),
+                ).otherwise(F.array())
+            ).alias("pos"),
+            F.col("_t"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            "pos",
+            F.md5(F.concat_ws(" ", F.slice("_t", F.col("pos"), k))).alias("h"),
+        )
+    )
+    dup = (
+        sh.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("h")
+    )
+    marked = sh.join(dup, "h").select("doc_id", "n_toks", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = marked.withColumn(
+        "is_new",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") > F.lag("pos").over(w) + k),
+            1,
+        ).otherwise(0),
+    )
+    grp = brk.withColumn("g", F.sum("is_new").over(w))
+    spans = grp.groupBy("doc_id", "g").agg(
+        F.any_value("n_toks").alias("n_toks"),
+        (F.max("pos") - F.min("pos") + k).cast("bigint").alias("span"),
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.max("span").alias("max_span_tokens"),
+        F.sum("span").alias("dup_tokens"),
+        F.round(
+            F.sum("span").cast("double") / F.any_value("n_toks"), 6
+        ).alias("dup_ratio"),
+    )
+
+
+@query(
+    "x35_perplexity_terciles",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+    ), model_uni AS (
+      SELECT t.tok AS w, count(*) AS c
+      FROM norm, unnest(toks) t(tok)
+      WHERE t.tok <> '' AND doc_id % 2 = 0 GROUP BY 1
+    ), v AS (SELECT count(*) AS v FROM model_uni),
+    model_bi AS (
+      SELECT toks[i] AS wa, toks[i+1] AS wb, count(*) AS c
+      FROM norm, unnest(generate_series(1, greatest(len(toks) - 1, 0))) t(i)
+      WHERE toks[i] <> '' AND toks[i+1] <> '' AND doc_id % 2 = 0
+      GROUP BY 1, 2
+    ), doc_bi AS (
+      SELECT doc_id, toks[i] AS wa, toks[i+1] AS wb
+      FROM norm, unnest(generate_series(1, greatest(len(toks) - 1, 0))) t(i)
+      WHERE toks[i] <> '' AND toks[i+1] <> '' AND doc_id % 2 = 1
+    ), scores AS (
+      SELECT d.doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(-sum(ln((coalesce(b.c, 0) + 1.0)
+                           / (coalesce(ua.c, 0) + v.v))) / count(*), 6)
+               AS cross_entropy
+      FROM doc_bi d
+      LEFT JOIN model_bi b ON b.wa = d.wa AND b.wb = d.wb
+      LEFT JOIN model_uni ua ON ua.w = d.wa
+      CROSS JOIN v
+      GROUP BY d.doc_id
+    ), bucketed AS (
+      SELECT s.*, docs.lang,
+             ntile(3) OVER (PARTITION BY docs.lang
+                            ORDER BY s.cross_entropy, s.doc_id) AS tercile
+      FROM scores s JOIN documents docs USING (doc_id)
+    )
+    SELECT lang, tercile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams,
+           round(min(cross_entropy), 6) AS min_ce,
+           round(max(cross_entropy), 6) AS max_ce
+    FROM bucketed GROUP BY 1, 2
+    """,
+)
+def x35_perplexity_terciles(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): per language,
+    rank scored documents by held-out bigram cross-entropy (x31's
+    statistic, reused verbatim) and cut the ranking into terciles — the
+    bucket boundaries CCNet uses to keep the head, sample the middle and
+    drop the tail of a crawl. Output: per (lang, tercile) doc count,
+    bigram mass, and the tercile's entropy band [min_ce, max_ce].
+
+    Scale shape: x31's scoring plan unchanged (vocab-sized model
+    broadcasts, one corpus pass), then ntile over a per-language window —
+    the window's sort key is (rounded ce, doc_id), a total order, so the
+    bucketing is deterministic; the final agg is tiny (langs × 3 rows).
+    The per-lang window sorts only scored docs (half the corpus) and in
+    production would be the once-per-crawl ranking step."""
+    scores = x31_bigram_perplexity(spark, sf)
+    langs = _t(spark, sf, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy("cross_entropy", "doc_id")
+    bucketed = scores.join(langs, "doc_id").withColumn(
+        "tercile", F.ntile(3).over(w)
+    )
+    return bucketed.groupBy("lang", "tercile").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bigrams").alias("sum_bigrams"),
+        F.round(F.min("cross_entropy"), 6).alias("min_ce"),
+        F.round(F.max("cross_entropy"), 6).alias("max_ce"),
+    )
