@@ -734,3 +734,74 @@ def repeated_segment_removal(
             ).alias("cleaned_text"),
         )
     )
+
+
+def duplicated_span_extents(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplicate SPANS (Lee et al. 2022): every length-``k``
+    rolling token shingle occurring in >= ``min_docs`` distinct documents
+    marks its k-token interval; overlapping/adjacent intervals merge into
+    maximal spans. Returns per-document ``(doc_id, n_dup_spans,
+    max_span_tokens, dup_tokens, dup_ratio)`` — the verbatim-repetition
+    coverage used to cut memorization-prone documents.
+
+    Scale shape: the rolling-shingle explode is corpus-token-scale but
+    map-side (md5 of an array slice inside codegen); duplicated-shingle
+    detection is ONE groupBy on the 16-byte hash with map-side partial
+    agg; survivors (a small fraction) join back broadcast and the island
+    merge is a per-document window — no corpus-wide window, no all-pairs.
+    The shingle-hash shuffle is the same family as exact-dedup's content
+    hash, with 16 bytes standing in for the text."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalized_text(text_col), " ").alias("_t"),
+    )
+    sh = toks.select(
+        "doc_id",
+        F.size("_t").alias("n_toks"),
+        F.explode(
+            F.when(
+                F.size("_t") >= k, F.sequence(F.lit(1), F.size("_t") - k + 1)
+            ).otherwise(F.array())
+        ).alias("pos"),
+        "_t",
+    ).select(
+        "doc_id",
+        "n_toks",
+        "pos",
+        F.md5(F.concat_ws(" ", F.slice("_t", F.col("pos"), k))).alias("h"),
+    )
+    dup = (
+        sh.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("h")
+    )
+    marked = sh.join(dup, "h").select("doc_id", "n_toks", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = marked.withColumn(
+        "is_new",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") > F.lag("pos").over(w) + k),
+            1,
+        ).otherwise(0),
+    )
+    grp = brk.withColumn("g", F.sum("is_new").over(w))
+    spans = grp.groupBy("doc_id", "g").agg(
+        F.any_value("n_toks").alias("n_toks"),
+        (F.max("pos") - F.min("pos") + k).cast("bigint").alias("span"),
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.max("span").alias("max_span_tokens"),
+        F.sum("span").alias("dup_tokens"),
+        F.round(
+            F.sum("span").cast("double") / F.any_value("n_toks"), 6
+        ).alias("dup_ratio"),
+    )

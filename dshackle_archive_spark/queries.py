@@ -5464,15 +5464,12 @@ def x34_duplicated_span_extents(spark: SparkSession, sf: str) -> DataFrame:
     documents. Planted: every 9th document carries one shared disclaimer
     (one ~12-token span), every 11th a doubled one (a longer span).
 
-    Scale shape: rolling shingles are corpus-token-scale but map-side
-    (one explode, md5 of a slice — no per-row Python); duplicated-shingle
-    detection is ONE groupBy on the 16-byte hash with map-side partial
-    agg; the survivors (a small fraction) equi-join back and the island
-    merge is a per-document window — no corpus-wide window, no
-    all-pairs."""
-    from .operators.dedup import normalized_text
+    Scale shape: see ``operators/dedup.py:duplicated_span_extents`` —
+    map-side rolling shingles, ONE 16-byte-hash groupBy with map-side
+    partial agg, broadcast join back, per-document island window; no
+    corpus-wide window, no all-pairs."""
+    from .operators.dedup import duplicated_span_extents
 
-    k = _SPAN_K
     plant1 = F.lit(" " + _DISCLAIMER)
     plant2 = F.lit(" " + _DISCLAIMER + " " + _DISCLAIMER)
     docs = _t(spark, sf, "documents").select(
@@ -5482,57 +5479,7 @@ def x34_duplicated_span_extents(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    toks = docs.select(
-        "doc_id", F.split(normalized_text("text"), " ").alias("_t")
-    )
-    sh = (
-        toks.select(
-            "doc_id",
-            F.size("_t").alias("n_toks"),
-            F.explode(
-                F.when(
-                    F.size("_t") >= k,
-                    F.sequence(F.lit(1), F.size("_t") - k + 1),
-                ).otherwise(F.array())
-            ).alias("pos"),
-            F.col("_t"),
-        )
-        .select(
-            "doc_id",
-            "n_toks",
-            "pos",
-            F.md5(F.concat_ws(" ", F.slice("_t", F.col("pos"), k))).alias("h"),
-        )
-    )
-    dup = (
-        sh.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") >= 2)
-        .select("h")
-    )
-    marked = sh.join(dup, "h").select("doc_id", "n_toks", "pos")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    brk = marked.withColumn(
-        "is_new",
-        F.when(
-            F.lag("pos").over(w).isNull()
-            | (F.col("pos") > F.lag("pos").over(w) + k),
-            1,
-        ).otherwise(0),
-    )
-    grp = brk.withColumn("g", F.sum("is_new").over(w))
-    spans = grp.groupBy("doc_id", "g").agg(
-        F.any_value("n_toks").alias("n_toks"),
-        (F.max("pos") - F.min("pos") + k).cast("bigint").alias("span"),
-    )
-    return spans.groupBy("doc_id").agg(
-        F.count("*").alias("n_dup_spans"),
-        F.max("span").alias("max_span_tokens"),
-        F.sum("span").alias("dup_tokens"),
-        F.round(
-            F.sum("span").cast("double") / F.any_value("n_toks"), 6
-        ).alias("dup_ratio"),
-    )
+    return duplicated_span_extents(docs, k=_SPAN_K, min_docs=2)
 
 
 @query(
