@@ -350,12 +350,13 @@ def compact(
             })
             cur = SNAP.publish_snapshot(base, pre, note="adopt pre-compact")
         added = sorted(os.path.relpath(p, base) for p in result.written)
-        snap = SNAP.merge_replace(
+        # optimistic-commit loop: a concurrent verify/curate publish between
+        # the source listing and this swap costs a retry, never a torn swap
+        snap = SNAP.merge_replace_with_retry(
             base,
-            remove=sorted(set(to_delete) & set(cur.files)),
+            remove=sorted(to_delete),
             add=added,
             note=f"compact {rng.start}..{rng.end}",
-            base=cur,
             # keep the manifest's min/max skipping index current: one
             # distributed stats job over just the new range files
             add_stats=(
@@ -363,7 +364,10 @@ def compact(
             ),
         )
         result.snapshot_version = snap.version
-        result.pruned_from_snapshot = sorted(set(to_delete) & set(cur.files))
+        parent = SNAP.load_snapshot(base, snap.parent)  # the actual CAS base
+        result.pruned_from_snapshot = sorted(
+            set(to_delete) & set(parent.files if parent else cur.files)
+        )
         return result
     res = delete_files(base, sorted(to_delete), dry_run=dry_run)
     result.deleted.extend(res.deleted)

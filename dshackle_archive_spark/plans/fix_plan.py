@@ -105,9 +105,10 @@ def fix(
         if cur is None:
             pre = sorted(set(list_archive_files(base)) - set(new_files))
             cur = SNAP.publish_snapshot(base, pre, note="adopt pre-fix")
-        snap = SNAP.merge_replace(
+        # add-only merge, but still CAS'd: a concurrent publish costs a retry
+        snap = SNAP.merge_replace_with_retry(
             base, remove=[], add=new_files,
-            note=f"fix {rng.start}..{rng.end}", base=cur,
+            note=f"fix {rng.start}..{rng.end}",
         )
         out.snapshot_version = snap.version
     return out

@@ -484,12 +484,14 @@ def verify(
                 base, sorted(list_archive_files(base)), note="adopt pre-verify"
             )
         if to_delete:
-            snap = SNAP.merge_replace(
+            # optimistic-commit loop: a concurrent compact/curate publish
+            # between our inventory read and this swap costs a retry, not
+            # a torn archive (the prune intent re-applies to the new base)
+            snap = SNAP.merge_replace_with_retry(
                 base,
-                remove=sorted(set(to_delete) & set(cur.files)),
+                remove=sorted(to_delete),
                 add=[],
                 note=f"verify prune {rng.start}..{rng.end}",
-                base=cur,
             )
             report.snapshot_version = snap.version
         else:

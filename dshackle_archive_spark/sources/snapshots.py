@@ -363,6 +363,44 @@ def merge_replace(
                             extra=extra, require_parent_current=True)
 
 
+def merge_replace_with_retry(
+    root: str,
+    remove: list[str],
+    add: list[str],
+    note: str = "",
+    add_stats: dict | None = None,
+    max_attempts: int = 5,
+) -> Snapshot:
+    """The optimistic-commit loop around ``merge_replace``: on
+    ``SnapshotConflict`` (a concurrent writer published first), re-read the
+    new current and retry the same logical merge against it. ``remove``
+    entries already pruned by the interloper drop out silently (the intent —
+    "these files must not be in the next snapshot" — is already satisfied);
+    ``add`` files are this writer's own immutable outputs, always valid.
+    This is what makes plan-level commits (verify prune, compaction swap,
+    curation admit) safe to run concurrently against one archive root."""
+    last: SnapshotConflict | None = None
+    for _ in range(max_attempts):
+        cur = load_snapshot(root)
+        if cur is None:
+            raise ValueError(f"no current snapshot under {root}")
+        try:
+            return merge_replace(
+                root,
+                remove=sorted(set(remove) & set(cur.files)),
+                add=add,
+                note=note,
+                base=cur,
+                add_stats=add_stats,
+            )
+        except SnapshotConflict as exc:
+            last = exc
+            continue
+    raise SnapshotConflict(
+        f"commit lost {max_attempts} consecutive races under {root}"
+    ) from last
+
+
 def vacuum(root: str, keep_last: int = 2, dry_run: bool = False) -> list[str]:
     """Delete data files referenced by NO retained manifest (the newest
     ``keep_last`` manifests are retained; older manifests are dropped with

@@ -315,6 +315,78 @@ def test_verify_snapshot_mode_fork_merge(spark, tmp_path):
     assert sum(1 for f in cur.files if "000000105" in f) == 1
 
 
+def test_verify_prune_retries_past_concurrent_publish(spark, tmp_path, monkeypatch):
+    """Plan-level optimistic-commit lifecycle: verify(snapshot=True) is
+    frozen between its version claim and its pointer swap while an
+    interloper (a concurrent fix/archive commit) publishes a new file.
+    verify must lose the CAS cleanly, retry against the new current, and
+    the final snapshot must show BOTH effects: the fork loser pruned AND
+    the interloper's file present."""
+    import threading
+
+    from dshackle_archive_spark.core import DataKind, Range
+    from dshackle_archive_spark.plans.archive_plan import archive_single_blocks
+    from dshackle_archive_spark.plans.verify_plan import verify
+    from dshackle_archive_spark.sources.fetcher import FetchPolicy
+    from dshackle_archive_spark.sources.mock_chain import MockChain
+
+    fork_chain = MockChain(head_height=10_000, fork_at=frozenset({105}))
+    live_chain = MockChain(head_height=10_000)
+    root = str(tmp_path)
+    base = os.path.join(root, "eth")
+    archive_single_blocks(
+        spark, fork_chain, root, Range(100, 109),
+        tables=(DataKind.BLOCKS,), policy=FetchPolicy(parallel=4), forks=True,
+    )
+    import glob
+
+    all_files = sorted(
+        os.path.relpath(p, base)
+        for p in glob.glob(os.path.join(base, "**", "*.parquet"), recursive=True)
+    )
+    S.publish_snapshot(base, all_files, note="pre-verify with fork twin")
+
+    # interloper writes a real new data file beside the archive
+    extra_rel = "000000000/extra_000000110.blocks.parquet"
+    os.makedirs(os.path.join(base, "000000000"), exist_ok=True)
+    spark.createDataFrame(
+        [(110, "y110", "y109")], "height long, hash string, parent_hash string"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(base, extra_rel))
+
+    fired = {"done": False}
+    orig_pause = S._pause_before_swap
+
+    def pause(r, v):
+        # first claim from the verify thread: publish the interloper commit
+        # BEFORE verify's swap runs, forcing the CAS to conflict once
+        if not fired["done"] and threading.current_thread().name == "verifyT":
+            fired["done"] = True
+            monkeypatch.setattr(S, "_pause_before_swap", orig_pause)
+            S.merge_replace_with_retry(
+                base, remove=[], add=[extra_rel], note="interloper fix"
+            )
+
+    monkeypatch.setattr(S, "_pause_before_swap", pause)
+    box: list = []
+    t = threading.Thread(
+        name="verifyT",
+        target=lambda: box.append(
+            verify(spark, live_chain, root, Range(100, 109),
+                   tables=(DataKind.BLOCKS,), snapshot=True)
+        ),
+    )
+    t.start()
+    t.join(120)
+    assert not t.is_alive()
+    (rep,) = box
+    assert fired["done"], "race injection never fired"
+    assert len(rep.pruned_from_snapshot) == 1  # the fork loser
+    cur = S.load_snapshot(base)
+    assert cur.version == rep.snapshot_version
+    assert rep.pruned_from_snapshot[0] not in cur.files  # prune applied
+    assert extra_rel in cur.files  # interloper's commit preserved
+
+
 def test_cli_vacuum_command(spark, tmp_path, capsys):
     """CLI lifecycle: compact --snapshot then vacuum --keep-last 1 removes
     the consumed singles and reports the surviving version."""
