@@ -466,8 +466,10 @@ class _ConnBase:
 class H2ClientConnection(_ConnBase):
     """Client half: preface + SETTINGS, odd stream ids, request helper."""
 
-    def __init__(self, f):
-        super().__init__(f)
+    def __init__(self, f, huffman: bool = True):
+        # huffman defaults ON for the client: every HTTP/2 peer MUST decode
+        # (RFC 7541 §5.2), and real gRPC clients Huffman-code literals
+        super().__init__(f, huffman=huffman)
         self.next_stream = 1
         self.f.write(PREFACE)
         self._send_settings()

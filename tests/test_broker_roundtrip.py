@@ -185,6 +185,31 @@ def test_kafka_record_batch_v2_byte_exact():
     assert records == batch
 
 
+def test_kafka_v2_codec_property_roundtrip():
+    """Hypothesis: any payload batch survives RecordBatch v2 encode→decode
+    with dense offsets, and any 64-bit int survives the zigzag varint."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dshackle_archive_spark.sources import kafka_wire as K
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(st.binary(max_size=300), min_size=1, max_size=20))
+    def batch_roundtrip(values):
+        got = K.decode_record_batch(K.encode_record_batch(values))
+        assert [(o, v) for o, _k, v in got] == list(enumerate(values))
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(-(2**62), 2**62))
+    def varint_roundtrip(n):
+        data = K.encode_varint(n)
+        got, used = K.decode_varint(data, 0)
+        assert got == n and used == len(data)
+
+    batch_roundtrip()
+    varint_roundtrip()
+
+
 def test_kafka_api_versions_negotiation():
     """Modern broker → ApiVersions handshake picks Produce v3 and the stub
     verifies a v2 batch byte-exactly; legacy broker (max v0) → the same
