@@ -116,6 +116,7 @@ EXTRA = [
     "v10_ivf_pq_topk",
     "x34_duplicated_span_extents",
     "x35_perplexity_terciles",
+    "x36_kneser_ney_scores",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))

@@ -5552,3 +5552,136 @@ def x35_perplexity_terciles(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.min("cross_entropy"), 6).alias("min_ce"),
         F.round(F.max("cross_entropy"), 6).alias("max_ce"),
     )
+
+
+@query(
+    "x36_kneser_ney_scores",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+    ), model_bi AS (
+      SELECT toks[i] AS wa, toks[i+1] AS wb, count(*) AS c12
+      FROM norm, unnest(generate_series(1, greatest(len(toks) - 1, 0))) t(i)
+      WHERE toks[i] <> '' AND toks[i+1] <> '' AND doc_id % 2 = 0
+      GROUP BY 1, 2
+    ), left_ctx AS (
+      SELECT wa, CAST(sum(c12) AS BIGINT) AS c1,
+             CAST(count(*) AS BIGINT) AS n1f
+      FROM model_bi GROUP BY wa
+    ), right_ctx AS (
+      SELECT wb, CAST(count(*) AS BIGINT) AS n1b FROM model_bi GROUP BY wb
+    ), totals AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_bi FROM model_bi
+    ), doc_bi AS (
+      SELECT doc_id, toks[i] AS wa, toks[i+1] AS wb
+      FROM norm, unnest(generate_series(1, greatest(len(toks) - 1, 0))) t(i)
+      WHERE toks[i] <> '' AND toks[i+1] <> '' AND doc_id % 2 = 1
+    ), probs AS (
+      SELECT d.doc_id,
+             CASE
+               WHEN l.c1 IS NOT NULL THEN
+                 (greatest(coalesce(b.c12, 0) - 0.75, 0)
+                  + 0.75 * l.n1f
+                    * (coalesce(r.n1b, 0) / CAST(t.n_bi AS DOUBLE)))
+                 / l.c1
+               WHEN r.n1b IS NOT NULL THEN
+                 r.n1b / CAST(t.n_bi AS DOUBLE)
+               ELSE 1.0 / t.n_bi
+             END AS p,
+             CASE WHEN b.c12 IS NULL THEN 1 ELSE 0 END AS backoff
+      FROM doc_bi d
+      LEFT JOIN model_bi b ON b.wa = d.wa AND b.wb = d.wb
+      LEFT JOIN left_ctx l ON l.wa = d.wa
+      LEFT JOIN right_ctx r ON r.wb = d.wb
+      CROSS JOIN totals t
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(backoff) AS BIGINT) AS n_backoff,
+           round(-sum(ln(p)) / count(*), 6) AS kn_cross_entropy
+    FROM probs GROUP BY doc_id
+    """,
+)
+def x36_kneser_ney_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring — the smoothing family KenLM
+    implements and CCNet actually filters with (x31's add-1 is the
+    baseline; KN replaces "how often does w2 occur" with "in how many
+    distinct contexts does w2 occur", which is what separates boilerplate
+    from fluent text). Model on even doc ids (the trusted half), scored on
+    odd:
+
+        P(w2|w1) = (max(c(w1w2) - D, 0) + D · N1+(w1,·) · Pcont(w2)) / c(w1)
+        Pcont(w2) = N1+(·,w2) / N1+(·,·),  D = 0.75
+
+    with documented OOV conventions: unseen left context falls back to
+    Pcont(w2); both-unseen falls to 1/N1+(·,·). Per scored doc: bigram
+    count, backoff count (bigrams outside the model), KN cross-entropy.
+
+    Scale shape: the model is three count tables (bigram, left-context,
+    right-context) + a 1-row total — all vocabulary-sized, all BROADCAST
+    into the scored-doc bigram stream; every term is an exact integer
+    count, so the oracle replays the arithmetic bit-for-bit. One corpus
+    pass + one groupBy(doc_id), same as x31."""
+    docs = _t(spark, sf, "documents")
+    from .operators.dedup import normalized_text
+
+    toks = docs.select("doc_id", F.split(normalized_text("text"), " ").alias("_t"))
+
+    def bigrams(frame):
+        pos = frame.select(
+            "doc_id",
+            "_t",
+            F.explode(
+                F.when(
+                    F.size("_t") >= 2,
+                    F.sequence(F.lit(1), F.size("_t") - 1),
+                ).otherwise(F.array())
+            ).alias("_i"),
+        )
+        return pos.select(
+            "doc_id",
+            F.try_element_at("_t", F.col("_i")).alias("wa"),
+            F.try_element_at("_t", F.col("_i") + 1).alias("wb"),
+        ).filter((F.col("wa") != "") & (F.col("wb") != ""))
+
+    model = bigrams(toks.filter(F.col("doc_id") % 2 == 0)).groupBy("wa", "wb").agg(
+        F.count("*").alias("c12")
+    )
+    left_ctx = model.groupBy("wa").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n1f")
+    )
+    right_ctx = model.groupBy("wb").agg(F.count("*").alias("n1b"))
+    totals = model.groupBy().agg(F.count("*").alias("n_bi"))
+
+    scored = (
+        bigrams(toks.filter(F.col("doc_id") % 2 == 1))
+        .join(F.broadcast(model), ["wa", "wb"], "left")
+        .join(F.broadcast(left_ctx), "wa", "left")
+        .join(F.broadcast(right_ctx), "wb", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    pcont = F.coalesce(F.col("n1b"), F.lit(0)) / F.col("n_bi").cast("double")
+    p = (
+        F.when(
+            F.col("c1").isNotNull(),
+            (
+                F.greatest(
+                    F.coalesce(F.col("c12"), F.lit(0)) - F.lit(0.75), F.lit(0.0)
+                )
+                + F.lit(0.75) * F.col("n1f") * pcont
+            )
+            / F.col("c1"),
+        )
+        .when(F.col("n1b").isNotNull(), F.col("n1b") / F.col("n_bi").cast("double"))
+        .otherwise(F.lit(1.0) / F.col("n_bi"))
+    )
+    probs = scored.select(
+        "doc_id",
+        p.alias("p"),
+        F.when(F.col("c12").isNull(), 1).otherwise(0).alias("backoff"),
+    )
+    return probs.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("backoff").alias("n_backoff"),
+        F.round(-F.sum(F.log("p")) / F.count("*"), 6).alias("kn_cross_entropy"),
+    )

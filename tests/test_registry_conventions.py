@@ -56,6 +56,7 @@ ONE_ROW_BOUND_QUERIES = {
     "x28_pmi_collocations",  # corpus unigram/bigram totals as 1-row broadcasts
     "x31_bigram_perplexity",  # vocabulary size V as a 1-row broadcast
     "x35_perplexity_terciles",  # reuses x31's scoring plan (same V broadcast)
+    "x36_kneser_ney_scores",  # bigram-type total N1+(·,·) as a 1-row broadcast
 }
 SMALL_NONEQUI_BROADCAST_QUERIES = {
     "a2_interval_subtraction",  # closed-form interval arithmetic, small side
