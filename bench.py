@@ -117,6 +117,7 @@ EXTRA = [
     "x34_duplicated_span_extents",
     "x35_perplexity_terciles",
     "x36_kneser_ney_scores",
+    "a18_hll_distinct_sketch",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))

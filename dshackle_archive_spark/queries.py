@@ -5685,3 +5685,117 @@ def x36_kneser_ney_scores(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("backoff").alias("n_backoff"),
         F.round(-F.sum(F.log("p")) / F.count("*"), 6).alias("kn_cross_entropy"),
     )
+
+
+def _u32_sql_at(expr: str, start: int) -> str:
+    """32 md5 bits starting at hex digit ``start`` (1-based) as an integer —
+    the offset twin of ``_u32_sql`` (mirrors Spark's
+    ``conv(substring(md5(expr), start, 8), 16, 10)``)."""
+    return " + ".join(
+        f"(strpos({_HEXMAP}, substr(md5({expr}), {start + i}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
+@query(
+    "a18_hll_distinct_sketch",
+    f"""
+    WITH norm AS (
+      SELECT source, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+    ), tok AS (
+      SELECT DISTINCT source, concat_ws(' ', toks[i], toks[i+1]) AS token
+      FROM norm, unnest(generate_series(1, greatest(len(toks) - 1, 1))) t(i)
+      WHERE length(concat_ws(' ', toks[i], toks[i+1])) > 0
+    ), h AS (
+      SELECT source, token,
+             ({_u32_sql_at("token", 1)}) % 64 AS bucket,
+             ({_u32_sql_at("token", 9)}) AS v
+      FROM tok
+    ), r AS (
+      SELECT source, bucket,
+             CASE WHEN v = 0 THEN 33 ELSE 33 - length(bin(v)) END AS rho
+      FROM h
+    ), m AS (
+      SELECT source, bucket, max(rho) AS mj FROM r GROUP BY 1, 2
+    ), agg AS (
+      SELECT source, count(*) AS nb, sum(power(2.0, -mj)) AS z_ne
+      FROM m GROUP BY 1
+    ), ex AS (
+      SELECT source, count(*) AS n_exact FROM tok GROUP BY 1
+    ), est AS (
+      SELECT e.source, e.n_exact, 64 - a.nb AS zeros,
+             (0.7213 / (1 + 1.079 / 64)) * 64 * 64
+               / ((64 - a.nb) + a.z_ne) AS e_raw
+      FROM ex e JOIN agg a USING (source)
+    ), final AS (
+      SELECT source, n_exact,
+             CASE WHEN e_raw <= 160 AND zeros > 0
+                  THEN 64 * ln(64.0 / zeros) ELSE e_raw END AS e_corr
+      FROM est
+    )
+    SELECT source,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           round(e_corr, 6) AS hll_est,
+           round(abs(e_corr - n_exact) / n_exact, 6) AS rel_err
+    FROM final
+    """,
+)
+def a18_hll_distinct_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch (Flajolet et al. 2007), m=64
+    registers, next to the exact count — completing the mergeable-sketch
+    trio (KMV x27 for portability, count-min a17 for frequency, HLL here
+    for the register formulation every production engine actually ships).
+    Made engine-portable by deriving BOTH the bucket (md5 bits 1-32 mod
+    64) and the rank value (md5 bits 33-64) from the hex digest, with
+    rho = 33 - bit_length(v) computed via ``bin()`` string length —
+    integer-exact in Spark and DuckDB, no float log2 at the boundary.
+    Standard bias constant alpha_64 = 0.7213/(1+1.079/64) and the
+    small-range linear-counting correction (E <= 2.5m with empty
+    registers -> m·ln(m/zeros)).
+
+    Scale shape: per-key distinct, then map-side (bucket, rho), ONE
+    groupBy(source, bucket) max — 64 rows per group forever, the
+    mergeable-register contract (union of streams = elementwise max of
+    registers) — then a 64-row-per-source final fold. Z's summands are
+    exact powers of two spanning < 53 bits, so the double sum is exact
+    and order-independent: the oracle replays it bit-for-bit."""
+    from .operators.dedup import shingles
+
+    docs = _t(spark, sf, "documents")
+    tok = shingles(docs.select("source", "text"), n=2, id_col="source").select(
+        F.col("doc_id").alias("source"), F.col("shingle").alias("token")
+    )
+    v = F.conv(F.substring(F.md5("token"), 9, 8), 16, 10).cast("long")
+    h = tok.select(
+        "source",
+        "token",
+        (F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long") % 64)
+        .alias("bucket"),
+        F.when(v == 0, 33).otherwise(33 - F.length(F.bin(v))).alias("rho"),
+    )
+    m = h.groupBy("source", "bucket").agg(F.max("rho").alias("mj"))
+    agg = m.groupBy("source").agg(
+        F.count("*").alias("nb"),
+        F.sum(F.pow(F.lit(2.0), -F.col("mj"))).alias("z_ne"),
+    )
+    ex = tok.groupBy("source").agg(F.count("*").alias("n_exact"))
+    alpha = F.lit(0.7213) / (F.lit(1) + F.lit(1.079) / F.lit(64))
+    e_raw = alpha * 64 * 64 / ((F.lit(64) - F.col("nb")) + F.col("z_ne"))
+    zeros = F.lit(64) - F.col("nb")
+    est = ex.join(agg, "source").select(
+        "source",
+        "n_exact",
+        F.when(
+            (e_raw <= 160) & (zeros > 0), F.lit(64) * F.log(F.lit(64.0) / zeros)
+        )
+        .otherwise(e_raw)
+        .alias("e_corr"),
+    )
+    return est.select(
+        "source",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.round("e_corr", 6).alias("hll_est"),
+        F.round(F.abs(F.col("e_corr") - F.col("n_exact")) / F.col("n_exact"), 6)
+        .alias("rel_err"),
+    )
