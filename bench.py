@@ -118,6 +118,7 @@ EXTRA = [
     "x35_perplexity_terciles",
     "x36_kneser_ney_scores",
     "a18_hll_distinct_sketch",
+    "v11_range_search",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))

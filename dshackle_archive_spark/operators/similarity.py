@@ -744,3 +744,41 @@ def semantic_dedup(
         .groupBy(F.col("_idb").alias("vec_id"), F.col("cell_id"))
         .agg(F.min("_ida").alias("kept_by"), F.max("cos").alias("max_sim"))
     )
+
+
+def range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+    dim: int | None = None,
+) -> DataFrame:
+    """Radius retrieval (FAISS ``range_search``): ALL corpus vectors with
+    cosine >= ``tau`` per query — the dedup-threshold twin of top-k, and
+    structurally cheaper at scale: the scored stream filters on the
+    threshold map-side, so there is NO per-query window/sort and the
+    result shuffle carries only the (typically sparse) survivors. Same
+    norm-hoisting as ``cosine_topk`` (N+Q norm evaluations, one dot per
+    pair)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col), dim).alias("q_nrm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col), dim).alias("c_nrm"),
+    )
+    sim = _dot(F.col("q_vec"), F.col("c_vec"), dim) / (
+        F.col("q_nrm") * F.col("c_nrm")
+    )
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+        .filter(F.col("sim") >= tau)
+    )

@@ -5799,3 +5799,38 @@ def a18_hll_distinct_sketch(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.abs(F.col("e_corr") - F.col("n_exact")) / F.col("n_exact"), 6)
         .alias("rel_err"),
     )
+
+
+@query(
+    "v11_range_search",
+    """
+    WITH flat AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, range(1, 65) t(i)
+    ), norms AS (
+      SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id
+    ), dots AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, sum(a.x * b.x) AS dot
+      FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id <> b.vec_id
+      WHERE a.vec_id < 5
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id,
+           round(dot / (na.nrm * nb.nrm), 6) AS sim
+    FROM dots JOIN norms na ON na.vec_id = query_id
+              JOIN norms nb ON nb.vec_id = neighbor_id
+    WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.25
+    """,
+)
+def v11_range_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Radius retrieval (FAISS range_search, the other half of the
+    similarity-query API next to top-k v1): every neighbor with cosine
+    >= 0.25 — the query shape dedup thresholds and near-dup audits
+    actually use. Scale note: unlike top-k there is NO per-query window;
+    the threshold filters the scored stream map-side and only survivors
+    move, so cost is one corpus scan regardless of how many queries
+    exceed their radius."""
+    from .operators.similarity import range_search
+
+    emb = _t(spark, sf, "embeddings")
+    return range_search(emb, emb.filter(F.col("vec_id") < 5), tau=0.25, dim=64)

@@ -70,6 +70,7 @@ SMALL_NONEQUI_BROADCAST_QUERIES = {
     "d10_semantic_dedup",  # IVF seed row broadcast (K=16) for the assign stage
     "v9_matryoshka_recall",  # corpus × 5 broadcast query vectors (≠ condition)
     "v10_ivf_pq_topk",  # seed row + codebook row + 5-row ADC tables, all broadcast
+    "v11_range_search",  # corpus × 5 broadcast query vectors (≠ condition)
 }
 BNLJ_ALLOWED = ONE_ROW_BOUND_QUERIES | SMALL_NONEQUI_BROADCAST_QUERIES
 
