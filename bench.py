@@ -119,6 +119,7 @@ EXTRA = [
     "x36_kneser_ney_scores",
     "a18_hll_distinct_sketch",
     "v11_range_search",
+    "w6_cumulative_distinct_hll",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))

@@ -5834,3 +5834,134 @@ def v11_range_search(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = _t(spark, sf, "embeddings")
     return range_search(emb, emb.filter(F.col("vec_id") < 5), tau=0.25, dim=64)
+
+
+@query(
+    "w6_cumulative_distinct_hll",
+    f"""
+    WITH ev AS (
+      SELECT CAST(ts AS DATE) AS d, user_id FROM events
+    ), first_seen AS (
+      SELECT user_id, min(d) AS d0 FROM ev GROUP BY 1
+    ), days AS (SELECT DISTINCT d FROM ev),
+    new_users AS (
+      SELECT d0 AS d, count(*) AS n_new FROM first_seen GROUP BY 1
+    ), exact_cum AS (
+      -- running sum of first-seen users: cumulative distinct without a
+      -- day x user non-equi join
+      SELECT days.d,
+             CAST(sum(coalesce(n.n_new, 0)) OVER (ORDER BY days.d)
+                  AS BIGINT) AS n_exact
+      FROM days LEFT JOIN new_users n ON n.d = days.d
+    ), h AS (
+      SELECT DISTINCT d, user_id,
+             ({_u32_sql_at("CAST(user_id AS VARCHAR)", 1)}) % 64 AS bucket,
+             ({_u32_sql_at("CAST(user_id AS VARCHAR)", 9)}) AS v
+      FROM ev
+    ), r AS (
+      SELECT d, bucket,
+             max(CASE WHEN v = 0 THEN 33 ELSE 33 - length(bin(v)) END) AS mj
+      FROM h GROUP BY 1, 2
+    ), grid AS (
+      SELECT days.d, b.b AS bucket
+      FROM days, unnest(generate_series(0, 63)) b(b)
+    ), merged AS (
+      SELECT g.d, g.bucket,
+             max(r.mj) OVER (PARTITION BY g.bucket ORDER BY g.d) AS mj
+      FROM grid g LEFT JOIN r ON r.d = g.d AND r.bucket = g.bucket
+    ), folded AS (
+      SELECT d,
+             count(mj) AS nb,
+             coalesce(sum(power(2.0, -mj)), 0) AS z_ne
+      FROM merged GROUP BY d
+    ), est AS (
+      SELECT f.d, e.n_exact, 64 - f.nb AS zeros,
+             (0.7213 / (1 + 1.079 / 64)) * 64 * 64
+               / ((64 - f.nb) + f.z_ne) AS e_raw
+      FROM folded f JOIN exact_cum e ON e.d = f.d
+    ), final AS (
+      SELECT d, n_exact,
+             CASE WHEN e_raw <= 160 AND zeros > 0
+                  THEN 64 * ln(64.0 / zeros) ELSE e_raw END AS e_corr
+      FROM est
+    )
+    SELECT CAST(d AS VARCHAR) AS day, n_exact,
+           round(e_corr, 6) AS hll_cum_est,
+           round(abs(e_corr - n_exact) / n_exact, 6) AS rel_err
+    FROM final
+    """,
+)
+def w6_cumulative_distinct_hll(spark: SparkSession, sf: str) -> DataFrame:
+    """Cumulative distinct users per day, twice: exact (running sum of
+    first-seen users) and via HLL REGISTER MERGING — the mergeable-sketch
+    contract proven in-query: "union of streams = elementwise max of
+    registers" becomes a running max over each of the 64 registers across
+    days, so day N's estimate folds every event since day 1 without ever
+    re-touching them. This is the shape a 100 TB rolling-uniques dashboard
+    runs: per-day register updates are tiny (64 rows/day), history is
+    merged by max, and the raw events are read exactly once.
+
+    Scale shape: one groupBy(day, bucket) over the event stream (map-side
+    partial max), a days×64 grid (metadata-scale) for the running merge,
+    and the same exact-arithmetic fold as a18 (Z summands are exact powers
+    of two — order-independent, oracle replays bit-for-bit). The exact
+    side is its own two-shuffle plan (first-seen per user, then a
+    day-bounded count)."""
+    ev = _t(spark, sf, "events").select(
+        F.to_date("ts").alias("d"), "user_id"
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
+    days = ev.select("d").distinct()
+    new_users = first_seen.groupBy(F.col("d0").alias("d")).agg(
+        F.count("*").alias("n_new")
+    )
+    wdays = Window.orderBy("d")
+    exact_cum = (
+        days.join(new_users, "d", "left")
+        .withColumn(
+            "n_exact",
+            F.sum(F.coalesce("n_new", F.lit(0))).over(wdays),
+        )
+        .select("d", "n_exact")
+    )
+    uid = F.col("user_id").cast("string")
+    v = F.conv(F.substring(F.md5(uid), 9, 8), 16, 10).cast("long")
+    h = ev.select(
+        "d",
+        "user_id",
+        (F.conv(F.substring(F.md5(uid), 1, 8), 16, 10).cast("long") % 64)
+        .alias("bucket"),
+        F.when(v == 0, 33).otherwise(33 - F.length(F.bin(v))).alias("rho"),
+    ).distinct()
+    r = h.groupBy("d", "bucket").agg(F.max("rho").alias("mj"))
+    grid = days.select(
+        "d", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bucket")
+    )
+    wmerge = Window.partitionBy("bucket").orderBy("d")
+    merged = grid.join(r, ["d", "bucket"], "left").withColumn(
+        "mj", F.max("mj").over(wmerge)
+    )
+    folded = merged.groupBy("d").agg(
+        F.count("mj").alias("nb"),
+        F.coalesce(F.sum(F.pow(F.lit(2.0), -F.col("mj"))), F.lit(0.0))
+        .alias("z_ne"),
+    )
+    alpha = F.lit(0.7213) / (F.lit(1) + F.lit(1.079) / F.lit(64))
+    e_raw = alpha * 64 * 64 / ((F.lit(64) - F.col("nb")) + F.col("z_ne"))
+    zeros = F.lit(64) - F.col("nb")
+    est = folded.join(exact_cum, "d").select(
+        "d",
+        "n_exact",
+        F.when(
+            (e_raw <= 160) & (zeros > 0), F.lit(64) * F.log(F.lit(64.0) / zeros)
+        )
+        .otherwise(e_raw)
+        .alias("e_corr"),
+    )
+    return est.select(
+        F.col("d").cast("string").alias("day"),
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.round("e_corr", 6).alias("hll_cum_est"),
+        F.round(F.abs(F.col("e_corr") - F.col("n_exact")) / F.col("n_exact"), 6)
+        .alias("rel_err"),
+    )
