@@ -120,6 +120,7 @@ EXTRA = [
     "a18_hll_distinct_sketch",
     "v11_range_search",
     "w6_cumulative_distinct_hll",
+    "m4_image_ahash_neardup",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))

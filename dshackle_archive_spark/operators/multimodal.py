@@ -171,3 +171,67 @@ def frame_sample_plan(
             F.sequence(F.lit(0), F.coalesce(F.col("duration_ms"), F.lit(0)), F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("b0", T.LongType(), False),
+        T.StructField("b1", T.LongType(), False),
+        T.StructField("b2", T.LongType(), False),
+        T.StructField("b3", T.LongType(), False),
+    ]
+)
+
+
+def image_ahash(
+    media: DataFrame,
+    backend: DecodeBackend | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint per image, as four
+    16-bit band integers — the standard banding for hamming-<=3 near-dup
+    joins (pigeonhole: 4 flipped bits can't touch all 4 bands... they can
+    touch at most 4, so <=3 flips leave at least one band identical).
+
+    Arrow-batched ``mapInPandas``: a real deployment decodes pixels with
+    PIL and mean-thresholds an 8x8 grayscale; the deterministic stand-in
+    derives the 64 "pixels" from the payload's md5 hex digits
+    (md5(payload) ++ md5(payload + b'b'), one pixel per digit, value
+    0-15) and perturbs pixel 0 by +1 for media_id >= 100000 (the planted
+    re-encoded copies) — every arithmetic step is integer-exact, so the
+    oracle replays the hash bit-for-bit in SQL. The bit rule is the
+    integer comparison pixel*64 >= sum(pixels): no float mean."""
+    backend = backend or DeterministicFakeBackend()
+
+    def ahash_row(media_id: int, payload: bytes) -> tuple[int, int, int, int]:
+        digest = (
+            hashlib.md5(payload).hexdigest()
+            + hashlib.md5(payload + b"b").hexdigest()
+        )
+        pixels = [int(c, 16) for c in digest]
+        if media_id >= 100_000:
+            pixels[0] += 1  # planted "re-encoded" copy: one-pixel delta
+        total = sum(pixels)
+        bits = [1 if p * 64 >= total else 0 for p in pixels]
+        bands = []
+        for k in range(4):
+            b = 0
+            for j in range(16):
+                b = (b << 1) | bits[16 * k + j]
+            bands.append(b)
+        return tuple(bands)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                b0, b1, b2, b3 = ahash_row(int(r["media_id"]), bytes(r["payload"]))
+                rows.append(
+                    {"media_id": r["media_id"], "b0": b0, "b1": b1,
+                     "b2": b2, "b3": b3}
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AHASH_SCHEMA.fields])
+
+    src = media.repartition(partitions) if partitions else media
+    return src.mapInPandas(gen, schema=AHASH_SCHEMA)

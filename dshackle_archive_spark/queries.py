@@ -5965,3 +5965,133 @@ def w6_cumulative_distinct_hll(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.abs(F.col("e_corr") - F.col("n_exact")) / F.col("n_exact"), 6)
         .alias("rel_err"),
     )
+
+
+@query(
+    "m4_image_ahash_neardup",
+    f"""
+    WITH media AS (
+      SELECT doc_id AS media_id, text FROM documents WHERE doc_id < 400
+      UNION ALL
+      SELECT doc_id + 100000 AS media_id, text FROM documents
+      WHERE doc_id < 400 AND doc_id % 20 = 0
+    ), px AS (
+      SELECT media_id, i.i AS i,
+             (strpos({_HEXMAP},
+                     substr(concat(md5(text), md5(text || 'b')), i.i + 1, 1))
+              - 1)
+             + CASE WHEN media_id >= 100000 AND i.i = 0 THEN 1 ELSE 0 END AS p
+      FROM media, unnest(generate_series(0, 63)) i(i)
+    ), tot AS (
+      SELECT media_id, sum(p) AS total FROM px GROUP BY 1
+    ), bits AS (
+      SELECT px.media_id, px.i,
+             CASE WHEN px.p * 64 >= t.total THEN 1 ELSE 0 END AS bit
+      FROM px JOIN tot t USING (media_id)
+    ), bands AS (
+      SELECT media_id, CAST(i / 16 AS INT) AS k,
+             CAST(sum(bit * power(2, 15 - (i % 16))) AS BIGINT) AS v
+      FROM bits GROUP BY 1, 2
+    ), hashes AS (
+      SELECT media_id,
+             max(CASE WHEN k = 0 THEN v END) AS b0,
+             max(CASE WHEN k = 1 THEN v END) AS b1,
+             max(CASE WHEN k = 2 THEN v END) AS b2,
+             max(CASE WHEN k = 3 THEN v END) AS b3
+      FROM bands GROUP BY 1
+    ), cand AS (
+      SELECT DISTINCT a.media_id AS ma, b.media_id AS mb
+      FROM bands a JOIN bands b
+        ON a.k = b.k AND a.v = b.v AND a.media_id < b.media_id
+    )
+    SELECT c.ma AS media_a, c.mb AS media_b,
+           CAST(bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+                + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
+             AS BIGINT) AS hamming
+    FROM cand c
+    JOIN hashes ha ON ha.media_id = c.ma
+    JOIN hashes hb ON hb.media_id = c.mb
+    WHERE bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+          + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3)) <= 3
+    """,
+)
+def m4_image_ahash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Image near-duplicate detection by perceptual hash — the multimodal
+    counterpart of text MinHash dedup: decode → 8x8 mean-threshold aHash
+    (Arrow-batched ``mapInPandas``, the real codec seam — see
+    ``operators/multimodal.py:image_ahash``) → 4x16-bit band equi-join →
+    hamming <= 3 verification via xor+bit_count. Planted: every 20th image
+    re-appears "re-encoded" (media_id+100000, one pixel perturbed) and
+    must pair with its original; 4-band pigeonhole guarantees recall for
+    hamming <= 3.
+
+    Scale shape: payload bytes never shuffle — the Pandas stage projects
+    each image to four 16-bit ints; candidates come from band equi-joins
+    (never all-pairs) and the hamming check is integer bit math on the
+    8-byte hashes. The deterministic fake decode is integer-exact end to
+    end, so the oracle replays hash, banding, and hamming bit-for-bit."""
+    from .operators.multimodal import image_ahash
+    from .session import ship_package
+
+    ship_package(spark)
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 400)
+    base = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("image/png").alias("mime"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit(8).alias("width"),
+        F.lit(8).alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    planted = base.filter(F.col("media_id") % 20 == 0).withColumn(
+        "media_id", F.col("media_id") + 100_000
+    )
+    hashes = image_ahash(base.unionByName(planted))
+    bands = hashes.select(
+        "media_id",
+        F.explode(
+            F.arrays_zip(
+                F.array(F.lit(0), F.lit(1), F.lit(2), F.lit(3)).alias("k"),
+                F.array("b0", "b1", "b2", "b3").alias("v"),
+            )
+        ).alias("z"),
+    ).select("media_id", F.col("z.k").alias("k"), F.col("z.v").alias("v"))
+    a = bands.select(
+        F.col("media_id").alias("ma"), "k", "v"
+    )
+    b = bands.select(
+        F.col("media_id").alias("mb"), "k", "v"
+    )
+    cand = (
+        a.join(b, ["k", "v"])
+        .filter(F.col("ma") < F.col("mb"))
+        .select("ma", "mb")
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col("media_id").alias("ma"),
+        F.col("b0").alias("a0"), F.col("b1").alias("a1"),
+        F.col("b2").alias("a2"), F.col("b3").alias("a3"),
+    )
+    hb = hashes.select(
+        F.col("media_id").alias("mb"),
+        F.col("b0").alias("c0"), F.col("b1").alias("c1"),
+        F.col("b2").alias("c2"), F.col("b3").alias("c3"),
+    )
+    hamming = (
+        F.bit_count(F.col("a0").bitwiseXOR(F.col("c0")))
+        + F.bit_count(F.col("a1").bitwiseXOR(F.col("c1")))
+        + F.bit_count(F.col("a2").bitwiseXOR(F.col("c2")))
+        + F.bit_count(F.col("a3").bitwiseXOR(F.col("c3")))
+    )
+    return (
+        cand.join(ha, "ma")
+        .join(hb, "mb")
+        .select(
+            F.col("ma").alias("media_a"),
+            F.col("mb").alias("media_b"),
+            hamming.cast("bigint").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
