@@ -103,6 +103,9 @@ def _produce_partition_pulsar(service_url: str, topic: str, partition: int, rows
     batch = [r["value"].encode() for r in rows]
     if not batch:
         return
+    # unlike a Kafka topic partition, a Pulsar producer_id is a CLIENT-chosen
+    # identifier scoped to this connection (each task opens its own), so the
+    # task index is a valid, collision-free choice against any real broker
     p = PulsarWireProducer(service_url, topic, producer_id=partition + 1)
     try:
         for payload in batch:
@@ -189,11 +192,16 @@ def stream_notifications(
         )
     if fmt == "kafka-wire":
         bootstrap, topic = options["bootstrap"], options["topic"]
+        # same topic-partition mapping as the batch path: Spark task count
+        # routinely exceeds the topic's partition count on a real broker
+        n_parts = int(options.get("topic_partitions", 1))
         return (
             vdf.writeStream.foreachBatch(
                 lambda df, _bid: df.rdd.mapPartitionsWithIndex(
                     lambda idx, rows: (
-                        _produce_partition_kafka(bootstrap, topic, idx, rows)
+                        _produce_partition_kafka(
+                            bootstrap, topic, idx % n_parts, rows
+                        )
                         or iter(())
                     )
                 ).count()
