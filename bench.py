@@ -121,6 +121,12 @@ EXTRA = [
     "v11_range_search",
     "w6_cumulative_distinct_hll",
     "m4_image_ahash_neardup",
+    "x37_bm25_ranking",
+    "d11_pagerank",
+    "a19_histogram_quantiles",
+    "v12_embedding_covariance",
+    "m5_silence_segments",
+    "x38_gopher_rules",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))

@@ -805,3 +805,56 @@ def duplicated_span_extents(
             F.sum("span").cast("double") / F.any_value("n_toks"), 6
         ).alias("dup_ratio"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge list →
+    ``(node, pr)`` — the classic link-centrality score a web-scale
+    curation pipeline uses to weight crawl sources (a page's rank feeds
+    quality priors the way OPIC/harmonic centrality do in production
+    crawlers). Fixed iteration count keeps the computation a pure,
+    replayable dataflow.
+
+    Scale design: per iteration ONE equi-join shuffle (ranks × out-edges)
+    plus a grouped sum on the destination — the same join primitive as
+    ``connected_components``; out-degrees are computed once and ride along
+    the checkpointed edge table, and the node count folds in as a 1-row
+    broadcast, never a driver-side constant. Dangling mass: callers that
+    pass graphs with sink nodes should pre-symmetrize (as the d11 registry
+    query does) or accept rank leakage — the uniform teleport term keeps
+    the recursion well-defined either way."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    deg = e.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
+    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    verts = ed.select(F.col("src").alias("node")).unionByName(
+        ed.select(F.col("dst").alias("node"))
+    ).distinct().localCheckpoint(eager=True)
+    nn = verts.groupBy().agg(F.count("*").cast("double").alias("n"))
+    ranks = verts.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(iters):
+        contrib = (
+            ranks.join(ed, ranks["node"] == ed["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("mass"))
+            .withColumnRenamed("dst", "node")
+        )
+        ranks = (
+            verts.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) / F.col("n")
+                    + F.lit(damping) * F.coalesce("mass", F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return ranks

@@ -6095,3 +6095,598 @@ def m4_image_ahash_neardup(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 3)
     )
+
+
+@query(
+    "x37_bm25_ranking",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, tok AS token FROM (
+        SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+        FROM documents)
+      WHERE tok <> ''
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM toks
+      WHERE token IN ('table', 'query') GROUP BY 1, 2
+    ), df AS (
+      SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+    ), scored AS (
+      SELECT tf.doc_id,
+             ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * (1.2 + 1))
+               / (CAST(tf.tf AS DOUBLE)
+                  + 1.2 * (1 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / s.avgdl))
+               AS part
+      FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+    )
+    SELECT doc_id, round(sum(part), 6) AS bm25
+    FROM scored GROUP BY 1
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def x37_bm25_ranking(spark: SparkSession, sf: str) -> DataFrame:
+    """Okapi BM25 ranking (k1=1.2, b=0.75) for a disjunctive two-term query
+    ('table' OR 'query') — the standard lexical scorer a training-data
+    pipeline uses for retrieval baselines and hard-negative mining; the
+    idf-weighted, length-normalized upgrade of x18's raw tf ranking.
+
+    Scale shape: one tokenize pass feeds both the per-doc length table and
+    the two query-term posting slices; n_docs/avgdl fold back in as a 1-row
+    broadcast (integer sums — exact, order-independent — divided once).
+    Posting slices are term-selective (never corpus-wide), so the dl join
+    and the per-doc score sum run on candidate docs only; top-k via
+    TakeOrderedAndProject. The per-doc sum adds at most one part per query
+    term, so the double fold is order-insensitive."""
+    from .operators.dedup import normalized_text
+
+    docs = _t(spark, sf, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(normalized_text("text"), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.groupBy().agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("token").isin("table", "query"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count("*").cast("double").alias("df"))
+    k1, b = F.lit(1.2), F.lit(0.75)
+    idf = F.log(
+        F.lit(1)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tfd = F.col("tf").cast("double")
+    part = idf * (tfd * (k1 + 1)) / (
+        tfd + k1 * (F.lit(1) - b + b * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", part.alias("part"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("part"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _pr_iter_sql(prev: str, cur_c: str, cur_r: str) -> str:
+    """One unrolled PageRank power-iteration pair of CTEs (contribution
+    grouped-sum, then teleport + damping), matching
+    ``operators/dedup.pagerank`` exactly."""
+    return f"""
+    {cur_c} AS (
+      SELECT e.dst AS node, sum(r.pr / d.deg) AS mass
+      FROM {prev} r
+      JOIN edges e ON e.src = r.node
+      JOIN deg d ON d.src = r.node
+      GROUP BY 1
+    ), {cur_r} AS (
+      SELECT v.node,
+             0.15 / nn.n + 0.85 * coalesce(c.mass, 0) AS pr
+      FROM verts v CROSS JOIN nn
+      LEFT JOIN {cur_c} c ON c.node = v.node
+    )"""
+
+
+@query(
+    "d11_pagerank",
+    f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), edges AS (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM pairs
+    ), deg AS (
+      SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY 1
+    ), verts AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), nn AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n FROM verts
+    ), r0 AS (
+      SELECT node, 1.0 / nn.n AS pr FROM verts CROSS JOIN nn
+    ), {_pr_iter_sql("r0", "c1", "r1")},
+    {_pr_iter_sql("r1", "c2", "r2")},
+    {_pr_iter_sql("r2", "c3", "r3")}
+    SELECT node, round(pr, 6) AS pr
+    FROM r3
+    ORDER BY pr DESC, node ASC
+    LIMIT 20
+    """,
+)
+def d11_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank centrality (3 power iterations, damping 0.85) over the
+    customer↔supplier trade graph (who-bought-from-whom via orders ⋈
+    lineitem, symmetrized so no node dangles; customers get even node ids,
+    suppliers odd) — top-20 hubs. The graph-centrality companion to
+    d5/d8's connected components: dedup tells you WHAT is connected,
+    PageRank tells you what is IMPORTANT, the score crawl-curation
+    pipelines use as a per-source quality prior.
+
+    Scale shape: the edge list + out-degrees materialize once
+    (localCheckpoint — iterating over lineage-free ids only); each
+    iteration is one equi-join shuffle and one grouped sum on node ids,
+    never touching the fact tables again; the node count rides in as a
+    1-row broadcast; top-k via TakeOrderedAndProject on the ROUNDED score
+    (deterministic cutoff)."""
+    from .operators.dedup import pagerank
+
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    ranks = pagerank(edges, iters=3, damping=0.85)
+    return (
+        ranks.select("node", F.round("pr", 6).alias("pr"))
+        .orderBy(F.desc("pr"), F.asc("node"))
+        .limit(20)
+    )
+
+
+@query(
+    "a19_histogram_quantiles",
+    """
+    WITH binned AS (
+      SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bin,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, bin, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM binned
+    )
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+           round(min(CASE WHEN cum >= 0.5 * n
+                         THEN CAST(bin AS DOUBLE) * 5.0 END), 6) AS est_p50,
+           round(min(CASE WHEN cum >= 0.9 * n
+                         THEN CAST(bin AS DOUBLE) * 5.0 END), 6) AS est_p90,
+           round(min(CASE WHEN cum >= 0.99 * n
+                         THEN CAST(bin AS DOUBLE) * 5.0 END), 6) AS est_p99
+    FROM cum GROUP BY 1
+    """,
+)
+def a19_histogram_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming-mergeable quantile estimation: fixed-width histogram
+    sketch (the equi-width cousin of KLL/t-digest — per-group bin counts
+    are associative, so partial sketches from any partitioning merge by
+    addition) → p50/p90/p99 read off the cumulative bin profile (lower
+    edge of the first bin covering the target mass). Completes the
+    mergeable-sketch family next to count-min (a17), KMV (x27) and HLL
+    (a18) with the QUANTILE axis every data-quality dashboard needs.
+
+    Scale shape: the corpus collapses to ≤(groups × ~100 bins) cells in
+    ONE shuffle with map-side partial aggregation; the quantile read-off
+    runs a window over the cell table (sketch-sized, not data-sized).
+    The estimate is deterministic — bin edges are data-independent — so
+    unlike exact percentile, the same sketch merged in any order yields
+    the identical answer."""
+    events = _t(spark, sf, "events")
+    binned = (
+        events.groupBy(
+            "event_type",
+            F.floor(F.col("value") / F.lit(5.0)).cast("bigint").alias("bin"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy("bin")
+    wall = Window.partitionBy("event_type")
+    cum = binned.select(
+        "event_type",
+        "bin",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+
+    def est(q: float):
+        return F.round(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.lit(q) * F.col("n"),
+                    F.col("bin") * F.lit(5.0),
+                )
+            ),
+            6,
+        )
+
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        est(0.5).alias("est_p50"),
+        est(0.9).alias("est_p90"),
+        est(0.99).alias("est_p99"),
+    )
+
+
+@query(
+    "v12_embedding_covariance",
+    """
+    WITH flat AS (
+      SELECT vec_id, t.i - 1 AS i, CAST(embedding[t.i] AS DOUBLE) AS x
+      FROM embeddings, range(1, 65) t(i)
+    ), nn AS (
+      SELECT CAST(count(DISTINCT vec_id) AS DOUBLE) AS n FROM flat
+    ), sums AS (
+      SELECT i, sum(x) AS sx FROM flat GROUP BY 1
+    ), prods AS (
+      SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sxy
+      FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2
+    )
+    SELECT p.i, p.j,
+           round(p.sxy / nn.n - (si.sx / nn.n) * (sj.sx / nn.n), 6) + 0.0
+             AS cov
+    FROM prods p
+    JOIN sums si ON si.i = p.i
+    JOIN sums sj ON sj.i = p.j
+    CROSS JOIN nn
+    """,
+)
+def v12_embedding_covariance(spark: SparkSession, sf: str) -> DataFrame:
+    """Covariance matrix of the embedding columns (upper triangle, 64×65/2
+    = 2080 cells) — the distributed front-end of PCA/whitening: collect
+    this sketch-sized matrix to the driver, eigendecompose with numpy, and
+    broadcast the rotation back for dimensionality reduction, the standard
+    recipe for embedding compression and SemDeDup-style preprocessing.
+
+    Scale shape: each vector expands MAP-SIDE into its 2080 upper-triangle
+    products (a nested ``transform`` over index sequences — no self-join,
+    no second corpus shuffle) and partial-aggregates into the fixed 2080
+    cells before the ONE shuffle; per-dimension sums ride the same pattern
+    (64 cells) and fold back by dimension-index equi-joins; n arrives as a
+    1-row broadcast. Corpus size never appears in shuffle volume — the
+    whole reduce is (2080 + 64 + 1) cells regardless of row count. The
+    oracle replays the float32→double quantization per element."""
+    emb = _t(spark, sf, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    pairs = emb.select(
+        "vec_id",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda i: F.transform(
+                        F.sequence(i, F.lit(63)),
+                        lambda j: F.struct(
+                            i.alias("i"),
+                            j.alias("j"),
+                            (F.element_at(xd, i + 1) * F.element_at(xd, j + 1)).alias(
+                                "xy"
+                            ),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p"),
+    ).select(F.col("p.i").alias("i"), F.col("p.j").alias("j"), F.col("p.xy").alias("xy"))
+    prods = pairs.groupBy("i", "j").agg(F.sum("xy").alias("sxy"))
+    flat = emb.select(
+        "vec_id", F.posexplode(xd).alias("i", "x")
+    )
+    sums = flat.groupBy("i").agg(F.sum("x").alias("sx"))
+    nn = emb.groupBy().agg(F.count_distinct("vec_id").cast("double").alias("n"))
+    si = sums.select(F.col("i").alias("i"), F.col("sx").alias("sx_i"))
+    sj = sums.select(F.col("i").alias("j"), F.col("sx").alias("sx_j"))
+    return (
+        prods.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("i").cast("bigint").alias("i"),
+            F.col("j").cast("bigint").alias("j"),
+            (
+                F.round(
+                    F.col("sxy") / F.col("n")
+                    - (F.col("sx_i") / F.col("n")) * (F.col("sx_j") / F.col("n")),
+                    6,
+                )
+                + F.lit(0.0)  # -0.0 → 0.0: negative zero renders differently
+            ).alias("cov"),
+        )
+    )
+
+
+_FRAME_SQL = ", ".join(
+    f"CAST(CAST({_sha_byte_sql(i)} / 255.0 AS REAL) AS DOUBLE)" for i in range(8)
+)
+
+
+@query(
+    "m5_silence_segments",
+    f"""
+    WITH media AS (
+      SELECT doc_id AS media_id, sha256(text) AS sha
+      FROM documents WHERE doc_id % 5 = 0
+    ), frames AS (
+      SELECT media_id, t.f - 1 AS frame, [{_FRAME_SQL}][t.f] AS e
+      FROM media, range(1, 9) t(f)
+    ), silent AS (
+      SELECT media_id, frame, e,
+             frame - row_number() OVER (
+               PARTITION BY media_id ORDER BY frame) AS grp
+      FROM frames WHERE e < 0.3
+    )
+    SELECT media_id, min(frame) AS seg_start, max(frame) AS seg_end,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           round(CAST(sum(e) AS DOUBLE) / count(*), 6) AS mean_energy
+    FROM silent GROUP BY media_id, grp
+    """,
+)
+def m5_silence_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """Silence segmentation over the audio branch: per-clip frame energies
+    (the m3 ``extract_features`` decode seam — one Arrow-batched
+    ``mapInPandas`` stage) → contiguous sub-threshold runs via
+    gaps-and-islands — the speech-pipeline primitive behind VAD trimming
+    and pause-based clip splitting, composed from the SAME island operator
+    the archive uses for block-range coverage (A1). Emits one row per
+    silent segment: extent, length, mean energy.
+
+    Scale shape: decode projects payloads down to 8-float frame vectors
+    inside the UDF stage; the explode is 8 rows/clip; islands are one
+    window partitioned by clip id (shuffle on clip id only, never payload
+    bytes — the binary column is dropped before any exchange). The
+    deterministic sha-derived codec lets DuckDB replay the exact frame
+    doubles."""
+    from .operators.multimodal import extract_features
+    from .session import ship_package
+
+    ship_package(spark)
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.lit("audio/wav").alias("mime"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.col("doc_id") % 30 * 100 + 100).cast("long").alias("duration_ms"),
+    )
+    feats = extract_features(media)
+    frames = feats.select(
+        "media_id", F.posexplode(F.col("feature").cast("array<double>")).alias("frame", "e")
+    )
+    silent = frames.filter(F.col("e") < 0.3).withColumn(
+        "grp",
+        F.col("frame")
+        - F.row_number().over(Window.partitionBy("media_id").orderBy("frame")),
+    )
+    return (
+        silent.groupBy("media_id", "grp")
+        .agg(
+            F.min("frame").cast("bigint").alias("seg_start"),
+            F.max("frame").cast("bigint").alias("seg_end"),
+            F.count("*").alias("n_frames"),
+            F.round(F.sum("e") / F.count("*"), 6).alias("mean_energy"),
+        )
+        .drop("grp")
+    )
+
+
+@query(
+    "x38_gopher_rules",
+    r"""
+    WITH w AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents)
+      WHERE tok <> ''
+    ), ws AS (
+      SELECT doc_id,
+             count(*) AS n_words,
+             CAST(sum(length(tok)) AS BIGINT) AS sum_len,
+             CAST(sum(CASE WHEN regexp_matches(tok, '[A-Za-z]')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
+             count(DISTINCT CASE WHEN lower(tok) IN
+               ('join', 'hash', 'row', 'batch', 'scan')
+               THEN lower(tok) END) AS n_stop
+      FROM w GROUP BY 1
+    ), ls AS (
+      SELECT doc_id,
+             count(*) AS n_lines,
+             CAST(sum(CASE WHEN trim(ln) LIKE '-%' OR trim(ln) LIKE '*%'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_bullet,
+             CAST(sum(CASE WHEN trim(ln) LIKE '%...'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_ellip
+      FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS ln
+            FROM documents)
+      GROUP BY 1
+    ), sym AS (
+      SELECT doc_id,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             (length(text) - length(replace(text, '...', ''))) / 3 AS n_dots
+      FROM documents
+    ), feat AS (
+      SELECT ws.doc_id,
+             CASE WHEN ws.n_words < 50 OR ws.n_words > 100000
+                  THEN 1 ELSE 0 END AS f_word_count,
+             CASE WHEN CAST(ws.sum_len AS DOUBLE) / ws.n_words < 3
+                    OR CAST(ws.sum_len AS DOUBLE) / ws.n_words > 10
+                  THEN 1 ELSE 0 END AS f_mean_word_len,
+             CASE WHEN CAST(sym.n_hash + sym.n_dots AS DOUBLE) / ws.n_words
+                    > 0.1 THEN 1 ELSE 0 END AS f_symbol_ratio,
+             CASE WHEN CAST(ls.n_bullet AS DOUBLE) / ls.n_lines > 0.9
+                  THEN 1 ELSE 0 END AS f_bullet_lines,
+             CASE WHEN CAST(ls.n_ellip AS DOUBLE) / ls.n_lines > 0.3
+                  THEN 1 ELSE 0 END AS f_ellipsis_lines,
+             CASE WHEN CAST(ws.n_alpha AS DOUBLE) / ws.n_words < 0.8
+                  THEN 1 ELSE 0 END AS f_alpha_words,
+             CASE WHEN ws.n_stop < 2 THEN 1 ELSE 0 END AS f_stopwords
+      FROM ws JOIN ls USING (doc_id) JOIN sym USING (doc_id)
+    ), unp AS (
+      SELECT 'word_count' AS rule, f_word_count AS fail FROM feat
+      UNION ALL SELECT 'mean_word_len', f_mean_word_len FROM feat
+      UNION ALL SELECT 'symbol_ratio', f_symbol_ratio FROM feat
+      UNION ALL SELECT 'bullet_lines', f_bullet_lines FROM feat
+      UNION ALL SELECT 'ellipsis_lines', f_ellipsis_lines FROM feat
+      UNION ALL SELECT 'alpha_words', f_alpha_words FROM feat
+      UNION ALL SELECT 'stopwords', f_stopwords FROM feat
+    )
+    SELECT rule, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(fail) AS BIGINT) AS n_fail,
+           round(100.0 * CAST(sum(fail) AS DOUBLE) / count(*), 6) AS fail_pct
+    FROM unp GROUP BY 1
+    """,
+)
+def x38_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021, table A1 subset):
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+    bullet-line and ellipsis-line fractions, alphabetic-word fraction, and
+    the minimum-stopword test — the de-facto baseline heuristic filter
+    every web-scale corpus pass applies before model-based scoring. (The
+    stopword set here is the testdata corpus's five most frequent terms —
+    the synthetic vocabulary has no English function words; production
+    swaps in the usual 'the/and/of/to/in' list.)
+    Reports per-rule failure counts and rates over all documents with at
+    least one token (the rule universe).
+
+    Scale shape: one tokenize pass and one line-split pass collapse
+    map-side into per-doc count features (two shuffles on doc_id, both
+    with partial agg); the rule battery is then pure column arithmetic on
+    the per-doc feature table, unpivoted into (rule, fail) pairs and
+    reduced to 7 cells. All ratios are single divisions of exact integer
+    counts — no order-sensitive double folds anywhere."""
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    ws = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.length("tok")).alias("sum_len"),
+        F.sum(F.when(F.col("tok").rlike("[A-Za-z]"), 1).otherwise(0)).alias(
+            "n_alpha"
+        ),
+        F.count_distinct(
+            F.when(
+                F.lower("tok").isin("join", "hash", "row", "batch", "scan"),
+                F.lower("tok"),
+            )
+        ).alias("n_stop"),
+    )
+    lines = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "\n")).alias("ln")
+    )
+    ls = lines.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(
+            F.when(
+                F.trim("ln").startswith("-") | F.trim("ln").startswith("*"), 1
+            ).otherwise(0)
+        ).alias("n_bullet"),
+        F.sum(F.when(F.trim("ln").endswith("..."), 1).otherwise(0)).alias(
+            "n_ellip"
+        ),
+    )
+    sym = docs.select(
+        "doc_id",
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))).alias(
+            "n_hash"
+        ),
+        (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit("..."))))
+            / 3
+        ).alias("n_dots"),
+    )
+    mean_len = F.col("sum_len").cast("double") / F.col("n_words")
+    feat = (
+        ws.join(ls, "doc_id")
+        .join(sym, "doc_id")
+        .select(
+            F.when((F.col("n_words") < 50) | (F.col("n_words") > 100000), 1)
+            .otherwise(0)
+            .alias("f_word_count"),
+            F.when((mean_len < 3) | (mean_len > 10), 1)
+            .otherwise(0)
+            .alias("f_mean_word_len"),
+            F.when(
+                (F.col("n_hash") + F.col("n_dots")).cast("double")
+                / F.col("n_words")
+                > 0.1,
+                1,
+            )
+            .otherwise(0)
+            .alias("f_symbol_ratio"),
+            F.when(
+                F.col("n_bullet").cast("double") / F.col("n_lines") > 0.9, 1
+            )
+            .otherwise(0)
+            .alias("f_bullet_lines"),
+            F.when(
+                F.col("n_ellip").cast("double") / F.col("n_lines") > 0.3, 1
+            )
+            .otherwise(0)
+            .alias("f_ellipsis_lines"),
+            F.when(
+                F.col("n_alpha").cast("double") / F.col("n_words") < 0.8, 1
+            )
+            .otherwise(0)
+            .alias("f_alpha_words"),
+            F.when(F.col("n_stop") < 2, 1).otherwise(0).alias("f_stopwords"),
+        )
+    )
+    unp = feat.select(
+        F.expr(
+            "stack(7, "
+            "'word_count', f_word_count, "
+            "'mean_word_len', f_mean_word_len, "
+            "'symbol_ratio', f_symbol_ratio, "
+            "'bullet_lines', f_bullet_lines, "
+            "'ellipsis_lines', f_ellipsis_lines, "
+            "'alpha_words', f_alpha_words, "
+            "'stopwords', f_stopwords) AS (rule, fail)"
+        )
+    )
+    return unp.groupBy("rule").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("fail").cast("bigint").alias("n_fail"),
+        F.round(
+            F.lit(100.0) * F.sum("fail").cast("double") / F.count("*"), 6
+        ).alias("fail_pct"),
+    )

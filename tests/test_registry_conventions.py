@@ -57,6 +57,9 @@ ONE_ROW_BOUND_QUERIES = {
     "x31_bigram_perplexity",  # vocabulary size V as a 1-row broadcast
     "x35_perplexity_terciles",  # reuses x31's scoring plan (same V broadcast)
     "x36_kneser_ney_scores",  # bigram-type total N1+(·,·) as a 1-row broadcast
+    "x37_bm25_ranking",  # n_docs/avgdl corpus stats as a 1-row broadcast
+    "d11_pagerank",  # node count N as a 1-row broadcast (per iteration)
+    "v12_embedding_covariance",  # vector count n as a 1-row broadcast
 }
 SMALL_NONEQUI_BROADCAST_QUERIES = {
     "a2_interval_subtraction",  # closed-form interval arithmetic, small side
