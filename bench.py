@@ -127,6 +127,12 @@ EXTRA = [
     "v12_embedding_covariance",
     "m5_silence_segments",
     "x38_gopher_rules",
+    "v13_top_eigenvector",
+    "x39_zipf_slope",
+    "d12_triangle_count",
+    "x40_priority_sample",
+    "a20_bloom_filter_fpr",
+    "x41_readability",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))

@@ -858,3 +858,67 @@ def pagerank(
             )
         )
     return ranks
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle participation counts over an undirected simple
+    graph given as (src, dst) pairs (either or both directions; duplicates
+    and self-loops are dropped) → ``(node, triangles)`` covering every
+    node that closes at least one triangle.
+
+    Scale design — the MapReduce node-iterator++ of Suri & Vassilvitskii
+    ("Counting Triangles and the Curse of the Last Reducer", WWW'11):
+    every edge is ORIENTED from its lower-(degree, id) endpoint to its
+    higher one before wedges are built, so wedge generation groups on the
+    low-degree endpoint and a heavy hub of degree d contributes O(d)
+    oriented out-edges instead of O(d²) wedges — the skew killer on
+    power-law graphs. Each triangle then materializes exactly once as a
+    wedge (a→b, a→c) closed by the oriented edge (b→c): two equi-join
+    shuffles on node ids total, never an all-pairs product. The per-node
+    rollup explodes each closed triangle into its three corners (3 rows
+    per triangle) and grouped-sums — triangle-count-bounded, not
+    edge-bounded."""
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionByName(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    oriented = (
+        canon.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+        .localCheckpoint(eager=True)
+    )
+    w1 = oriented.select(F.col("u").alias("pivot"), F.col("v").alias("x"))
+    w2 = oriented.select(F.col("u").alias("pivot"), F.col("v").alias("y"))
+    wedges = w1.join(w2, "pivot").filter(F.col("x") < F.col("y"))
+    closer = oriented.select(
+        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
+    )
+    tris = wedges.join(closer, ["x", "y"]).select("pivot", "x", "y")
+    corners = (
+        tris.select(F.col("pivot").alias("node"))
+        .unionByName(tris.select(F.col("x").alias("node")))
+        .unionByName(tris.select(F.col("y").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count("*").alias("triangles"))

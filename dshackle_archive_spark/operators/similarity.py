@@ -782,3 +782,108 @@ def range_search(
         .select("query_id", "neighbor_id", sim.alias("sim"))
         .filter(F.col("sim") >= tau)
     )
+
+
+def covariance_cells(emb: DataFrame, dim: int = 64) -> DataFrame:
+    """Upper-triangle covariance cells of an embedding column →
+    ``(i, j, cov)`` with ``i <= j`` — the distributed PCA/whitening
+    front-end (collect the dim²-sized result, eigendecompose driver-side,
+    broadcast the rotation back).
+
+    Scale design: each vector expands MAP-SIDE into its dim·(dim+1)/2
+    upper-triangle products (nested ``transform`` over index sequences —
+    no self-join, no second corpus shuffle) and partial-aggregates into
+    the fixed cell grid before the ONE shuffle; per-dimension sums ride
+    the same pattern (dim cells) and fold back by dimension-index
+    equi-joins; the vector count arrives as a 1-row broadcast. Corpus size
+    never appears in shuffle volume — the reduce is
+    (dim·(dim+1)/2 + dim + 1) cells regardless of row count."""
+    xd = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    pairs = emb.select(
+        "vec_id",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda i: F.transform(
+                        F.sequence(i, F.lit(dim - 1)),
+                        lambda j: F.struct(
+                            i.alias("i"),
+                            j.alias("j"),
+                            (
+                                F.element_at(xd, i + 1) * F.element_at(xd, j + 1)
+                            ).alias("xy"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p"),
+    ).select(
+        F.col("p.i").alias("i"), F.col("p.j").alias("j"), F.col("p.xy").alias("xy")
+    )
+    prods = pairs.groupBy("i", "j").agg(F.sum("xy").alias("sxy"))
+    flat = emb.select("vec_id", F.posexplode(xd).alias("i", "x"))
+    sums = flat.groupBy("i").agg(F.sum("x").alias("sx"))
+    nn = emb.groupBy().agg(F.count_distinct("vec_id").cast("double").alias("n"))
+    si = sums.select(F.col("i").alias("i"), F.col("sx").alias("sx_i"))
+    sj = sums.select(F.col("i").alias("j"), F.col("sx").alias("sx_j"))
+    return (
+        prods.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("i").cast("bigint").alias("i"),
+            F.col("j").cast("bigint").alias("j"),
+            (
+                F.col("sxy") / F.col("n")
+                - (F.col("sx_i") / F.col("n")) * (F.col("sx_j") / F.col("n"))
+            ).alias("cov"),
+        )
+    )
+
+
+def top_eigenvector(cov_cells: DataFrame, iters: int = 4) -> DataFrame:
+    """Leading eigenvector of a symmetric matrix given as upper-triangle
+    cells ``(i, j, cov)`` via fixed-count power iteration →
+    ``(i, w, lam)``: the unit eigenvector entries and the Rayleigh
+    quotient λ = vᵀCv (the variance explained by the first principal
+    component). Deterministic: starts from e₀ and runs exactly ``iters``
+    matvec+normalize rounds — a pure, replayable dataflow (the same
+    fixed-iteration discipline as ``dedup.pagerank``).
+
+    Scale design: the matrix is sketch-sized (dim² cells) no matter the
+    corpus, so every matvec is a broadcast join of the dim-row vector
+    against the cell table and a grouped sum into dim cells; the norm
+    folds back as a 1-row broadcast. Nothing here ever touches the
+    corpus — compose with ``covariance_cells`` which reduces the corpus
+    in one pass."""
+    cells = cov_cells.select("i", "j", "cov").localCheckpoint(eager=True)
+    # symmetrize: mirror the strict-upper cells below the diagonal
+    sym = cells.unionByName(
+        cells.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+        )
+    )
+    dims = cells.select(F.col("i").alias("d")).distinct()
+    v = dims.select(
+        "d", F.when(F.col("d") == 0, 1.0).otherwise(0.0).alias("w")
+    )
+    for _ in range(iters):
+        mat = (
+            sym.join(F.broadcast(v), sym["j"] == v["d"])
+            .groupBy(sym["i"].alias("d"))
+            .agg(F.sum(F.col("cov") * F.col("w")).alias("mw"))
+        )
+        nrm = mat.groupBy().agg(F.sqrt(F.sum(F.col("mw") * F.col("mw"))).alias("nrm"))
+        v = mat.crossJoin(F.broadcast(nrm)).select(
+            "d", (F.col("mw") / F.col("nrm")).alias("w")
+        )
+    va = v.select(F.col("d").alias("i"), F.col("w").alias("wi"))
+    vb = v.select(F.col("d").alias("j"), F.col("w").alias("wj"))
+    lam = (
+        sym.join(F.broadcast(va), "i")
+        .join(F.broadcast(vb), "j")
+        .groupBy()
+        .agg(F.sum(F.col("wi") * F.col("cov") * F.col("wj")).alias("lam"))
+    )
+    return v.select(F.col("d").alias("i"), "w").crossJoin(F.broadcast(lam))

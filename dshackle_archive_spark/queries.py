@@ -6345,10 +6345,10 @@ def a19_histogram_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
-    "v12_embedding_covariance",
-    """
-    WITH flat AS (
+# shared CTE: upper-triangle covariance cells of the embedding columns —
+# used by v12 (the matrix itself) and v13 (power iteration on top of it)
+_COV_CTE = """
+    flat AS (
       SELECT vec_id, t.i - 1 AS i, CAST(embedding[t.i] AS DOUBLE) AS x
       FROM embeddings, range(1, 65) t(i)
     ), nn AS (
@@ -6359,14 +6359,21 @@ def a19_histogram_quantiles(spark: SparkSession, sf: str) -> DataFrame:
       SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sxy
       FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND a.i <= b.i
       GROUP BY 1, 2
-    )
-    SELECT p.i, p.j,
-           round(p.sxy / nn.n - (si.sx / nn.n) * (sj.sx / nn.n), 6) + 0.0
-             AS cov
-    FROM prods p
-    JOIN sums si ON si.i = p.i
-    JOIN sums sj ON sj.i = p.j
-    CROSS JOIN nn
+    ), covu AS (
+      SELECT p.i, p.j,
+             p.sxy / nn.n - (si.sx / nn.n) * (sj.sx / nn.n) AS cov
+      FROM prods p
+      JOIN sums si ON si.i = p.i
+      JOIN sums sj ON sj.i = p.j
+      CROSS JOIN nn
+    )"""
+
+
+@query(
+    "v12_embedding_covariance",
+    f"""
+    WITH {_COV_CTE}
+    SELECT i, j, round(cov, 6) + 0.0 AS cov FROM covu
     """,
 )
 def v12_embedding_covariance(spark: SparkSession, sf: str) -> DataFrame:
@@ -6384,52 +6391,14 @@ def v12_embedding_covariance(spark: SparkSession, sf: str) -> DataFrame:
     1-row broadcast. Corpus size never appears in shuffle volume — the
     whole reduce is (2080 + 64 + 1) cells regardless of row count. The
     oracle replays the float32→double quantization per element."""
-    emb = _t(spark, sf, "embeddings")
-    xd = F.transform(F.col("embedding"), lambda v: v.cast("double"))
-    pairs = emb.select(
-        "vec_id",
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(63)),
-                    lambda i: F.transform(
-                        F.sequence(i, F.lit(63)),
-                        lambda j: F.struct(
-                            i.alias("i"),
-                            j.alias("j"),
-                            (F.element_at(xd, i + 1) * F.element_at(xd, j + 1)).alias(
-                                "xy"
-                            ),
-                        ),
-                    ),
-                )
-            )
-        ).alias("p"),
-    ).select(F.col("p.i").alias("i"), F.col("p.j").alias("j"), F.col("p.xy").alias("xy"))
-    prods = pairs.groupBy("i", "j").agg(F.sum("xy").alias("sxy"))
-    flat = emb.select(
-        "vec_id", F.posexplode(xd).alias("i", "x")
-    )
-    sums = flat.groupBy("i").agg(F.sum("x").alias("sx"))
-    nn = emb.groupBy().agg(F.count_distinct("vec_id").cast("double").alias("n"))
-    si = sums.select(F.col("i").alias("i"), F.col("sx").alias("sx_i"))
-    sj = sums.select(F.col("i").alias("j"), F.col("sx").alias("sx_j"))
-    return (
-        prods.join(F.broadcast(si), "i")
-        .join(F.broadcast(sj), "j")
-        .crossJoin(F.broadcast(nn))
-        .select(
-            F.col("i").cast("bigint").alias("i"),
-            F.col("j").cast("bigint").alias("j"),
-            (
-                F.round(
-                    F.col("sxy") / F.col("n")
-                    - (F.col("sx_i") / F.col("n")) * (F.col("sx_j") / F.col("n")),
-                    6,
-                )
-                + F.lit(0.0)  # -0.0 → 0.0: negative zero renders differently
-            ).alias("cov"),
-        )
+    from .operators.similarity import covariance_cells
+
+    cells = covariance_cells(_t(spark, sf, "embeddings"))
+    return cells.select(
+        "i",
+        "j",
+        # -0.0 → 0.0: negative zero renders differently than positive zero
+        (F.round("cov", 6) + F.lit(0.0)).alias("cov"),
     )
 
 
@@ -6689,4 +6658,490 @@ def x38_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
         F.round(
             F.lit(100.0) * F.sum("fail").cast("double") / F.count("*"), 6
         ).alias("fail_pct"),
+    )
+
+
+def _power_iter_sql(prev: str, k: int) -> str:
+    """One unrolled power-iteration round (matvec into dim cells, then
+    L2 normalize via a 1-row broadcast), matching
+    ``operators/similarity.top_eigenvector`` exactly."""
+    return f"""
+    mat{k} AS (
+      SELECT s.i AS d, sum(s.cov * v.w) AS mw
+      FROM sym s JOIN {prev} v ON v.d = s.j
+      GROUP BY 1
+    ), nrm{k} AS (
+      SELECT sqrt(sum(mw * mw)) AS nrm FROM mat{k}
+    ), v{k} AS (
+      SELECT d, mw / nrm AS w FROM mat{k} CROSS JOIN nrm{k}
+    )"""
+
+
+@query(
+    "v13_top_eigenvector",
+    f"""
+    WITH {_COV_CTE},
+    sym AS (
+      SELECT i, j, cov FROM covu
+      UNION ALL
+      SELECT j AS i, i AS j, cov FROM covu WHERE i <> j
+    ), v0 AS (
+      SELECT DISTINCT i AS d, CASE WHEN i = 0 THEN 1.0 ELSE 0.0 END AS w
+      FROM covu
+    ), {",".join(_power_iter_sql(f"v{k - 1}", k) for k in range(1, 9))},
+    lam AS (
+      SELECT sum(va.w * s.cov * vb.w) AS lam
+      FROM sym s JOIN v8 va ON va.d = s.i JOIN v8 vb ON vb.d = s.j
+    )
+    SELECT v8.d AS i, round(v8.w, 6) + 0.0 AS w, round(lam.lam, 6) AS lam
+    FROM v8 CROSS JOIN lam
+    """,
+)
+def v13_top_eigenvector(spark: SparkSession, sf: str) -> DataFrame:
+    """First principal component of the embedding space by power iteration
+    (8 fixed rounds from e₀) over the v12 covariance cells → the 64 unit
+    eigenvector weights plus the Rayleigh quotient λ (the variance
+    captured by the returned direction — exact for whatever vector the
+    fixed iteration count lands on). Distributed linear algebra as pure
+    dataflow: together with v12 this is the whole PCA front-end — at
+    production scale the driver never sees more than the dim²-cell matrix
+    and the dim-row vector.
+
+    Convergence is (λ₂/λ₁)^k: real embedding spaces have a dominant
+    direction and converge in a handful of rounds; this synthetic
+    testdata is near-isotropic (λ₂/λ₁ ≈ 0.99, measured), so 8 rounds
+    reach ~97% of λ₁ — the honest behavior of the power method on a flat
+    spectrum, which the Rayleigh output makes visible rather than hiding.
+
+    Scale shape: the corpus reduces ONCE (covariance_cells); every matvec
+    is a broadcast join of the 64-row vector against the 4096-cell
+    symmetrized matrix with a grouped sum back into 64 cells; norms and λ
+    fold in as 1-row broadcasts. Iteration count is fixed, so the whole
+    computation — including the oracle's eight unrolled CTE rounds — is a
+    deterministic replayable plan."""
+    from .operators.similarity import covariance_cells, top_eigenvector
+
+    cells = covariance_cells(_t(spark, sf, "embeddings"))
+    ev = top_eigenvector(cells, iters=8)
+    return ev.select(
+        "i",
+        (F.round("w", 6) + F.lit(0.0)).alias("w"),
+        F.round("lam", 6).alias("lam"),
+    )
+
+
+@query(
+    "x39_zipf_slope",
+    f"""
+    WITH freq AS (
+      SELECT tok AS token, count(*) AS c FROM (
+        SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents)
+      WHERE tok <> '' GROUP BY 1
+    ), ranked AS (
+      SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, token ASC) AS DOUBLE))
+               AS x,
+             ln(CAST(c AS DOUBLE)) AS y
+      FROM freq
+      ORDER BY c DESC, token ASC
+      LIMIT 1000
+    ), s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_tokens,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS intercept
+    FROM s
+    """,
+)
+def x39_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf's-law fit of the vocabulary: OLS slope of log-frequency vs
+    log-rank over the top-1000 tokens — the rank-frequency diagnostic that
+    pairs with Heaps' law (x25): natural text sits near slope −1, and a
+    drifting slope flags boilerplate floods or template spam in a crawl
+    slice.
+
+    Scale shape: the corpus collapses to vocabulary-sized (token, count)
+    cells in ONE partial-agg shuffle; the top-1000 cut is a
+    TakeOrderedAndProject with a total tiebreak; the regression reduces
+    1000 rows to five sufficient statistics in a single 1-row aggregate —
+    closed-form OLS, no iterative fitting."""
+    from .operators.dedup import normalized_text
+
+    docs = _t(spark, sf, "documents")
+    freq = (
+        docs.select(
+            F.explode(F.split(normalized_text("text"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+    ranked = (
+        freq.orderBy(F.desc("c"), F.asc("token"))
+        .limit(1000)
+        .select(
+            F.log(
+                F.row_number()
+                .over(Window.orderBy(F.desc("c"), F.asc("token")))
+                .cast("double")
+            ).alias("x"),
+            F.log(F.col("c").cast("double")).alias("y"),
+        )
+    )
+    s = ranked.groupBy().agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )
+
+
+@query(
+    "d12_triangle_count",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), e AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM pairs a JOIN pairs b ON a.o = b.o AND a.p < b.p
+    ), deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      GROUP BY 1
+    ), tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), corner AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ), cnt AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS triangles
+      FROM corner GROUP BY 1
+    )
+    SELECT c.node AS part_id, c.triangles, d.deg,
+           round(2.0 * c.triangles / (d.deg * (d.deg - 1)), 6) AS clustering
+    FROM cnt c JOIN deg d ON d.node = c.node
+    ORDER BY c.triangles DESC, part_id ASC
+    LIMIT 15
+    """,
+)
+def d12_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient over the part
+    co-purchase graph (parts bought together in one order): the top-15
+    most triangle-embedded parts. Triangles are the community-density
+    primitive — clustering coefficient separates genuinely cohesive
+    neighborhoods from star-shaped hubs, the same diagnostic a near-dup
+    cluster audit runs on the d5/d8 component graphs.
+
+    Scale shape: `dedup.triangle_counts` runs the MR node-iterator++
+    (Suri & Vassilvitskii WWW'11) — edges oriented from their
+    lower-(degree, id) endpoint so a degree-d hub emits O(d) oriented
+    edges rather than O(d²) wedges (the power-law skew killer), then
+    exactly one wedge per triangle closes via an equi-join on the
+    canonical closing edge: two id-only shuffles, no all-pairs product.
+    The oracle is the independent a<b<c three-way self-join. Degrees ride
+    a separate count; top-k is a TakeOrderedAndProject on a total order."""
+    from .operators.dedup import triangle_counts
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = li.distinct()
+    a = pairs.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = pairs.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    edges = a.join(b, "o").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    edges = edges.localCheckpoint(eager=True)
+    tri = triangle_counts(edges, src="u", dst="v")
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    return (
+        tri.join(deg, "node")
+        .select(
+            F.col("node").alias("part_id"),
+            "triangles",
+            "deg",
+            F.round(
+                F.lit(2.0)
+                * F.col("triangles")
+                / (F.col("deg") * (F.col("deg") - F.lit(1))),
+                6,
+            ).alias("clustering"),
+        )
+        .orderBy(F.desc("triangles"), F.asc("part_id"))
+        .limit(15)
+    )
+
+
+@query(
+    "x40_priority_sample",
+    f"""
+    WITH pr AS (
+      SELECT doc_id, n_chars,
+             n_chars * 4294967296.0
+               / (({_u32_sql("CAST(doc_id AS VARCHAR)")}) + 1.0) AS q
+      FROM documents
+    ), top21 AS (
+      SELECT q FROM pr ORDER BY q DESC, doc_id ASC LIMIT 21
+    ), tau AS (
+      SELECT min(q) AS tau FROM top21
+    ), top20 AS (
+      SELECT doc_id, n_chars, q FROM pr ORDER BY q DESC, doc_id ASC LIMIT 20
+    )
+    SELECT t.doc_id, t.n_chars,
+           CAST(floor(t.q) AS BIGINT) AS priority_floor,
+           CAST(floor(greatest(CAST(t.n_chars AS DOUBLE), tau.tau)) AS BIGINT)
+             AS est_weight_floor
+    FROM top20 t CROSS JOIN tau
+    """,
+)
+def x40_priority_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted sampling without replacement by PRIORITY SAMPLING
+    (Duffield, Lund & Thorup, JACM 2007): each document draws priority
+    q = w/u with weight w = n_chars and a deterministic uniform
+    u = (u32+1)/2³² from md5(doc_id); the top-20 by priority are the
+    sample, and each kept item carries the unbiased subset-sum estimator
+    max(w, τ) with τ the 21st priority — the principled way to build a
+    small weighted training subset whose token totals still estimate the
+    corpus. Deterministic BY CONSTRUCTION — same sample on any cluster,
+    any partitioning, any engine: the priority is a single IEEE division
+    of exactly-representable integers (no ln/pow whose last-ulp behavior
+    differs across libm implementations — why this uses DLT priority
+    sampling rather than Efraimidis-Espirakis exponential keys), and the
+    emitted columns are integer floors.
+
+    Scale shape: priorities are map-side arithmetic on (doc_id, n_chars);
+    both cutoffs are TakeOrderedAndProject top-k heaps (k=20/21) — no
+    global sort, no window; τ folds back as a 1-row broadcast."""
+    docs = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    u32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("double")
+    pr = docs.select(
+        "doc_id",
+        "n_chars",
+        (F.col("n_chars") * F.lit(4294967296.0) / (u32 + F.lit(1.0))).alias("q"),
+    )
+    top21 = pr.orderBy(F.desc("q"), F.asc("doc_id")).limit(21)
+    tau = top21.groupBy().agg(F.min("q").alias("tau"))
+    top20 = pr.orderBy(F.desc("q"), F.asc("doc_id")).limit(20)
+    return top20.crossJoin(F.broadcast(tau)).select(
+        "doc_id",
+        "n_chars",
+        F.floor("q").cast("bigint").alias("priority_floor"),
+        F.floor(F.greatest(F.col("n_chars").cast("double"), F.col("tau")))
+        .cast("bigint")
+        .alias("est_weight_floor"),
+    )
+
+
+@query(
+    "a20_bloom_filter_fpr",
+    f"""
+    WITH mh AS (
+      SELECT DISTINCT
+        ({_u32_sql("CAST(c_custkey AS VARCHAR) || ':' || CAST(t.i AS VARCHAR)")})
+          % 4096 AS pos
+      FROM customer CROSS JOIN range(0, 3) t(i)
+    ), probe AS (
+      SELECT DISTINCT p_partkey + 1000000 AS pk,
+        ({_u32_sql(
+            "CAST(p_partkey + 1000000 AS VARCHAR) || ':' || CAST(t.i AS VARCHAR)"
+        )}) % 4096 AS pos
+      FROM part CROSS JOIN range(0, 3) t(i)
+    ), hits AS (
+      SELECT p.pk, CAST(count(*) AS BIGINT) AS needed,
+             CAST(sum(CASE WHEN mh.pos IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS matched
+      FROM probe p LEFT JOIN mh ON mh.pos = p.pos
+      GROUP BY 1
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_probes,
+             CAST(sum(CASE WHEN matched = needed THEN 1 ELSE 0 END)
+                  AS BIGINT) AS false_pos
+      FROM hits
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_bits_set FROM mh
+    ), c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_members FROM customer
+    )
+    SELECT c.n_members, m.n_bits_set, a.n_probes, a.false_pos,
+           round(CAST(a.false_pos AS DOUBLE) / a.n_probes, 6) AS fpr,
+           round((CAST(m.n_bits_set AS DOUBLE) / 4096.0)
+                 * (CAST(m.n_bits_set AS DOUBLE) / 4096.0)
+                 * (CAST(m.n_bits_set AS DOUBLE) / 4096.0), 6) AS expected_fpr
+    FROM c CROSS JOIN m CROSS JOIN agg a
+    """,
+)
+def a20_bloom_filter_fpr(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter membership audit: build an m=4096-bit, j=3-hash Bloom
+    filter over the customer-key set, probe it with a disjoint key set
+    (shifted part keys), and report the observed false-positive rate
+    against the fill-fraction prediction f³ — the last member of the
+    mergeable-sketch family (count-min a17, KMV x27, HLL a18/w6,
+    histogram a19): the filter is a distinct-position SET, so partial
+    filters from any partitioning merge by union (bitwise OR), and the
+    audit quantifies exactly what a distributed bloom-join would pay in
+    false probe hits. Every number derives from md5 integer hashes —
+    deterministic on any engine; the expectation is written f·f·f (no
+    pow/exp transcendentals).
+
+    Scale shape: members collapse map-side into ≤4096 distinct bit cells
+    (the filter IS broadcast-sized by construction); probes explode to 3
+    position rows each and probe the broadcast filter map-side — the only
+    shuffles are the ≤4096-cell distinct and the per-probe-key rollup;
+    the 1-row stats fold in as broadcasts."""
+    cust = _t(spark, sf, "customer").select("c_custkey")
+    part = _t(spark, sf, "part").select("p_partkey")
+
+    def positions(key_col):
+        return F.array(
+            *[
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", key_col.cast("string"), F.lit(str(i)))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 4096
+                for i in range(3)
+            ]
+        )
+
+    filt = (
+        cust.select(F.explode(positions(F.col("c_custkey"))).alias("pos"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    probes = (
+        part.select((F.col("p_partkey") + 1000000).alias("pk"))
+        .select("pk", F.explode(positions(F.col("pk"))).alias("pos"))
+        .distinct()
+    )
+    hits = (
+        probes.join(F.broadcast(filt), "pos", "left")
+        .groupBy("pk")
+        .agg(
+            F.count("*").alias("needed"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("matched"),
+        )
+    )
+    agg = hits.groupBy().agg(
+        F.count("*").alias("n_probes"),
+        F.sum((F.col("matched") == F.col("needed")).cast("bigint")).alias(
+            "false_pos"
+        ),
+    )
+    m = filt.groupBy().agg(F.count("*").alias("n_bits_set"))
+    c = cust.groupBy().agg(F.count("*").alias("n_members"))
+    fill = F.col("n_bits_set").cast("double") / F.lit(4096.0)
+    return (
+        c.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(agg))
+        .select(
+            "n_members",
+            "n_bits_set",
+            "n_probes",
+            "false_pos",
+            F.round(F.col("false_pos").cast("double") / F.col("n_probes"), 6).alias(
+                "fpr"
+            ),
+            F.round(fill * fill * fill, 6).alias("expected_fpr"),
+        )
+    )
+
+
+@query(
+    "x41_readability",
+    r"""
+    WITH f AS (
+      SELECT source,
+             len(regexp_extract_all(trim(text), '\S+')) AS n_words,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sents,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+      FROM documents
+    ), agg AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_words) AS BIGINT) AS words,
+             CAST(sum(n_sents) AS BIGINT) AS sents,
+             CAST(sum(n_syll) AS BIGINT) AS sylls
+      FROM f GROUP BY 1
+    )
+    SELECT source, n_docs, words, sents, sylls,
+           round(206.835 - 1.015 * (CAST(words AS DOUBLE) / sents)
+                        - 84.6 * (CAST(sylls AS DOUBLE) / words), 6) AS flesch
+    FROM agg
+    """,
+)
+def x41_readability(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source Flesch reading-ease score — corpus-level readability
+    from three exact integer counts per document (whitespace words,
+    sentence-ending punctuation runs floored at 1, vowel-group syllable
+    heuristic), aggregated to source totals before the classic
+    206.835 − 1.015·(W/S) − 84.6·(Y/W) formula. The readability axis of
+    the quality battery (x3 features, x7 filter, x38 Gopher rules):
+    training-mix curation commonly buckets sources by reading level, and
+    a source whose score drifts flags template or OCR junk. All counts
+    are integers, so the per-source sums are exact and the two divisions
+    round once each — engine-identical.
+
+    Scale shape: three regexp counts map-side per document (no explode —
+    the token lists never materialize into rows), ONE partial-agg shuffle
+    into source cells; the formula is arithmetic on the aggregated row."""
+    docs = _t(spark, sf, "documents")
+    n_words = F.size(F.regexp_extract_all(F.trim(F.col("text")), F.lit(r"\S+"), 0))
+    n_sents = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0)), F.lit(1)
+    )
+    n_syll = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+    )
+    agg = (
+        docs.select(
+            "source",
+            n_words.alias("n_words"),
+            n_sents.alias("n_sents"),
+            n_syll.alias("n_syll"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("words"),
+            F.sum("n_sents").alias("sents"),
+            F.sum("n_syll").alias("sylls"),
+        )
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "words",
+        "sents",
+        "sylls",
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (F.col("words").cast("double") / F.col("sents"))
+            - F.lit(84.6) * (F.col("sylls").cast("double") / F.col("words")),
+            6,
+        ).alias("flesch"),
     )

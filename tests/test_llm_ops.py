@@ -674,3 +674,50 @@ def test_pq_encode_is_map_side_and_exact_on_codewords(spark, sf_dir):
     by_id = {r["vec_id"]: r for r in codes.filter("vec_id < 16").collect()}
     for k in range(16):
         assert [by_id[k][f"code{m}"] for m in range(4)] == [k, k, k, k]
+
+
+def test_triangle_counts_planted_shapes(spark):
+    """K4 (every node in 3 triangles), a pendant vertex (in none), and a
+    pure star (no triangles at all); edge direction, duplicates, and
+    self-loops must not matter."""
+    edges = [
+        # K4 on 0-3, some edges reversed/duplicated, plus a self-loop
+        (0, 1), (1, 0), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 3),
+        # pendant vertex 4 hanging off node 0
+        (4, 0),
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["triangles"] for r in D.triangle_counts(e).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    assert D.triangle_counts(star).count() == 0
+
+
+def test_triangle_counts_random_graphs_match_naive(spark):
+    """Property check: the degree-oriented wedge-close count equals the
+    naive a<b<c three-way join on random graphs (the oracle algorithm),
+    node for node."""
+    import random
+
+    rng = random.Random(20260815)
+    for _trial in range(3):
+        n = rng.randint(5, 15)
+        m = rng.randint(5, 40)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["triangles"] for r in D.triangle_counts(e).collect()
+        }
+        canon = {
+            (min(a, b), max(a, b)) for a, b in edges if a != b
+        }
+        naive: dict[int, int] = {}
+        for a, b in canon:
+            for c in range(n):
+                if c > b and (a, c) in canon and (b, c) in canon:
+                    for v in (a, b, c):
+                        naive[v] = naive.get(v, 0) + 1
+        assert got == naive, sorted(canon)

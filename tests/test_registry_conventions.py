@@ -60,6 +60,9 @@ ONE_ROW_BOUND_QUERIES = {
     "x37_bm25_ranking",  # n_docs/avgdl corpus stats as a 1-row broadcast
     "d11_pagerank",  # node count N as a 1-row broadcast (per iteration)
     "v12_embedding_covariance",  # vector count n as a 1-row broadcast
+    "v13_top_eigenvector",  # matvec norms + λ as 1-row broadcasts
+    "x40_priority_sample",  # threshold τ (21st priority) as a 1-row broadcast
+    "a20_bloom_filter_fpr",  # filter/member/probe stats as 1-row broadcasts
 }
 SMALL_NONEQUI_BROADCAST_QUERIES = {
     "a2_interval_subtraction",  # closed-form interval arithmetic, small side
