@@ -721,3 +721,34 @@ def test_triangle_counts_random_graphs_match_naive(spark):
                     for v in (a, b, c):
                         naive[v] = naive.get(v, 0) + 1
         assert got == naive, sorted(canon)
+
+
+def test_top_eigenvector_matches_numpy_on_spiked_matrix(spark):
+    """On a spiked spectrum (one dominant direction, λ₂/λ₁ ≈ 0.2) the
+    8-round power iteration must land on numpy's leading eigenvector
+    (up to sign) and its Rayleigh quotient on λ₁. Vectors are built by
+    deterministic arithmetic: v_k = spike + small index-dependent
+    perturbation, so the covariance has a strong first component."""
+    import numpy as np
+
+    dim = 8
+    rows = []
+    for k in range(120):
+        base = [((k * (d + 3)) % 7 - 3) * 0.05 for d in range(dim)]
+        spike = 1.0 if k % 2 == 0 else -1.0
+        vec = [base[d] + spike * (1.0 if d < 2 else 0.0) for d in range(dim)]
+        rows.append((k, [float(x) for x in vec]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cells = S.covariance_cells(emb, dim=dim)
+    ev = {r["i"]: (r["w"], r["lam"]) for r in S.top_eigenvector(cells, iters=8).collect()}
+    w = np.array([ev[i][0] for i in range(dim)])
+    lam = ev[0][1]
+
+    x = np.array([r[1] for r in rows], dtype=np.float32).astype(np.float64)
+    cov = np.cov(x, rowvar=False, bias=True)
+    vals, vecs = np.linalg.eigh(cov)
+    top = vecs[:, -1]
+    align = abs(float(np.dot(w, top)))
+    assert align > 0.999, (align, w, top)
+    assert abs(lam - float(vals[-1])) < 0.01 * float(vals[-1]), (lam, vals[-1])
