@@ -856,7 +856,12 @@ def top_eigenvector(cov_cells: DataFrame, iters: int = 4) -> DataFrame:
     against the cell table and a grouped sum into dim cells; the norm
     folds back as a 1-row broadcast. Nothing here ever touches the
     corpus — compose with ``covariance_cells`` which reduces the corpus
-    in one pass."""
+    in one pass. Each round's dim-row matvec is localCheckpointed:
+    ``mat`` feeds BOTH the norm and the normalized vector, so an
+    unbroken lineage would double per round (2^iters plan copies — a
+    measured 89 s of pure stage re-scheduling at 8 rounds before the
+    cut); the checkpoint keeps plan growth linear at the cost of one
+    64-row materialization per round."""
     cells = cov_cells.select("i", "j", "cov").localCheckpoint(eager=True)
     # symmetrize: mirror the strict-upper cells below the diagonal
     sym = cells.unionByName(
@@ -873,6 +878,7 @@ def top_eigenvector(cov_cells: DataFrame, iters: int = 4) -> DataFrame:
             sym.join(F.broadcast(v), sym["j"] == v["d"])
             .groupBy(sym["i"].alias("d"))
             .agg(F.sum(F.col("cov") * F.col("w")).alias("mw"))
+            .localCheckpoint(eager=True)
         )
         nrm = mat.groupBy().agg(F.sqrt(F.sum(F.col("mw") * F.col("mw"))).alias("nrm"))
         v = mat.crossJoin(F.broadcast(nrm)).select(
