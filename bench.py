@@ -133,6 +133,12 @@ EXTRA = [
     "x40_priority_sample",
     "a20_bloom_filter_fpr",
     "x41_readability",
+    "w7_decayed_mean",
+    "x42_ngram_novelty",
+    "x43_dedup_impact",
+    "d13_cluster_profile",
+    "j10_interval_overlap_join",
+    "v14_cluster_quality",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))

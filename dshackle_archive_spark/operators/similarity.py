@@ -893,3 +893,88 @@ def top_eigenvector(cov_cells: DataFrame, iters: int = 4) -> DataFrame:
         .agg(F.sum(F.col("wi") * F.col("cov") * F.col("wj")).alias("lam"))
     )
     return v.select(F.col("d").alias("i"), "w").crossJoin(F.broadcast(lam))
+
+
+def cluster_quality(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Davies-Bouldin-style quality audit of an IVF partitioning — the
+    health check you run on the coarse quantizer BEFORE trusting its
+    recall (compare FAISS's index stats; reference has no vector surface,
+    this extends SURVEY §2.11's retrieval family).
+
+    Per cell: member count, scatter (mean cosine DISTANCE of members to
+    the cell seed), and the Davies-Bouldin component
+    ``max_{j≠i} (scatter_i + scatter_j) / d(seed_i, seed_j)`` — low is
+    good (tight cells, far apart). Uses the same deterministic
+    first-K-by-id seeds as :func:`ivf_assign`, so the audit grades the
+    exact index the retrieval queries use.
+
+    Scale shape: ONE corpus pass — the broadcast 1-row seed table assigns
+    every vector map-side (zero corpus shuffle) and the per-cell reduce
+    emits K rows. Everything after is K-row metadata: the K×K seed
+    separation grid is a self-join of a K-row table (broadcast, bounded
+    by the cell-count knob — the documented IVF contract, never corpus
+    data). Degenerate duplicate seeds (separation 0) are excluded from
+    the max rather than emitting infinities.
+    """
+    seed = F.broadcast(_seed_row(vectors, n_cells, id_col, vec_col))
+    best = F.element_at(_probe_cells(F.col("_seeds"), F.col(vec_col), 1), 1)
+    assigned = vectors.crossJoin(seed).select(
+        best["cell_id"].alias("cell_id"),
+        (-best["neg_sim"]).alias("sim"),
+    )
+    # per-member distances are already on the round-6 grid, so summing them
+    # as DECIMAL keeps the cell mean exact and order-independent (a double
+    # sum's value would depend on partial-agg order). The mean itself stays
+    # UNROUNDED: decimal→double conversion and integer-operand division are
+    # both correctly-rounded IEEE ops — bit-identical on any engine —
+    # whereas a final round(·, 6) can land on an exact half-grid boundary
+    # (n members dividing the micro-sum to ·.5) where HALF_UP vs scaled
+    # nearest-int implementations legitimately disagree.
+    cells = assigned.groupBy("cell_id").agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(
+                F.round(F.lit(1.0) - F.col("sim"), 6).cast("decimal(18,6)")
+            ).cast("double")
+            / F.count("*")
+        ).alias("scatter"),
+    )
+    seeds = seed.select(F.explode("_seeds").alias("s")).select(
+        F.col("s.cell_id").alias("cell_id"), F.col("s.seed_vec").alias("vec")
+    )
+    sa = seeds.select(F.col("cell_id").alias("ca"), F.col("vec").alias("va"))
+    sb = seeds.select(F.col("cell_id").alias("cb"), F.col("vec").alias("vb"))
+    sep = (
+        sa.join(F.broadcast(sb), F.col("ca") != F.col("cb"))
+        .select(
+            "ca",
+            "cb",
+            (F.lit(1.0) - F.round(cosine(F.col("va"), F.col("vb")), 6)).alias(
+                "d"
+            ),
+        )
+        .filter(F.col("d") > 0)
+    )
+    ci = cells.select(
+        F.col("cell_id").alias("ca"), F.col("n"), F.col("scatter")
+    )
+    cj = cells.select(
+        F.col("cell_id").alias("cb"), F.col("scatter").alias("scatter_j")
+    )
+    return (
+        sep.join(F.broadcast(ci), "ca")
+        .join(F.broadcast(cj), "cb")
+        .groupBy(F.col("ca").alias("cell_id"))
+        .agg(
+            F.any_value(F.col("n")).alias("n"),
+            F.any_value(F.col("scatter")).alias("scatter"),
+            F.max((F.col("scatter") + F.col("scatter_j")) / F.col("d")).alias(
+                "db_component"
+            ),
+        )
+    )

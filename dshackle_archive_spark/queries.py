@@ -7148,3 +7148,353 @@ def x41_readability(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("flesch"),
     )
+
+
+@query(
+    "w7_decayed_mean",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ), based AS (
+      SELECT event_type, d, v,
+             datediff('day', min(d) OVER (PARTITION BY event_type), d) AS dd
+      FROM daily
+    ), wsum AS (
+      SELECT event_type, d,
+             sum(v * exp(ln(2) / 7.0 * dd)) OVER w AS num,
+             sum(exp(ln(2) / 7.0 * dd)) OVER w AS den
+      FROM based
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, CAST(d AS VARCHAR) AS day,
+           round(num / den, 6) AS decayed_mean
+    FROM wsum
+    """,
+)
+def w7_decayed_mean(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponentially-decayed running mean (EMA) of daily event value per
+    series, 7-day half-life — the freshness-weighted metric every
+    monitoring rollup wants and Spark has no built-in for. The recursive
+    EMA definition looks sequential; the closed form is two ORDINARY
+    cumulative window sums (weights e^{λ·day} relative to each series'
+    first day, with the current-day factor cancelling in the ratio), so
+    the whole operator is one shuffle to daily cells plus one window
+    sort per series — see ``operators/timeseries.decayed_mean``.
+
+    Scale shape: the corpus reduces to series × days rows at the daily
+    rollup (exact DECIMAL sums); the window runs on that metadata-scale
+    table. Cumulative sums add in ascending day order on both engines —
+    the identical double-add sequence — so round-6 values match."""
+    from .operators.timeseries import decayed_mean
+
+    ev = _t(spark, sf, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("v")
+    )
+    out = decayed_mean(daily, "event_type", "d", "v", half_life_days=7.0)
+    return out.select(
+        "event_type", F.col("d").cast("string").alias("day"), "decayed_mean"
+    )
+
+
+@query(
+    "x42_ngram_novelty",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+                       toks[i+4]) AS shingle
+      FROM norm, unnest(generate_series(1, greatest(len(toks) - 4, 1))) t(i)
+      WHERE length(concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+                             toks[i+4])) > 0
+    ), per_doc AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+    ), novel AS (
+      SELECT first_doc AS doc_id, count(*) AS n_novel FROM (
+        SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+      GROUP BY 1
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(p.n_sh) AS BIGINT) AS shingles_total,
+           CAST(sum(coalesce(v.n_novel, 0)) AS BIGINT) AS shingles_novel,
+           round(CAST(sum(coalesce(v.n_novel, 0)) AS DOUBLE)
+                 / CAST(sum(p.n_sh) AS DOUBLE), 6) AS novelty
+    FROM per_doc p
+    JOIN documents d USING (doc_id)
+    LEFT JOIN novel v USING (doc_id)
+    GROUP BY 1
+    """,
+)
+def x42_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source n-gram NOVELTY — the fraction of each source's 5-gram
+    shingles that appear for the FIRST time (by doc_id order) in that
+    document. The growth-curve diagnostic behind "is this crawl slice
+    adding new text or re-serving what we already have?": sources full of
+    templates or near-copies score low, fresh prose scores near 1. The
+    first-seen attribution is the streaming-dedup admission rule (a doc
+    "owns" the shingles it introduced) expressed as a batch query.
+
+    Scale shape: the shingle stream reduces TWICE, never joins on string
+    keys against itself — (1) groupBy(doc_id) for per-doc totals, (2)
+    groupBy(shingle) with a min-combiner for first-seen, whose output
+    re-aggregates by the winning doc. The only joins are id-keyed on
+    doc-count-sized tables. All-integer sums, one rounded division."""
+    from .operators.dedup import shingles
+
+    docs = _t(spark, sf, "documents")
+    sh = shingles(docs, n=5)
+    per_doc = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    novel = (
+        sh.groupBy("shingle")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_novel"))
+    )
+    joined = (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .join(novel, "doc_id", "left")
+        .select(
+            "source",
+            "n_sh",
+            F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+        )
+    )
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_sh").alias("shingles_total"),
+        F.sum("n_novel").alias("shingles_novel"),
+        F.round(
+            F.sum("n_novel").cast("double") / F.sum("n_sh").cast("double"), 6
+        ).alias("novelty"),
+    )
+
+
+@query(
+    "x43_dedup_impact",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id, source, text
+      FROM documents WHERE doc_id < 40
+    ), marked AS (
+      SELECT source,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+               AS n_tok,
+             row_number() OVER (
+               PARTITION BY md5({_NORM_SQL}) ORDER BY doc_id) AS rn
+      FROM corpus
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+           CAST(sum(CASE WHEN rn > 1 THEN n_tok ELSE 0 END) AS BIGINT)
+             AS tokens_removed,
+           round(CAST(sum(CASE WHEN rn > 1 THEN n_tok ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(n_tok) AS DOUBLE), 6) AS pct_removed
+    FROM marked GROUP BY 1
+    """,
+)
+def x43_dedup_impact(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-weighted exact-dedup IMPACT report per source — what the
+    keep-first rule actually saves: documents dropped, tokens dropped,
+    and the share of each source's token mass that was duplicate. The
+    number a curation run reports to justify its cost (doc counts
+    undersell dedup when duplicates skew long). Planted verbatim copies
+    (doc_id < 40 re-appended) make the report non-trivial at every SF.
+
+    Scale shape: ONE window over content-hash groups (the
+    ``distinct_documents`` rn=1 rule, so the report matches what the
+    dedup pass would drop), ONE partial-agg shuffle to source cells;
+    token counts are the x1 whitespace convention, all sums integer."""
+    from .operators.dedup import content_hash
+    from .operators.textan import token_count
+
+    docs = _t(spark, sf, "documents").select("doc_id", "source", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") < 40).select(
+            (F.col("doc_id") + 200000).alias("doc_id"), "source", "text"
+        )
+    )
+    w = Window.partitionBy(content_hash("text")).orderBy("doc_id")
+    marked = corpus.select(
+        "source",
+        token_count().alias("n_tok"),
+        F.row_number().over(w).alias("rn"),
+    )
+    dup_tok = F.sum(F.when(F.col("rn") > 1, F.col("n_tok")).otherwise(F.lit(0)))
+    return marked.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("rn") > 1).cast("bigint")).alias("n_dup_docs"),
+        F.sum("n_tok").alias("tokens_total"),
+        dup_tok.alias("tokens_removed"),
+        F.round(
+            dup_tok.cast("double") / F.sum("n_tok").cast("double"), 6
+        ).alias("pct_removed"),
+    )
+
+
+@query(
+    "d13_cluster_profile",
+    "WITH RECURSIVE "
+    + _CC_CTES
+    + """,
+    sizes AS (
+      SELECT cluster, count(*) AS sz FROM cc GROUP BY 1
+    )
+    SELECT CAST(sz AS BIGINT) AS size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(sz) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY 1""",
+)
+def d13_cluster_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-cluster SIZE PROFILE — the histogram you read before
+    trusting a dedup pass: how many singletons (unique docs), how many
+    pairs, and whether a mega-cluster is swallowing the corpus (the
+    classic LSH-parameter failure mode: too-loose banding chains
+    everything into one component, and only the size histogram shows
+    it). Same planted-duplicate corpus and component labels as d5/d6.
+
+    Scale shape: everything downstream of the components is metadata —
+    groupBy(cluster) emits cluster-count rows, the histogram reduces
+    those to distinct-size rows. The expensive part (MinHash → LSH →
+    star-contraction components) is the already-audited d5 plan."""
+    _, clusters = _cc_corpus_and_clusters(spark, sf)
+    sizes = clusters.groupBy("cluster").agg(F.count("*").alias("size"))
+    return sizes.groupBy("size").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("size").alias("n_docs"),
+    )
+
+
+@query(
+    "j10_interval_overlap_join",
+    """
+    WITH iv AS (
+      SELECT o_custkey AS custkey, o_orderkey AS id,
+             CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE) + CAST(o_orderkey % 120 AS INT) AS e
+      FROM orders
+    ), pairs AS (
+      SELECT a.custkey,
+             CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT) + 1
+               AS overlap_days
+      FROM iv a JOIN iv b
+        ON a.custkey = b.custkey AND a.id < b.id
+       AND a.s <= b.e AND b.s <= a.e
+    )
+    SELECT custkey,
+           CAST(count(*) AS BIGINT) AS n_overlaps,
+           CAST(max(overlap_days) AS BIGINT) AS max_overlap_days,
+           CAST(sum(overlap_days) AS BIGINT) AS total_overlap_days
+    FROM pairs GROUP BY 1
+    """,
+)
+def j10_interval_overlap_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval-OVERLAP self-join: pairs of order lifetimes (orderdate +
+    orderkey%120 days — a deterministic synthetic duration) that overlap
+    on the same customer, reduced to per-customer overlap stats. The
+    third member of the temporal-join family (j8 as-of = latest-before,
+    j9 banded = within-distance, j10 = ranges-intersect) and the shape
+    behind session-concurrency and double-booking queries.
+
+    Scale shape: a theta overlap join is a per-key cartesian; the
+    operator (``operators/asof.overlap_self_join``) explodes each
+    interval into its covered 60-day calendar bands (≤3 rows per
+    interval here — bounded by duration/band), equi-joins on
+    ``(key, band)``, and counts each pair exactly once in the band
+    where its overlap STARTS — no DISTINCT over the collision
+    explosion. The oracle runs the direct non-equi join; the engine
+    never does."""
+    from .operators.asof import overlap_self_join
+
+    o = _t(spark, sf, "orders")
+    iv = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("id"),
+        F.to_date("o_orderdate").alias("s"),
+        F.date_add(
+            F.to_date("o_orderdate"), (F.col("o_orderkey") % 120).cast("int")
+        ).alias("e"),
+    )
+    pairs = overlap_self_join(
+        iv, key="custkey", id_col="id", start_col="s", end_col="e",
+        band_days=60,
+    )
+    return pairs.groupBy("custkey").agg(
+        F.count("*").alias("n_overlaps"),
+        F.max("overlap_days").cast("bigint").alias("max_overlap_days"),
+        F.sum("overlap_days").alias("total_overlap_days"),
+    )
+
+
+@query(
+    "v14_cluster_quality",
+    """
+    WITH flat AS (
+      SELECT vec_id, t.i - 1 AS i, CAST(embedding[t.i] AS DOUBLE) AS x
+      FROM embeddings, range(1, 65) t(i)
+    ), norms AS (
+      SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1
+    ), celldots AS (
+      SELECT v.vec_id, s.vec_id AS cell_id,
+             round(sum(v.x * s.x) / (any_value(nv.nrm) * any_value(ns.nrm)), 6)
+               AS sim
+      FROM flat v JOIN flat s ON s.i = v.i AND s.vec_id < 16
+      JOIN norms nv ON nv.vec_id = v.vec_id
+      JOIN norms ns ON ns.vec_id = s.vec_id
+      GROUP BY v.vec_id, s.vec_id
+    ), assign AS (
+      SELECT vec_id, cell_id, sim FROM celldots
+      QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY sim DESC, cell_id ASC) = 1
+    ), cells AS (
+      SELECT cell_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(1.0 - sim, 6) AS DECIMAL(18,6)))
+                  AS DOUBLE) / count(*) AS scatter
+      FROM assign GROUP BY 1
+    ), sep AS (
+      SELECT vec_id AS ca, cell_id AS cb, 1.0 - sim AS d
+      FROM celldots
+      WHERE vec_id < 16 AND vec_id <> cell_id AND sim < 1.0
+    )
+    SELECT s.ca AS cell_id,
+           any_value(ci.n) AS n,
+           any_value(ci.scatter) AS scatter,
+           max((ci.scatter + cj.scatter) / s.d) AS db_component
+    FROM sep s
+    JOIN cells ci ON ci.cell_id = s.ca
+    JOIN cells cj ON cj.cell_id = s.cb
+    GROUP BY 1
+    """,
+)
+def v14_cluster_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Davies-Bouldin quality audit of the IVF coarse partitioning (the
+    index-health counterpart to v3's retrieval and x30's recall audit):
+    per cell, the member count, the scatter (mean cosine distance to the
+    cell seed), and ``max_j (scatter_i + scatter_j) / d(seed_i, seed_j)``
+    — high components flag cells that are loose AND close to a
+    neighbor, exactly where IVF recall leaks. Same deterministic
+    first-16 seeds as every IVF query, so the audit grades the index
+    the retrieval queries actually use.
+
+    Scale shape (``operators/similarity.cluster_quality``): ONE corpus
+    pass — broadcast 1-row seed table assigns map-side, per-cell reduce
+    emits K rows; the K×K separation grid and the DB max are K-row
+    metadata joins. Scatter sums ride a DECIMAL grid (order-independent);
+    the mean and DB ratios stay UNROUNDED — correctly-rounded IEEE ops on
+    grid inputs are already engine-identical, while a final round(·,6)
+    could land on an exact half-grid tie where rounding modes differ."""
+    from .operators.similarity import cluster_quality
+
+    emb = _t(spark, sf, "embeddings")
+    return cluster_quality(emb, n_cells=16)

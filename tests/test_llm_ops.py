@@ -752,3 +752,141 @@ def test_top_eigenvector_matches_numpy_on_spiked_matrix(spark):
     align = abs(float(np.dot(w, top)))
     assert align > 0.999, (align, w, top)
     assert abs(lam - float(vals[-1])) < 0.01 * float(vals[-1]), (lam, vals[-1])
+
+
+_iv_lists = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 100), st.integers(0, 150)),
+    min_size=1,
+    max_size=14,
+)
+
+
+@given(ivs=_iv_lists)
+@settings(max_examples=12, deadline=None)
+def test_overlap_self_join_matches_naive_model(spark, ivs):
+    """Property test: the banded overlap self-join must agree with the
+    brute-force O(n²) overlap model on random keyed intervals — every
+    overlapping pair exactly once (multi-band collisions deduped by the
+    overlap-start band), closed-interval day counts."""
+    from dshackle_archive_spark.operators.asof import overlap_self_join
+
+    rows = [
+        (i, k, s, s + ln)  # interval as day offsets from a fixed epoch
+        for i, (k, s, ln) in enumerate(ivs)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, k long, sd long, ed long"
+    ).select(
+        "id",
+        "k",
+        F.date_add(F.lit("1995-01-01").cast("date"), F.col("sd").cast("int")).alias("s"),
+        F.date_add(F.lit("1995-01-01").cast("date"), F.col("ed").cast("int")).alias("e"),
+    )
+    got = {
+        (r["k"], r["id_a"], r["id_b"]): r["overlap_days"]
+        for r in overlap_self_join(
+            df, key="k", id_col="id", start_col="s", end_col="e", band_days=30
+        ).collect()
+    }
+    expect = {}
+    for ia, ka, sa, ea in rows:
+        for ib, kb, sb, eb in rows:
+            if ka == kb and ia < ib and sa <= eb and sb <= ea:
+                expect[(ka, ia, ib)] = min(ea, eb) - max(sa, sb) + 1
+    assert got == expect
+
+
+_series = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(0, 40), st.integers(-50, 50)),
+    min_size=1,
+    max_size=16,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@given(pts=_series)
+@settings(max_examples=12, deadline=None)
+def test_decayed_mean_matches_direct_formula(spark, pts):
+    """Property test: the two-cumulative-sums closed form must equal the
+    direct Σ v·e^{−λΔ} / Σ e^{−λΔ} weighted mean at every point of a
+    random daily series."""
+    from dshackle_archive_spark.operators.timeseries import decayed_mean
+
+    df = spark.createDataFrame(
+        pts, "k long, dd long, v long"
+    ).select(
+        "k",
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("dd").cast("int")).alias("d"),
+        F.col("v").cast("double").alias("v"),
+    )
+    out = {
+        (r["k"], str(r["d"])): r["decayed_mean"]
+        for r in decayed_mean(df, "k", "d", "v", half_life_days=7.0).collect()
+    }
+    lam = math.log(2.0) / 7.0
+    for k, dd, _v in pts:
+        prior = [(d2, v2) for (k2, d2, v2) in pts if k2 == k and d2 <= dd]
+        num = sum(v2 * math.exp(-lam * (dd - d2)) for d2, v2 in prior)
+        den = sum(math.exp(-lam * (dd - d2)) for d2, v2 in prior)
+        import datetime
+
+        day = str(datetime.date(2024, 1, 1) + datetime.timedelta(days=dd))
+        assert abs(out[(k, day)] - num / den) < 1e-6, (k, dd, out[(k, day)])
+
+
+def test_cluster_quality_planted_clusters(spark):
+    """Four tight planted clusters: every member lands in its seed's cell,
+    scatter stays near zero, and the DB component against a brute-force
+    numpy replay of the same rounding discipline."""
+    import numpy as np
+
+    from dshackle_archive_spark.operators.similarity import cluster_quality
+
+    rng = np.random.default_rng(7)
+    centers = np.eye(4, dtype=np.float64)  # orthogonal → far-apart seeds
+    vecs = []
+    # ids 0..3 are the seeds themselves (one per axis)
+    for i in range(4):
+        vecs.append((i, centers[i].tolist()))
+    vid = 4
+    for i in range(4):
+        for _ in range(5):
+            v = centers[i] + rng.normal(0, 0.02, 4)
+            vecs.append((vid, v.tolist()))
+            vid += 1
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    rows = {r["cell_id"]: r for r in cluster_quality(df, n_cells=4).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert sum(r["n"] for r in rows.values()) == len(vecs)
+    for r in rows.values():
+        assert r["n"] == 6  # seed + its 5 planted members
+        assert 0.0 <= r["scatter"] < 0.01
+        assert r["db_component"] > 0
+
+    # brute-force replay with the same round-6 discipline
+    arr = {i: np.array(v) for i, v in vecs}
+    sims = {}
+    for i, v in arr.items():
+        for c in range(4):
+            s = arr[c]
+            sims[(i, c)] = round(
+                float(v @ s / (np.linalg.norm(v) * np.linalg.norm(s))), 6
+            )
+    assign = {
+        i: max(range(4), key=lambda c: (sims[(i, c)], -c)) for i in arr
+    }
+    scatters = {}
+    for c in range(4):
+        members = [i for i, cc in assign.items() if cc == c]
+        # replay the DECIMAL-grid discipline: exact integer micro-units,
+        # then the same two correctly-rounded divisions the engines run
+        micros = sum(int(round((1.0 - sims[(i, c)]) * 1e6)) for i in members)
+        scatters[c] = (micros / 1e6) / len(members)
+        assert abs(rows[c]["scatter"] - scatters[c]) < 1e-12
+    for c in range(4):
+        db = max(
+            (scatters[c] + scatters[o]) / (1.0 - sims[(c, o)])
+            for o in range(4)
+            if o != c and sims[(c, o)] < 1.0
+        )
+        assert abs(rows[c]["db_component"] - db) < 1e-12

@@ -77,6 +77,7 @@ SMALL_NONEQUI_BROADCAST_QUERIES = {
     "v9_matryoshka_recall",  # corpus × 5 broadcast query vectors (≠ condition)
     "v10_ivf_pq_topk",  # seed row + codebook row + 5-row ADC tables, all broadcast
     "v11_range_search",  # corpus × 5 broadcast query vectors (≠ condition)
+    "v14_cluster_quality",  # seed-row assign + K×K seed-separation grid
 }
 BNLJ_ALLOWED = ONE_ROW_BOUND_QUERIES | SMALL_NONEQUI_BROADCAST_QUERIES
 
