@@ -139,6 +139,9 @@ EXTRA = [
     "d13_cluster_profile",
     "j10_interval_overlap_join",
     "v14_cluster_quality",
+    "w8_max_concurrency",
+    "v15_recall_curve",
+    "x44_burstiness",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))

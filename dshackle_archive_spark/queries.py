@@ -7498,3 +7498,265 @@ def v14_cluster_quality(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = _t(spark, sf, "embeddings")
     return cluster_quality(emb, n_cells=16)
+
+
+@query(
+    "w8_max_concurrency",
+    """
+    WITH iv AS (
+      SELECT o_custkey AS custkey, o_orderkey AS id,
+             CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE) + CAST(o_orderkey % 120 AS INT) AS e
+      FROM orders
+    ), ev AS (
+      SELECT custkey, s AS day, 1 AS delta FROM iv
+      UNION ALL
+      SELECT custkey, e + 1 AS day, -1 AS delta FROM iv
+    ), run AS (
+      SELECT custkey,
+             sum(delta) OVER (
+               PARTITION BY custkey ORDER BY day, delta
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS level
+      FROM ev
+    )
+    SELECT custkey, CAST(max(level) AS BIGINT) AS max_concurrent,
+           CAST(count(*) / 2 AS BIGINT) AS n_intervals
+    FROM run GROUP BY 1
+    """,
+)
+def w8_max_concurrency(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximum interval CONCURRENCY per key via a sweep line — how many
+    order lifetimes (same synthetic durations as j10) are open at once
+    per customer. The scalable alternative to counting overlap pairs
+    when the question is load, not pairings: each interval becomes a +1
+    event at its start and a −1 event past its end, ONE window running
+    sum per key walks the timeline, and the max is the peak concurrency.
+    Session capacity, connection-pool sizing, and stream-backfill
+    planning are all this query.
+
+    Determinism: all-integer sweep. At equal day the −1 sorts before the
+    +1 (closed intervals touching end-to-start never double-count), and
+    within an equal (day, delta) tie-group the running sum visits the
+    same VALUE SET under any permutation (the deltas are identical), so
+    the per-key max is order-independent even though row order isn't.
+
+    Scale shape: 2 rows per interval, one partition-window sort per key,
+    one grouped max — linear in intervals, ZERO joins; compare j10 which
+    materializes the pairs (quadratic in per-key overlap degree)."""
+    o = _t(spark, sf, "orders")
+    iv = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.to_date("o_orderdate").alias("s"),
+        F.date_add(
+            F.to_date("o_orderdate"), (F.col("o_orderkey") % 120).cast("int")
+        ).alias("e"),
+    )
+    ev = iv.select(
+        "custkey", F.col("s").alias("day"), F.lit(1).alias("delta")
+    ).unionByName(
+        iv.select(
+            "custkey",
+            F.date_add("e", 1).alias("day"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = (
+        Window.partitionBy("custkey")
+        .orderBy("day", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = ev.select("custkey", F.sum("delta").over(w).alias("level"))
+    return run.groupBy("custkey").agg(
+        F.max("level").cast("bigint").alias("max_concurrent"),
+        (F.count("*") / 2).cast("bigint").alias("n_intervals"),
+    )
+
+
+def _ivf_probe_sql(np: int) -> str:
+    """Per-nprobe CTE chain for v15: probe the ``np`` nearest cells, pull
+    cell members as candidates, rank their exact sims (from the shared
+    ``qsims``) to top-3."""
+    return f"""
+    probes{np} AS (
+      SELECT vec_id AS query_id, cell_id FROM celldots WHERE vec_id < 5
+      QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY sim DESC, cell_id ASC) <= {np}
+    ), cand{np} AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes{np} p JOIN assign a USING (cell_id)
+      WHERE a.vec_id <> p.query_id
+    ), ranked{np} AS (
+      SELECT q.query_id, q.neighbor_id
+      FROM qsims q JOIN cand{np} c
+        ON c.query_id = q.query_id AND c.neighbor_id = q.neighbor_id
+      QUALIFY row_number() OVER (
+        PARTITION BY q.query_id ORDER BY q.sim DESC, q.neighbor_id ASC) <= 3
+    )"""
+
+
+@query(
+    "v15_recall_curve",
+    """
+    WITH flat AS (
+      SELECT vec_id, t.i - 1 AS i, CAST(embedding[t.i] AS DOUBLE) AS x
+      FROM embeddings, range(1, 65) t(i)
+    ), norms AS (
+      SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1
+    ), celldots AS (
+      SELECT v.vec_id, s.vec_id AS cell_id,
+             round(sum(v.x * s.x) / (any_value(nv.nrm) * any_value(ns.nrm)), 6)
+               AS sim
+      FROM flat v JOIN flat s ON s.i = v.i AND s.vec_id < 16
+      JOIN norms nv ON nv.vec_id = v.vec_id
+      JOIN norms ns ON ns.vec_id = s.vec_id
+      GROUP BY v.vec_id, s.vec_id
+    ), assign AS (
+      SELECT vec_id, cell_id FROM celldots
+      QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY sim DESC, cell_id ASC) = 1
+    ), qsims AS (
+      SELECT fa.vec_id AS query_id, fb.vec_id AS neighbor_id,
+             round(sum(fa.x * fb.x) / (any_value(na.nrm) * any_value(nb.nrm)),
+                   6) AS sim
+      FROM flat fa
+      JOIN flat fb ON fb.i = fa.i AND fb.vec_id <> fa.vec_id
+      JOIN norms na ON na.vec_id = fa.vec_id
+      JOIN norms nb ON nb.vec_id = fb.vec_id
+      WHERE fa.vec_id < 5
+      GROUP BY 1, 2
+    ), truth AS (
+      SELECT query_id, neighbor_id FROM qsims
+      QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) <= 3
+    ), """
+    + ", ".join(_ivf_probe_sql(np) for np in (1, 2, 4))
+    + """,
+    unioned AS (
+      SELECT 1 AS nprobe, * FROM ranked1
+      UNION ALL SELECT 2, * FROM ranked2
+      UNION ALL SELECT 4, * FROM ranked4
+    )
+    SELECT CAST(u.nprobe AS BIGINT) AS nprobe,
+           CAST(count(*) AS BIGINT) AS n_returned,
+           CAST(sum(CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST(sum(CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / 15.0 AS recall
+    FROM unioned u
+    LEFT JOIN truth t
+      ON t.query_id = u.query_id AND t.neighbor_id = u.neighbor_id
+    GROUP BY 1
+    """,
+)
+def v15_recall_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF recall-vs-nprobe TUNING CURVE — recall@3 of the v3 index at
+    nprobe ∈ {1, 2, 4} against the exact brute-force top-3 (v1), in one
+    query. The dial every IVF deployment turns (probe more cells → more
+    recall, linearly more scan): this emits the measured curve so the
+    operator picks nprobe from data instead of folklore, and a recall
+    cliff at low nprobe flags a bad coarse quantizer (cross-check v14's
+    scatter/DB audit of the same cells).
+
+    Scale shape: the three IVF runs share the plan family of v3 (1-row
+    broadcast seed array, map-side assign, id-only candidate shuffles);
+    the exact side is corpus × 5 broadcast queries (the audited v1
+    shape, linear in corpus). The recall join keys on (query, neighbor)
+    id pairs — 45 rows against 15. Denominator is the fixed truth size
+    5 queries × k=3 (corpus always holds ≥3 neighbors), so recall is an
+    exact integer/constant division."""
+    from .operators.similarity import cosine_topk, ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries5 = emb.filter(F.col("vec_id") < 5)
+    truth = cosine_topk(emb, queries5, k=3).select("query_id", "neighbor_id")
+    curves = None
+    for np_ in (1, 2, 4):
+        r = (
+            ivf_topk(emb, queries5, k=3, n_cells=16, nprobe=np_)
+            .select(
+                F.lit(np_).cast("bigint").alias("nprobe"),
+                "query_id",
+                "neighbor_id",
+            )
+        )
+        curves = r if curves is None else curves.unionByName(r)
+    hit = F.when(F.col("t_q").isNotNull(), 1).otherwise(0)
+    joined = curves.join(
+        truth.select(
+            F.col("query_id").alias("t_q"), F.col("neighbor_id").alias("t_n")
+        ),
+        (F.col("query_id") == F.col("t_q"))
+        & (F.col("neighbor_id") == F.col("t_n")),
+        "left",
+    )
+    return joined.groupBy("nprobe").agg(
+        F.count("*").alias("n_returned"),
+        F.sum(hit).cast("bigint").alias("n_hits"),
+        (F.sum(hit).cast("double") / F.lit(15.0)).alias("recall"),
+    )
+
+
+@query(
+    "x44_burstiness",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, tok AS token FROM (
+        SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+        FROM documents)
+      WHERE tok <> ''
+    ), per_doc AS (
+      SELECT token, doc_id, count(*) AS c FROM tok GROUP BY 1, 2
+    ), terms AS (
+      SELECT token, CAST(sum(c) AS BIGINT) AS tf,
+             CAST(count(*) AS BIGINT) AS df
+      FROM per_doc GROUP BY 1
+      ORDER BY df DESC, token ASC LIMIT 50
+    ), n AS (
+      SELECT count(DISTINCT doc_id) AS n_docs FROM tok
+    )
+    SELECT token, tf, df,
+           CAST(tf AS DOUBLE) / df AS burstiness,
+           round((CAST(tf AS DOUBLE) / n_docs)
+                 / (1.0 - exp(-(CAST(tf AS DOUBLE) / n_docs))), 6)
+             AS poisson_expected
+    FROM terms CROSS JOIN n
+    """,
+)
+def x44_burstiness(spark: SparkSession, sf: str) -> DataFrame:
+    """Term BURSTINESS (Church & Gale): for the 50 highest-document-
+    frequency terms, the observed mean occurrences per containing
+    document (tf/df) against the zero-truncated-Poisson expectation
+    under an even scatter of the same tf. Content words burst (tf/df ≫
+    expected), function words don't — and a "function-looking" token
+    that bursts is boilerplate (navigation text, templates) the
+    quality filters should see. Complements x24 (boilerplate n-grams)
+    and x39 (Zipf slope) on the vocabulary-diagnostics axis.
+
+    Scale shape: one (token, doc) partial-agg shuffle, one token reduce,
+    a top-50 TakeOrderedAndProject with total tiebreak; the corpus doc
+    count rides in as a 1-row broadcast (the x11 shape). tf/df is an
+    exact integer division (deterministic unrounded); only the Poisson
+    term goes through exp() and rounds."""
+    from .operators.dedup import normalized_text
+
+    docs = _t(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(normalized_text("text"), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    per_doc = tok.groupBy("token", "doc_id").agg(F.count("*").alias("c"))
+    terms = (
+        per_doc.groupBy("token")
+        .agg(F.sum("c").alias("tf"), F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(50)
+    )
+    n = tok.groupBy().agg(F.countDistinct("doc_id").alias("n_docs"))
+    lam = F.col("tf").cast("double") / F.col("n_docs")
+    return terms.crossJoin(F.broadcast(n)).select(
+        "token",
+        "tf",
+        "df",
+        (F.col("tf").cast("double") / F.col("df")).alias("burstiness"),
+        F.round(lam / (F.lit(1.0) - F.exp(-lam)), 6).alias("poisson_expected"),
+    )

@@ -63,6 +63,7 @@ ONE_ROW_BOUND_QUERIES = {
     "v13_top_eigenvector",  # matvec norms + λ as 1-row broadcasts
     "x40_priority_sample",  # threshold τ (21st priority) as a 1-row broadcast
     "a20_bloom_filter_fpr",  # filter/member/probe stats as 1-row broadcasts
+    "x44_burstiness",  # corpus doc count as a 1-row broadcast (x11 shape)
 }
 SMALL_NONEQUI_BROADCAST_QUERIES = {
     "a2_interval_subtraction",  # closed-form interval arithmetic, small side
@@ -78,6 +79,7 @@ SMALL_NONEQUI_BROADCAST_QUERIES = {
     "v10_ivf_pq_topk",  # seed row + codebook row + 5-row ADC tables, all broadcast
     "v11_range_search",  # corpus × 5 broadcast query vectors (≠ condition)
     "v14_cluster_quality",  # seed-row assign + K×K seed-separation grid
+    "v15_recall_curve",  # v1 exact side + 3× v3 seed-row probes, all broadcast
 }
 BNLJ_ALLOWED = ONE_ROW_BOUND_QUERIES | SMALL_NONEQUI_BROADCAST_QUERIES
 
