@@ -142,6 +142,8 @@ EXTRA = [
     "w8_max_concurrency",
     "v15_recall_curve",
     "x44_burstiness",
+    "d14_cross_source_dup",
+    "x45_code_detection",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))

@@ -7760,3 +7760,147 @@ def x44_burstiness(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("tf").cast("double") / F.col("df")).alias("burstiness"),
         F.round(lam / (F.lit(1.0) - F.exp(-lam)), 6).alias("poisson_expected"),
     )
+
+
+@query(
+    "d14_cross_source_dup",
+    f"""
+    WITH corpus AS (
+      SELECT source, {_NORM_SQL} AS norm FROM documents
+      UNION ALL
+      SELECT 'mirrorA' AS source, {_NORM_SQL} AS norm
+      FROM documents WHERE doc_id % 4 = 0
+      UNION ALL
+      SELECT 'mirrorB' AS source, {_NORM_SQL} AS norm
+      FROM documents WHERE doc_id % 10 = 0
+    ), hs AS (
+      SELECT DISTINCT md5(norm) AS h, source FROM corpus
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def d14_cross_source_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """CROSS-SOURCE duplication matrix — which feeds copy which: for every
+    source pair, the number of distinct normalized documents they share.
+    The crawl-triage view exact dedup alone doesn't give you (per-doc
+    drops say *that* mass is duplicated, not *where it flows from*); a
+    hot (A, B) cell means feed B is a mirror of A and can be dropped at
+    ingest instead of deduplicated after. Two planted mirror feeds
+    (every 4th / every 10th document) keep the matrix non-trivial and
+    give the mirrors a known shared row (ids divisible by 20).
+
+    Scale shape: documents collapse to DISTINCT (content-hash, source)
+    rows first — the join side is bounded by corpus hashes × sources
+    carrying them, and the self-join is an equi join on the hash with
+    per-hash fan-out = sources-carrying-that-doc (a handful), never
+    doc-count. One distinct shuffle, one hash equi join, one pair agg."""
+    from .operators.dedup import content_hash
+
+    docs = _t(spark, sf, "documents")
+    corpus = docs.select("source", "text").unionByName(
+        docs.filter(F.col("doc_id") % 4 == 0).select(
+            F.lit("mirrorA").alias("source"), "text"
+        )
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            F.lit("mirrorB").alias("source"), "text"
+        )
+    )
+    hs = corpus.select(content_hash("text").alias("h"), "source").distinct()
+    a = hs.select(F.col("h"), F.col("source").alias("source_a"))
+    b = hs.select(F.col("h").alias("h_b"), F.col("source").alias("source_b"))
+    return (
+        a.join(
+            b,
+            (F.col("h") == F.col("h_b"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+@query(
+    "x45_code_detection",
+    """
+    WITH corpus AS (
+      SELECT source, text FROM documents
+      UNION ALL
+      SELECT source,
+             'def f_' || doc_id || '(x):' || chr(10) ||
+             '    y = (x * ' || doc_id || ');' || chr(10) ||
+             '    return y + ' || doc_id AS text
+      FROM documents WHERE doc_id < 30
+    ), f AS (
+      SELECT source,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[{}()=;:]', '', 'g'))
+               AS n_sym,
+             len(string_split(text, chr(10))) AS n_lines,
+             len(list_filter(string_split(text, chr(10)),
+                             x -> regexp_matches(x, '^(  |\t)'))) AS n_indent
+      FROM corpus
+    ), scored AS (
+      SELECT source, n_chars, n_sym,
+             CASE WHEN CAST(n_sym AS DOUBLE) / n_chars > 0.03
+                    OR CAST(n_indent AS DOUBLE) / n_lines > 0.2
+                  THEN 1 ELSE 0 END AS is_code
+      FROM f
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(is_code) AS BIGINT) AS n_code,
+           CAST(sum(is_code) AS DOUBLE) / count(*) AS code_frac,
+           CAST(sum(n_sym) AS DOUBLE) / sum(n_chars) AS symbol_density
+    FROM scored GROUP BY 1
+    """,
+)
+def x45_code_detection(spark: SparkSession, sf: str) -> DataFrame:
+    """CODE-vs-PROSE detection per source — the mix signal a training-data
+    pipeline needs before routing documents to code or text tokenizers:
+    symbol density ([{}()=;:] chars per char) and indented-line fraction,
+    thresholded exactly like a fastText-less CommonCrawl heuristic.
+    Planted code snippets (30 deterministic python-shaped docs) give the
+    detector known positives; natural prose stays below both thresholds.
+
+    Scale shape: the features are TWO regexp counts and a line-split
+    filter per document, all map-side; ONE partial-agg shuffle into
+    source cells. Aggregate densities divide exact integer sums
+    (deterministic unrounded IEEE divisions), never averaging per-doc
+    doubles."""
+    docs = _t(spark, sf, "documents")
+    planted = docs.filter(F.col("doc_id") < 30).select(
+        "source",
+        F.concat(
+            F.lit("def f_"), F.col("doc_id"), F.lit("(x):\n"),
+            F.lit("    y = (x * "), F.col("doc_id"), F.lit(");\n"),
+            F.lit("    return y + "), F.col("doc_id"),
+        ).alias("text"),
+    )
+    corpus = docs.select("source", "text").unionByName(planted)
+    n_chars = F.length("text")
+    n_sym = n_chars - F.length(F.regexp_replace("text", r"[{}()=;:]", ""))
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.size(lines)
+    n_indent = F.size(F.filter(lines, lambda x: x.rlike(r"^(  |\t)")))
+    is_code = (
+        (n_sym.cast("double") / n_chars > 0.03)
+        | (n_indent.cast("double") / n_lines > 0.2)
+    ).cast("int")
+    scored = corpus.select(
+        "source",
+        n_chars.alias("n_chars"),
+        n_sym.alias("n_sym"),
+        is_code.alias("is_code"),
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("is_code").alias("n_code"),
+        (F.sum("is_code").cast("double") / F.count("*")).alias("code_frac"),
+        (F.sum("n_sym").cast("double") / F.sum("n_chars")).alias(
+            "symbol_density"
+        ),
+    )

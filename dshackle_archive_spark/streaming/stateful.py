@@ -14,6 +14,7 @@ snapshot log.
 
 from __future__ import annotations
 
+import math
 from typing import Any, Iterable, Iterator, Tuple
 
 import pandas as pd
@@ -181,4 +182,79 @@ def session_windows_stream(
             F.col("w.end").alias("session_end"),
             "n_events",
         )
+    )
+
+
+EMA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("series", T.StringType(), False),
+        T.StructField("day", T.LongType(), False),  # days since epoch
+        T.StructField("decayed_mean", T.DoubleType(), False),
+    ]
+)
+
+EMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("num", T.DoubleType(), False),
+        T.StructField("den", T.DoubleType(), False),
+        T.StructField("last_day", T.LongType(), False),
+    ]
+)
+
+
+def decayed_mean_stream(
+    daily: DataFrame,
+    half_life_days: float = 7.0,
+    series_col: str = "series",
+    day_col: str = "day",
+    value_col: str = "v",
+) -> DataFrame:
+    """Streaming counterpart of ``operators/timeseries.decayed_mean``: an
+    exponentially-decayed running mean per series over a stream of daily
+    aggregates, as bounded keyed state.
+
+    The batch closed form keeps the whole series behind a window sort;
+    the stream keeps THREE numbers per series — decayed numerator,
+    decayed denominator, last day — and folds each arriving day in as
+    ``num·f + v, den·f + 1`` with ``f = e^{−λ·Δdays}``. Same recurrence
+    the batch form telescopes, so outputs agree to float precision
+    (tested), and state is O(1) per series forever — the sketch-style
+    contract the drift/heavy-hitter monitors follow. Days arriving out
+    of order within a micro-batch fold in day order; a day at or before
+    the last applied day is stale replay and is dropped (at-least-once
+    upstream delivery stays idempotent per day).
+    """
+    lam = math.log(2.0) / float(half_life_days)
+
+    def update(
+        key: Tuple[str],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        num, den, last_day = state.get if state.exists else (0.0, 0.0, -(10**15))
+        rows = []
+        for p in pdfs:
+            rows.extend(zip(p[day_col].tolist(), p[value_col].tolist()))
+        out = []
+        for day, v in sorted(rows):
+            day = int(day)
+            if day <= last_day:
+                continue  # stale replay of an already-folded day
+            f = math.exp(-lam * (day - last_day)) if den > 0.0 else 0.0
+            num = num * f + float(v)
+            den = den * f + 1.0
+            last_day = day
+            out.append(
+                {"series": key[0], "day": day, "decayed_mean": num / den}
+            )
+        state.update((num, den, last_day))
+        if out:
+            yield pd.DataFrame(out)
+
+    return daily.groupBy(series_col).applyInPandasWithState(
+        update,
+        outputStructType=EMA_OUTPUT_SCHEMA,
+        stateStructType=EMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -806,3 +806,91 @@ def test_streaming_heavy_hitters_end_to_end(spark, tmp_path):
     )
     assert 1 <= len(gens) <= 3
     assert gens[-1] >= batches[-1]
+
+
+def test_streaming_decayed_mean_matches_batch(spark, tmp_path):
+    """Streaming EMA: two availableNow runs over a file source (state must
+    survive the restart), out-of-order days within a batch fold in day
+    order, a stale replayed day is dropped, and every emitted mean equals
+    the direct Σv·e^{−λΔ}/Σe^{−λΔ} formula (and the batch operator)."""
+    import json as _json
+    import math
+    import time
+
+    from dshackle_archive_spark.streaming.stateful import decayed_mean_stream
+
+    data_dir = tmp_path / "ema_in"
+    data_dir.mkdir()
+    ckpt = str(tmp_path / "_ckpt_ema")
+
+    batch1 = [
+        {"series": "a", "day": d, "v": float(10 + 3 * d)} for d in range(5)
+    ] + [{"series": "b", "day": d, "v": float(100 - d)} for d in (0, 2, 4)]
+    (data_dir / "b1.json").write_text(
+        "\n".join(_json.dumps(r) for r in batch1)
+    )
+
+    out_dir = str(tmp_path / "ema_out")
+
+    def run_once():
+        src = (
+            spark.readStream.schema("series string, day long, v double")
+            .json(str(data_dir))
+        )
+        q = (
+            decayed_mean_stream(src, half_life_days=7.0)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # second batch: out-of-order arrival within the file + one stale day
+    batch2 = [
+        {"series": "a", "day": 7, "v": 40.0},
+        {"series": "a", "day": 5, "v": 31.0},
+        {"series": "a", "day": 3, "v": 999.0},  # stale: already folded
+        {"series": "a", "day": 6, "v": 35.0},
+        {"series": "b", "day": 5, "v": 90.0},
+    ]
+    (data_dir / "b2.json").write_text(
+        "\n".join(_json.dumps(r) for r in batch2)
+    )
+    run_once()
+
+    rows = {
+        (r["series"], r["day"]): r["decayed_mean"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    clean = [r for r in batch1 + batch2 if not (r["series"] == "a" and r["day"] == 3 and r["v"] == 999.0)]
+    assert set(rows) == {(r["series"], r["day"]) for r in clean}
+
+    lam = math.log(2.0) / 7.0
+    for s, d in rows:
+        pts = [(r["day"], r["v"]) for r in clean if r["series"] == s and r["day"] <= d]
+        num = sum(v * math.exp(-lam * (d - dd)) for dd, v in pts)
+        den = sum(math.exp(-lam * (d - dd)) for dd, v in pts)
+        assert abs(rows[(s, d)] - num / den) < 1e-9, (s, d)
+
+    # cross-check the batch operator on the same (deduplicated) series
+    from pyspark.sql import functions as F
+
+    from dshackle_archive_spark.operators.timeseries import decayed_mean
+
+    bdf = spark.createDataFrame(
+        [(r["series"], r["day"], r["v"]) for r in clean],
+        "series string, day long, v double",
+    ).select(
+        "series",
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("day").cast("int")).alias("d"),
+        "v",
+    )
+    for r in decayed_mean(bdf, "series", "d", "v", half_life_days=7.0).collect():
+        import datetime
+
+        day = (r["d"] - datetime.date(2024, 1, 1)).days
+        assert abs(rows[(r["series"], day)] - r["decayed_mean"]) < 1e-6
