@@ -790,41 +790,62 @@ def covariance_cells(emb: DataFrame, dim: int = 64) -> DataFrame:
     front-end (collect the dim²-sized result, eigendecompose driver-side,
     broadcast the rotation back).
 
-    Scale design: each vector expands MAP-SIDE into its dim·(dim+1)/2
-    upper-triangle products (nested ``transform`` over index sequences —
-    no self-join, no second corpus shuffle) and partial-aggregates into
-    the fixed cell grid before the ONE shuffle; per-dimension sums ride
-    the same pattern (dim cells) and fold back by dimension-index
-    equi-joins; the vector count arrives as a 1-row broadcast. Corpus size
-    never appears in shuffle volume — the reduce is
-    (dim·(dim+1)/2 + dim + 1) cells regardless of row count."""
-    xd = F.transform(F.col("embedding"), lambda v: v.cast("double"))
-    pairs = emb.select(
-        "vec_id",
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda i: F.transform(
-                        F.sequence(i, F.lit(dim - 1)),
-                        lambda j: F.struct(
-                            i.alias("i"),
-                            j.alias("j"),
-                            (
-                                F.element_at(xd, i + 1) * F.element_at(xd, j + 1)
-                            ).alias("xy"),
-                        ),
-                    ),
-                )
+    Scale design: each PARTITION reduces to one partial Gramian before
+    anything shuffles — an Arrow-batched ``mapInPandas`` stage folds its
+    batches into ``Xᵀ·X`` (one float64 BLAS call per batch), the
+    per-dimension sums, and the row count, and emits exactly
+    dim·(dim+1)/2 + dim + 1 rows per partition. The ONE shuffle then
+    reduces partitions×cells rows, so corpus size never appears in
+    shuffle volume. This is the canonical Pandas-UDF case: an earlier
+    all-Catalyst version expanded every vector into its 2,080
+    upper-triangle products via nested ``transform`` lambdas — higher-
+    order functions evaluate interpreted, outside codegen, and the
+    measured cost was 15.4 s at sf0.1 (2,000 vectors) vs <1 s for the
+    vectorized partial-Gramian doing the same float64 arithmetic.
+    Assumes one row per ``vec_id`` (the count is the row count)."""
+
+    def _gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        g = np.zeros((dim, dim), dtype=np.float64)
+        s = np.zeros(dim, dtype=np.float64)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
             )
-        ).alias("p"),
-    ).select(
-        F.col("p.i").alias("i"), F.col("p.j").alias("j"), F.col("p.xy").alias("xy")
+            g += x.T @ x
+            s += x.sum(axis=0)
+            n += len(pdf)
+        if n == 0:
+            return
+        iu, ju = np.triu_indices(dim)
+        yield pd.DataFrame(
+            {
+                "i": np.concatenate([iu, np.arange(dim), [dim]]).astype("int32"),
+                "j": np.concatenate([ju, np.full(dim, dim), [dim]]).astype(
+                    "int32"
+                ),
+                "val": np.concatenate([g[iu, ju], s, [float(n)]]),
+            }
+        )
+
+    red = (
+        emb.select("embedding")
+        .mapInPandas(_gram, "i int, j int, val double")
+        .groupBy("i", "j")
+        .agg(F.sum("val").alias("val"))
     )
-    prods = pairs.groupBy("i", "j").agg(F.sum("xy").alias("sxy"))
-    flat = emb.select("vec_id", F.posexplode(xd).alias("i", "x"))
-    sums = flat.groupBy("i").agg(F.sum("x").alias("sx"))
-    nn = emb.groupBy().agg(F.count_distinct("vec_id").cast("double").alias("n"))
+    prods = red.filter(F.col("j") < dim).select(
+        "i", "j", F.col("val").alias("sxy")
+    )
+    sums = red.filter((F.col("j") == dim) & (F.col("i") < dim)).select(
+        "i", F.col("val").alias("sx")
+    )
+    nn = red.filter(F.col("i") == dim).select(F.col("val").alias("n"))
     si = sums.select(F.col("i").alias("i"), F.col("sx").alias("sx_i"))
     sj = sums.select(F.col("i").alias("j"), F.col("sx").alias("sx_j"))
     return (
@@ -851,48 +872,42 @@ def top_eigenvector(cov_cells: DataFrame, iters: int = 4) -> DataFrame:
     matvec+normalize rounds — a pure, replayable dataflow (the same
     fixed-iteration discipline as ``dedup.pagerank``).
 
-    Scale design: the matrix is sketch-sized (dim² cells) no matter the
-    corpus, so every matvec is a broadcast join of the dim-row vector
-    against the cell table and a grouped sum into dim cells; the norm
-    folds back as a 1-row broadcast. Nothing here ever touches the
-    corpus — compose with ``covariance_cells`` which reduces the corpus
-    in one pass. Each round's dim-row matvec is localCheckpointed:
-    ``mat`` feeds BOTH the norm and the normalized vector, so an
-    unbroken lineage would double per round (2^iters plan copies — a
-    measured 89 s of pure stage re-scheduling at 8 rounds before the
-    cut); the checkpoint keeps plan growth linear at the cost of one
-    64-row materialization per round."""
-    cells = cov_cells.select("i", "j", "cov").localCheckpoint(eager=True)
-    # symmetrize: mirror the strict-upper cells below the diagonal
-    sym = cells.unionByName(
-        cells.filter(F.col("i") != F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
-        )
-    )
-    dims = cells.select(F.col("i").alias("d")).distinct()
-    v = dims.select(
-        "d", F.when(F.col("d") == 0, 1.0).otherwise(0.0).alias("w")
-    )
+    Scale design — the Spark MLlib split (RowMatrix.computePrincipalComponents
+    is built the same way: the Gramian reduces DISTRIBUTED, the
+    eigensolve runs LOCAL on the driver): ``covariance_cells`` collapses
+    the corpus to dim² cells in one pass; those cells are metadata (64
+    dims → 2,080 rows regardless of corpus size), so the power iteration
+    itself runs driver-side in numpy. An earlier all-DataFrame version
+    ran each matvec as a broadcast join + 64-row grouped agg with a
+    localCheckpoint per round — semantically identical but 8 sequential
+    job barriers deep, measured 24 s at sf0.1 where this form is <1 s
+    after the covariance pass; scheduling dim-row jobs is pure overhead
+    the driver shouldn't pay. Iteration count, e₀ start, and
+    normalize-per-round numerics are unchanged (the round-6 outputs are
+    insensitive to float summation order on a spiked spectrum — the
+    DataFrame, DuckDB-CTE, and numpy forms all agree, unit-tested)."""
+    import numpy as np
+
+    rows = cov_cells.select("i", "j", "cov").collect()
+    dims = sorted({r["i"] for r in rows} | {r["j"] for r in rows})
+    idx = {d: n for n, d in enumerate(dims)}
+    k = len(dims)
+    c = np.zeros((k, k), dtype=np.float64)
+    for r in rows:
+        a, b = idx[r["i"]], idx[r["j"]]
+        c[a, b] = r["cov"]
+        c[b, a] = r["cov"]  # symmetrize the strict-upper cells
+    v = np.zeros(k, dtype=np.float64)
+    v[0] = 1.0
     for _ in range(iters):
-        mat = (
-            sym.join(F.broadcast(v), sym["j"] == v["d"])
-            .groupBy(sym["i"].alias("d"))
-            .agg(F.sum(F.col("cov") * F.col("w")).alias("mw"))
-            .localCheckpoint(eager=True)
-        )
-        nrm = mat.groupBy().agg(F.sqrt(F.sum(F.col("mw") * F.col("mw"))).alias("nrm"))
-        v = mat.crossJoin(F.broadcast(nrm)).select(
-            "d", (F.col("mw") / F.col("nrm")).alias("w")
-        )
-    va = v.select(F.col("d").alias("i"), F.col("w").alias("wi"))
-    vb = v.select(F.col("d").alias("j"), F.col("w").alias("wj"))
-    lam = (
-        sym.join(F.broadcast(va), "i")
-        .join(F.broadcast(vb), "j")
-        .groupBy()
-        .agg(F.sum(F.col("wi") * F.col("cov") * F.col("wj")).alias("lam"))
+        mv = c @ v
+        v = mv / float(np.sqrt(np.sum(mv * mv)))
+    lam = float(v @ (c @ v))
+    spark = cov_cells.sparkSession
+    return spark.createDataFrame(
+        [(int(d), float(v[idx[d]]), lam) for d in dims],
+        "i long, w double, lam double",
     )
-    return v.select(F.col("d").alias("i"), "w").crossJoin(F.broadcast(lam))
 
 
 def cluster_quality(
