@@ -144,6 +144,7 @@ EXTRA = [
     "x44_burstiness",
     "d14_cross_source_dup",
     "x45_code_detection",
+    "w9_rolling_quantile",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))

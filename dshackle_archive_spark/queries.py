@@ -7904,3 +7904,53 @@ def x45_code_detection(spark: SparkSession, sf: str) -> DataFrame:
             "symbol_density"
         ),
     )
+
+
+@query(
+    "w9_rolling_quantile",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(d AS VARCHAR) AS day, n,
+           round(quantile_cont(n, 0.5) OVER w, 6) AS p50_7d,
+           round(quantile_cont(n, 0.9) OVER w, 6) AS p90_7d
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w9_rolling_quantile(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling WINDOW QUANTILES — trailing-7-day p50/p90 of daily event
+    volume per series, the alerting baseline robust dashboards use where
+    a rolling MEAN (a11) gets dragged by spikes. Pairs the exact
+    percentile with the bounded-frame window family (a11 mean, w7
+    decayed mean) and the corpus-level quantile sketch (a19) with its
+    windowed exact counterpart.
+
+    Determinism: both engines implement the same percentile_cont rule —
+    position p·(count−1) on the frame's sorted values, linear
+    interpolation between the two neighbors — over exact integer daily
+    counts, so the arithmetic is a handful of identical IEEE ops.
+
+    Scale shape: the corpus reduces to series × days cells at the daily
+    rollup; the quantile window then sorts ≤7 values per row of that
+    metadata-scale table — never a corpus-height frame."""
+    ev = _t(spark, sf, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("n")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        F.col("d").cast("string").alias("day"),
+        "n",
+        F.round(F.percentile("n", F.lit(0.5)).over(w), 6).alias("p50_7d"),
+        F.round(F.percentile("n", F.lit(0.9)).over(w), 6).alias("p90_7d"),
+    )
