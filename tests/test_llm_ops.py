@@ -890,3 +890,63 @@ def test_cluster_quality_planted_clusters(spark):
             if o != c and sims[(c, o)] < 1.0
         )
         assert abs(rows[c]["db_component"] - db) < 1e-12
+
+
+_conc_ivs = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 60), st.integers(0, 40)),
+    min_size=1,
+    max_size=14,
+)
+
+
+@given(ivs=_conc_ivs)
+@settings(max_examples=12, deadline=None)
+def test_sweep_max_concurrency_matches_naive(spark, ivs):
+    """Property test: the +1/−1 sweep-line max concurrency (w8 shape)
+    equals the brute-force per-day open-interval count on random keyed
+    intervals."""
+    from pyspark.sql import Window
+
+    rows = [(k, s, s + ln) for (k, s, ln) in ivs]
+    df = spark.createDataFrame(rows, "k long, sd long, ed long")
+    ev = df.select("k", F.col("sd").alias("pos"), F.lit(1).alias("delta")).unionByName(
+        df.select("k", (F.col("ed") + 1).alias("pos"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("pos", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = {
+        r["k"]: r["mx"]
+        for r in ev.select("k", F.sum("delta").over(w).alias("level"))
+        .groupBy("k")
+        .agg(F.max("level").alias("mx"))
+        .collect()
+    }
+    for k in {k for k, _, _ in rows}:
+        expect = max(
+            sum(1 for kk, s, e in rows if kk == k and s <= d <= e)
+            for d in range(0, 102)
+        )
+        assert got[k] == expect, (k, got[k], expect)
+
+
+def test_rolling_quantile_matches_numpy(spark, sf_dir):
+    """The w9 interpolation rule (p·(count−1), linear) replayed in numpy
+    over every trailing-7 frame of a fixed series must match Spark's
+    percentile window output."""
+    import numpy as np
+
+    import dshackle_archive_spark.queries as Q
+
+    df = Q.registry()["w9_rolling_quantile"](spark, sf_dir)
+    rows = sorted(
+        ((r["event_type"], r["day"], r["n"], r["p50_7d"], r["p90_7d"]) for r in df.collect())
+    )
+    series: dict[str, list[int]] = {}
+    for et, day, n, p50, p90 in rows:
+        series.setdefault(et, []).append(n)
+        frame = series[et][-7:]
+        assert abs(p50 - round(float(np.percentile(frame, 50)), 6)) < 1e-9
+        assert abs(p90 - round(float(np.percentile(frame, 90)), 6)) < 1e-9
