@@ -950,3 +950,19 @@ def test_rolling_quantile_matches_numpy(spark, sf_dir):
         frame = series[et][-7:]
         assert abs(p50 - round(float(np.percentile(frame, 50)), 6)) < 1e-9
         assert abs(p90 - round(float(np.percentile(frame, 90)), 6)) < 1e-9
+
+
+def test_covariance_cells_is_partition_bounded(spark, sf_dir):
+    """covariance_cells must reduce partitions, not rows: the plan carries
+    the Arrow mapInPandas partial-Gramian stage and no per-vector explode
+    (the pre-rewrite nested-transform expansion evaluated interpreted —
+    15.4 s at sf0.1 for 2,000 vectors)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = (
+        S.covariance_cells(emb)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan, plan
+    assert "Generate" not in plan, plan  # no explode anywhere
