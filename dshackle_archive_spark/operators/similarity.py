@@ -993,3 +993,90 @@ def cluster_quality(
             ),
         )
     )
+
+
+def ivf_topk_curve(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF top-k at SEVERAL nprobe settings in one pass → adds an
+    ``nprobe`` column to the ``ivf_topk`` output. Because probed cells
+    nest (the nprobe=1 cell is the first of the nprobe=4 list), the
+    corpus assign, the candidate join, and the exact rerank all run ONCE
+    at max(nprobes); each setting is then a filter on the candidate's
+    probe rank plus its own top-k window. Three separate ``ivf_topk``
+    calls would re-assign the whole corpus per setting — this form is
+    what a recall-vs-nprobe audit (v15) should pay: one index pass.
+
+    Scores and tiebreaks match ``ivf_topk`` exactly (round-6 sim desc,
+    neighbor id asc), so each nprobe slice equals the standalone run."""
+    max_np = max(nprobes)
+    seed = F.broadcast(_seed_row(vectors, n_cells, id_col, vec_col))
+    assign = ivf_assign(vectors, n_cells, id_col, vec_col, _seed=seed)
+    probes = (
+        queries.crossJoin(seed)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.posexplode(
+                _probe_cells(F.col("_seeds"), F.col(vec_col), max_np)
+            ).alias("probe_pos", "_p"),
+        )
+        .select(
+            "query_id",
+            (F.col("probe_pos") + 1).alias("probe_rank"),
+            F.col("_p.cell_id").alias("cell_id"),
+        )
+    )
+    cand = probes.join(assign, "cell_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    ).select("query_id", "probe_rank", F.col("vec_id").alias("neighbor_id"))
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col), dim).alias("q_nrm"),
+    )
+    cv = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col), dim).alias("c_nrm"),
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "probe_rank",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("q_vec"), F.col("c_vec"), dim)
+                / (F.col("q_nrm") * F.col("c_nrm")),
+                6,
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=True)  # one rerank feeds every nprobe slice
+    )
+    out = None
+    for np_ in nprobes:
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("sim"), F.asc("neighbor_id")
+        )
+        sliced = (
+            scored.filter(F.col("probe_rank") <= np_)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                F.lit(np_).cast("bigint").alias("nprobe"),
+                "query_id",
+                "neighbor_id",
+                "rank",
+                "sim",
+            )
+        )
+        out = sliced if out is None else out.unionByName(sliced)
+    return out

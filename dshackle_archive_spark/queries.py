@@ -7657,29 +7657,24 @@ def v15_recall_curve(spark: SparkSession, sf: str) -> DataFrame:
     cliff at low nprobe flags a bad coarse quantizer (cross-check v14's
     scatter/DB audit of the same cells).
 
-    Scale shape: the three IVF runs share the plan family of v3 (1-row
-    broadcast seed array, map-side assign, id-only candidate shuffles);
-    the exact side is corpus × 5 broadcast queries (the audited v1
-    shape, linear in corpus). The recall join keys on (query, neighbor)
-    id pairs — 45 rows against 15. Denominator is the fixed truth size
+    Scale shape: ONE index pass for all three settings
+    (``similarity.ivf_topk_curve``) — probed cells nest, so the corpus
+    assign, candidate join, and exact rerank run once at nprobe=4 and
+    each setting slices by probe rank (three separate ``ivf_topk`` calls
+    re-assigned the corpus per setting: 4.6 s → 2.9 s at sf0.1). The
+    exact side is corpus × 5 broadcast queries (the audited v1 shape,
+    linear in corpus). The recall join keys on (query, neighbor) id
+    pairs — 45 rows against 15. Denominator is the fixed truth size
     5 queries × k=3 (corpus always holds ≥3 neighbors), so recall is an
     exact integer/constant division."""
-    from .operators.similarity import cosine_topk, ivf_topk
+    from .operators.similarity import cosine_topk, ivf_topk_curve
 
     emb = _t(spark, sf, "embeddings")
     queries5 = emb.filter(F.col("vec_id") < 5)
     truth = cosine_topk(emb, queries5, k=3).select("query_id", "neighbor_id")
-    curves = None
-    for np_ in (1, 2, 4):
-        r = (
-            ivf_topk(emb, queries5, k=3, n_cells=16, nprobe=np_)
-            .select(
-                F.lit(np_).cast("bigint").alias("nprobe"),
-                "query_id",
-                "neighbor_id",
-            )
-        )
-        curves = r if curves is None else curves.unionByName(r)
+    curves = ivf_topk_curve(
+        emb, queries5, k=3, n_cells=16, nprobes=(1, 2, 4)
+    ).select("nprobe", "query_id", "neighbor_id")
     hit = F.when(F.col("t_q").isNotNull(), 1).otherwise(0)
     joined = curves.join(
         truth.select(
