@@ -21,6 +21,7 @@ from ..operators.dedup import (
     content_hash,
     normalized_text,
     segment_df,
+    shingles,
 )
 from ..operators.textan import quality_features
 
@@ -45,6 +46,14 @@ def corpus_report(
     - ``token_length``: min/p50/mean/max document token counts
     - ``boilerplate``: top-k repeated ``seg_len``-token segments by df
       (df >= ``boilerplate_min_df``) — the passage-strip candidates
+    - ``ngram_novelty``: distinct 5-gram shingles / total doc-shingle
+      pairs (low = the corpus re-serves what it already has)
+    - ``code_frac``: share of docs tripping the code-detection
+      thresholds (symbol density / indentation)
+    - ``cross_source_dup``: top-k source pairs sharing normalized
+      content (the drop-feed-at-ingest signal)
+    - ``bursty_terms``: top-k terms by mean occurrences per containing
+      doc among the df-frequent vocabulary (boilerplate suspects)
     """
     docs = docs.localCheckpoint(eager=True)
 
@@ -106,6 +115,79 @@ def corpus_report(
         .collect()
     ]
 
+    # n-gram novelty (the x42 shape): share of 5-gram shingles first seen
+    # in their own document — low corpus novelty means the crawl re-serves
+    # what it already has. Two reductions of the shingle stream, no
+    # string-keyed self-join.
+    sh = shingles(docs, n=5)
+    nov = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.count("*").alias("uniq"),
+            F.sum("c").alias("total"),
+        )
+        .collect()[0]
+    )
+    novelty = round(nov["uniq"] / nov["total"], 6) if nov["total"] else 0.0
+
+    # code share (the x45 thresholds): symbol density / indent fraction
+    n_chars = F.length("text")
+    n_sym = n_chars - F.length(F.regexp_replace("text", r"[{}()=;:]", ""))
+    lines = F.split(F.col("text"), "\n")
+    is_code = (
+        (n_sym.cast("double") / n_chars > 0.03)
+        | (
+            F.size(F.filter(lines, lambda x: x.rlike(r"^(  |\t)"))).cast(
+                "double"
+            )
+            / F.size(lines)
+            > 0.2
+        )
+    ).cast("int")
+    code = docs.agg(
+        F.sum(is_code).alias("c"), F.count("*").alias("t")
+    ).collect()[0]
+
+    # cross-source duplication (the d14 shape): top-k source pairs sharing
+    # normalized content — the "drop feed B at ingest" signal
+    cross: list[dict] = []
+    if "source" in docs.columns:
+        hs = docs.select(content_hash("text").alias("h"), "source").distinct()
+        a = hs.select("h", F.col("source").alias("source_a"))
+        b = hs.select(F.col("h").alias("h_b"), F.col("source").alias("source_b"))
+        cross = [
+            {"source_a": r["source_a"], "source_b": r["source_b"], "n_shared": r["n"]}
+            for r in a.join(
+                b,
+                (F.col("h") == F.col("h_b"))
+                & (F.col("source_a") < F.col("source_b")),
+            )
+            .groupBy("source_a", "source_b")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("source_a"), F.asc("source_b"))
+            .limit(top_k)
+            .collect()
+        ]
+
+    # bursty terms (the x44 shape): among the top-df vocabulary, the terms
+    # with the highest mean occurrences per containing doc
+    tok = docs.select(
+        "doc_id", F.explode(F.split(normalized_text("text"), " ")).alias("t")
+    ).filter(F.col("t") != "")
+    bursty = [
+        {"token": r["t"], "tf": r["tf"], "df": r["dfc"],
+         "burstiness": round(r["tf"] / r["dfc"], 4)}
+        for r in tok.groupBy("t", "doc_id")
+        .agg(F.count("*").alias("c"))
+        .groupBy("t")
+        .agg(F.sum("c").alias("tf"), F.count("*").alias("dfc"))
+        .filter(F.col("dfc") >= boilerplate_min_df)
+        .orderBy(F.desc(F.col("tf") / F.col("dfc")), F.asc("t"))
+        .limit(top_k)
+        .collect()
+    ]
+
     n = counts["n"] or 0
     return {
         "n_docs": n,
@@ -121,6 +203,10 @@ def corpus_report(
             "max": int(qpass["mx"]) if n else 0,
         },
         "boilerplate": plate,
+        "ngram_novelty": novelty,
+        "code_frac": round(code["c"] / code["t"], 6) if code["t"] else 0.0,
+        "cross_source_dup": cross,
+        "bursty_terms": bursty,
         "params": {
             "seg_len": seg_len,
             "boilerplate_min_df": boilerplate_min_df,

@@ -487,6 +487,20 @@ def test_corpus_report_card(spark, sf_dir, tmp_path, capsys):
     tl = rep["token_length"]
     assert tl["min"] <= tl["p50"] <= tl["max"]
 
+    # wave-5/6 sections: novelty drops below 1 with planted dups; the 10
+    # verbatim copies keep the same source so the natural cross-source
+    # matrix stays empty; no code-shaped docs in this corpus; bursty terms
+    # include the planted plate vocabulary (each plate word appears 2x per
+    # containing doc minimum)
+    assert 0 < rep["ngram_novelty"] < 1
+    assert rep["code_frac"] == 0.0
+    assert rep["cross_source_dup"] == []
+    assert len(rep["bursty_terms"]) >= 1
+    bvals = [b["burstiness"] for b in rep["bursty_terms"]]
+    assert all(v >= 1.0 for v in bvals)
+    assert bvals == sorted(bvals, reverse=True)
+    assert all(b["tf"] >= b["df"] for b in rep["bursty_terms"])
+
     # CLI round-trip
     from dshackle_archive_spark.cli import main
 
