@@ -148,6 +148,11 @@ def main(argv: list[str] | None = None) -> int:
                         "already-curated corpus at --output (dedups against "
                         "its persisted _index, appends survivors + manifest "
                         "increment; never rescans the prior corpus)")
+    p.add_argument("--input-format", choices=["parquet", "jsonl"],
+                   default="parquet", dest="input_format",
+                   help="curate/report: --input layout (jsonl = one JSON "
+                        "object per line, gzip ok; corrupt lines are "
+                        "quarantined and counted, never fatal)")
     p.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
     p.add_argument("--metrics", default=None, metavar="HOST:PORT",
                    help="serve Prometheus metrics at http://HOST:PORT/metrics "
@@ -172,13 +177,24 @@ def main(argv: list[str] | None = None) -> int:
                           "current": SNAP.current_version(base)}))
         return 0
 
+    def _load_docs(spark):
+        """--input in the selected layout → (docs, quarantined_line_count)."""
+        if args.input_format == "jsonl":
+            from .sources.jsonl import read_jsonl
+
+            clean, quarantine = read_jsonl(spark, args.input)
+            return clean, quarantine.count()
+        return spark.read.parquet(args.input), 0
+
     if args.command == "report":
         from .plans.report_plan import corpus_report
 
         spark = get_spark("dshackle-archive-report", master=args.master)
-        docs = spark.read.parquet(args.input)
+        docs, n_quarantined = _load_docs(spark)
         rep = corpus_report(docs)
-        print(json.dumps({"command": "report", **rep}, sort_keys=True))
+        print(json.dumps({"command": "report",
+                          "quarantined_lines": n_quarantined, **rep},
+                         sort_keys=True))
         return 0
 
     registry = None
@@ -196,7 +212,7 @@ def main(argv: list[str] | None = None) -> int:
 
         owns_session = SparkSession.getActiveSession() is None
         spark = get_spark("dshackle-archive-curate", master=args.master)
-        docs = spark.read.parquet(args.input)
+        docs, _n_quarantined = _load_docs(spark)
         bench = spark.read.parquet(args.benchmark) if args.benchmark else None
         if args.incremental:
             if not args.output:
