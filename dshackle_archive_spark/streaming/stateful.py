@@ -258,3 +258,93 @@ def decayed_mean_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+RQ_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("series", T.StringType(), False),
+        T.StructField("day", T.LongType(), False),
+        T.StructField("p50_7d", T.DoubleType(), False),
+        T.StructField("p90_7d", T.DoubleType(), False),
+    ]
+)
+
+RQ_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("days", T.ArrayType(T.LongType()), True),
+        T.StructField("vals", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def _percentile_cont(sorted_vals: list, p: float) -> float:
+    """The percentile_cont rule both engines (and w9) use: position
+    p·(n−1) on the sorted values, linear interpolation."""
+    n = len(sorted_vals)
+    if n == 1:
+        return float(sorted_vals[0])
+    pos = p * (n - 1)
+    lo = int(pos)
+    frac = pos - lo
+    hi = min(lo + 1, n - 1)
+    return float(sorted_vals[lo]) + frac * (
+        float(sorted_vals[hi]) - float(sorted_vals[lo])
+    )
+
+
+def rolling_quantile_stream(
+    daily: DataFrame,
+    window_days: int = 7,
+    series_col: str = "series",
+    day_col: str = "day",
+    value_col: str = "v",
+) -> DataFrame:
+    """Streaming counterpart of w9's rolling window quantiles: trailing
+    ``window_days`` p50/p90 per series as keyed state.
+
+    State is the last ``window_days`` (day, value) pairs per series —
+    bounded forever, pruned on every update. Same fold rules as
+    :func:`decayed_mean_stream`: days within a micro-batch apply in day
+    order, a day at or before the newest already-applied day is stale
+    replay and drops. The emitted quantiles follow the percentile_cont
+    rule (p·(n−1), linear interpolation), so a batch replay with w9's
+    window form reproduces them exactly (tested)."""
+
+    def update(
+        key: Tuple[str],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        days, vals = state.get if state.exists else ([], [])
+        days, vals = list(days or []), list(vals or [])
+        rows = []
+        for p in pdfs:
+            rows.extend(zip(p[day_col].tolist(), p[value_col].tolist()))
+        out = []
+        for day, v in sorted(rows):
+            day = int(day)
+            if days and day <= days[-1]:
+                continue  # stale replay
+            days.append(day)
+            vals.append(float(v))
+            days, vals = days[-window_days:], vals[-window_days:]
+            frame = sorted(vals)
+            out.append(
+                {
+                    "series": key[0],
+                    "day": day,
+                    "p50_7d": _percentile_cont(frame, 0.5),
+                    "p90_7d": _percentile_cont(frame, 0.9),
+                }
+            )
+        state.update((days, vals))
+        if out:
+            yield pd.DataFrame(out)
+
+    return daily.groupBy(series_col).applyInPandasWithState(
+        update,
+        outputStructType=RQ_OUTPUT_SCHEMA,
+        stateStructType=RQ_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -894,3 +894,67 @@ def test_streaming_decayed_mean_matches_batch(spark, tmp_path):
 
         day = (r["d"] - datetime.date(2024, 1, 1)).days
         assert abs(rows[(r["series"], day)] - r["decayed_mean"]) < 1e-6
+
+
+def test_streaming_rolling_quantile_matches_batch_rule(spark, tmp_path):
+    """Streaming trailing-7 quantiles across a checkpoint restart: every
+    emitted p50/p90 equals the percentile_cont rule over the last-7 frame
+    (the same rule the batch w9 query and both SQL engines use)."""
+    import json as _json
+
+    from dshackle_archive_spark.streaming.stateful import rolling_quantile_stream
+
+    data_dir = tmp_path / "rq_in"
+    data_dir.mkdir()
+    ckpt = str(tmp_path / "_ckpt_rq")
+    out_dir = str(tmp_path / "rq_out")
+
+    batch1 = [{"series": "a", "day": d, "v": float((d * 7) % 13)} for d in range(9)]
+    (data_dir / "b1.json").write_text("\n".join(_json.dumps(r) for r in batch1))
+
+    def run_once():
+        src = (
+            spark.readStream.schema("series string, day long, v double")
+            .json(str(data_dir))
+        )
+        q = (
+            rolling_quantile_stream(src, window_days=7)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    batch2 = [
+        {"series": "a", "day": 11, "v": 99.0},
+        {"series": "a", "day": 10, "v": 1.0},   # out of order in the batch
+        {"series": "a", "day": 8, "v": 777.0},  # stale replay: drop
+    ]
+    (data_dir / "b2.json").write_text("\n".join(_json.dumps(r) for r in batch2))
+    run_once()
+
+    rows = {
+        r["day"]: (r["p50_7d"], r["p90_7d"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    clean = batch1 + [r for r in batch2 if r["day"] > 8]
+    assert set(rows) == {r["day"] for r in clean}
+
+    def pctl(vals, p):
+        vals = sorted(vals)
+        if len(vals) == 1:
+            return float(vals[0])
+        pos = p * (len(vals) - 1)
+        lo = int(pos)
+        hi = min(lo + 1, len(vals) - 1)
+        return vals[lo] + (pos - lo) * (vals[hi] - vals[lo])
+
+    series = sorted((r["day"], r["v"]) for r in clean)
+    for i, (d, _v) in enumerate(series):
+        frame = [v for _, v in series[max(0, i - 6): i + 1]]
+        assert abs(rows[d][0] - pctl(frame, 0.5)) < 1e-12, d
+        assert abs(rows[d][1] - pctl(frame, 0.9)) < 1e-12, d
