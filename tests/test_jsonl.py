@@ -73,3 +73,34 @@ def test_cli_report_reads_jsonl(spark, sf_dir, tmp_path, capsys):
     assert rep["command"] == "report"
     assert rep["quarantined_lines"] == 0
     assert rep["n_docs"] == docs.count()
+
+
+def test_cli_curate_incremental_over_jsonl(spark, sf_dir, tmp_path):
+    """The incremental curation path accepts JSONL batches end-to-end:
+    base curate from one JSONL dir, then --incremental with a second —
+    survivors append and the manifest gains an increment, exactly as
+    with parquet inputs."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from dshackle_archive_spark.cli import main
+
+    out = str(tmp_path / "cli_inc_jsonl")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base_j = str(tmp_path / "base_jsonl")
+    batch_j = str(tmp_path / "batch_jsonl")
+    write_jsonl(docs.filter("doc_id < 100"), base_j, shards=2)
+    write_jsonl(docs.filter("doc_id >= 100 and doc_id < 130"), batch_j, shards=1)
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main(["curate", "--input", base_j,
+                     "--input-format", "jsonl", "--output", out]) == 0
+        assert main(["curate", "--input", batch_j,
+                     "--input-format", "jsonl", "--output", out,
+                     "--incremental"]) == 0
+    line = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert line["incremental"] is True
+    man = json.loads((tmp_path / "cli_inc_jsonl" / "_MANIFEST.json").read_text())
+    assert len(man["increments"]) == 1
