@@ -558,3 +558,138 @@ def start_streaming_heavy_hitters(
     if trigger_processing_time is not None:
         w = w.trigger(processingTime=trigger_processing_time)
     return w.start()
+
+
+def _kmv_u(col: str = "shingle"):
+    """The x27 KMV uniform: first 8 md5 hex chars / 2^32 — a pure function
+    of the value, so synopses built anywhere merge exactly."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+        / F.lit(4294967296.0)
+    )
+
+
+def _kmv_estimate(us: list, k: int) -> float:
+    """(k−1)/u_(k) above the exact regime; len(us) below it. ``us`` is the
+    ASCENDING synopsis list."""
+    if len(us) < k:
+        return float(len(us))
+    return (k - 1) / us[k - 1]
+
+
+def novelty_batch_step(
+    batch_docs: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    k: int = 1024,
+    n: int = 5,
+    text_col: str = "text",
+) -> dict:
+    """One micro-batch of the streaming NOVELTY monitor — "is this crawl
+    slice adding new text or re-serving what we already ingested?" (the
+    x42 diagnostic at the streaming front door).
+
+    Exact cross-batch novelty would need every shingle ever seen — state
+    that grows with the corpus. A KMV synopsis (the k smallest md5-derived
+    uniforms over 5-gram shingles, the x27 sketch) is FIXED at k rows
+    forever and mergeable by construction: distinct-count estimates for
+    the prior corpus and for prior ∪ batch come from the same synopsis
+    rule, and their difference estimates the batch's NEW distinct
+    shingles. Relative error ~1/√k (≈3% at k=1024).
+
+    Per batch: one distinct-shingle reduce of the batch (corpus-scale work
+    happens HERE, on the batch only), a k-row TakeOrdered for the batch
+    synopsis, a k-row merge with the prior synopsis (metadata), and a
+    gen-dir write with the same retain-two GC as the near-dup band store.
+    Returns the monitor row as a plain dict.
+    """
+    import os
+    import shutil
+
+    from ..operators.dedup import shingles
+
+    sh_u = (
+        shingles(
+            batch_docs.select(F.lit(0).alias("doc_id"), F.col(text_col).alias("text")),
+            n=n,
+        )
+        .select("shingle")
+        .distinct()
+        .select(_kmv_u("shingle").alias("u"))
+    )
+    batch_distinct = sh_u.count()
+    batch_syn = [r["u"] for r in sh_u.orderBy("u").limit(k).collect()]
+
+    prior: list = []
+    gens = _gen_dirs(state_dir)
+    if gens:
+        spark = batch_docs.sparkSession
+        prior = [
+            r["u"]
+            for r in spark.read.parquet(gens[-1][1]).orderBy("u").collect()
+        ]
+
+    merged = sorted(set(prior) | set(batch_syn))[:k]
+    est_prior = _kmv_estimate(prior, k)
+    est_union = _kmv_estimate(merged, k)
+    novel_est = max(est_union - est_prior, 0.0)
+    row = {
+        "batch_id": batch_id,
+        "batch_distinct": batch_distinct,
+        "est_prior": round(est_prior, 2),
+        "est_union": round(est_union, 2),
+        "novel_est": round(novel_est, 2),
+        "novelty_rate": round(
+            min(novel_est / batch_distinct, 1.0), 6
+        ) if batch_distinct else 0.0,
+    }
+    spark = batch_docs.sparkSession
+    gen_path = os.path.join(state_dir, f"gen={batch_id}")
+    spark.createDataFrame([(u,) for u in merged], "u double").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(gen_path)
+    for _g, p in _gen_dirs(state_dir)[:-2]:
+        shutil.rmtree(p, ignore_errors=True)
+    return row
+
+
+def start_streaming_novelty_monitor(
+    stream_docs: DataFrame,
+    state_dir: str,
+    output_path: str,
+    checkpoint: str,
+    k: int = 1024,
+    alert_below: float | None = None,
+    trigger_processing_time: str | None = None,
+    available_now: bool = False,
+):
+    """Wire ``novelty_batch_step`` into a StreamingQuery: one monitor row
+    per micro-batch appends to ``output_path`` (parquet). ``alert_below``
+    flags batches whose novelty rate drops under the floor — the "this
+    feed started re-serving its own archive" alarm. ``available_now``
+    drains the currently-available input and terminates (the catch-up /
+    test mode); default is a continuous query."""
+    import json as _json
+
+    def on_batch(bdf: DataFrame, batch_id: int) -> None:
+        row = novelty_batch_step(bdf, state_dir, batch_id, k=k)
+        if alert_below is not None:
+            row["alert"] = row["novelty_rate"] < alert_below
+        spark = bdf.sparkSession
+        schema = (
+            "batch_id long, batch_distinct long, est_prior double, "
+            "est_union double, novel_est double, novelty_rate double"
+            + (", alert boolean" if alert_below is not None else "")
+        )
+        spark.createDataFrame([tuple(row.values())], schema).write.mode(
+            "append"
+        ).parquet(output_path)
+
+    w = stream_docs.writeStream.foreachBatch(on_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    elif trigger_processing_time is not None:
+        w = w.trigger(processingTime=trigger_processing_time)
+    return w.start()

@@ -958,3 +958,55 @@ def test_streaming_rolling_quantile_matches_batch_rule(spark, tmp_path):
         frame = [v for _, v in series[max(0, i - 6): i + 1]]
         assert abs(rows[d][0] - pctl(frame, 0.5)) < 1e-12, d
         assert abs(rows[d][1] - pctl(frame, 0.9)) < 1e-12, d
+
+
+def test_streaming_novelty_monitor(spark, tmp_path):
+    """KMV novelty monitor over three availableNow batches: fresh corpus
+    (~1.0), verbatim re-serve (~0.0, alert fires), half-new slice (~0.5).
+    State is the fixed-k synopsis — the batch that RE-SERVES content
+    leaves the synopsis unchanged."""
+    import json as _json
+    import os
+
+    from dshackle_archive_spark.streaming.doc_stream import (
+        start_streaming_novelty_monitor,
+    )
+
+    data_dir = tmp_path / "nov_in"
+    data_dir.mkdir()
+    ckpt = str(tmp_path / "_ckpt_nov")
+    out_dir = str(tmp_path / "nov_out")
+    state = str(tmp_path / "nov_state")
+
+    def doc(i):  # ~40 distinct shingles per doc, disjoint across docs
+        return {"text": " ".join(f"w{i}_{j}" for j in range(44))}
+
+    def run_once():
+        src = spark.readStream.schema("text string").json(str(data_dir))
+        q = start_streaming_novelty_monitor(
+            src, state, out_dir, ckpt, k=256, alert_below=0.2,
+            available_now=True,
+        )
+        assert q.awaitTermination(120)
+
+    (data_dir / "b1.json").write_text(
+        "\n".join(_json.dumps(doc(i)) for i in range(40))
+    )
+    run_once()
+    (data_dir / "b2.json").write_text(  # exact re-serve of 20 batch-1 docs
+        "\n".join(_json.dumps(doc(i)) for i in range(20))
+    )
+    run_once()
+    (data_dir / "b3.json").write_text(  # half repeats, half new
+        "\n".join(_json.dumps(doc(i)) for i in range(30, 50))
+    )
+    run_once()
+
+    rows = {r["batch_id"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[0]["novelty_rate"] > 0.85 and not rows[0]["alert"]
+    assert rows[1]["novelty_rate"] < 0.15 and rows[1]["alert"]
+    assert 0.3 < rows[2]["novelty_rate"] < 0.7 and not rows[2]["alert"]
+    # retain-two gen GC
+    gens = [d for d in os.listdir(state) if d.startswith("gen=")]
+    assert len(gens) <= 2
