@@ -145,6 +145,7 @@ EXTRA = [
     "d14_cross_source_dup",
     "x45_code_detection",
     "w9_rolling_quantile",
+    "d15_lsh_band_tuning",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))

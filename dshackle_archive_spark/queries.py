@@ -7949,3 +7949,159 @@ def w9_rolling_quantile(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.percentile("n", F.lit(0.5)).over(w), 6).alias("p50_7d"),
         F.round(F.percentile("n", F.lit(0.9)).over(w), 6).alias("p90_7d"),
     )
+
+
+def _bands_sql_cfg(bands: int, rpb: int) -> str:
+    """Band rows for an arbitrary (bands × rows_per_band) split of the
+    16-hash signature — the parametric form of ``_BANDS_SQL``."""
+    return " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, md5(concat_ws('|', "
+        + ", ".join(f"m{rpb * b + r}" for r in range(rpb))
+        + ")) AS band_hash FROM sigs"
+        for b in range(bands)
+    )
+
+
+def _lsh_cfg_sql(bands: int, rpb: int) -> str:
+    """Per-config CTE chain for d15: banded rows → candidate pairs →
+    confusion counts vs the shared ``truth``."""
+    tag = f"{bands}x{rpb}"
+    return f"""
+    banded{tag} AS ({_bands_sql_cfg(bands, rpb)}),
+    pred{tag} AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded{tag} a JOIN banded{tag} b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ), stats{tag} AS (
+      SELECT CAST({bands} AS BIGINT) AS bands,
+             CAST({rpb} AS BIGINT) AS rows_per_band,
+             CAST(sum(in_pred) AS BIGINT) AS n_candidates,
+             CAST(sum(in_pred * in_truth) AS BIGINT) AS tp,
+             CAST(sum(in_pred * (1 - in_truth)) AS BIGINT) AS fp,
+             CAST(sum((1 - in_pred) * in_truth) AS BIGINT) AS fn,
+             round(CAST(sum(in_pred * in_truth) AS DOUBLE)
+                   / greatest(sum(in_pred), 1), 6) AS precision_,
+             round(CAST(sum(in_pred * in_truth) AS DOUBLE)
+                   / greatest(sum(in_truth), 1), 6) AS recall
+      FROM (
+        SELECT CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_pred,
+               CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_truth
+        FROM pred{tag} p FULL OUTER JOIN truth t
+          ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b
+      )
+    )"""
+
+
+@query(
+    "d15_lsh_band_tuning",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 100
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, concat(text, ' zz') AS text
+      FROM documents WHERE doc_id < 20
+    ), norm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM corpus
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+      FROM norm, unnest(generate_series(1, greatest(len(toks), 1))) t(i)
+      WHERE i <= greatest(len(toks) - 2, 1)
+        AND length(concat_ws(' ', toks[i], toks[i+1], toks[i+2])) > 0
+    ), sigs AS (
+      SELECT doc_id,
+           {{minhash}}
+      FROM sh GROUP BY doc_id
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), truth AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.5
+    ),
+    {{cfg1}},
+    {{cfg2}},
+    {{cfg3}}
+    SELECT * FROM stats2x8
+    UNION ALL SELECT * FROM stats4x4
+    UNION ALL SELECT * FROM stats8x2
+    """.format(
+        minhash=_MINHASH_AGGS_SQL,
+        cfg1=_lsh_cfg_sql(2, 8),
+        cfg2=_lsh_cfg_sql(4, 4),
+        cfg3=_lsh_cfg_sql(8, 2),
+    ),
+)
+def d15_lsh_band_tuning(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH banding TUNING CURVE — precision/recall of the MinHash
+    candidate generator at three splits of the same 16-hash signature
+    (2×8 strict … 8×2 loose) against exact-Jaccard≥0.5 truth. The dedup
+    twin of v15's recall-vs-nprobe curve: banding theory says collision
+    probability is 1−(1−J^r)^b, and this measures where each config's
+    cliff actually lands on the corpus at hand, so the dedup pass picks
+    (b, r) from data. x30 audits ONE config; this emits the curve.
+
+    Scale shape: ONE signature build (the d2 plan) feeds all three
+    configs — banding is a projection of the signature array, candidates
+    are band equi-joins, and each config's confusion counts come from a
+    full-outer join of two metadata-sized pair lists against the shared
+    exact-truth side (posting-list join, corpus-bounded by construction
+    here; sampled slice at scale)."""
+    from .operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = _t(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") < 100).select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+        )
+    )
+    sh = shingles(corpus, n=3)
+    sigs = minhash_signatures(sh, num_hashes=16, token_col="shingle")
+    truth = (
+        jaccard_pairs(sh, threshold=0.5, token_col="shingle", max_token_df=None)
+        .select("doc_a", "doc_b")
+        .withColumn("in_truth", F.lit(1))
+    )
+    out = None
+    for bands, rpb in ((2, 8), (4, 4), (8, 2)):
+        pred = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rpb).withColumn(
+            "in_pred", F.lit(1)
+        )
+        joined = pred.join(truth, ["doc_a", "doc_b"], "full_outer").select(
+            F.coalesce("in_pred", F.lit(0)).alias("in_pred"),
+            F.coalesce("in_truth", F.lit(0)).alias("in_truth"),
+        )
+        tp = F.sum(F.col("in_pred") * F.col("in_truth"))
+        stats = joined.groupBy().agg(
+            F.lit(bands).cast("bigint").alias("bands"),
+            F.lit(rpb).cast("bigint").alias("rows_per_band"),
+            F.sum("in_pred").cast("bigint").alias("n_candidates"),
+            tp.cast("bigint").alias("tp"),
+            F.sum(F.col("in_pred") * (1 - F.col("in_truth")))
+            .cast("bigint")
+            .alias("fp"),
+            F.sum((1 - F.col("in_pred")) * F.col("in_truth"))
+            .cast("bigint")
+            .alias("fn"),
+            F.round(
+                tp.cast("double") / F.greatest(F.sum("in_pred"), F.lit(1)), 6
+            ).alias("precision_"),
+            F.round(
+                tp.cast("double") / F.greatest(F.sum("in_truth"), F.lit(1)), 6
+            ).alias("recall"),
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out
