@@ -146,6 +146,7 @@ EXTRA = [
     "x45_code_detection",
     "w9_rolling_quantile",
     "d15_lsh_band_tuning",
+    "p11_json_schema_profile",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))

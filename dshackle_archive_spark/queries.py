@@ -8105,3 +8105,88 @@ def d15_lsh_band_tuning(spark: SparkSession, sf: str) -> DataFrame:
         )
         out = stats if out is None else out.unionByName(stats)
     return out
+
+
+@query(
+    "p11_json_schema_profile",
+    """
+    WITH base AS (
+      SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+             CAST(floor(value) AS BIGINT) AS v_int,
+             value > 50 AS has_v,
+             event_type, user_id,
+             count(*) OVER () AS total
+      FROM events
+    ), kv AS (
+      SELECT 'k' AS key, CAST(k_val AS VARCHAR) AS val, total FROM base
+      UNION ALL
+      SELECT 'v', CAST(v_int AS VARCHAR), total FROM base WHERE has_v
+      UNION ALL
+      SELECT 't', event_type, total FROM base WHERE event_type <> 'click'
+      UNION ALL
+      SELECT 'u', CAST(user_id % 100 AS VARCHAR), total
+      FROM base WHERE user_id % 3 = 0
+    )
+    SELECT key,
+           CAST(count(*) AS BIGINT) AS n_present,
+           round(CAST(count(*) AS DOUBLE) / any_value(total), 6) AS fill_rate,
+           CAST(count(DISTINCT val) AS BIGINT) AS n_distinct_vals
+    FROM kv GROUP BY 1
+    """,
+)
+def p11_json_schema_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON SCHEMA-ON-READ PROFILING — the drift detector for
+    semi-structured payload columns: per key, how often it appears
+    (fill rate) and how many distinct values it takes. The reference
+    stores raw RPC JSON and extracts known paths (P4); a pipeline
+    ingesting third-party JSON needs the inverse — "what keys are
+    actually in here, and did the producer change schema mid-stream?"
+    The events table's ``props`` is single-key, so the profiled column
+    is a deterministic enrichment (conditional integer/string fields),
+    and the ENGINE side must discover its keys generically.
+
+    Engine path: build the JSON with ``to_json(struct(...))`` (null
+    fields dropped), rediscover it with ``from_json`` to
+    ``map<string,string>`` and ONE map explode — no per-key literal
+    paths, so unknown producer keys profile identically. The oracle
+    derives the same profile from the construction conditions directly —
+    an independent route to the same counts. All values are integers or
+    categorical strings (no float rendering drift across engines).
+
+    Scale shape: one generate + one partial-agg shuffle into key cells;
+    the distinct-count rides the same shuffle ((key, val) pre-aggregate);
+    the event total folds in as a window over the 4-row profile, not a
+    second corpus pass."""
+    ev = _t(spark, sf, "events")
+    props2 = F.to_json(
+        F.struct(
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+            F.when(
+                F.col("value") > 50, F.floor("value").cast("bigint")
+            ).alias("v"),
+            F.when(
+                F.col("event_type") != "click", F.col("event_type")
+            ).alias("t"),
+            F.when(
+                F.col("user_id") % 3 == 0, F.col("user_id") % 100
+            ).alias("u"),
+        )
+    )
+    kv = (
+        ev.select(F.explode(F.from_json(props2, "map<string,string>")).alias("key", "val"))
+    )
+    nn = ev.groupBy().agg(F.count("*").alias("total"))
+    return (
+        kv.groupBy("key")
+        .agg(
+            F.count("*").alias("n_present"),
+            F.countDistinct("val").alias("n_distinct_vals"),
+        )
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "key",
+            "n_present",
+            F.round(F.col("n_present") / F.col("total"), 6).alias("fill_rate"),
+            "n_distinct_vals",
+        )
+    )

@@ -64,6 +64,7 @@ ONE_ROW_BOUND_QUERIES = {
     "x40_priority_sample",  # threshold τ (21st priority) as a 1-row broadcast
     "a20_bloom_filter_fpr",  # filter/member/probe stats as 1-row broadcasts
     "x44_burstiness",  # corpus doc count as a 1-row broadcast (x11 shape)
+    "p11_json_schema_profile",  # event total as a 1-row broadcast
 }
 SMALL_NONEQUI_BROADCAST_QUERIES = {
     "j7_range_chunk_assignment",  # files × chunk intervals (chunks tiny)
