@@ -104,3 +104,38 @@ def test_cli_curate_incremental_over_jsonl(spark, sf_dir, tmp_path):
     assert line["incremental"] is True
     man = json.loads((tmp_path / "cli_inc_jsonl" / "_MANIFEST.json").read_text())
     assert len(man["increments"]) == 1
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    texts=st.lists(
+        st.text(max_size=40),  # arbitrary unicode incl. newlines/quotes
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_jsonl_roundtrip_arbitrary_text(spark, texts):
+    """Property test: JSONL escaping survives arbitrary unicode — embedded
+    newlines, quotes, backslashes, control characters — value-exact both
+    directions (the corrupt-line quarantine must stay EMPTY: we wrote
+    valid JSON, nothing may be misclassified)."""
+    import shutil
+    import tempfile
+
+    rows = [(i, t, "xx", "s", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = tempfile.mkdtemp(prefix="jsonl_prop_")
+    try:
+        write_jsonl(df.coalesce(1), out, compression="none")
+        clean, quarantine = read_jsonl(spark, out)
+        assert quarantine.count() == 0
+        got = {r["doc_id"]: r["text"] for r in clean.collect()}
+        assert got == {i: t for i, t, *_ in rows}
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
