@@ -966,3 +966,25 @@ def test_covariance_cells_is_partition_bounded(spark, sf_dir):
     )
     assert "MapInPandas" in plan, plan
     assert "Generate" not in plan, plan  # no explode anywhere
+
+
+def test_ivf_topk_curve_slices_equal_standalone(spark, sf_dir):
+    """The shared-assign curve's docstring contract: each nprobe slice is
+    value-identical to a standalone ivf_topk run at that setting."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    curve = S.ivf_topk_curve(emb, queries, k=3, n_cells=16, nprobes=(1, 2, 4))
+    rows = curve.collect()
+    for np_ in (1, 2, 4):
+        sliced = sorted(
+            (r["query_id"], r["neighbor_id"], r["rank"], r["sim"])
+            for r in rows
+            if r["nprobe"] == np_
+        )
+        standalone = sorted(
+            (r["query_id"], r["neighbor_id"], r["rank"], r["sim"])
+            for r in S.ivf_topk(
+                emb, queries, k=3, n_cells=16, nprobe=np_
+            ).collect()
+        )
+        assert sliced == standalone, np_
