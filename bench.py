@@ -166,6 +166,34 @@ def median_time(spark, name: str, sf_dir: str, reps: int = REPS) -> tuple[float,
     return statistics.median(ts), min(ts)
 
 
+# Round-7 hardening: BENCH_r06 was taken on a loaded machine (canary 0.189
+# before vs 0.130 after; v3 median 5.86 s vs best 2.00 s) and recorded
+# phantom 1.3-2.6x regressions for plans that hadn't changed. Two defenses:
+# (a) a median that's >SPREAD_LIMIT x its own best-of-N is ambient load, not
+#     the plan — re-measure up to MAX_RETRIES times and keep the
+#     tightest-spread attempt (the one least polluted by load);
+# (b) if the drift canary moves >25% across the suite, stamp
+#     ``load_suspect: true`` into BOTH the stdout line and the sidecar so a
+#     contaminated run can't silently become the round's official number.
+SPREAD_LIMIT = 1.5
+MAX_RETRIES = 2
+CANARY_DRIFT_LIMIT = 0.25
+
+
+def defended_time(spark, name: str, sf_dir: str) -> tuple[float, float, int]:
+    """(median, best, retries) — re-run while median/best spread > 1.5x."""
+    med, mn = median_time(spark, name, sf_dir)
+    retries = 0
+    best_attempt = (med, mn)
+    while mn > 0 and med / mn > SPREAD_LIMIT and retries < MAX_RETRIES:
+        retries += 1
+        med, mn = median_time(spark, name, sf_dir)
+        if mn > 0 and (med / mn) < (best_attempt[0] / best_attempt[1]):
+            best_attempt = (med, mn)
+    med, mn = best_attempt
+    return med, mn, retries
+
+
 def canary_time(spark, sf_dir: str) -> float:
     """Pinned trivial query: a fixed one-stage scan+agg whose plan never
     changes round-over-round — any movement here is the machine, not code."""
@@ -214,10 +242,13 @@ def main() -> None:
 
     times: dict[str, float] = {}
     best: dict[str, float] = {}
+    load_retries: dict[str, int] = {}
     for n in names:
-        med, mn = median_time(spark, n, sf_dir)
+        med, mn, retries = defended_time(spark, n, sf_dir)
         times[n] = round(med, 4)
         best[n] = round(mn, 4)
+        if retries:
+            load_retries[n] = retries
 
     # scale sweep: the same set at smaller sfs (medians); ratio vs sf0.01
     sweep: dict[str, dict[str, float]] = {}
@@ -245,10 +276,17 @@ def main() -> None:
         "suite_seconds": round(time.perf_counter() - t_suite, 1),
         "cpus": int(cpus),
     }
+    drift = (
+        abs(canary_after - canary_before) / min(canary_before, canary_after)
+        if min(canary_before, canary_after) > 0
+        else 0.0
+    )
+    load_suspect = drift > CANARY_DRIFT_LIMIT
     canary = {
         "query": "lineitem count+sum",
         "before": canary_before,
         "after": canary_after,
+        "drift": round(drift, 3),
     }
     # The driver captures only a tail of stdout; round 4's artifact lost the
     # head of one giant JSON line (sweep dicts made it ~8 KB). The stdout
@@ -260,6 +298,8 @@ def main() -> None:
         "sweep_median": sweep,
         "ratio_vs_sf0.01": ratios,
         "canary": canary,
+        "load_suspect": load_suspect,
+        "load_retries": load_retries,
         "meta": meta,
         "queries_median": times,
         "total": total,
@@ -286,6 +326,7 @@ def main() -> None:
                 "sf": sf,
                 "reps": REPS,
                 "stat": "median",
+                "load_suspect": load_suspect,
                 "canary": canary,
                 "meta": meta,
                 "detail": "BENCH_DETAIL.json",
