@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..core.checkpoint import reliable_checkpoint
 
 
 def normalized_text(col: str = "text") -> Column:
@@ -372,7 +373,7 @@ def connected_components(
             "node",
             F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
         )
-        new_labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
+        new_labels = new_labels.transform(reliable_checkpoint)  # truncate lineage
         cur_sum = new_labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)"))
         ).collect()[0][0]
@@ -425,7 +426,7 @@ def connected_components_star(
             F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(reliable_checkpoint)
     )
     n_edges = edges.count()
     rounds = 0
@@ -455,7 +456,7 @@ def connected_components_star(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(reliable_checkpoint)
         )
         rounds += 1
         new_n = small.count()
@@ -831,10 +832,10 @@ def pagerank(
     the recursion well-defined either way."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     deg = e.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
-    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    ed = e.join(deg, "src").transform(reliable_checkpoint)
     verts = ed.select(F.col("src").alias("node")).unionByName(
         ed.select(F.col("dst").alias("node"))
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().transform(reliable_checkpoint)
     nn = verts.groupBy().agg(F.count("*").cast("double").alias("n"))
     ranks = verts.crossJoin(F.broadcast(nn)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("pr")
@@ -907,7 +908,7 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
             .alias("e")
         )
         .select("e.u", "e.v")
-        .localCheckpoint(eager=True)
+        .transform(reliable_checkpoint)
     )
     w1 = oriented.select(F.col("u").alias("pivot"), F.col("v").alias("x"))
     w2 = oriented.select(F.col("u").alias("pivot"), F.col("v").alias("y"))

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..core.checkpoint import reliable_checkpoint
 
 
 def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
@@ -333,7 +334,7 @@ def ann_topk(
     queries)."""
     sigs = hyperplane_signatures(vectors, dim, n_tables, n_bits, id_col, vec_col)
     if materialize:
-        sigs = sigs.localCheckpoint(eager=True)
+        sigs = sigs.transform(reliable_checkpoint)
     cands = ann_candidate_pairs(sigs)
     v = vectors.select(
         F.col(id_col).alias("vec_id"),
@@ -429,7 +430,7 @@ def ivf_train(
             comp.groupBy("cell_id")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("_ps"))
             .select("cell_id", F.transform("_ps", lambda s: s["cx"]).alias("cvec"))
-            .localCheckpoint(eager=True)
+            .transform(reliable_checkpoint)
         )
     return assign.select("vec_id", "cell_id"), cents
 
@@ -1059,7 +1060,7 @@ def ivf_topk_curve(
                 6,
             ).alias("sim"),
         )
-        .localCheckpoint(eager=True)  # one rerank feeds every nprobe slice
+        .transform(reliable_checkpoint)  # one rerank feeds every nprobe slice
     )
     out = None
     for np_ in nprobes:

@@ -27,6 +27,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..core.checkpoint import reliable_checkpoint
 
 from ..operators.dedup import (
     band_rows,
@@ -143,7 +144,7 @@ def curate(
 
     stage = quality_filter(
         docs, min_tokens, max_tokens, min_stopword_ratio, max_punct_ratio
-    ).localCheckpoint()
+    ).transform(reliable_checkpoint)
     res.stage_counts["quality"] = stage.count()
     observed = stage  # post-quality, pre-strip: source of the segment-df index
 
@@ -169,14 +170,14 @@ def curate(
             )
             .filter(F.col("kept_tokens") >= min_tokens)
             .drop("kept_tokens")
-            .localCheckpoint()
+            .transform(reliable_checkpoint)
         )
         res.stage_counts["passage_strip"] = stage.count()
 
-    stage = distinct_documents(stage).localCheckpoint()
+    stage = distinct_documents(stage).transform(reliable_checkpoint)
     res.stage_counts["exact_dedup"] = stage.count()
 
-    stage = neardup_filter(stage, jaccard_threshold=jaccard_threshold).localCheckpoint()
+    stage = neardup_filter(stage, jaccard_threshold=jaccard_threshold).transform(reliable_checkpoint)
     res.stage_counts["neardup"] = stage.count()
 
     if benchmark is not None:
@@ -186,7 +187,7 @@ def curate(
             n=contamination_n,
             threshold=contamination_threshold,
         ).select("doc_id")
-        stage = stage.join(flagged, "doc_id", "left_anti").localCheckpoint()
+        stage = stage.join(flagged, "doc_id", "left_anti").transform(reliable_checkpoint)
         res.stage_counts["decontaminated"] = stage.count()
 
     out = stage.withColumn("split", split_column())
@@ -445,7 +446,7 @@ def curate_incremental(
 
     stage = quality_filter(
         new_docs, min_tokens, max_tokens, min_stopword_ratio, max_punct_ratio
-    ).localCheckpoint()
+    ).transform(reliable_checkpoint)
     res.stage_counts["quality"] = stage.count()
     observed = stage  # post-quality, pre-strip: source of the segment-df index
 
@@ -497,11 +498,11 @@ def curate_incremental(
             )
             .filter(F.col("kept_tokens") >= min_tokens)
             .drop("kept_tokens")
-            .localCheckpoint()
+            .transform(reliable_checkpoint)
         )
         res.stage_counts["passage_strip"] = stage.count()
 
-    stage = distinct_documents(stage).localCheckpoint()
+    stage = distinct_documents(stage).transform(reliable_checkpoint)
     res.stage_counts["exact_dedup"] = stage.count()
 
     # 2. exact cross-corpus: hash anti join against the index (never text)
@@ -529,11 +530,11 @@ def curate_incremental(
             "left_anti",
         )
         .drop("_h")
-        .localCheckpoint()
+        .transform(reliable_checkpoint)
     )
     res.stage_counts["prior_exact"] = stage.count()
 
-    stage = neardup_filter(stage, jaccard_threshold=jaccard_threshold).localCheckpoint()
+    stage = neardup_filter(stage, jaccard_threshold=jaccard_threshold).transform(reliable_checkpoint)
     res.stage_counts["neardup"] = stage.count()
 
     # 4. cross-corpus near-dup: probe the band index, confirm on shingles
@@ -557,7 +558,7 @@ def curate_incremental(
         )
         .select(F.col("doc_id").alias("doc_a"), F.col("prior_id").alias("doc_b"))
         .distinct()
-        .localCheckpoint()
+        .transform(reliable_checkpoint)
     )
     hit_ids = cand.select(F.col("doc_b").alias("doc_id")).distinct()
     if snapshot:
@@ -578,7 +579,7 @@ def curate_incremental(
         confirmed.withColumnRenamed("doc_a", "doc_id").distinct(),
         "doc_id",
         "left_anti",
-    ).localCheckpoint()
+    ).transform(reliable_checkpoint)
     res.stage_counts["prior_neardup"] = stage.count()
 
     if benchmark is not None:
@@ -588,7 +589,7 @@ def curate_incremental(
             n=contamination_n,
             threshold=contamination_threshold,
         ).select("doc_id")
-        stage = stage.join(flagged, "doc_id", "left_anti").localCheckpoint()
+        stage = stage.join(flagged, "doc_id", "left_anti").transform(reliable_checkpoint)
         res.stage_counts["decontaminated"] = stage.count()
 
     out = stage.withColumn("split", split_column())

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..core.checkpoint import reliable_checkpoint
 
 from ..operators.dedup import (
     content_hash,
@@ -55,7 +56,7 @@ def corpus_report(
     - ``bursty_terms``: top-k terms by mean occurrences per containing
       doc among the df-frequent vocabulary (boilerplate suspects)
     """
-    docs = docs.localCheckpoint(eager=True)
+    docs = docs.transform(reliable_checkpoint)
 
     counts = docs.agg(
         F.count("*").alias("n"),

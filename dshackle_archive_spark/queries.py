@@ -19,6 +19,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from .core.checkpoint import reliable_checkpoint
 
 from .sources.tables import load_table
 
@@ -1634,9 +1635,7 @@ def d4_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     # signatures materialize once (localCheckpoint): the special side is a
     # filter of the same subtree, so both join inputs read the checkpointed
     # rows instead of recomputing the 64-dot×64-plane projection twice
-    sigs = hyperplane_signatures(corpus, dim=64, n_tables=8, n_bits=8).localCheckpoint(
-        eager=True
-    )
+    sigs = hyperplane_signatures(corpus, dim=64, n_tables=8, n_bits=8).transform(reliable_checkpoint)
     # every qualifying pair has ≥1 endpoint in the tiny special set
     # ({id<10} ∪ {id≥100000}), so join special-side signatures (broadcast)
     # against the corpus instead of distinct-ing the full all-pairs candidate
@@ -6868,7 +6867,7 @@ def d12_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     a = pairs.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
     b = pairs.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
     edges = a.join(b, "o").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.transform(reliable_checkpoint)
     tri = triangle_counts(edges, src="u", dst="v")
     deg = (
         edges.select(F.col("u").alias("node"))

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..core.checkpoint import reliable_checkpoint
 
 from ..operators.dedup import content_hash, normalized_text
 
@@ -154,7 +155,7 @@ def neardup_batch_step(
     from ..operators.dedup import minhash_signatures, shingles
 
     spark = batch_docs.sparkSession
-    batch_docs = batch_docs.localCheckpoint(eager=True)
+    batch_docs = batch_docs.transform(reliable_checkpoint)
 
     sigs = minhash_signatures(
         shingles(batch_docs, n=n, text_col=text_col), num_hashes=num_hashes
@@ -376,7 +377,7 @@ def start_streaming_drift_monitor(
     pipeline alarms on. ``alert_kl`` adds an ``alert`` boolean column. The
     reference is localCheckpointed once up front so every batch reuses the
     materialized vocabulary table instead of re-aggregating the corpus."""
-    ref = reference.localCheckpoint(eager=True)
+    ref = reference.transform(reliable_checkpoint)
 
     def on_batch(bdf: DataFrame, batch_id: int) -> None:
         scores = drift_batch_step(bdf, ref, batch_id)
@@ -460,7 +461,7 @@ def countmin_merge_step(
         .groupBy("r", "bucket")
         .agg(F.sum("cell").alias("cell"))
     )
-    merged = merged.localCheckpoint(eager=True)
+    merged = merged.transform(reliable_checkpoint)
 
     tok = (
         batch_docs.select(

@@ -1,0 +1,68 @@
+"""The configurable checkpoint strategy (core/checkpoint.py).
+
+On local[N] both strategies are correct; the difference is cluster
+durability — localCheckpoint blocks die with their executor AND lineage is
+gone, so iterative plans must be able to switch to reliable (DFS-backed)
+checkpointing when a checkpoint dir is configured.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dshackle_archive_spark.core.checkpoint import (
+    CHECKPOINT_DIR_ENV,
+    reliable_checkpoint,
+)
+
+
+@pytest.fixture()
+def _clean_env():
+    old = os.environ.pop(CHECKPOINT_DIR_ENV, None)
+    yield
+    if old is None:
+        os.environ.pop(CHECKPOINT_DIR_ENV, None)
+    else:
+        os.environ[CHECKPOINT_DIR_ENV] = old
+
+
+def test_local_fallback_when_unconfigured(spark, _clean_env, tmp_path):
+    # even with a stale sc-level checkpoint dir from earlier in the JVM,
+    # the env var (not sticky SparkContext state) is the switch — nothing
+    # must be written anywhere when it's unset
+    probe = tmp_path / "never_used"
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    out = reliable_checkpoint(df)
+    assert out.count() == 100
+    assert not probe.exists()
+    # lineage is truncated: the checkpointed frame no longer references the
+    # original Range scan in its logical plan
+    assert "ExistingRDD" in out._jdf.queryExecution().optimizedPlan().toString() or (
+        "LogicalRDD" in out._jdf.queryExecution().logical().toString()
+    )
+
+
+def test_reliable_when_dir_configured(spark, _clean_env, tmp_path):
+    ckpt = tmp_path / "ckpt"
+    os.environ[CHECKPOINT_DIR_ENV] = str(ckpt)
+    df = spark.range(50).withColumn("v", F.col("id") + 1)
+    out = reliable_checkpoint(df)
+    assert out.count() == 50
+    # reliable path: setCheckpointDir was applied and block files landed
+    # under the configured dir (Spark creates a UUID subdir beneath it)
+    sc_dir = spark.sparkContext.getCheckpointDir()
+    assert sc_dir is not None and str(ckpt) in sc_dir
+    written = [p for p in ckpt.rglob("*") if p.is_file()]
+    assert written, "reliable checkpoint wrote no block files"
+
+
+def test_transform_chaining_and_parity(spark, _clean_env, tmp_path):
+    """Same rows through both strategies; .transform() chain style works."""
+    df = spark.range(20).withColumn("g", F.col("id") % 3)
+    local = df.transform(reliable_checkpoint).groupBy("g").count()
+    os.environ[CHECKPOINT_DIR_ENV] = str(tmp_path / "c2")
+    reliable = df.transform(reliable_checkpoint).groupBy("g").count()
+    assert sorted(map(tuple, local.collect())) == sorted(map(tuple, reliable.collect()))
