@@ -126,6 +126,35 @@ def main(argv: list[str] | None = None) -> int:
                         "otherwise)")
     p.add_argument("--format", choices=["parquet", "avro"], default="parquet",
                    dest="fmt", help="archive file format (avro = reference-compatible)")
+    p.add_argument("--compression", choices=["zstd", "snappy"], default="zstd",
+                   help="compression for newly written archive files "
+                        "(args.rs:102-104; default zstd = the reference's "
+                        "level-9 avro blocks, global.rs:34-43)")
+    p.add_argument("--fields-trace", "--fields.trace", dest="fields_trace",
+                   default="calls,stateDiff", metavar="LIST",
+                   help="which geth tracers the trace archive runs: comma "
+                        "list of calls,stateDiff (TraceOptions, "
+                        "datakind.rs:224-256)")
+    p.add_argument("--notify-dir", "--notify.dir", dest="notify_dir",
+                   default=None, metavar="DIR",
+                   help="write this run's notifications as one "
+                        "dshackle-archive-<ts>.jsonl file in DIR "
+                        "(notify/fs.rs:18-46)")
+    p.add_argument("--notify-pulsar-topic", "--notify.pulsar.topic",
+                   dest="notify_pulsar_topic", default=None, metavar="TOPIC",
+                   help="send notifications as JSON to this Pulsar topic "
+                        "(notify.pulsar.url must be specified; "
+                        "notify/pulsar.rs:30-68)")
+    p.add_argument("--notify-pulsar-url", "--notify.pulsar.url",
+                   dest="notify_pulsar_url", default=None, metavar="URL",
+                   help="Pulsar service URL for notifications "
+                        "(notify.pulsar.topic must be specified)")
+    p.add_argument("--metrics-await", "--metrics.await", dest="metrics_await",
+                   action="store_true",
+                   help="with --metrics: wait for one final /metrics scrape "
+                        "after the command finishes, so a pull-based "
+                        "Prometheus never misses the run's last counters "
+                        "(metrics/server.rs:34-50)")
     p.add_argument("--provider", default="mock",
                    help="mock | eth-rpc | btc-rpc (JSON-RPC over HTTP) | "
                         "eth-dshackle | btc-dshackle (gRPC NativeCall)")
@@ -197,13 +226,19 @@ def main(argv: list[str] | None = None) -> int:
                          sort_keys=True))
         return 0
 
+    if args.notify_pulsar_url and not args.notify_pulsar_topic:
+        raise SystemExit("notify.pulsar.url requires notify.pulsar.topic")
+    if args.notify_pulsar_topic and not args.notify_pulsar_url:
+        raise SystemExit("notify.pulsar.topic requires notify.pulsar.url")
+
     registry = None
+    metrics_srv = None
     if args.metrics:
         from .operators.metrics import MetricsRegistry, start_metrics_server
 
         host, _, port = args.metrics.partition(":")
         registry = MetricsRegistry()
-        start_metrics_server(registry, host or "127.0.0.1", int(port))
+        metrics_srv = start_metrics_server(registry, host or "127.0.0.1", int(port))
 
     if args.command == "curate":
         from pyspark.sql import SparkSession
@@ -234,7 +269,15 @@ def main(argv: list[str] | None = None) -> int:
 
     provider = _provider(args)
     tables = _tables(args.tables)
-    policy = FetchPolicy(parallel=max(1, min(args.parallel, 512)))
+    from .sources.fetcher import parse_trace_options
+
+    try:
+        calls, state_diff = parse_trace_options(args.fields_trace)
+    except ValueError as e:
+        raise SystemExit(f"bad --fields-trace: {e}")
+    policy = FetchPolicy(parallel=max(1, min(args.parallel, 512)),
+                         include_call_trace=calls,
+                         include_state_diff=state_diff)
     from pyspark.sql import SparkSession
 
     # only stop the session on exit if this invocation created it (embedded
@@ -253,26 +296,31 @@ def main(argv: list[str] | None = None) -> int:
         provider.client.metrics = (recorder, provider.blockchain_id)
 
     out: dict
+    notif_frames: list = []
     if args.command == "archive":
         from .plans.archive_plan import archive
 
         rng = _scope(args, provider)
         t0 = time.perf_counter()
         res = archive(spark, provider, args.dir, rng, tables=tables,
-                      chunk=args.chunk, policy=policy, fmt=args.fmt)
+                      chunk=args.chunk, policy=policy, fmt=args.fmt,
+                      compression=args.compression)
         if registry is not None:
             registry.record_write_results(res.write_rows, time.perf_counter() - t0)
         out = {"command": "archive", "range": str(rng), "written": res.written,
                "skipped": res.skipped, "files": res.files}
+        notif_frames = [res.notifications]
     elif args.command == "fix":
         from .plans.fix_plan import fix
 
         rng = _scope(args, provider)
         res = fix(spark, provider, args.dir, rng, tables=tables, chunk=args.chunk,
-                  policy=policy, dry_run=args.dry_run, snapshot=args.snapshot)
+                  policy=policy, dry_run=args.dry_run, snapshot=args.snapshot,
+                  fmt=args.fmt, compression=args.compression)
         out = {"command": "fix", "range": str(rng), "missing": res.missing,
                "archived_runs": len(res.archived),
                "snapshot_version": res.snapshot_version}
+        notif_frames = [r.notifications for r in res.archived]
     elif args.command == "verify":
         from .plans.verify_plan import verify
 
@@ -292,7 +340,8 @@ def main(argv: list[str] | None = None) -> int:
                       chunk=args.chunk, dry_run=args.dry_run,
                       block_json_schema=provider.block_json_schema,
                       tx_list_field=getattr(provider, "tx_list_field", "transactions"),
-                      snapshot=args.snapshot)
+                      snapshot=args.snapshot, fmt=args.fmt,
+                      compression=args.compression)
         out = {"command": "compact", "range": str(rng),
                "compacted": res.compacted_chunks, "skipped": res.skipped_chunks,
                "deleted_sources": len(res.deleted),
@@ -311,13 +360,46 @@ def main(argv: list[str] | None = None) -> int:
         st = run_stream(spark, provider, args.dir, tables=tables, policy=policy,
                         follow=args.follow, continue_from_archive=args.continue_,
                         num_batches=args.batches, head_source=head_source,
-                        metrics_registry=registry)
+                        metrics_registry=registry, fmt=args.fmt,
+                        compression=args.compression)
         out = {"command": "stream", "batches": st.batches,
                "archived_heights": st.archived_heights, "backfilled": st.backfilled}
+        if st.write_rows:
+            from .sources import ref_layout
+
+            notif_frames = [ref_layout.notifications_df(
+                spark.createDataFrame(st.write_rows, ref_layout.WRITE_RESULT_SCHEMA)
+            )]
+
+    notif_frames = [f for f in notif_frames if f is not None]
+    if notif_frames and (args.notify_dir or args.notify_pulsar_url):
+        from functools import reduce
+
+        nd = reduce(lambda a, b: a.unionByName(b), notif_frames)
+        if args.notify_dir:
+            from .sources.notify import write_notifications_dir
+
+            out["notify_dir_file"] = write_notifications_dir(nd, args.notify_dir)
+        if args.notify_pulsar_url:
+            from .sources.notify import send_notifications
+
+            send_notifications(nd, "pulsar-wire",
+                               service_url=args.notify_pulsar_url,
+                               topic=args.notify_pulsar_topic)
+            out["notify_pulsar_topic"] = args.notify_pulsar_topic
 
     if recorder is not None:
         recorder.drain_into(registry)
     print(json.dumps(out))
+    if metrics_srv is not None and args.metrics_await:
+        from .operators.metrics import await_final_scrape
+
+        # printed after the result line so scripted callers aren't blocked
+        # from parsing it while we wait (reference waits up to 60s,
+        # metrics/server.rs:36)
+        scraped = await_final_scrape(metrics_srv)
+        print(json.dumps({"metrics_await": "scraped" if scraped else "timeout"}),
+              file=sys.stderr)
     if owns_session:
         spark.stop()
     return 0

@@ -861,11 +861,25 @@ def pagerank(
     return ranks
 
 
-def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    canonical: bool = False,
+    with_degree: bool = False,
+) -> DataFrame:
     """Per-node triangle participation counts over an undirected simple
     graph given as (src, dst) pairs (either or both directions; duplicates
     and self-loops are dropped) → ``(node, triangles)`` covering every
     node that closes at least one triangle.
+
+    ``canonical=True`` promises the input is already deduplicated with
+    ``src < dst`` — skips the least/greatest + distinct normalization
+    shuffle (callers that just built the edge list canonically shouldn't
+    pay to re-canonicalize it). ``with_degree=True`` appends each node's
+    undirected degree (computed anyway for the orientation) to the output
+    — ``(node, triangles, deg)`` — saving callers a second degree pass
+    over the edges (clustering-coefficient consumers).
 
     Scale design — the MapReduce node-iterator++ of Suri & Vassilvitskii
     ("Counting Triangles and the Curse of the Last Reducer", WWW'11):
@@ -877,19 +891,22 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     wedge (a→b, a→c) closed by the oriented edge (b→c): two equi-join
     shuffles on node ids total, never an all-pairs product. The per-node
     rollup explodes each closed triangle into its three corners (3 rows
-    per triangle) and grouped-sums — triangle-count-bounded, not
-    edge-bounded."""
-    canon = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
+    per triangle, ONE pass — a union of three selects would re-execute
+    the wedge-close join three times) and grouped-sums —
+    triangle-count-bounded, not edge-bounded."""
+    if canonical:
+        canon = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    else:
+        canon = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("a"),
+                F.greatest(F.col(src), F.col(dst)).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
         )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
     deg = (
-        canon.select(F.col("a").alias("node"))
-        .unionByName(canon.select(F.col("b").alias("node")))
+        canon.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
     )
@@ -917,9 +934,8 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
     )
     tris = wedges.join(closer, ["x", "y"]).select("pivot", "x", "y")
-    corners = (
-        tris.select(F.col("pivot").alias("node"))
-        .unionByName(tris.select(F.col("x").alias("node")))
-        .unionByName(tris.select(F.col("y").alias("node")))
-    )
-    return corners.groupBy("node").agg(F.count("*").alias("triangles"))
+    corners = tris.select(F.explode(F.array("pivot", "x", "y")).alias("node"))
+    counts = corners.groupBy("node").agg(F.count("*").alias("triangles"))
+    if with_degree:
+        return counts.join(deg, "node")
+    return counts

@@ -244,13 +244,28 @@ def start_metrics_server(
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+            # --metrics.await support: signal anyone waiting for a scrape
+            self.server.scrape_count += 1
+            self.server.scrape_event.set()
 
         def log_message(self, *a):
             pass
 
     srv = ThreadingHTTPServer((host, port), Handler)
+    srv.scrape_count = 0
+    srv.scrape_event = threading.Event()
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     return srv
+
+
+def await_final_scrape(srv: ThreadingHTTPServer, timeout_s: float = 60.0) -> bool:
+    """``--metrics.await``: block until ONE MORE ``/metrics`` scrape lands
+    after the command finished, so a pull-based Prometheus never misses the
+    final counters of a short batch run (``metrics/server.rs:34-50`` —
+    notified-on-scrape with a timeout fallback). Returns True if a scrape
+    arrived, False on timeout."""
+    srv.scrape_event.clear()
+    return srv.scrape_event.wait(timeout_s)
 
 
 # -- executor→driver metrics bridge ------------------------------------------

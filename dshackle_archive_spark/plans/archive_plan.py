@@ -45,6 +45,7 @@ def archive(
     overwrite: bool = False,
     run: str = "archive",
     fmt: str = "parquet",
+    compression: str = "zstd",
 ) -> ArchiveResult:
     """Archive ``rng`` into reference-layout range files under ``root``.
 
@@ -66,6 +67,7 @@ def archive(
             overwrite=overwrite,
             requested=rng,
             fmt=fmt,
+            compression=compression,
         )
         results = wr if results is None else results.unionByName(wr)
 
@@ -93,6 +95,8 @@ def archive_single_blocks(
     forks: bool = False,
     run: str = "stream",
     maturity: str | None = None,
+    fmt: str = "parquet",
+    compression: str = "zstd",
 ) -> ArchiveResult:
     """Stream-shape archive: per-height single-block files, never overwritten,
     hash-qualified when fork-tolerant (T5)."""
@@ -113,6 +117,8 @@ def archive_single_blocks(
             maturity=maturity,
             hash_in_name=forks and kind == DataKind.BLOCKS,
             requested=rng,
+            fmt=fmt,
+            compression=compression,
         )
         results = wr if results is None else results.unionByName(wr)
     rows = results.collect()

@@ -149,6 +149,8 @@ def compact(
     block_json_schema=None,
     tx_list_field: str = "transactions",
     snapshot: bool = False,
+    fmt: str = "parquet",
+    compression: str = "zstd",
 ) -> CompactResult:
     from ..sources.avro_io import read_archive_data
 
@@ -250,6 +252,8 @@ def compact(
             run="compact",
             overwrite=True,
             domain=todo,
+            fmt=fmt,
+            compression=compression,
         )
         result.written.extend(r["location"] for r in wr.collect() if not r["skipped"])
 

@@ -43,6 +43,8 @@ def fix(
     policy: FetchPolicy = FetchPolicy(),
     dry_run: bool = False,
     snapshot: bool = False,
+    fmt: str = "parquet",
+    compression: str = "zstd",
 ) -> FixResult:
     inv = inventory_df(spark, root, provider.blockchain_id)
     kinds = tuple(k.value for k in tables)
@@ -74,6 +76,8 @@ def fix(
                 pieces,
                 run="fix",
                 overwrite=False,
+                fmt=fmt,
+                compression=compression,
             )
             rows = wr.collect()
             notif = ref_layout.notifications_df(

@@ -6858,26 +6858,38 @@ def d12_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     edges rather than O(d²) wedges (the power-law skew killer), then
     exactly one wedge per triangle closes via an equi-join on the
     canonical closing edge: two id-only shuffles, no all-pairs product.
-    The oracle is the independent a<b<c three-way self-join. Degrees ride
-    a separate count; top-k is a TakeOrderedAndProject on a total order."""
+    The co-purchase edge list is built with ONE groupBy(orderkey)
+    collect_set + in-row array self-pairing (sorted set ⇒ u<v for free)
+    instead of a row-level self-join — a TPC-H order holds ≤7 parts, so
+    the per-row pair expansion is ≤21 structs, replacing two join-side
+    shuffles of the (order, part) table with a single grouped pass.
+    Degrees ride along from the orientation pass (with_degree=True), not
+    a second scan. The oracle is the independent a<b<c three-way
+    self-join. Top-k is a TakeOrderedAndProject on a total order."""
     from .operators.dedup import triangle_counts
 
     li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    pairs = li.distinct()
-    a = pairs.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
-    b = pairs.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
-    edges = a.join(b, "o").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
-    edges = edges.transform(reliable_checkpoint)
-    tri = triangle_counts(edges, src="u", dst="v")
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionByName(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("deg"))
+    g = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + F.lit(2), F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
+    edges = (
+        g.select(F.explode(pair_structs).alias("e"))
+        .select("e.u", "e.v")
+        .distinct()
+        .transform(reliable_checkpoint)
+    )
+    tri = triangle_counts(edges, src="u", dst="v", canonical=True, with_degree=True)
     return (
-        tri.join(deg, "node")
-        .select(
+        tri.select(
             F.col("node").alias("part_id"),
             "triangles",
             "deg",

@@ -223,6 +223,18 @@ def _zstd_decompress(payload: bytes) -> bytes:
         return s.read()
 
 
+def _snappy_compress(data: bytes) -> bytes:
+    """Avro-spec snappy block: raw snappy (with its uncompressed-length
+    varint preamble) + 4-byte big-endian CRC32 of the UNCOMPRESSED data —
+    the exact inverse of ``_snappy_decompress``."""
+    import struct
+
+    import pyarrow as pa
+
+    raw = bytes(pa.Codec("snappy").compress(data))
+    return raw + struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+
+
 def _zstd_compress(data: bytes, level: int = 9) -> bytes:
     """zstd level 9 — the reference's default block compression
     (``src/global.rs:34-40``)."""
@@ -308,7 +320,7 @@ def write_avro_records(
     codec: str = "deflate",
     block_records: int = 1000,
 ) -> None:
-    """Write records into an Avro container (null/deflate/zstandard).
+    """Write records into an Avro container (null/deflate/snappy/zstandard).
 
     ``path`` is a filename or any binary file-like (the object-store sink
     serializes in memory)."""
@@ -343,6 +355,8 @@ def write_avro_records(
                 data = co.compress(data) + co.flush()
             elif codec in ("zstandard", "zstd"):
                 data = _zstd_compress(data)
+            elif codec == "snappy":
+                data = _snappy_compress(data)
             elif codec != "null":
                 raise ValueError(f"unsupported write codec {codec}")
             _write_long(f, len(chunk))

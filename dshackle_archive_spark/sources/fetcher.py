@@ -30,7 +30,12 @@ from ..schemas import BLOCKS_SCHEMA, TRACES_SCHEMA, TRANSACTIONS_SCHEMA
 
 @dataclass(frozen=True)
 class FetchPolicy:
-    """Retry/backoff envelope mirroring the reference's RPC policy."""
+    """Retry/backoff envelope mirroring the reference's RPC policy.
+
+    ``include_call_trace`` / ``include_state_diff`` are the reference's
+    ``--fields.trace`` selection (``TraceOptions``, ``datakind.rs:224-256``):
+    which geth tracers the trace archive runs per transaction. Both default
+    on, matching ``TraceOptions::default()``."""
 
     parallel: int = 16
     attempts: int = 10
@@ -38,6 +43,8 @@ class FetchPolicy:
     backoff_factor: float = 1.75
     backoff_cap_s: float = 2.0
     timeout_s: float = 10.0
+    include_call_trace: bool = True
+    include_state_diff: bool = True
 
     def call(self, fn: Callable, *args):
         delay = self.backoff_base_s
@@ -50,6 +57,22 @@ class FetchPolicy:
                 time.sleep(min(delay, self.backoff_cap_s))
                 delay *= self.backoff_factor
         raise last  # exhausted
+
+
+def parse_trace_options(spec: str) -> tuple[bool, bool]:
+    """``--fields.trace`` value → (include_call_trace, include_state_diff).
+
+    Mirrors ``TraceOptions::from_str`` (``datakind.rs:241-256``): a
+    case-insensitive comma list of ``calls`` / ``stateDiff``; at least one
+    must be present."""
+    tokens = {t.strip() for t in spec.lower().split(",")}
+    calls, state_diff = "calls" in tokens, "statediff" in tokens
+    if not calls and not state_diff:
+        raise ValueError(
+            "at least one of 'calls' or 'stateDiff' must be specified "
+            "for trace options"
+        )
+    return calls, state_diff
 
 
 def _now_utc() -> datetime:
@@ -147,8 +170,16 @@ def _tx_rows_for_block(
         if with_traces:
             base.update(
                 {
-                    "traceJson": policy.call(provider.trace_json, txid),
-                    "stateDiffJson": policy.call(provider.state_diff_json, txid),
+                    "traceJson": (
+                        policy.call(provider.trace_json, txid)
+                        if policy.include_call_trace
+                        else None
+                    ),
+                    "stateDiffJson": (
+                        policy.call(provider.state_diff_json, txid)
+                        if policy.include_state_diff
+                        else None
+                    ),
                 }
             )
         elif details_fn is not None:

@@ -31,6 +31,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def write_notifications_dir(write_results: DataFrame, notify_dir: str) -> str:
+    """``--notify.dir`` sink (``notify/fs.rs:18-46``): the run's
+    notifications as one ``dshackle-archive-<UTC ts>.jsonl`` file, one JSON
+    object per line — the reference's exact file naming and framing.
+
+    Driver-side single-file write on purpose: the payload is one small JSON
+    line per archived *file* (metadata scale), and the reference contract is
+    a single append-ordered file per run, which a distributed write can't
+    produce."""
+    import os
+    from datetime import datetime, timezone
+
+    os.makedirs(notify_dir, exist_ok=True)
+    name = "dshackle-archive-{}.jsonl".format(
+        datetime.now(timezone.utc).strftime("%Y%m%d%H%M%S")
+    )
+    path = os.path.join(notify_dir, name)
+    values = [r["value"] for r in notification_json_df(write_results).collect()]
+    with open(path, "w") as f:
+        for v in values:
+            f.write(v + "\n")
+    return path
+
+
 def _produce_partition(host: str, port: int, rows) -> None:
     """One producer connection per partition (executor-side)."""
     batch = [r["value"].encode() + b"\n" for r in rows]

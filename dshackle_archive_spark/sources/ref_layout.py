@@ -95,13 +95,19 @@ def _fs_exists(fs, fs_path: str) -> bool:
     return fs.get_file_info([fs_path])[0].type != pafs.FileType.NotFound
 
 
-def _serialize_group(kind: DataKind, out: pd.DataFrame, fmt: str) -> bytes:
-    """One output file's bytes (avro container or parquet)."""
+def _serialize_group(
+    kind: DataKind, out: pd.DataFrame, fmt: str, compression: str = "zstd"
+) -> bytes:
+    """One output file's bytes (avro container or parquet).
+
+    ``compression`` is the reference's ``--compression`` choice
+    (``args.rs:102-104``, ``global.rs:34-43``): ``zstd`` (default, level 9
+    for avro blocks) or ``snappy`` — applied to both formats."""
     import io
 
     buf = io.BytesIO()
     if fmt == "avro":
-        _write_avro_pdf(buf, kind, out)
+        _write_avro_pdf(buf, kind, out, compression=compression)
     else:
         # parquet TIMESTAMP(MICROS): Spark's reader rejects NANOS; explicit
         # schema keeps all-null columns correctly typed
@@ -111,15 +117,19 @@ def _serialize_group(kind: DataKind, out: pd.DataFrame, fmt: str) -> bytes:
             schema=_pa_schema(kind),
             coerce_timestamps="us",
             allow_truncated_timestamps=True,
+            compression=compression,
         )
     return buf.getvalue()
 
 
-def _write_avro_pdf(path, kind: DataKind, out_pdf: pd.DataFrame) -> None:
+def _write_avro_pdf(
+    path, kind: DataKind, out_pdf: pd.DataFrame, compression: str = "zstd"
+) -> None:
     """Reference-format Avro sink: pandas rows -> Avro container records
     (timestamps become epoch-millis longs per the timestamp-millis logical
-    type; NaN/NaT become nulls). zstd level 9 blocks — the reference's
-    default compression (``src/global.rs:34-40``)."""
+    type; NaN/NaT become nulls). zstd level 9 blocks by default — the
+    reference's default compression (``src/global.rs:34-40``); ``snappy``
+    selects the Codec::Snappy branch (``global.rs:37``)."""
     from ..schemas_avro import AVRO_TABLE_SCHEMAS
     from .avro_io import write_avro_records
 
@@ -144,7 +154,12 @@ def _write_avro_pdf(path, kind: DataKind, out_pdf: pd.DataFrame) -> None:
             else:
                 rec[n] = v
         records.append(rec)
-    write_avro_records(path, schema, records, codec="zstandard")
+    write_avro_records(
+        path,
+        schema,
+        records,
+        codec="zstandard" if compression == "zstd" else compression,
+    )
 
 
 def _write_group_fn(
@@ -158,6 +173,7 @@ def _write_group_fn(
     hash_in_name: bool,
     fmt: str,
     requested: tuple[int, int] | None = None,
+    compression: str = "zstd",
 ):
     sort_cols = ["height"] if kind == DataKind.BLOCKS else ["height", "index"]
 
@@ -221,7 +237,7 @@ def _write_group_fn(
                 # PUT is itself atomic, so serialize in memory and write once
                 fs.create_dir(fs_path.rsplit("/", 1)[0], recursive=True)
                 with fs.open_output_stream(fs_path) as sink:
-                    sink.write(_serialize_group(kind, out, fmt))
+                    sink.write(_serialize_group(kind, out, fmt, compression))
             else:
                 # delete-on-failure commit: write to a temp name, rename on
                 # success (the reference's delete-on-drop, fs.rs:204-219)
@@ -229,7 +245,7 @@ def _write_group_fn(
                 tmp = path + ".inprogress"
                 try:
                     with open(tmp, "wb") as sink:
-                        sink.write(_serialize_group(kind, out, fmt))
+                        sink.write(_serialize_group(kind, out, fmt, compression))
                     os.replace(tmp, path)
                 finally:
                     if os.path.exists(tmp):
@@ -267,6 +283,7 @@ def write_range_files(
     fmt: str = "parquet",
     requested: "Range | None" = None,
     domain: "Iterable[int] | None" = None,
+    compression: str = "zstd",
 ) -> DataFrame:
     """Write ``df`` as reference-layout range files, one per aligned chunk.
 
@@ -297,7 +314,8 @@ def write_range_files(
         grouped = grouped.unionByName(sentinels)
     return grouped.groupBy("_file_group").applyInPandas(
         _write_group_fn(
-            base, kind, blockchain, run, chunk, overwrite, maturity, False, fmt, req
+            base, kind, blockchain, run, chunk, overwrite, maturity, False, fmt, req,
+            compression=compression,
         ),
         schema=WRITE_RESULT_SCHEMA,
     )
@@ -313,6 +331,7 @@ def write_piece_files(
     overwrite: bool = False,
     maturity: str | None = None,
     fmt: str = "parquet",
+    compression: str = "zstd",
 ) -> DataFrame:
     """Write one range file per explicit ``(start, end)`` piece.
 
@@ -342,7 +361,8 @@ def write_piece_files(
     )
     grouped = tagged.unionByName(sentinels)
     return grouped.groupBy("_file_group").applyInPandas(
-        _write_group_fn(base, kind, blockchain, run, "piece", overwrite, maturity, False, fmt),
+        _write_group_fn(base, kind, blockchain, run, "piece", overwrite, maturity, False, fmt,
+                        compression=compression),
         schema=WRITE_RESULT_SCHEMA,
     )
 
@@ -358,6 +378,7 @@ def write_single_files(
     hash_in_name: bool = False,
     fmt: str = "parquet",
     requested: "Range | None" = None,
+    compression: str = "zstd",
 ) -> DataFrame:
     """Write one file per (height[, blockId]) — stream mode's fork-tolerant
     single-block files (T5: the hash qualifier keeps both fork versions).
@@ -376,7 +397,8 @@ def write_single_files(
         )
         grouped = grouped.unionByName(sentinels)
     return grouped.groupBy("_file_group").applyInPandas(
-        _write_group_fn(base, kind, blockchain, run, None, overwrite, maturity, hash_in_name, fmt),
+        _write_group_fn(base, kind, blockchain, run, None, overwrite, maturity, hash_in_name, fmt,
+                        compression=compression),
         schema=WRITE_RESULT_SCHEMA,
     )
 

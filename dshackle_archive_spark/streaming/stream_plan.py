@@ -38,6 +38,8 @@ class StreamState:
     batches: int = 0
     archived_heights: list[int] = field(default_factory=list)
     backfilled: list[tuple[str, int, int]] = field(default_factory=list)
+    # write-result rows of every batch's files (notification source)
+    write_rows: list = field(default_factory=list)
 
 
 def stream_batch(
@@ -51,6 +53,8 @@ def stream_batch(
     max_heights_per_batch: int = 64,
     head_fn=None,
     metrics_registry=None,
+    fmt: str = "parquet",
+    compression: str = "zstd",
 ) -> None:
     """One micro-batch: poll head → dedup/gap-synthesize → archive.
 
@@ -88,11 +92,14 @@ def stream_batch(
         forks=follow == "latest",  # T5: fork-tolerant only at the live head
         run="stream",
         maturity=maturity,
+        fmt=fmt,
+        compression=compression,
     )
     if metrics_registry is not None:
         metrics_registry.record_write_results(
             res.write_rows, time.perf_counter() - t0
         )
+    state.write_rows.extend(res.write_rows)
     state.archived_heights.extend(range(lo, hi + 1))
     state.last_archived = hi
     state.batches += 1
@@ -113,6 +120,8 @@ def run_stream(
     timeout_s: float = 120.0,
     head_source=None,
     metrics_registry=None,
+    fmt: str = "parquet",
+    compression: str = "zstd",
 ) -> StreamState:
     """Follow the chain head for ``num_batches`` micro-batches.
 
@@ -150,7 +159,8 @@ def run_stream(
             for _ in range(num_batches):
                 stream_batch(spark, provider, root, state, tables, policy,
                              follow, head_fn=head_fn,
-                             metrics_registry=metrics_registry)
+                             metrics_registry=metrics_registry,
+                             fmt=fmt, compression=compression)
                 if poll_interval_s:
                     time.sleep(poll_interval_s)
         finally:
@@ -165,7 +175,8 @@ def run_stream(
         if state.batches < num_batches:
             stream_batch(spark, provider, root, state, tables, policy,
                          follow, head_fn=head_fn,
-                         metrics_registry=metrics_registry)
+                         metrics_registry=metrics_registry,
+                         fmt=fmt, compression=compression)
 
     q = (
         spark.readStream.format("rate")

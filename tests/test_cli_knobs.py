@@ -1,0 +1,218 @@
+"""The four reference CLI fidelity knobs (round-7 VERDICT task 5).
+
+--compression (args.rs:102-104 / global.rs:34-43), --fields-trace
+(TraceOptions, datakind.rs:224-256), --notify-dir / --notify-pulsar-*
+(notify/mod.rs:70-81, fs.rs:18-46, pulsar.rs:30-68), --metrics-await
+(metrics/server.rs:34-50). Each is driven END-TO-END through cli.main.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import glob
+import io
+import json
+import os
+import threading
+import time
+import urllib.request
+
+import pytest
+
+from dshackle_archive_spark import cli
+from dshackle_archive_spark.sources.avro_io import read_avro_records, read_avro_schema
+from dshackle_archive_spark.sources.fetcher import parse_trace_options
+
+
+def _run_cli(argv) -> dict:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli.main(argv)
+    assert rc == 0
+    return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+
+def _avro_codec(path: str) -> str:
+    """The avro.codec header entry of a container file."""
+    import io as _io
+
+    from dshackle_archive_spark.sources import avro_io as A
+
+    with open(path, "rb") as f:
+        raw = f.read()
+    buf = _io.BytesIO(raw)
+    assert buf.read(4) == A.MAGIC
+    n = A._read_long(buf)
+    meta = {}
+    for _ in range(n):
+        k = A._read_bytes(buf).decode()
+        meta[k] = A._read_bytes(buf)
+    return meta.get("avro.codec", b"null").decode()
+
+
+def test_cli_compression_snappy_avro(spark, tmp_path):
+    """--compression snappy: avro blocks are spec'd snappy (raw + CRC32)
+    and the file round-trips through the container reader."""
+    out = _run_cli([
+        "archive", "--dir", str(tmp_path), "--range", "100..149",
+        "--tables", "blocks", "--provider", "mock", "--range-chunk", "50",
+        "--master", "local[4]", "--format", "avro", "--compression", "snappy",
+    ])
+    assert out["written"] == 1
+    path = out["files"][0]
+    assert _avro_codec(path) == "snappy"
+    recs = list(read_avro_records(path))
+    assert [r["height"] for r in recs] == list(range(100, 150))
+    # schema is still the reference-compatible writer schema
+    assert read_avro_schema(path)["name"] == "Block"
+
+
+def test_cli_compression_default_zstd(spark, tmp_path):
+    out = _run_cli([
+        "archive", "--dir", str(tmp_path), "--range", "200..249",
+        "--tables", "blocks", "--provider", "mock", "--range-chunk", "50",
+        "--master", "local[4]", "--format", "avro",
+    ])
+    assert _avro_codec(out["files"][0]) == "zstandard"
+
+
+def test_parse_trace_options_mirrors_reference():
+    # datakind.rs:241-256: case-insensitive comma list, at least one token
+    assert parse_trace_options("calls,stateDiff") == (True, True)
+    assert parse_trace_options("CALLS") == (True, False)
+    assert parse_trace_options(" statediff ") == (False, True)
+    with pytest.raises(ValueError):
+        parse_trace_options("bogus")
+
+
+def test_cli_fields_trace_calls_only(spark, tmp_path):
+    """--fields-trace calls: the trace archive runs the callTracer but not
+    the prestateTracer — stateDiffJson is null in the written rows."""
+    out = _run_cli([
+        "archive", "--dir", str(tmp_path), "--range", "100..119",
+        "--tables", "traces", "--provider", "mock", "--range-chunk", "20",
+        "--master", "local[4]", "--fields-trace", "calls",
+    ])
+    assert out["written"] == 1
+    df = spark.read.parquet(out["files"][0])
+    rows = df.select("traceJson", "stateDiffJson").collect()
+    assert rows and all(r["traceJson"] is not None for r in rows)
+    assert all(r["stateDiffJson"] is None for r in rows)
+
+
+def test_cli_notify_dir(spark, tmp_path):
+    """--notify-dir: one dshackle-archive-<ts>.jsonl file (fs.rs:26-28
+    naming), one JSON object per archived file."""
+    ndir = tmp_path / "notifications"
+    out = _run_cli([
+        "archive", "--dir", str(tmp_path / "arch"), "--range", "100..299",
+        "--tables", "blocks", "--provider", "mock", "--range-chunk", "100",
+        "--master", "local[4]", "--notify-dir", str(ndir),
+    ])
+    assert out["written"] == 2
+    files = glob.glob(str(ndir / "dshackle-archive-*.jsonl"))
+    assert files == [out["notify_dir_file"]]
+    lines = [json.loads(l) for l in open(files[0]) if l.strip()]
+    assert len(lines) == 2
+    assert {(n["heightStart"], n["heightEnd"]) for n in lines} == {
+        (100, 199), (200, 299)
+    }
+    for n in lines:
+        assert n["type"] == "blocks" and n["run"] == "archive"
+        assert n["version"].startswith("https://schema.emrld.io/")
+        assert n["location"] in out["files"]
+
+
+def test_cli_notify_pulsar(spark, tmp_path):
+    """--notify-pulsar-url/topic: notifications transit the Pulsar binary
+    protocol to a CRC32C-verifying stub broker."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from stub_pulsar import start_pulsar_stub
+
+    service_url, srv = start_pulsar_stub()
+    try:
+        out = _run_cli([
+            "archive", "--dir", str(tmp_path), "--range", "100..199",
+            "--tables", "blocks", "--provider", "mock", "--range-chunk", "100",
+            "--master", "local[4]",
+            "--notify-pulsar-url", service_url,
+            "--notify-pulsar-topic", "archive-notify",
+        ])
+        assert out["notify_pulsar_topic"] == "archive-notify"
+        msgs = [json.loads(p.decode()) for _e, p in srv.topics["archive-notify"]]
+        assert len(msgs) == 1 and msgs[0]["heightStart"] == 100
+    finally:
+        srv.shutdown()
+
+
+def test_cli_notify_pulsar_pair_required():
+    with pytest.raises(SystemExit, match="notify.pulsar.topic"):
+        cli.main(["archive", "--dir", "/tmp/x", "--range", "1..2",
+                  "--notify-pulsar-url", "pulsar://h:6650"])
+    with pytest.raises(SystemExit, match="notify.pulsar.url"):
+        cli.main(["archive", "--dir", "/tmp/x", "--range", "1..2",
+                  "--notify-pulsar-topic", "t"])
+
+
+def _free_port() -> int:
+    import socket
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_cli_metrics_await(spark, tmp_path):
+    """--metrics-await: the CLI blocks after printing its result until one
+    more /metrics scrape lands (the reference's final-scrape wait)."""
+    port = _free_port()
+    scraped = {"n": 0}
+    stop = threading.Event()
+
+    def scraper():
+        # scrape on an interval like a Prometheus would, until told to stop
+        while not stop.is_set():
+            try:
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/metrics", timeout=1
+                ) as resp:
+                    resp.read()
+                scraped["n"] += 1
+            except OSError:
+                pass
+            stop.wait(0.2)
+
+    t = threading.Thread(target=scraper, daemon=True)
+    t.start()
+    t0 = time.time()
+    try:
+        out = _run_cli([
+            "archive", "--dir", str(tmp_path), "--range", "100..149",
+            "--tables", "blocks", "--provider", "mock", "--range-chunk", "50",
+            "--master", "local[4]",
+            "--metrics", f"127.0.0.1:{port}", "--metrics-await",
+        ])
+    finally:
+        stop.set()
+    t.join(timeout=10)
+    assert out["written"] == 1
+    assert scraped["n"] >= 1  # the await released because a scrape landed
+    assert time.time() - t0 < 55  # never hit the 60s await timeout
+
+
+def test_await_final_scrape_timeout():
+    from dshackle_archive_spark.operators.metrics import (
+        MetricsRegistry,
+        await_final_scrape,
+        start_metrics_server,
+    )
+
+    srv = start_metrics_server(MetricsRegistry(), "127.0.0.1", _free_port())
+    try:
+        assert await_final_scrape(srv, timeout_s=0.2) is False
+    finally:
+        srv.shutdown()
