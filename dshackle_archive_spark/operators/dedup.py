@@ -867,6 +867,7 @@ def triangle_counts(
     dst: str = "dst",
     canonical: bool = False,
     with_degree: bool = False,
+    broadcast_limit_rows: int = 5_000_000,
 ) -> DataFrame:
     """Per-node triangle participation counts over an undirected simple
     graph given as (src, dst) pairs (either or both directions; duplicates
@@ -881,19 +882,30 @@ def triangle_counts(
     — ``(node, triangles, deg)`` — saving callers a second degree pass
     over the edges (clustering-coefficient consumers).
 
-    Scale design — the MapReduce node-iterator++ of Suri & Vassilvitskii
-    ("Counting Triangles and the Curse of the Last Reducer", WWW'11):
-    every edge is ORIENTED from its lower-(degree, id) endpoint to its
-    higher one before wedges are built, so wedge generation groups on the
-    low-degree endpoint and a heavy hub of degree d contributes O(d)
-    oriented out-edges instead of O(d²) wedges — the skew killer on
-    power-law graphs. Each triangle then materializes exactly once as a
-    wedge (a→b, a→c) closed by the oriented edge (b→c): two equi-join
-    shuffles on node ids total, never an all-pairs product. The per-node
-    rollup explodes each closed triangle into its three corners (3 rows
-    per triangle, ONE pass — a union of three selects would re-execute
-    the wedge-close join three times) and grouped-sums —
-    triangle-count-bounded, not edge-bounded."""
+    Scale design — degree-ordered orientation (Suri & Vassilvitskii,
+    "Counting Triangles and the Curse of the Last Reducer", WWW'11)
+    followed by an EDGE-iterator close instead of the wedge-join close:
+
+    - every edge is ORIENTED from its lower-(degree, id) endpoint to its
+      higher one, capping out-degree at O(√2m) — a degree-d hub owns O(d)
+      oriented edges, never O(d²) wedges (the power-law skew killer);
+    - per-node sorted out-neighbor lists are built once (one grouped
+      pass over the oriented edges), joined back onto both endpoints of
+      each oriented edge, and each edge (a,b) closes its triangles as
+      ``array_intersect(N⁺(a), N⁺(b))`` IN-ROW — each triangle found
+      exactly once, at the edge between its two lower endpoints. The
+      round-6 wedge-join formulation materialized and shuffled every
+      open wedge (41M rows for 1.2M edges on the sf0.1 co-purchase
+      graph, ~10s of its 15s) — the intersection never materializes
+      wedges at all, only the O(#triangles) closed output;
+    - adjacency/degree sides are broadcast when the edge/node count is
+      under ``broadcast_limit_rows`` (decided from the materialized
+      checkpoints, not estimates); above it they fall back to plain
+      equi-joins — adjacency rows are node-count-scale and thin-keyed,
+      so the fallback is two ordinary shuffles, no row blow-up;
+    - the per-node rollup explodes each edge's contributions (a and b
+      |I| times each, every c in I once) in ONE pass and grouped-sums —
+      triangle-count-bounded, not wedge-bounded."""
     if canonical:
         canon = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     else:
@@ -909,9 +921,13 @@ def triangle_counts(
         canon.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
+        .transform(reliable_checkpoint)
     )
+    n_nodes = deg.count()  # cheap: counts the materialized checkpoint
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    if n_nodes <= broadcast_limit_rows:
+        da, db = F.broadcast(da), F.broadcast(db)
     oriented = (
         canon.join(da, "a")
         .join(db, "b")
@@ -927,15 +943,32 @@ def triangle_counts(
         .select("e.u", "e.v")
         .transform(reliable_checkpoint)
     )
-    w1 = oriented.select(F.col("u").alias("pivot"), F.col("v").alias("x"))
-    w2 = oriented.select(F.col("u").alias("pivot"), F.col("v").alias("y"))
-    wedges = w1.join(w2, "pivot").filter(F.col("x") < F.col("y"))
-    closer = oriented.select(
-        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
+    n_edges = oriented.count()
+    adj = (
+        oriented.groupBy("u")
+        .agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
+        .transform(reliable_checkpoint)
     )
-    tris = wedges.join(closer, ["x", "y"]).select("pivot", "x", "y")
-    corners = tris.select(F.explode(F.array("pivot", "x", "y")).alias("node"))
-    counts = corners.groupBy("node").agg(F.count("*").alias("triangles"))
+    na = adj.select(F.col("u").alias("_ju"), F.col("nbrs").alias("_nu"))
+    nv = adj.select(F.col("u").alias("_jv"), F.col("nbrs").alias("_nv"))
+    if n_edges <= broadcast_limit_rows:
+        na, nv = F.broadcast(na), F.broadcast(nv)
+    tri_edges = (
+        oriented.join(na, oriented["u"] == na["_ju"], "inner")
+        .join(nv, oriented["v"] == nv["_jv"], "inner")
+        .select("u", "v", F.array_intersect("_nu", "_nv").alias("common"))
+        .filter(F.size("common") > 0)
+    )
+    contrib = tri_edges.select(
+        F.explode(
+            F.concat(
+                F.array_repeat(F.col("u"), F.size("common")),
+                F.array_repeat(F.col("v"), F.size("common")),
+                F.col("common"),
+            )
+        ).alias("node")
+    )
+    counts = contrib.groupBy("node").agg(F.count("*").alias("triangles"))
     if with_degree:
         return counts.join(deg, "node")
     return counts
