@@ -1,0 +1,67 @@
+"""Subprocess body for the local-cluster smoke test (round-7 VERDICT task 6).
+
+Runs registry queries + one curate cycle under ``local-cluster[2,2,2048]``
+— REAL executor JVMs with real serialization boundaries, unlike
+``local[N]``'s single JVM — to flush single-JVM assumptions: package
+shipping to executor Python workers, localCheckpoint block placement,
+broadcast exchange, ``file:`` path handling in the file sinks.
+
+Usage: python local_cluster_probe.py <comma-queries> <sf_dir> <out.json>
+Writes {"queries": {name: {"cols": [...], "rows": [[str,...],...]}},
+        "curate": {"survivors": N, "stages": {...}}} to out.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+
+
+def main() -> int:
+    names = [n for n in sys.argv[1].split(",") if n]
+    sf_dir = sys.argv[2]
+    out_path = sys.argv[3]
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+
+    # local-cluster executors are launched via spark-class: needs SPARK_HOME
+    import pyspark
+
+    os.environ.setdefault("SPARK_HOME", os.path.dirname(pyspark.__file__))
+    os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+
+    from dshackle_archive_spark.session import get_spark
+
+    spark = get_spark("local-cluster-probe", master="local-cluster[2,2,2048]")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    import dshackle_archive_spark.queries as Q
+
+    reg = Q.registry()
+    out: dict = {"queries": {}, "curate": None}
+    for name in names:
+        df = reg[name](spark, sf_dir)
+        rows = sorted([str(v) for v in r] for r in df.collect())
+        out["queries"][name] = {"cols": sorted(df.columns), "rows": rows}
+
+    # one curate cycle end-to-end: staged plan with checkpoints + file sink
+    from dshackle_archive_spark.plans.curate_plan import curate
+    from dshackle_archive_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    with tempfile.TemporaryDirectory() as tmp:
+        curated, res = curate(docs, output_path=os.path.join(tmp, "out"))
+        survivors = spark.read.parquet(os.path.join(tmp, "out")).count()
+    out["curate"] = {"survivors": survivors, "stages": res.stage_counts}
+
+    with open(out_path, "w") as f:
+        json.dump(out, f)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
