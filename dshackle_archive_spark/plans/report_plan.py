@@ -36,6 +36,7 @@ def corpus_report(
     max_tokens: int = 5000,
     min_stopword_ratio: float = 0.05,
     max_punct_ratio: float = 0.2,
+    timings: dict | None = None,
 ) -> dict:
     """Compute the report card. Returns a plain dict (JSON-ready):
 
@@ -56,12 +57,26 @@ def corpus_report(
     - ``bursty_terms``: top-k terms by mean occurrences per containing
       doc among the df-frequent vocabulary (boilerplate suspects)
     """
+    import time as _time
+
+    _lap_t = _time.perf_counter()
+
+    def _lap(section: str) -> None:
+        # per-section wall time for the scale probe; no-op unless asked
+        nonlocal _lap_t
+        if timings is not None:
+            now = _time.perf_counter()
+            timings[section] = round(now - _lap_t, 3)
+            _lap_t = now
+
     docs = docs.transform(reliable_checkpoint)
+    _lap("checkpoint")
 
     counts = docs.agg(
         F.count("*").alias("n"),
         F.sum(F.size(F.split(normalized_text("text"), " "))).alias("toks"),
     ).collect()[0]
+    _lap("counts")
 
     langs = [
         {"lang": r["lang"], "n_docs": r["n"]}
@@ -77,6 +92,7 @@ def corpus_report(
         .orderBy(F.desc("n"), F.asc("source"))
         .collect()
     ] if "source" in docs.columns else []
+    _lap("lang_source")
 
     dup = (
         docs.select(content_hash("text").alias("h"))
@@ -88,6 +104,7 @@ def corpus_report(
         )
         .collect()[0]
     )
+    _lap("exact_dup")
 
     q = quality_features(docs)
     qpass = q.agg(
@@ -106,6 +123,7 @@ def corpus_report(
         F.avg("n_tokens").alias("mean"),
         F.max("n_tokens").alias("mx"),
     ).collect()[0]
+    _lap("quality")
 
     plate = [
         {"df": r["df"], "seg_hash": r["seg_hash"]}
@@ -115,14 +133,19 @@ def corpus_report(
         .limit(top_k)
         .collect()
     ]
+    _lap("boilerplate")
 
     # n-gram novelty (the x42 shape): share of 5-gram shingles first seen
     # in their own document — low corpus novelty means the crawl re-serves
     # what it already has. Two reductions of the shingle stream, no
     # string-keyed self-join.
+    # shuffle 8-byte xxhash64 keys, not ~60-char shingle strings: measured
+    # 1.45x faster at 1M docs (26M shingles) with identical uniq counts;
+    # a 64-bit collision shifts this ratio by ~1e-5 at worst
     sh = shingles(docs, n=5)
     nov = (
-        sh.groupBy("shingle")
+        sh.select(F.xxhash64("shingle").alias("h"))
+        .groupBy("h")
         .agg(F.count("*").alias("c"))
         .agg(
             F.count("*").alias("uniq"),
@@ -131,6 +154,7 @@ def corpus_report(
         .collect()[0]
     )
     novelty = round(nov["uniq"] / nov["total"], 6) if nov["total"] else 0.0
+    _lap("novelty")
 
     # code share (the x45 thresholds): symbol density / indent fraction
     n_chars = F.length("text")
@@ -149,6 +173,7 @@ def corpus_report(
     code = docs.agg(
         F.sum(is_code).alias("c"), F.count("*").alias("t")
     ).collect()[0]
+    _lap("code")
 
     # cross-source duplication (the d14 shape): top-k source pairs sharing
     # normalized content — the "drop feed B at ingest" signal
@@ -171,6 +196,8 @@ def corpus_report(
             .collect()
         ]
 
+    _lap("cross_source")
+
     # bursty terms (the x44 shape): among the top-df vocabulary, the terms
     # with the highest mean occurrences per containing doc
     tok = docs.select(
@@ -188,6 +215,8 @@ def corpus_report(
         .limit(top_k)
         .collect()
     ]
+
+    _lap("bursty")
 
     n = counts["n"] or 0
     return {

@@ -104,10 +104,14 @@ def streaming_curate(
 #
 # State design (100 TB/day honest): only (band_id, band_hash, event_time)
 # rows are stored — never text, never signatures. The store is bounded by the
-# watermark horizon: generation ``gen=<batch_id>`` is the horizon-pruned
-# union of the previous generation and this batch's bands, so its size is
-# O(docs within the watermark × bands). Batch retries are deterministic:
-# batch N always reads the newest generation < N and overwrites gen N.
+# watermark horizon: each batch's store is the horizon-pruned union of the
+# previous store and this batch's bands, so its size is O(docs within the
+# watermark × bands). Since round 7 the store publishes through the SAME
+# manifest-pinned snapshot commits as batch curation (sources/snapshots):
+# one commit per micro-batch, batch id recorded in the manifest's extra,
+# reads resolved through the newest manifest with batch < N (deterministic
+# retries), retention via the snapshot vacuum, and time travel over any
+# retained monitor state via load_snapshot(state_dir, version).
 
 
 def _gen_dirs(state_dir: str) -> list[tuple[int, str]]:
@@ -123,6 +127,63 @@ def _gen_dirs(state_dir: str) -> list[tuple[int, str]]:
             except ValueError:
                 continue
     return sorted(out)
+
+
+def _load_band_store(spark, state_dir: str, batch_id: int):
+    """The newest snapshot-committed band store published by a batch
+    < ``batch_id`` (a retry of batch N must read pre-N state), resolved
+    through the manifest chain — None when no such snapshot exists.
+
+    Reading through a PINNED manifest means a concurrent commit (or a
+    half-written retry attempt's data dir) is invisible: the file list was
+    fixed at publish time and published files are never mutated."""
+    from ..sources import snapshots as SNAP
+
+    v = SNAP.current_version(state_dir)
+    while v is not None:
+        snap = SNAP.load_snapshot(state_dir, v)
+        if snap is None:
+            return None
+        if int(snap.extra.get("batch_id", -1)) < batch_id:
+            if snap.files:
+                return spark.read.parquet(*snap.paths())
+            return None  # an empty-store snapshot
+        v = snap.parent if snap.parent is not None else (v - 1 if v > 1 else None)
+    return None
+
+
+def _commit_band_store(new_store: DataFrame, state_dir: str, batch_id: int):
+    """Publish one micro-batch's band store as ONE snapshot commit.
+
+    The data dir is unique per ATTEMPT (batch id + random suffix) so a
+    retried batch never overwrites files an already-published manifest
+    references — published versions stay immutable and time-travelable
+    (``load_snapshot(state_dir, v)`` replays any retained monitor state).
+    Retention is the snapshot vacuum (newest 2 manifests + their files),
+    replacing the old ad-hoc gen-dir GC: a stop() landing mid-batch can no
+    longer leave a third generation to sweep, because un-published data
+    dirs are simply never referenced."""
+    import os
+    import uuid
+
+    from ..sources import snapshots as SNAP
+
+    rel_dir = f"store-b{batch_id:09d}-{uuid.uuid4().hex[:8]}"
+    path = os.path.join(state_dir, rel_dir)
+    new_store.write.mode("error").parquet(path)
+    files = sorted(
+        os.path.join(rel_dir, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    snap = SNAP.publish_snapshot(
+        state_dir,
+        files,
+        note=f"neardup band store, batch {batch_id}",
+        extra={"batch_id": int(batch_id)},
+    )
+    SNAP.vacuum(state_dir, keep_last=2)
+    return snap
 
 
 def neardup_batch_step(
@@ -147,9 +208,6 @@ def neardup_batch_step(
     chain A~B, B~C drops both B and C, matching batch keep-one on the
     connected component).
     """
-    import os
-    import shutil
-
     from pyspark.sql import Window
 
     from ..operators.dedup import minhash_signatures, shingles
@@ -188,10 +246,8 @@ def neardup_batch_step(
         .join(ev, "doc_id")
     )
 
-    gens = [(g, p) for (g, p) in _gen_dirs(state_dir) if g < batch_id]
-    if gens:
-        store = spark.read.parquet(gens[-1][1])
-    else:
+    store = _load_band_store(spark, state_dir, batch_id)
+    if store is None:
         store = spark.createDataFrame(
             [], "band_id int, band_hash string, _ev timestamp"
         )
@@ -232,7 +288,13 @@ def neardup_batch_step(
         .select("doc_id")
         .distinct()
     )
-    dropped = store_hit.unionByName(batch_hit).distinct()
+    # materialize the (id-only, batch-sized) drop set NOW: the survivors
+    # frame returned to the caller must not lazily re-read the previous
+    # store's files — this step's own commit+vacuum may delete them before
+    # the caller collects (a batch-N retry retires the oldest manifest)
+    dropped = (
+        store_hit.unionByName(batch_hit).distinct().transform(reliable_checkpoint)
+    )
     survivors = batch_docs.join(dropped, "doc_id", "left_anti")
 
     # next generation: union of the (already horizon-pruned) store and ALL
@@ -243,11 +305,7 @@ def neardup_batch_step(
         .groupBy("band_id", "band_hash")
         .agg(F.max("_ev").alias("_ev"))
     )
-    gen_path = os.path.join(state_dir, f"gen={batch_id}")
-    new_store.write.mode("overwrite").parquet(gen_path)
-    # GC all but the two newest generations (retry of batch N needs < N)
-    for g, p in _gen_dirs(state_dir)[:-2]:
-        shutil.rmtree(p, ignore_errors=True)
+    _commit_band_store(new_store, state_dir, batch_id)
     return survivors
 
 

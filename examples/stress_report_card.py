@@ -79,10 +79,12 @@ def main() -> None:
     corpus_report(build_corpus(spark, 10_000), boilerplate_min_df=100)
 
     out = {}
-    for n in (100_000, 200_000):
+    sizes = (100_000, 200_000, 500_000, 1_000_000)
+    for n in sizes:
         docs = build_corpus(spark, n).localCheckpoint(eager=True)
+        secs: dict = {}
         t0 = time.time()
-        rep = corpus_report(docs, boilerplate_min_df=100)
+        rep = corpus_report(docs, boilerplate_min_df=100, timings=secs)
         dt = time.time() - t0
         assert abs(rep["exact_dup_rate"] - 0.19) < 0.005, rep["exact_dup_rate"]
         assert abs(rep["code_frac"] - 0.01) < 0.002, rep["code_frac"]
@@ -90,11 +92,17 @@ def main() -> None:
         assert rep["bursty_terms"], "bursty section empty"
         out[n] = {"report_s": round(dt, 2),
                   "novelty": rep["ngram_novelty"],
-                  "dup_rate": rep["exact_dup_rate"]}
+                  "dup_rate": rep["exact_dup_rate"],
+                  "sections": secs}
         print(f"  n={n}: {out[n]}")
         docs.unpersist()
-    r = out[200_000]["report_s"] / out[100_000]["report_s"]
-    print(json.dumps({"probe": "report_card", "x2_ratio": round(r, 2),
+    ratios = {
+        f"x{sizes[i] // sizes[i - 1]}@{sizes[i]}": round(
+            out[sizes[i]]["report_s"] / out[sizes[i - 1]]["report_s"], 2
+        )
+        for i in range(1, len(sizes))
+    }
+    print(json.dumps({"probe": "report_card", "ratios": ratios,
                       **{str(k): v for k, v in out.items()}}))
 
 

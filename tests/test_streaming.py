@@ -548,9 +548,64 @@ def test_neardup_state_bounded_by_watermark(spark, tmp_path):
     ).collect()]
     assert surv == [2], surv
 
-    # bounded state: gen=1 holds only doc 2's bands (doc 1's expired)
-    store = spark.read.parquet(str(tmp_path / "band_state_wm" / "gen=1"))
+    # bounded state: batch 1's snapshot-committed store holds only doc 2's
+    # bands (doc 1's expired) — read through the pinned manifest
+    from dshackle_archive_spark.sources import snapshots as SNAP
+
+    snap = SNAP.load_snapshot(state)
+    assert snap is not None and snap.extra["batch_id"] == 1
+    store = spark.read.parquet(*snap.paths())
     assert store.count() == 4  # bands=4 rows for exactly one doc
+
+
+def test_neardup_store_snapshot_commits(spark, tmp_path):
+    """The band store publishes through the SAME manifest-pinned snapshot
+    path as batch curation (round-7 task 8): one commit per micro-batch
+    with the batch id in the manifest, time travel over retained monitor
+    state, deterministic retries through the manifest chain, and retention
+    via the snapshot vacuum."""
+    from dshackle_archive_spark.sources import snapshots as SNAP
+    from dshackle_archive_spark.streaming.doc_stream import neardup_batch_step
+
+    state = str(tmp_path / "snap_state")
+    base = " ".join(f"m{i} n{i} o{i}" for i in range(30))
+    other = "totally different " + " ".join(f"x{i} y{i}" for i in range(30))
+    b0 = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    b1 = spark.createDataFrame(
+        [(2, base + " mutated"), (3, other)], "doc_id long, text string"
+    )
+
+    assert [r["doc_id"] for r in neardup_batch_step(b0, state, 0).collect()] == [1]
+    v_b0 = SNAP.current_version(state)
+    snap0 = SNAP.load_snapshot(state)
+    assert snap0.extra["batch_id"] == 0 and snap0.files
+
+    surv1 = sorted(r["doc_id"] for r in neardup_batch_step(b1, state, 1).collect())
+    assert surv1 == [3]  # 2 is a near-copy of stored doc 1
+    snap1 = SNAP.load_snapshot(state)
+    assert snap1.extra["batch_id"] == 1 and snap1.parent == v_b0
+
+    # time travel: batch 0's state is still pinned and readable (4 band
+    # rows for exactly doc 1), even though batch 1's store is current
+    s0 = spark.read.parquet(*SNAP.load_snapshot(state, v_b0).paths())
+    assert s0.count() == 4
+
+    # restart/retry of batch 1: must resolve PRE-1 state through the
+    # manifest chain (newest manifest with batch_id < 1), not the current
+    # batch-1 snapshot — and reproduce the same survivors
+    retry = sorted(r["doc_id"] for r in neardup_batch_step(b1, state, 1).collect())
+    assert retry == [3]
+    snap_retry = SNAP.load_snapshot(state)
+    assert snap_retry.extra["batch_id"] == 1 and snap_retry.version > snap1.version
+
+    # retention: the per-commit vacuum keeps the 2 newest manifests; the
+    # batch-0 snapshot is gone and its exclusively-owned files with it
+    assert SNAP.load_snapshot(state, v_b0) is None
+    import glob as _glob
+    import os as _os
+
+    kept = _glob.glob(_os.path.join(state, "_manifests", "v*.json"))
+    assert len(kept) == 2
 
 
 def test_streaming_neardup_across_microbatches(spark, tmp_path):
