@@ -147,6 +147,9 @@ EXTRA = [
     "w9_rolling_quantile",
     "d15_lsh_band_tuning",
     "p11_json_schema_profile",
+    "d16_degree_assortativity",
+    "x46_mad_outliers",
+    "w10_rolling_zscore",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))

@@ -6868,25 +6868,7 @@ def d12_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     self-join. Top-k is a TakeOrderedAndProject on a total order."""
     from .operators.dedup import triangle_counts
 
-    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    g = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("ps")
-    )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ps"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ps"), i + F.lit(2), F.size(F.col("ps"))),
-                lambda y: F.struct(x.alias("u"), y.alias("v")),
-            ),
-        )
-    )
-    edges = (
-        g.select(F.explode(pair_structs).alias("e"))
-        .select("e.u", "e.v")
-        .distinct()
-        .transform(reliable_checkpoint)
-    )
+    edges = _copurchase_edges(spark, sf)
     tri = triangle_counts(edges, src="u", dst="v", canonical=True, with_degree=True)
     return (
         tri.select(
@@ -8200,4 +8182,235 @@ def p11_json_schema_profile(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.col("n_present") / F.col("total"), 6).alias("fill_rate"),
             "n_distinct_vals",
         )
+    )
+
+
+def _copurchase_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical (u < v, distinct) part co-purchase edges, materialized.
+
+    One groupBy(orderkey) collect_set + in-row sorted-array self-pairing
+    (a TPC-H order holds ≤7 parts ⇒ ≤21 pair structs per row) — one
+    grouped shuffle + the dedup shuffle, instead of a two-sided row
+    self-join on orderkey. Shared by the graph analytics (d12, d16)."""
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    g = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + F.lit(2), F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
+    return (
+        g.select(F.explode(pair_structs).alias("e"))
+        .select("e.u", "e.v")
+        .distinct()
+        .transform(reliable_checkpoint)
+    )
+
+
+@query(
+    "d16_degree_assortativity",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), e AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM pairs a JOIN pairs b ON a.o = b.o AND a.p < b.p
+    ), deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      GROUP BY 1
+    ), ends AS (
+      SELECT du.deg AS dx, dv.deg AS dy
+      FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+      UNION ALL
+      SELECT dv.deg AS dx, du.deg AS dy
+      FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+    )
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           (SELECT round(avg(deg), 6) FROM deg) AS avg_deg,
+           round(corr(dx, dy), 6) AS assortativity
+    FROM ends
+    """,
+)
+def d16_degree_assortativity(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree assortativity of the part co-purchase graph — the Pearson
+    correlation of endpoint degrees over the symmetrized edge-end list
+    (Newman 2002). The structural dial a dedup/similarity-graph audit
+    reads before trusting component shapes: assortative graphs (hubs
+    link hubs) concentrate near-dup mass into dense cores that keep-one
+    dedup prunes aggressively, while disassortative hub-leaf stars are
+    the template/boilerplate signature (one hub document with thousands
+    of light variants).
+
+    Scale shape: edges from `_copurchase_edges` (grouped pair expansion,
+    no row self-join); degrees are one explode+groupBy over the
+    materialized edges; the corr() is a single agg over the 2m edge-end
+    rows with the three scalar corpus stats (node count, edge count,
+    mean degree) folded back as 1-row broadcasts — no driver-side math.
+    The oracle recomputes everything from the raw a<b self-join CTE.
+
+    Determinism: corr/avg over exact integer degrees; round(·, 6) after
+    the one transcendental-free division chain both engines execute in
+    IEEE doubles."""
+    edges = _copurchase_edges(spark, sf)
+    deg = (
+        edges.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    j = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    ends = j.select(
+        F.col("deg_u").alias("dx"), F.col("deg_v").alias("dy")
+    ).unionByName(j.select(F.col("deg_v").alias("dx"), F.col("deg_u").alias("dy")))
+    node_stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.round(F.avg("deg"), 6).alias("avg_deg"),
+    )
+    edge_total = edges.agg(F.count("*").alias("n_edges"))
+    assort = ends.agg(F.round(F.corr("dx", "dy"), 6).alias("assortativity"))
+    return (
+        node_stats.crossJoin(F.broadcast(edge_total))
+        .crossJoin(F.broadcast(assort))
+        .select("n_nodes", "n_edges", "avg_deg", "assortativity")
+    )
+
+
+@query(
+    "x46_mad_outliers",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n
+      FROM documents
+    ), med AS (
+      SELECT source, median(n) AS med FROM t GROUP BY 1
+    ), mad AS (
+      SELECT t.source, median(abs(t.n - med.med)) AS mad
+      FROM t JOIN med USING (source) GROUP BY 1
+    )
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(any_value(med.med), 6) AS med_tokens,
+           round(any_value(mad.mad), 6) AS mad_tokens,
+           CAST(sum(CASE WHEN abs(t.n - med.med) > 3 * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM t JOIN med USING (source) JOIN mad USING (source)
+    GROUP BY t.source
+    ORDER BY t.source
+    """,
+)
+def x46_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust per-source length-outlier audit: median and MAD (median
+    absolute deviation) of whitespace token counts, plus how many docs
+    sit beyond the 3×MAD fence. The robust replacement for mean/σ
+    outlier screens in curation — one pathological 10M-token document
+    drags a mean fence wide open but moves the median fence not at all
+    (the same reasoning that picked rolling quantiles over rolling means
+    in w9).
+
+    Determinism: token counts are exact integers; both engines implement
+    the same interpolating median (position 0.5·(n−1) on the sorted
+    values), so med/MAD agree bit-for-bit, and the 3×MAD comparison is
+    exact-integer vs a small dyadic product.
+
+    Scale shape: two grouped exact percentiles (per-source median, then
+    median of |x−med| after a broadcast join of the K-row median table)
+    and one final grouped agg — three shuffles of source-keyed rows, no
+    corpus sort, no window over the corpus."""
+    from .operators.textan import token_count
+
+    t = _t(spark, sf, "documents").select(
+        "doc_id", "source", token_count().alias("n")
+    )
+    med = t.groupBy("source").agg(
+        F.percentile("n", F.lit(0.5)).alias("med")
+    )
+    t2 = t.join(F.broadcast(med), "source")
+    mad = t2.groupBy("source").agg(
+        F.percentile(F.abs(F.col("n") - F.col("med")), F.lit(0.5)).alias("mad")
+    )
+    j = t2.join(F.broadcast(mad), "source")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.first("med"), 6).alias("med_tokens"),
+            F.round(F.first("mad"), 6).alias("mad_tokens"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("n") - F.col("med")) > 3 * F.col("mad"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "w10_rolling_zscore",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(d AS VARCHAR) AS day, n,
+           round(avg(n) OVER w, 6) AS mu_7d,
+           round(stddev_samp(n) OVER w, 6) AS sd_7d,
+           CASE WHEN count(*) OVER w >= 3 AND stddev_samp(n) OVER w > 0
+                THEN round((n - avg(n) OVER w) / stddev_samp(n) OVER w, 6)
+                END AS z
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    ORDER BY event_type, day
+    """,
+)
+def w10_rolling_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing z-score of daily event volume against the PRECEDING
+    7-day window (frame excludes the current row, so a spike can't
+    suppress its own alert) — the classic ingest-volume anomaly score a
+    feed monitor thresholds downstream; z is NULL until 3 days of
+    history exist or while the baseline is flat. Emits the score, not a
+    thresholded flag: a boolean at |z|>2 would be knife-edge
+    nondeterministic for a value landing exactly on the fence, while
+    the rounded score itself is stable.
+
+    Determinism: daily counts are exact integers; avg/stddev_samp over a
+    ≤7-value frame are the same handful of IEEE double ops in both
+    engines; round(·, 6) absorbs summation-order dust.
+
+    Scale shape: the corpus reduces to series × days at the daily
+    rollup; every window after that slides over the metadata-scale
+    table (a11/w7/w9's shape, now with second-moment state)."""
+    ev = _t(spark, sf, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-7, -1)
+    mu = F.avg("n").over(w)
+    sd = F.stddev_samp("n").over(w)
+    cnt = F.count("*").over(w)
+    return (
+        daily.select(
+            "event_type",
+            F.col("d").cast("string").alias("day"),
+            "n",
+            F.round(mu, 6).alias("mu_7d"),
+            F.round(sd, 6).alias("sd_7d"),
+            F.when(
+                (cnt >= 3) & (sd > 0), F.round((F.col("n") - mu) / sd, 6)
+            ).alias("z"),
+        )
+        .orderBy("event_type", "day")
     )

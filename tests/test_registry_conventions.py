@@ -65,6 +65,7 @@ ONE_ROW_BOUND_QUERIES = {
     "a20_bloom_filter_fpr",  # filter/member/probe stats as 1-row broadcasts
     "x44_burstiness",  # corpus doc count as a 1-row broadcast (x11 shape)
     "p11_json_schema_profile",  # event total as a 1-row broadcast
+    "d16_degree_assortativity",  # node/edge/corr scalars as 1-row broadcasts
 }
 SMALL_NONEQUI_BROADCAST_QUERIES = {
     "j7_range_chunk_assignment",  # files × chunk intervals (chunks tiny)
