@@ -81,6 +81,44 @@ def _provider(args):
     )
 
 
+def _apply_aws(args) -> None:
+    """Fold the reference's AWS flag group (args.rs:229-249) into the
+    ``s3://`` --dir as a pyarrow S3 URI: credentials as userinfo, endpoint
+    override / scheme / region as query params — the exact URI shape the
+    object-store sink resolves via ``pyarrow.fs.FileSystem.from_uri``
+    (see tests/test_s3_roundtrip.py against the wire-level S3 stub)."""
+    from urllib.parse import quote
+
+    given = [args.aws_access_key, args.aws_secret_key, args.aws_endpoint,
+             args.aws_region, args.aws_path_style or None]
+    if not any(x for x in given):
+        return
+    if not args.dir or not args.dir.startswith("s3://"):
+        raise SystemExit("--aws.* options require an s3:// --dir")
+    if bool(args.aws_access_key) != bool(args.aws_secret_key):
+        raise SystemExit("auth.aws.access-key and auth.aws.secret-key are "
+                         "required together")
+    base, sep, query = args.dir[5:].partition("?")
+    creds = ""
+    if args.aws_access_key and "@" not in base.split("/", 1)[0]:
+        creds = "{}:{}@".format(
+            quote(args.aws_access_key, safe=""),
+            quote(args.aws_secret_key, safe=""),
+        )
+    q = [query] if query else []
+    if args.aws_endpoint:
+        ep, scheme = args.aws_endpoint, None
+        for s in ("http", "https"):
+            if ep.startswith(s + "://"):
+                scheme, ep = s, ep[len(s) + 3:]
+        q.append(f"endpoint_override={quote(ep, safe=':')}")
+        if scheme:
+            q.append(f"scheme={scheme}")
+    if args.aws_region:
+        q.append(f"region={quote(args.aws_region, safe='')}")
+    args.dir = "s3://" + creds + base + ("?" + "&".join(q) if q else "")
+
+
 def _scope(args, provider) -> Range:
     if args.range:
         try:
@@ -155,6 +193,26 @@ def main(argv: list[str] | None = None) -> int:
                         "after the command finishes, so a pull-based "
                         "Prometheus never misses the run's last counters "
                         "(metrics/server.rs:34-50)")
+    p.add_argument("--auth-aws-access-key", "--auth.aws.access-key",
+                   dest="aws_access_key", default=None, metavar="KEY",
+                   help="S3 access key for an s3:// --dir (args.rs:229-233; "
+                        "both key flags required together)")
+    p.add_argument("--auth-aws-secret-key", "--auth.aws.secret-key",
+                   dest="aws_secret_key", default=None, metavar="SECRET",
+                   help="S3 secret key for an s3:// --dir")
+    p.add_argument("--aws-endpoint", "--aws.endpoint", dest="aws_endpoint",
+                   default=None, metavar="URL",
+                   help="S3-compatible endpoint override (args.rs:237; "
+                        "default is AWS itself, storage/mod.rs:83); http:// "
+                        "or https:// prefix selects the scheme")
+    p.add_argument("--aws-region", "--aws.region", dest="aws_region",
+                   default=None, metavar="REGION", help="S3 region")
+    p.add_argument("--aws-s3-path-style", "--aws.s3.path-style",
+                   dest="aws_path_style", action="store_true",
+                   help="path-style bucket addressing (args.rs:245); accepted "
+                        "for reference command-line compatibility — the "
+                        "pyarrow S3 client already uses path-style whenever "
+                        "an endpoint override is set")
     p.add_argument("--provider", default="mock",
                    help="mock | eth-rpc | btc-rpc (JSON-RPC over HTTP) | "
                         "eth-dshackle | btc-dshackle (gRPC NativeCall)")
@@ -187,6 +245,7 @@ def main(argv: list[str] | None = None) -> int:
                    help="serve Prometheus metrics at http://HOST:PORT/metrics "
                         "for the lifetime of the run (metrics/mod.rs:73-76)")
     args = p.parse_args(argv)
+    _apply_aws(args)
     if args.command in ("curate", "report"):
         if not args.input:
             raise SystemExit(f"{args.command} requires --input")
