@@ -72,6 +72,89 @@ class ThroughputLog:
         }
 
 
+def format_throughput(bytes_per_sec: float) -> str:
+    """Human bytes/sec exactly as the reference renders it
+    (``progress.rs:183-191``): <1 KiB plain, then one-decimal kb/mb."""
+    if bytes_per_sec < 1024.0:
+        return f"{bytes_per_sec:.0f} bytes/sec"
+    if bytes_per_sec < 1024.0 * 1024.0:
+        return f"{bytes_per_sec / 1024.0:.1f} kb/sec"
+    return f"{bytes_per_sec / (1024.0 * 1024.0):.1f} mb/sec"
+
+
+class ProgressClock:
+    """Pause-aware sliding-window progress reporter (``progress.rs:27-181``).
+
+    Counts records/bytes and measures ACTIVE time only: streaming mode
+    pauses the clock while idle-waiting for new blocks (``pause()`` /
+    ``resume()``), so idle wait never dilutes the reported speed — the
+    reference's exact semantics, including the snapshot ring: ``report()``
+    speeds are deltas against the OLDEST of the last ``WINDOW_SIZE``
+    snapshots, a sliding average over that many reporting ticks."""
+
+    WINDOW_SIZE = 5  # progress.rs:13
+
+    def __init__(self, now=None):
+        import time as _time
+
+        self._now = now or _time.monotonic
+        self.records = 0
+        self.bytes = 0
+        self._total_active = 0.0
+        self._active_since: float | None = self._now()
+        # seeded with a zero snapshot so the first report has a baseline
+        self._snapshots: list[tuple[int, int, float]] = [(0, 0, 0.0)]
+
+    def on_record(self, n: int = 1) -> None:
+        self.records += n
+
+    def on_bytes(self, n: int) -> None:
+        self.bytes += n
+
+    def active_seconds(self) -> float:
+        """Cumulative active time including the current unpaused period."""
+        active = self._total_active
+        if self._active_since is not None:
+            active += self._now() - self._active_since
+        return active
+
+    def pause(self) -> None:
+        if self._active_since is not None:
+            self._total_active += self._now() - self._active_since
+            self._active_since = None
+
+    def resume(self) -> None:
+        if self._active_since is None:
+            self._active_since = self._now()
+
+    def report(self) -> dict | None:
+        """One reporting tick: snapshot + sliding-window speeds.
+
+        Returns None before any record arrives (the reference skips the
+        log line); ``recs_per_min``/``bytes_per_sec`` are None when the
+        window's active time is under 1 ms (progress.rs:168-170)."""
+        if self.records == 0:
+            return None
+        current = (self.records, self.bytes, self.active_seconds())
+        oldest = self._snapshots[0]
+        self._snapshots.append(current)
+        if len(self._snapshots) > self.WINDOW_SIZE:
+            self._snapshots.pop(0)
+        d_blocks = current[0] - oldest[0]
+        d_bytes = current[1] - oldest[1]
+        d_active = max(0.0, current[2] - oldest[2])
+        if d_active < 0.001:
+            return {"records": self.records, "recs_per_min": None,
+                    "bytes_per_sec": None, "throughput": None}
+        bps = d_bytes / d_active
+        return {
+            "records": self.records,
+            "recs_per_min": d_blocks / d_active * 60.0,
+            "bytes_per_sec": bps,
+            "throughput": format_throughput(bps),
+        }
+
+
 # -- Prometheus registry + server (metrics/mod.rs, archive.rs, blockchain.rs) --
 
 # the reference's histogram buckets, "tuned for the expected 500ms-2s range"

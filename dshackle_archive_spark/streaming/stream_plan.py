@@ -55,6 +55,7 @@ def stream_batch(
     metrics_registry=None,
     fmt: str = "parquet",
     compression: str = "zstd",
+    progress=None,
 ) -> None:
     """One micro-batch: poll head → dedup/gap-synthesize → archive.
 
@@ -74,13 +75,19 @@ def stream_batch(
         head = head_fn() if head_fn is not None else provider.head()
         maturity = "head"
     if head is None:
+        if progress is not None:
+            progress.pause()  # idle wait must not dilute reported speed
         state.batches += 1
         return  # subscription not primed yet
     if state.last_archived is not None and head <= state.last_archived:
+        if progress is not None:
+            progress.pause()
         state.batches += 1
         return  # T6: dedup repeated heads
     lo = head if state.last_archived is None else state.last_archived + 1
     hi = min(head, lo + max_heights_per_batch - 1)  # bound batch size
+    if progress is not None:
+        progress.resume()
     t0 = time.perf_counter()
     res = archive_single_blocks(
         spark,
@@ -99,6 +106,16 @@ def stream_batch(
         metrics_registry.record_write_results(
             res.write_rows, time.perf_counter() - t0
         )
+    if progress is not None:
+        import os as _os
+
+        progress.on_record(hi - lo + 1)
+        for r in res.write_rows:
+            if not r["skipped"]:
+                try:
+                    progress.on_bytes(_os.path.getsize(r["location"]))
+                except OSError:
+                    pass  # object-store locations: sizes ride the registry
     state.write_rows.extend(res.write_rows)
     state.archived_heights.extend(range(lo, hi + 1))
     state.last_archived = hi
@@ -122,6 +139,7 @@ def run_stream(
     metrics_registry=None,
     fmt: str = "parquet",
     compression: str = "zstd",
+    progress=None,
 ) -> StreamState:
     """Follow the chain head for ``num_batches`` micro-batches.
 
@@ -160,7 +178,8 @@ def run_stream(
                 stream_batch(spark, provider, root, state, tables, policy,
                              follow, head_fn=head_fn,
                              metrics_registry=metrics_registry,
-                             fmt=fmt, compression=compression)
+                             fmt=fmt, compression=compression,
+                             progress=progress)
                 if poll_interval_s:
                     time.sleep(poll_interval_s)
         finally:
@@ -176,7 +195,8 @@ def run_stream(
             stream_batch(spark, provider, root, state, tables, policy,
                          follow, head_fn=head_fn,
                          metrics_registry=metrics_registry,
-                         fmt=fmt, compression=compression)
+                         fmt=fmt, compression=compression,
+                         progress=progress)
 
     q = (
         spark.readStream.format("rate")

@@ -159,3 +159,82 @@ def test_executor_side_rpc_timing_reaches_registry(spark, tmp_path):
         assert m and int(m.group(1)) >= 5
     finally:
         srv.shutdown()
+
+
+def test_progress_clock_pause_aware_sliding_window():
+    """ProgressClock mirrors progress.rs: active-time-only speed, sliding
+    window against the OLDEST of the last 5 snapshots, and the reference's
+    exact throughput formatting."""
+    from dshackle_archive_spark.operators.metrics import (
+        ProgressClock,
+        format_throughput,
+    )
+
+    # progress.rs:198-215 worked examples, byte-exact strings
+    assert format_throughput(0.0) == "0 bytes/sec"
+    assert format_throughput(512.0) == "512 bytes/sec"
+    assert format_throughput(1023.0) == "1023 bytes/sec"
+    assert format_throughput(1024.0) == "1.0 kb/sec"
+    assert format_throughput(1536.0) == "1.5 kb/sec"
+    assert format_throughput(500_000.0) == "488.3 kb/sec"
+    assert format_throughput(1_048_576.0) == "1.0 mb/sec"
+    assert format_throughput(5_242_880.0) == "5.0 mb/sec"
+
+    t = {"now": 0.0}
+    clock = ProgressClock(now=lambda: t["now"])
+
+    assert clock.report() is None  # no records yet -> reference skips
+
+    # 60 active seconds of work: 120 records, 60 KiB
+    t["now"] = 60.0
+    clock.on_record(120)
+    clock.on_bytes(60 * 1024)
+    rep = clock.report()
+    assert round(rep["recs_per_min"], 3) == 120.0
+    assert rep["throughput"] == "1.0 kb/sec"
+
+    # a 1000s idle wait under pause() must NOT dilute the speed
+    clock.pause()
+    t["now"] = 1060.0
+    clock.resume()
+    t["now"] = 1120.0  # 60 more ACTIVE seconds
+    clock.on_record(120)
+    clock.on_bytes(60 * 1024)
+    rep = clock.report()
+    # window = vs the zero seed: 240 recs over 120 ACTIVE secs
+    assert round(rep["recs_per_min"], 3) == 120.0
+    assert rep["throughput"] == "1.0 kb/sec"
+
+    # ring buffer: after >5 reports the oldest snapshot rolls off, so a
+    # speed change becomes fully visible once slow ticks dominate
+    for _ in range(5):
+        t["now"] += 60.0
+        clock.on_record(60)  # half the rate
+        clock.report()
+    rep = clock.report()
+    assert rep["recs_per_min"] < 120.0
+
+
+def test_stream_pauses_progress_on_idle_batches(spark, tmp_path):
+    """T6 dedup batches (no new head) pause the clock; archiving batches
+    resume it — idle polling never counts as active time."""
+    from dshackle_archive_spark.operators.metrics import ProgressClock
+    from dshackle_archive_spark.sources.fetcher import FetchPolicy
+    from dshackle_archive_spark.sources.mock_chain import MockChain
+    from dshackle_archive_spark.streaming.stream_plan import StreamState, stream_batch
+
+    from dshackle_archive_spark.core.filenames import DataKind
+
+    chain = MockChain(head_height=1000)
+    clock = ProgressClock()
+    state = StreamState()
+    bt = (DataKind.BLOCKS,)
+    stream_batch(spark, chain, str(tmp_path), state, tables=bt,
+                 policy=FetchPolicy(parallel=2), progress=clock)
+    assert clock.records == 1  # first batch archives exactly the head
+    assert clock.bytes > 0  # real file sizes counted
+    # same head again -> T6 dedup path -> pause
+    stream_batch(spark, chain, str(tmp_path), state, tables=bt,
+                 policy=FetchPolicy(parallel=2), progress=clock)
+    assert clock.records == 1
+    assert clock._active_since is None  # paused during idle
