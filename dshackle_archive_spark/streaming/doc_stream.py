@@ -114,23 +114,8 @@ def streaming_curate(
 # retained monitor state via load_snapshot(state_dir, version).
 
 
-def _gen_dirs(state_dir: str) -> list[tuple[int, str]]:
-    import os
-
-    if not os.path.isdir(state_dir):
-        return []
-    out = []
-    for name in os.listdir(state_dir):
-        if name.startswith("gen="):
-            try:
-                out.append((int(name[4:]), os.path.join(state_dir, name)))
-            except ValueError:
-                continue
-    return sorted(out)
-
-
-def _load_band_store(spark, state_dir: str, batch_id: int):
-    """The newest snapshot-committed band store published by a batch
+def _load_state_snapshot(spark, state_dir: str, batch_id: int):
+    """The newest snapshot-committed monitor state published by a batch
     < ``batch_id`` (a retry of batch N must read pre-N state), resolved
     through the manifest chain — None when no such snapshot exists.
 
@@ -152,8 +137,10 @@ def _load_band_store(spark, state_dir: str, batch_id: int):
     return None
 
 
-def _commit_band_store(new_store: DataFrame, state_dir: str, batch_id: int):
-    """Publish one micro-batch's band store as ONE snapshot commit.
+def _commit_state_snapshot(
+    new_store: DataFrame, state_dir: str, batch_id: int, note: str
+):
+    """Publish one micro-batch's monitor state as ONE snapshot commit.
 
     The data dir is unique per ATTEMPT (batch id + random suffix) so a
     retried batch never overwrites files an already-published manifest
@@ -168,7 +155,7 @@ def _commit_band_store(new_store: DataFrame, state_dir: str, batch_id: int):
 
     from ..sources import snapshots as SNAP
 
-    rel_dir = f"store-b{batch_id:09d}-{uuid.uuid4().hex[:8]}"
+    rel_dir = f"store-b{batch_id:09d}-{uuid.uuid4().hex[:8]}"  # unique per attempt
     path = os.path.join(state_dir, rel_dir)
     new_store.write.mode("error").parquet(path)
     files = sorted(
@@ -179,7 +166,7 @@ def _commit_band_store(new_store: DataFrame, state_dir: str, batch_id: int):
     snap = SNAP.publish_snapshot(
         state_dir,
         files,
-        note=f"neardup band store, batch {batch_id}",
+        note=note,
         extra={"batch_id": int(batch_id)},
     )
     SNAP.vacuum(state_dir, keep_last=2)
@@ -246,7 +233,7 @@ def neardup_batch_step(
         .join(ev, "doc_id")
     )
 
-    store = _load_band_store(spark, state_dir, batch_id)
+    store = _load_state_snapshot(spark, state_dir, batch_id)
     if store is None:
         store = spark.createDataFrame(
             [], "band_id int, band_hash string, _ev timestamp"
@@ -305,7 +292,9 @@ def neardup_batch_step(
         .groupBy("band_id", "band_hash")
         .agg(F.max("_ev").alias("_ev"))
     )
-    _commit_band_store(new_store, state_dir, batch_id)
+    _commit_state_snapshot(
+        new_store, state_dir, batch_id, note=f"neardup band store, batch {batch_id}"
+    )
     return survivors
 
 
@@ -582,33 +571,26 @@ def start_streaming_heavy_hitters(
     trigger_processing_time: str | None = None,
 ):
     """Wire ``countmin_merge_step`` into a StreamingQuery: the cumulative
-    grid persists as ``gen=<batch_id>`` parquet generations under
-    ``state_dir`` (same recovery story as the near-dup band store — state
-    on storage, not in executor memory), per-batch heavy-hitter reports
-    append to ``output_path``."""
-    import os
-    import shutil
+    grid persists through the same manifest-pinned snapshot commits as the
+    near-dup band store and batch curation (one commit per micro-batch,
+    retention via the snapshot vacuum, time travel over retained grids);
+    per-batch heavy-hitter reports append to ``output_path``.
+
+    The snapshot read (newest manifest with batch < N) also closes a
+    retry hazard the gen-dir store had: reading "the newest generation"
+    on a retried batch N found gen N itself and merged the batch's grid
+    TWICE — the manifest chain can't, by construction."""
 
     def on_batch(bdf: DataFrame, batch_id: int) -> None:
         spark = bdf.sparkSession
-        # sweep first: a stop() that landed between the previous batch's gen
-        # write and its GC can leave a third generation behind — re-bound
-        # the store before growing it again
-        for _gid, path in _gen_dirs(state_dir)[:-2]:
-            shutil.rmtree(path, ignore_errors=True)
-        gens = _gen_dirs(state_dir)
-        prior = spark.read.parquet(gens[-1][1]) if gens else None
+        prior = _load_state_snapshot(spark, state_dir, batch_id)
         merged, report = countmin_merge_step(
             bdf, prior, batch_id, depth, width, top_m
         )
-        gen_dir = os.path.join(state_dir, f"gen={batch_id}")
-        merged.coalesce(1).write.mode("overwrite").parquet(gen_dir)
-        # GC all but the two newest generations, matching the near-dup band
-        # store: a retry of batch N must still find gen N-1, and a stop()
-        # landing between the write and this sweep must not be able to leave
-        # an unbounded tail (readers always take the newest gen).
-        for _gid, path in _gen_dirs(state_dir)[:-2]:
-            shutil.rmtree(path, ignore_errors=True)
+        _commit_state_snapshot(
+            merged.coalesce(1), state_dir, batch_id,
+            note=f"count-min grid, batch {batch_id}",
+        )
         report.write.mode("append").parquet(output_path)
 
     w = stream_docs.writeStream.foreachBatch(on_batch).option(
@@ -658,13 +640,13 @@ def novelty_batch_step(
 
     Per batch: one distinct-shingle reduce of the batch (corpus-scale work
     happens HERE, on the batch only), a k-row TakeOrdered for the batch
-    synopsis, a k-row merge with the prior synopsis (metadata), and a
-    gen-dir write with the same retain-two GC as the near-dup band store.
-    Returns the monitor row as a plain dict.
+    synopsis, a k-row merge with the prior synopsis (metadata), and one
+    snapshot commit of the k-row synopsis (same manifest path as the
+    near-dup band store and count-min grid — and the same retry fix: the
+    prior synopsis is the newest snapshot with batch < N, never the
+    retried batch's own union, so a retry's est_prior can't silently
+    include the batch). Returns the monitor row as a plain dict.
     """
-    import os
-    import shutil
-
     from ..operators.dedup import shingles
 
     sh_u = (
@@ -680,13 +662,10 @@ def novelty_batch_step(
     batch_syn = [r["u"] for r in sh_u.orderBy("u").limit(k).collect()]
 
     prior: list = []
-    gens = _gen_dirs(state_dir)
-    if gens:
-        spark = batch_docs.sparkSession
-        prior = [
-            r["u"]
-            for r in spark.read.parquet(gens[-1][1]).orderBy("u").collect()
-        ]
+    spark = batch_docs.sparkSession
+    prior_df = _load_state_snapshot(spark, state_dir, batch_id)
+    if prior_df is not None:
+        prior = [r["u"] for r in prior_df.orderBy("u").collect()]
 
     merged = sorted(set(prior) | set(batch_syn))[:k]
     est_prior = _kmv_estimate(prior, k)
@@ -702,13 +681,12 @@ def novelty_batch_step(
             min(novel_est / batch_distinct, 1.0), 6
         ) if batch_distinct else 0.0,
     }
-    spark = batch_docs.sparkSession
-    gen_path = os.path.join(state_dir, f"gen={batch_id}")
-    spark.createDataFrame([(u,) for u in merged], "u double").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(gen_path)
-    for _g, p in _gen_dirs(state_dir)[:-2]:
-        shutil.rmtree(p, ignore_errors=True)
+    _commit_state_snapshot(
+        spark.createDataFrame([(u,) for u in merged], "u double").coalesce(1),
+        state_dir,
+        batch_id,
+        note=f"KMV novelty synopsis, batch {batch_id}",
+    )
     return row
 
 

@@ -849,18 +849,18 @@ def test_streaming_heavy_hitters_end_to_end(spark, tmp_path):
     last = by_batch[batches[-1]]
     if "beta" in last and "alpha" in last:
         assert last["alpha"] >= 2 * last["beta"] - 2
-    # retain-two generation GC: steady state keeps the two newest grid
-    # generations; a stop() landing between a gen write and its GC sweep can
-    # transiently leave a third (re-bounded at the next batch start). The
-    # invariants that matter: bounded count, and the newest gen covers the
-    # last reported batch — recovery always reads the newest gen.
-    gens = sorted(
-        int(d.split("=", 1)[1])
-        for d in os.listdir(state)
-        if d.startswith("gen=")
-    )
-    assert 1 <= len(gens) <= 3
-    assert gens[-1] >= batches[-1]
+    # snapshot retention: the per-commit vacuum keeps the two newest grid
+    # manifests; the current one covers the last reported batch, so recovery
+    # (newest manifest with batch < N) always finds usable state
+    from dshackle_archive_spark.sources import snapshots as SNAP
+
+    snap = SNAP.load_snapshot(state)
+    assert snap is not None and snap.extra["batch_id"] >= batches[-1]
+    manifests = [
+        d for d in os.listdir(os.path.join(state, "_manifests"))
+        if d.startswith("v") and d.endswith(".json")
+    ]
+    assert 1 <= len(manifests) <= 2
 
 
 def test_streaming_decayed_mean_matches_batch(spark, tmp_path):
@@ -1062,6 +1062,12 @@ def test_streaming_novelty_monitor(spark, tmp_path):
     assert rows[0]["novelty_rate"] > 0.85 and not rows[0]["alert"]
     assert rows[1]["novelty_rate"] < 0.15 and rows[1]["alert"]
     assert 0.3 < rows[2]["novelty_rate"] < 0.7 and not rows[2]["alert"]
-    # retain-two gen GC
-    gens = [d for d in os.listdir(state) if d.startswith("gen=")]
-    assert len(gens) <= 2
+    # snapshot retention: newest synopsis manifest covers the last batch
+    from dshackle_archive_spark.sources import snapshots as SNAP
+
+    snap = SNAP.load_snapshot(state)
+    assert snap is not None and snap.extra["batch_id"] == 2
+    # time travel: the retained previous synopsis is still readable
+    prev = SNAP.load_snapshot(state, snap.version - 1)
+    if prev is not None and prev.files:
+        assert spark.read.parquet(*prev.paths()).count() <= 1024
