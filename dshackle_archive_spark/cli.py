@@ -71,7 +71,12 @@ def _provider(args):
             # S8: the reference's gRPC NativeCall transport (connection.rs)
             from .sources.dshackle import DshackleClient
 
-            client = DshackleClient(args.rpc_url, chain=chain_id)
+            client = DshackleClient(
+                args.rpc_url,
+                chain=chain_id,
+                tls=False if args.connection_notls else None,
+                tls_ca=args.tls_ca,
+            )
         cls = EthereumRpcProvider if eth else BitcoinRpcProvider
         return cls(args.rpc_url, blockchain_id=chain_id, client=client)
     raise SystemExit(
@@ -217,7 +222,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="mock | eth-rpc | btc-rpc (JSON-RPC over HTTP) | "
                         "eth-dshackle | btc-dshackle (gRPC NativeCall)")
     p.add_argument("--rpc-url", default=None,
-                   help="node endpoint URL (http://... or dshackle://host:port)")
+                   help="node endpoint URL (http://..., dshackle://host:port "
+                        "plaintext, or dshackles://host:port for TLS+ALPN h2)")
+    p.add_argument("--connection-notls", "--connection.notls",
+                   dest="connection_notls", action="store_true",
+                   help="disable TLS on the dshackle gRPC connection even "
+                        "for a dshackles:// URL (args.rs:182-184)")
+    p.add_argument("--tls-ca", dest="tls_ca", default=None, metavar="PEM",
+                   help="CA bundle to verify the dshackle TLS endpoint "
+                        "(private-CA deployments)")
     p.add_argument("--chain", default=None, help="blockchain id (ETH, BTC, ...)")
     p.add_argument("--mock-head", type=int, default=1_000_000)
     p.add_argument("--input", default=None,

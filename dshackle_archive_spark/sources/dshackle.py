@@ -292,8 +292,24 @@ class DshackleClient:
         timeout_s: float = 10.0,
         parallel: int = 16,
         use_gzip: bool = False,
+        tls: bool | None = None,
+        tls_ca: str | None = None,
+        tls_insecure: bool = False,
     ):
-        target = url[len("dshackle://"):] if url.startswith("dshackle://") else url
+        """``tls``: None derives from the scheme (``dshackles://`` = TLS,
+        ``dshackle://`` = plaintext); an explicit bool overrides — the
+        reference connects TLS by default and ``--connection.notls``
+        disables it (``args.rs:182-184``). ``tls_ca`` pins a CA bundle
+        (self-hosted dshackle deployments run private CAs);
+        ``tls_insecure`` skips verification (testing only)."""
+        scheme_tls = False
+        if url.startswith("dshackles://"):
+            target = url[len("dshackles://"):]
+            scheme_tls = True
+        elif url.startswith("dshackle://"):
+            target = url[len("dshackle://"):]
+        else:
+            target = url
         host, _, port = target.partition(":")
         self.host, self.port = host, int(port or 2448)
         self.url = url
@@ -302,6 +318,9 @@ class DshackleClient:
             raise DshackleError(f"unknown chain {chain}")
         self.timeout_s = timeout_s
         self.use_gzip = use_gzip
+        self.tls = scheme_tls if tls is None else tls
+        self.tls_ca = tls_ca
+        self.tls_insecure = tls_insecure
         self._parallel = parallel
         self._sem = threading.Semaphore(parallel)
         self._id = 0
@@ -335,6 +354,21 @@ class DshackleClient:
 
         if self._sock is None:
             s = socket.create_connection((self.host, self.port), timeout=self.timeout_s)
+            if self.tls:
+                # gRPC requires ALPN-negotiated h2 on TLS connections
+                import ssl
+
+                ctx = ssl.create_default_context(cafile=self.tls_ca)
+                if self.tls_insecure:
+                    ctx.check_hostname = False
+                    ctx.verify_mode = ssl.CERT_NONE
+                ctx.set_alpn_protocols(["h2"])
+                s = ctx.wrap_socket(s, server_hostname=self.host)
+                if s.selected_alpn_protocol() != "h2":
+                    s.close()
+                    raise DshackleError(
+                        "TLS peer did not negotiate h2 via ALPN"
+                    )
             self._sock = s
             self._file = s.makefile("rwb")
             self._h2 = H2ClientConnection(self._file)

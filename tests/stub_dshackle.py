@@ -32,13 +32,24 @@ def start_dshackle_stub(
     model,
     pretty: bool = False,
     drop_subscription_after: int | None = None,
+    tls_cert: str | None = None,
+    tls_key: str | None = None,
 ) -> tuple[str, socketserver.ThreadingTCPServer]:
     """Serve NativeCall/SubscribeHead on an ephemeral port; returns
-    (dshackle://host:port, server). ``server.accepts`` counts TCP
-    connections; ``server.calls`` counts NativeCall items served.
+    (dshackle://host:port, server) — or (dshackles://..., server) when
+    ``tls_cert``/``tls_key`` are given, in which case every connection is
+    TLS with ALPN h2 like a real gRPC endpoint. ``server.accepts`` counts
+    TCP connections; ``server.calls`` counts NativeCall items served.
     ``drop_subscription_after`` kills the head stream after N messages
     (reconnect tests). ``pretty`` emits indented result payloads
     (byte-fidelity tests)."""
+    ssl_ctx = None
+    if tls_cert is not None:
+        import ssl
+
+        ssl_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ssl_ctx.load_cert_chain(tls_cert, tls_key)
+        ssl_ctx.set_alpn_protocols(["h2"])
 
     class Handler(socketserver.StreamRequestHandler):
         def handle(self):
@@ -144,6 +155,12 @@ def start_dshackle_stub(
         allow_reuse_address = True
         daemon_threads = True
 
+        def get_request(self):
+            sock, addr = super().get_request()
+            if ssl_ctx is not None:
+                sock = ssl_ctx.wrap_socket(sock, server_side=True)
+            return sock, addr
+
     srv = Server(("127.0.0.1", 0), Handler)
     srv.accepts = 0
     srv.calls = 0
@@ -157,4 +174,5 @@ def start_dshackle_stub(
         orig_shutdown()
 
     srv.shutdown = shutdown
-    return f"dshackle://127.0.0.1:{srv.server_address[1]}", srv
+    scheme = "dshackles" if ssl_ctx is not None else "dshackle"
+    return f"{scheme}://127.0.0.1:{srv.server_address[1]}", srv

@@ -239,3 +239,105 @@ def test_btc_archive_over_dshackle(spark, tmp_path):
         assert rep.failures == []
     finally:
         srv.shutdown()
+
+
+# -- TLS transport (the reference connects TLS-by-default; --connection.notls
+# disables it, args.rs:182-184) ----------------------------------------------
+
+@pytest.fixture(scope="module")
+def tls_cert(tmp_path_factory):
+    """Self-signed cert for 127.0.0.1 (SAN-pinned), generated per test run."""
+    import subprocess
+
+    d = tmp_path_factory.mktemp("tls")
+    cert, key = str(d / "cert.pem"), str(d / "key.pem")
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", key, "-out", cert, "-days", "2",
+         "-subj", "/CN=127.0.0.1",
+         "-addext", "subjectAltName=IP:127.0.0.1"],
+        check=True, capture_output=True,
+    )
+    return cert, key
+
+
+def test_native_call_over_tls_alpn_h2(tls_cert):
+    """Full NativeCall through a TLS+ALPN(h2) wrapped stub: the dshackles://
+    scheme turns TLS on, the CA pin verifies the self-signed server, and
+    payloads are byte-identical to the plaintext path."""
+    cert, key = tls_cert
+    model = EthChainModel(head=120)
+    url, srv = start_dshackle_stub(model, tls_cert=cert, tls_key=key)
+    try:
+        assert url.startswith("dshackles://")
+        c = D.DshackleClient(url, chain="ETH", tls_ca=cert)
+        assert c.tls is True  # scheme-derived
+        assert c.call("eth_blockNumber", []) == hex(120)
+        c.close()
+    finally:
+        srv.shutdown()
+
+
+def test_tls_override_and_verification():
+    """tls=False override keeps a dshackles:// URL plaintext (the
+    --connection.notls semantics), and an unpinned default context
+    REFUSES the self-signed server instead of silently trusting it."""
+    import ssl as _ssl
+
+    model = EthChainModel(head=64)
+    # plaintext stub + dshackles URL + explicit override -> works plaintext
+    url, srv = start_dshackle_stub(model)
+    try:
+        c = D.DshackleClient(
+            "dshackles://" + url[len("dshackle://"):], chain="ETH", tls=False
+        )
+        assert c.tls is False
+        assert c.call("eth_blockNumber", []) == hex(64)
+        c.close()
+    finally:
+        srv.shutdown()
+
+
+def test_tls_rejects_unpinned_self_signed(tls_cert):
+    import ssl as _ssl
+
+    cert, key = tls_cert
+    model = EthChainModel(head=64)
+    url, srv = start_dshackle_stub(model, tls_cert=cert, tls_key=key)
+    try:
+        c = D.DshackleClient(url, chain="ETH")  # no CA pin
+        with pytest.raises((_ssl.SSLError, D.DshackleError, OSError)):
+            c.call("eth_blockNumber", [])
+        c.close()
+    finally:
+        srv.shutdown()
+
+
+def test_cli_archive_over_tls_dshackle(spark, tmp_path, tls_cert):
+    """CLI end-to-end over the TLS transport: eth-dshackle provider with a
+    dshackles:// URL and --tls-ca archives real blocks through the
+    ALPN-h2 TLS stub."""
+    import contextlib
+    import io as _io
+
+    from dshackle_archive_spark import cli
+
+    cert, key = tls_cert
+    model = EthChainModel(head=200)
+    url, srv = start_dshackle_stub(model, tls_cert=cert, tls_key=key)
+    try:
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = cli.main([
+                "archive", "--dir", str(tmp_path), "--range", "100..119",
+                "--tables", "blocks", "--provider", "eth-dshackle",
+                "--rpc-url", url, "--tls-ca", cert,
+                "--range-chunk", "20", "--master", "local[4]",
+            ])
+        assert rc == 0
+        out = json.loads(buf.getvalue().strip().splitlines()[-1])
+        assert out["written"] == 1
+        df = spark.read.parquet(out["files"][0])
+        assert df.count() == 20
+    finally:
+        srv.shutdown()
