@@ -150,6 +150,7 @@ EXTRA = [
     "d16_degree_assortativity",
     "x46_mad_outliers",
     "w10_rolling_zscore",
+    "x47_ndcg_audit",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))

@@ -8414,3 +8414,129 @@ def w10_rolling_zscore(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "x47_ndcg_audit",
+    """
+    WITH flat AS (
+      SELECT vec_id, t.i - 1 AS i, CAST(embedding[t.i] AS DOUBLE) AS x
+      FROM embeddings, range(1, 65) t(i)
+    ), norms AS (
+      SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1
+    ), xdots AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, sum(a.x * b.x) AS dot
+      FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id <> b.vec_id
+      WHERE a.vec_id < 5
+      GROUP BY 1, 2
+    ), xsims AS (
+      SELECT query_id, neighbor_id,
+             round(dot / (na.nrm * nb.nrm), 6) AS sim
+      FROM xdots JOIN norms na ON na.vec_id = query_id
+                 JOIN norms nb ON nb.vec_id = neighbor_id
+    ), xrank10 AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+             ) AS rank_exact
+      FROM xsims
+      QUALIFY rank_exact <= 10
+    ), celldots AS (
+      SELECT v.vec_id, s.vec_id AS cell_id,
+             round(sum(v.x * s.x) / (any_value(nv.nrm) * any_value(ns.nrm)), 6)
+               AS sim
+      FROM flat v JOIN flat s ON s.i = v.i AND s.vec_id < 16
+      JOIN norms nv ON nv.vec_id = v.vec_id
+      JOIN norms ns ON ns.vec_id = s.vec_id
+      GROUP BY v.vec_id, s.vec_id
+    ), assign AS (
+      SELECT vec_id, cell_id FROM celldots
+      QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY sim DESC, cell_id ASC) = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, cell_id FROM celldots WHERE vec_id < 5
+      QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY sim DESC, cell_id ASC) <= 2
+    ), cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a USING (cell_id)
+      WHERE a.vec_id <> p.query_id
+    ), isims AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(sum(fa.x * fb.x) / (any_value(na.nrm) * any_value(nb.nrm)), 6)
+               AS sim
+      FROM cand c
+      JOIN flat fa ON fa.vec_id = c.query_id
+      JOIN flat fb ON fb.vec_id = c.neighbor_id AND fb.i = fa.i
+      JOIN norms na ON na.vec_id = c.query_id
+      JOIN norms nb ON nb.vec_id = c.neighbor_id
+      GROUP BY 1, 2
+    ), ivf10 AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+             ) AS rank
+      FROM isims
+      QUALIFY rank <= 10
+    ), gains AS (
+      SELECT i.query_id, i.rank,
+             COALESCE(11 - x.rank_exact, 0) AS rel
+      FROM ivf10 i LEFT JOIN xrank10 x
+        ON x.query_id = i.query_id AND x.neighbor_id = i.neighbor_id
+    ), idcg AS (
+      SELECT sum((11 - g.i) / log2(g.i + 1)) AS v FROM range(1, 11) g(i)
+    )
+    SELECT query_id,
+           CAST(count(*) AS BIGINT) AS n_ranked,
+           CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hits_at_10,
+           round(sum(rel / log2(rank + 1)), 6) AS dcg,
+           round(sum(rel / log2(rank + 1)) / (SELECT v FROM idcg), 6) AS ndcg
+    FROM gains GROUP BY query_id ORDER BY query_id
+    """,
+)
+def x47_ndcg_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """nDCG@10 of the IVF-flat retrieval against exact cosine ground truth
+    — the GRADED ranking-quality audit beside x30's set-level recall: a
+    candidate list can hit 9/10 of the true neighbors and still be badly
+    ordered; position-discounted gain is what an embedding-dedup or
+    RAG-retrieval gate actually cares about. Relevance of a returned
+    neighbor is its exact-cosine rank folded to an integer gain
+    (rel = 11 − rank_exact inside the true top-10, else 0), IDCG is the
+    perfect-ordering constant, so ndcg = 1.0 iff IVF returns the exact
+    top-10 in exact order.
+
+    Determinism: both rankings order by round(sim, 6) with neighbor-id
+    tiebreaks (v1/v3's rule); gains are exact integers; the only floats
+    are log2 discounts and one division, rounded to 6.
+
+    Scale shape: reuses the v1 broadcast-query exact side (5 query rows
+    against the corpus, never corpus×corpus) and the v3 IVF side
+    (broadcast 16-row seed, cell-id equi-join candidates); the audit join
+    is top-10×top-10 per query — metadata-sized."""
+    import math
+
+    from .operators.similarity import cosine_topk, ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    qv = emb.filter(F.col("vec_id") < 5)
+    ex10 = cosine_topk(emb, qv, k=10, dim=64).select(
+        "query_id", "neighbor_id", F.col("rank").alias("rank_exact")
+    )
+    iv10 = ivf_topk(emb, qv, k=10, n_cells=16, nprobe=2, dim=64).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    rel = F.coalesce(F.lit(11) - F.col("rank_exact"), F.lit(0))
+    disc = rel / F.log2(F.col("rank") + F.lit(1))
+    idcg = sum((11 - i) / math.log2(i + 1) for i in range(1, 11))
+    return (
+        iv10.join(ex10, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_ranked"),
+            F.sum((rel > 0).cast("int")).cast("long").alias("hits_at_10"),
+            F.round(F.sum(disc), 6).alias("dcg"),
+            F.round(F.sum(disc) / F.lit(idcg), 6).alias("ndcg"),
+        )
+        .orderBy("query_id")
+    )

@@ -50,16 +50,30 @@ def probe_result(tmp_path_factory):
     out = tmp_path_factory.mktemp("lc") / "probe.json"
     script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "local_cluster_probe.py")
+    # run the probe with RELIABLE checkpointing on: real executor JVMs +
+    # DFS-backed df.checkpoint() is exactly the cluster configuration the
+    # localCheckpoint durability concern is about — results must still be
+    # byte-identical to the single-JVM localCheckpoint session
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CHECKPOINT_DIR"] = str(tmp_path_factory.mktemp("ckpt"))
     proc = subprocess.run(
         [sys.executable, script, ",".join(HEAVY), sf_dir, str(out)],
         capture_output=True,
         text=True,
         timeout=900,
+        env=env,
     )
     assert proc.returncode == 0, (
         f"local-cluster probe failed\nstdout: {proc.stdout[-2000:]}\n"
         f"stderr: {proc.stderr[-4000:]}"
     )
+    # the reliable path was genuinely exercised: block files landed in the
+    # configured checkpoint dir (Spark nests a UUID subdir beneath it)
+    import pathlib
+
+    ckpt_files = [p for p in pathlib.Path(env["SPARK_GRAFT_CHECKPOINT_DIR"]).rglob("*")
+                  if p.is_file()]
+    assert ckpt_files, "reliable checkpoint dir is empty — fallback was used"
     return json.loads(out.read_text())
 
 

@@ -81,6 +81,7 @@ SMALL_NONEQUI_BROADCAST_QUERIES = {
     "v11_range_search",  # corpus × 5 broadcast query vectors (≠ condition)
     "v14_cluster_quality",  # seed-row assign + K×K seed-separation grid
     "v15_recall_curve",  # v1 exact side + 3× v3 seed-row probes, all broadcast
+    "x47_ndcg_audit",  # v1 exact side + v3 seed-row probe (same shapes)
 }
 BNLJ_ALLOWED = ONE_ROW_BOUND_QUERIES | SMALL_NONEQUI_BROADCAST_QUERIES
 
