@@ -242,6 +242,12 @@ def main() -> None:
         except Exception:
             pass
 
+    # warm the canary's own scan path once, untimed: the before-canary
+    # otherwise reads the target-sf lineitem cold (page cache + column
+    # reader init) while the after-canary runs fully warm — a structural
+    # ~0.2-0.3 "drift" that has nothing to do with ambient load and can
+    # trip the load_suspect flag on a clean run
+    canary_time(spark, sf_dir)
     canary_before = round(canary_time(spark, sf_dir), 4)
 
     times: dict[str, float] = {}
