@@ -226,7 +226,7 @@ def test_roundtrip_property_random_records():
             )
         with tempfile.TemporaryDirectory() as d:
             p = os.path.join(d, "r.avro")
-            codec = rnd.choice(["null", "deflate", "zstandard"])
+            codec = rnd.choice(["null", "deflate", "zstandard", "snappy"])
             write_avro_records(p, schema, records, codec=codec, block_records=97)
             assert list(read_avro_records(p)) == records, f"trial {trial} codec {codec}"
 

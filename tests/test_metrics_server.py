@@ -238,3 +238,57 @@ def test_stream_pauses_progress_on_idle_batches(spark, tmp_path):
                  policy=FetchPolicy(parallel=2), progress=clock)
     assert clock.records == 1
     assert clock._active_since is None  # paused during idle
+
+
+def test_progress_clock_property_random_schedules():
+    """Property: for ANY interleaving of work/pause periods, a report's
+    sliding-window speed equals records-in-window over ACTIVE-seconds-in-
+    window, computed directly from the schedule — paused time never leaks
+    into the denominator."""
+    import random
+
+    from dshackle_archive_spark.operators.metrics import ProgressClock
+
+    rnd = random.Random(77)
+    for trial in range(25):
+        t = {"now": 0.0}
+        clock = ProgressClock(now=lambda: t["now"])
+        # direct model: snapshots of (records, active)
+        records = 0
+        active = 0.0
+        snaps = [(0, 0.0)]
+        paused = False
+        for _step in range(rnd.randrange(3, 30)):
+            dt = rnd.uniform(0.5, 90.0)
+            t["now"] += dt
+            if not paused:
+                active += dt
+            action = rnd.random()
+            if action < 0.35:
+                n = rnd.randrange(1, 500)
+                clock.on_record(n)
+                records += n
+            elif action < 0.55:
+                clock.pause()
+                paused = True
+            elif action < 0.75:
+                clock.resume()
+                paused = False
+            else:
+                rep = clock.report()
+                if records == 0:
+                    assert rep is None
+                    continue
+                # baseline is the OLDEST retained snapshot BEFORE this report
+                d_rec = records - snaps[0][0]
+                d_act = active - snaps[0][1]
+                snaps.append((records, active))
+                if len(snaps) > clock.WINDOW_SIZE:
+                    snaps.pop(0)
+                expect = None if d_act < 0.001 else d_rec / d_act * 60.0
+                if expect is None:
+                    assert rep["recs_per_min"] is None
+                else:
+                    assert abs(rep["recs_per_min"] - expect) < 1e-6, (
+                        trial, rep, expect
+                    )
