@@ -143,14 +143,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("command",
                    choices=["archive", "stream", "compact", "fix", "verify", "curate",
                             "vacuum", "report"])
-    p.add_argument("--dir", default=None, help="archive root directory")
-    p.add_argument("--range", help="block range N..M (or single N)")
+    p.add_argument("--dir", "-d", default=None, help="archive root directory")
+    p.add_argument("--range", "-r", help="block range N..M (or single N)")
     p.add_argument("--tail", type=int, help="operate on the last N blocks")
-    p.add_argument("--tables", default="blocks,txes", help="comma list: blocks,txes,traces")
-    p.add_argument("--range-chunk", type=int, default=1000, dest="chunk")
+    p.add_argument("--tables", "-t", default="blocks,txes", help="comma list: blocks,txes,traces")
+    p.add_argument("--range-chunk", "--range.chunk", "--rangeChunk", type=int,
+                   default=1000, dest="chunk")
     p.add_argument("--parallel", type=int, default=16, help="API rate cap (1-512)")
-    p.add_argument("--dry-run", action="store_true")
-    p.add_argument("--fix-clean", action="store_true", help="verify: delete incomplete groups")
+    p.add_argument("--dry-run", "--dryRun", "--dryrun", dest="dry_run",
+                   action="store_true")
+    p.add_argument("--fix-clean", "--fix.clean", dest="fix_clean",
+                   action="store_true", help="verify: delete incomplete groups")
     p.add_argument("--snapshot", action="store_true",
                    help="verify/compact: commit prunes/rewrites as ONE atomic "
                         "manifest swap (sources/snapshots.py) instead of "
@@ -231,7 +234,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--tls-ca", dest="tls_ca", default=None, metavar="PEM",
                    help="CA bundle to verify the dshackle TLS endpoint "
                         "(private-CA deployments)")
-    p.add_argument("--chain", default=None, help="blockchain id (ETH, BTC, ...)")
+    p.add_argument("--chain", "--blockchain", "-b", dest="chain", default=None,
+                   help="blockchain id (ETH, BTC, ...; the reference's\n                        -b/--blockchain")
+    p.add_argument("--connection", "-c", dest="connection", default=None,
+                   metavar="HOST:PORT",
+                   help="dshackle gRPC endpoint, the reference's -c/--connection\n                        (args.rs:178-180): implies the *-dshackle provider for\n                        the selected blockchain, TLS on by default\n                        (--connection-notls for plaintext)")
     p.add_argument("--mock-head", type=int, default=1_000_000)
     p.add_argument("--input", default=None,
                    help="curate: parquet path of the documents corpus")
@@ -259,6 +266,17 @@ def main(argv: list[str] | None = None) -> int:
                         "for the lifetime of the run (metrics/mod.rs:73-76)")
     args = p.parse_args(argv)
     _apply_aws(args)
+    if args.connection:
+        # the reference's -c HOST:PORT: a dshackle gRPC endpoint, TLS by
+        # default, --connection.notls for plaintext (args.rs:178-184);
+        # selects the matching *-dshackle provider for the blockchain
+        if args.rpc_url:
+            raise SystemExit("give either --connection or --rpc-url, not both")
+        scheme = "dshackle" if args.connection_notls else "dshackles"
+        args.rpc_url = f"{scheme}://{args.connection}"
+        if args.provider == "mock":
+            btc = (args.chain or "").upper().startswith(("BTC", "BITCOIN"))
+            args.provider = "btc-dshackle" if btc else "eth-dshackle"
     if args.command in ("curate", "report"):
         if not args.input:
             raise SystemExit(f"{args.command} requires --input")

@@ -341,3 +341,52 @@ def test_cli_archive_over_tls_dshackle(spark, tmp_path, tls_cert):
         assert df.count() == 20
     finally:
         srv.shutdown()
+
+
+def test_cli_reference_spelling_drop_in(spark, tmp_path, tls_cert):
+    """A reference command line works verbatim modulo the binary name:
+    ``-b ETH -c HOST:PORT`` with dotted aliases — TLS on by default
+    through -c, the eth-dshackle provider inferred, and
+    ``--connection.notls`` reverting to plaintext."""
+    import contextlib
+    import io as _io
+
+    from dshackle_archive_spark import cli
+
+    def run(argv):
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = cli.main(argv)
+        assert rc == 0
+        return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    # TLS default through -c (reference behavior), CA pinned
+    cert, key = tls_cert
+    url, srv = start_dshackle_stub(EthChainModel(head=300), tls_cert=cert, tls_key=key)
+    hostport = url[len("dshackles://"):]
+    try:
+        out = run(["archive", "-b", "ETH", "-c", hostport,
+                   "--tls-ca", cert, "-d", str(tmp_path / "a"),
+                   "-r", "100..119", "-t", "blocks",
+                   "--range.chunk", "20", "--master", "local[4]"])
+        assert out["written"] == 1
+    finally:
+        srv.shutdown()
+
+    # --connection.notls -> plaintext against a plaintext endpoint,
+    # with the dotted dryRun alias exercised on verify
+    url2, srv2 = start_dshackle_stub(EthChainModel(head=300))
+    hostport2 = url2[len("dshackle://"):]
+    try:
+        out = run(["archive", "-b", "ETH", "-c", hostport2,
+                   "--connection.notls", "-d", str(tmp_path / "b"),
+                   "-r", "100..119", "-t", "blocks",
+                   "--range.chunk", "20", "--master", "local[4]"])
+        assert out["written"] == 1
+        out = run(["verify", "-b", "ETH", "-c", hostport2,
+                   "--connection.notls", "--dryRun",
+                   "-d", str(tmp_path / "b"), "-r", "100..119",
+                   "-t", "blocks", "--master", "local[4]"])
+        assert out["dry_run"] is True and out["ok"] == 1
+    finally:
+        srv2.shutdown()
