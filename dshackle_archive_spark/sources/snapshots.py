@@ -401,12 +401,25 @@ def merge_replace_with_retry(
     ) from last
 
 
-def vacuum(root: str, keep_last: int = 2, dry_run: bool = False) -> list[str]:
+def vacuum(
+    root: str,
+    keep_last: int = 2,
+    dry_run: bool = False,
+    keep_if=None,
+) -> list[str]:
     """Delete data files referenced by NO retained manifest (the newest
     ``keep_last`` manifests are retained; older manifests are dropped with
     their exclusively-owned files). Readers pinned within the keep window
     stay valid — deeper pins trade off against storage, exactly the
-    Iceberg/Delta retention knob."""
+    Iceberg/Delta retention knob.
+
+    ``keep_if(snapshot) -> bool`` additionally retains any older manifest
+    the predicate accepts. Callers whose retention unit is NOT "a manifest"
+    need this: the streaming monitor state publishes one manifest per
+    micro-batch ATTEMPT, so a retried batch N leaves two batch-N manifests
+    and count-based keep_last=2 would evict the batch-N−1 state a further
+    retry must re-read (silently resetting dedup state). Those callers keep
+    every manifest of the last two distinct batch ids instead."""
     import re
 
     mdir = _mdir(root)
@@ -418,6 +431,15 @@ def vacuum(root: str, keep_last: int = 2, dry_run: bool = False) -> list[str]:
         if (m := re.fullmatch(r"v(\d+)\.json", n))
     )
     keep, drop = versions[-keep_last:], versions[:-keep_last]
+    if keep_if is not None:
+        rescued = [
+            v for v in drop
+            if (s := load_snapshot(root, v)) is not None and keep_if(s)
+        ]
+        if rescued:
+            kept = set(keep) | set(rescued)
+            keep = sorted(kept)
+            drop = [v for v in versions if v not in kept]
     live: set[str] = set()
     for v in keep:
         s = load_snapshot(root, v)

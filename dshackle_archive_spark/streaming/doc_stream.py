@@ -125,10 +125,24 @@ def _load_state_snapshot(spark, state_dir: str, batch_id: int):
     from ..sources import snapshots as SNAP
 
     v = SNAP.current_version(state_dir)
+    if v is None:
+        return None  # fresh state dir: genuinely no prior state
     while v is not None:
         snap = SNAP.load_snapshot(state_dir, v)
         if snap is None:
-            return None
+            # Manifests exist (a _CURRENT pointer resolved) but the walk hit
+            # a deleted one before finding any batch < batch_id: retention
+            # evicted the state this retry must re-read. Returning None here
+            # would silently reset the band store / count-min grids / novelty
+            # baseline to empty — duplicates would leak with no error. Fail
+            # loudly instead; the vacuum's batch-id keep_if is supposed to
+            # make this unreachable.
+            raise RuntimeError(
+                f"monitor state under {state_dir}: manifest v{v} was vacuumed "
+                f"but no retained manifest has batch_id < {batch_id}; refusing "
+                "to continue from an empty store (state-retention bug or "
+                "external deletion)"
+            )
         if int(snap.extra.get("batch_id", -1)) < batch_id:
             if snap.files:
                 return spark.read.parquet(*snap.paths())
@@ -169,7 +183,17 @@ def _commit_state_snapshot(
         note=note,
         extra={"batch_id": int(batch_id)},
     )
-    SNAP.vacuum(state_dir, keep_last=2)
+    # Retention is per distinct BATCH ID, not per manifest: a post-commit
+    # retry of batch N publishes a second batch-N manifest, and count-based
+    # keep_last=2 would then evict the batch-N−1 manifest a further retry of
+    # N must read (_load_state_snapshot wants the newest batch < N). Keep
+    # every manifest whose batch_id >= N−1 — attempts are rare, so this stays
+    # a handful of manifests while making every replayable batch resolvable.
+    SNAP.vacuum(
+        state_dir,
+        keep_last=2,
+        keep_if=lambda s: int(s.extra.get("batch_id", -1)) >= int(batch_id) - 1,
+    )
     return snap
 
 

@@ -598,14 +598,54 @@ def test_neardup_store_snapshot_commits(spark, tmp_path):
     snap_retry = SNAP.load_snapshot(state)
     assert snap_retry.extra["batch_id"] == 1 and snap_retry.version > snap1.version
 
-    # retention: the per-commit vacuum keeps the 2 newest manifests; the
-    # batch-0 snapshot is gone and its exclusively-owned files with it
-    assert SNAP.load_snapshot(state, v_b0) is None
-    import glob as _glob
-    import os as _os
+    # retention is per distinct BATCH ID, not per manifest (round-8 ADVICE
+    # fix): the batch-1 retry published a SECOND batch-1 manifest, and
+    # count-based keep-2 would have evicted batch 0's state — the exact
+    # snapshot a further retry of batch 1 must re-read. The batch-id-aware
+    # vacuum keeps it.
+    assert SNAP.load_snapshot(state, v_b0) is not None
+    retry2 = sorted(r["doc_id"] for r in neardup_batch_step(b1, state, 1).collect())
+    assert retry2 == [3]  # double retry still resolves pre-batch-1 state
 
-    kept = _glob.glob(_os.path.join(state, "_manifests", "v*.json"))
-    assert len(kept) == 2
+    # advancing to batch 2 retires batch 0: its manifests and exclusively-
+    # owned files are vacuumed once the keep window moves to batches {1, 2}
+    b2 = spark.createDataFrame(
+        [(4, "fresh unrelated " + " ".join(f"k{i}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    assert [r["doc_id"] for r in neardup_batch_step(b2, state, 2).collect()] == [4]
+    assert SNAP.load_snapshot(state, v_b0) is None
+
+
+def test_neardup_state_walk_fails_loudly_when_vacuumed(spark, tmp_path):
+    """_load_state_snapshot must RAISE — never silently return an empty
+    store — when the manifest walk dead-ends on a vacuumed version before
+    finding any batch < N (round-8 ADVICE: a silent None here resets the
+    band store and leaks duplicates with no error)."""
+    import os
+
+    import pytest
+
+    from dshackle_archive_spark.sources import snapshots as SNAP
+    from dshackle_archive_spark.streaming.doc_stream import (
+        _load_state_snapshot,
+        neardup_batch_step,
+    )
+
+    state = str(tmp_path / "walk_state")
+    text = " ".join(f"a{i} b{i}" for i in range(30))
+    b0 = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    b1 = spark.createDataFrame([(2, text + " more")], "doc_id long, text string")
+    neardup_batch_step(b0, state, 0)
+    neardup_batch_step(b1, state, 1)
+    # simulate over-eager retention: delete the batch-0 manifest out from
+    # under the chain, then ask for pre-batch-1 state
+    v1 = SNAP.load_snapshot(state).parent
+    os.remove(os.path.join(state, "_manifests", f"v{v1}.json"))
+    with pytest.raises(RuntimeError, match="vacuumed"):
+        _load_state_snapshot(spark, state, 1)
+    # a genuinely fresh dir still reads as "no prior state", not an error
+    assert _load_state_snapshot(spark, str(tmp_path / "fresh"), 5) is None
 
 
 def test_streaming_neardup_across_microbatches(spark, tmp_path):
