@@ -265,6 +265,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="serve Prometheus metrics at http://HOST:PORT/metrics "
                         "for the lifetime of the run (metrics/mod.rs:73-76)")
     args = p.parse_args(argv)
+    if args.metrics_await and not args.metrics:
+        # without a server there is nothing to scrape: silently skipping the
+        # final-scrape guarantee would strand a Prometheus-dependent caller
+        raise SystemExit("--metrics.await requires --metrics HOST:PORT")
     _apply_aws(args)
     if args.connection:
         # the reference's -c HOST:PORT: a dshackle gRPC endpoint, TLS by
@@ -287,10 +291,12 @@ def main(argv: list[str] | None = None) -> int:
         # snapshot retention GC: no Spark session needed (pure metadata)
         from .sources import snapshots as SNAP
 
+        from .sources.ref_layout import strip_userinfo
+
         chain = (args.chain or "eth").lower()
         base = os.path.join(args.dir, chain)
         removed = SNAP.vacuum(base, keep_last=args.keep_last, dry_run=args.dry_run)
-        print(json.dumps({"command": "vacuum", "base": base,
+        print(json.dumps({"command": "vacuum", "base": strip_userinfo(base),
                           "keep_last": args.keep_last, "dry_run": args.dry_run,
                           "removed": removed,
                           "current": SNAP.current_version(base)}))

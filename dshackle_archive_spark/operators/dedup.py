@@ -861,6 +861,36 @@ def pagerank(
     return ranks
 
 
+BROADCAST_BYTES_BUDGET = 64 << 20
+"""Hard cap on any FORCED broadcast side, in estimated bytes.
+
+A row-count gate alone is not enough: an adjacency-list frame with 5M rows
+of neighbor arrays totals hundreds of MB — far past safe driver/executor
+broadcast sizes even though the row count looks modest. Every forced
+``F.broadcast`` hint on a corpus-scaled frame must clear BOTH a row cap and
+this bytes budget, computed from a MEASURED count of the already-
+materialized checkpoint (never a size estimate of an unexecuted plan).
+Above either limit the frame is left unhinted and AQE picks the join
+strategy from real runtime statistics."""
+
+
+def maybe_broadcast(
+    df: DataFrame,
+    n_units: int,
+    bytes_per_unit: int,
+    limit_rows: int = 1_000_000,
+    limit_bytes: int = BROADCAST_BYTES_BUDGET,
+) -> DataFrame:
+    """``F.broadcast(df)`` iff ``n_units`` clears the row cap AND
+    ``n_units * bytes_per_unit`` clears the bytes budget; otherwise ``df``
+    untouched (plain equi-join, AQE decides). ``n_units`` is whatever unit
+    actually scales the payload — row count for thin tables, total array
+    entries for adjacency lists."""
+    if n_units <= limit_rows and n_units * bytes_per_unit <= limit_bytes:
+        return F.broadcast(df)
+    return df
+
+
 def triangle_counts(
     edges: DataFrame,
     src: str = "src",
@@ -926,8 +956,10 @@ def triangle_counts(
     n_nodes = deg.count()  # cheap: counts the materialized checkpoint
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
-    if n_nodes <= broadcast_limit_rows:
-        da, db = F.broadcast(da), F.broadcast(db)
+    # two-long rows ≈ 32 B each; bytes budget caps the hint well below the
+    # row cap on big graphs (round-8 fix: row count alone under-gates)
+    da = maybe_broadcast(da, n_nodes, 32, limit_rows=broadcast_limit_rows)
+    db = maybe_broadcast(db, n_nodes, 32, limit_rows=broadcast_limit_rows)
     oriented = (
         canon.join(da, "a")
         .join(db, "b")
@@ -951,8 +983,11 @@ def triangle_counts(
     )
     na = adj.select(F.col("u").alias("_ju"), F.col("nbrs").alias("_nu"))
     nv = adj.select(F.col("u").alias("_jv"), F.col("nbrs").alias("_nv"))
-    if n_edges <= broadcast_limit_rows:
-        na, nv = F.broadcast(na), F.broadcast(nv)
+    # the adjacency payload scales with TOTAL NEIGHBOR ENTRIES (= n_edges),
+    # not adjacency rows: 5M oriented edges ≈ hundreds of MB of arrays.
+    # Gate the hint on entry bytes (~24 B/entry), not row count alone.
+    na = maybe_broadcast(na, n_edges, 24, limit_rows=broadcast_limit_rows)
+    nv = maybe_broadcast(nv, n_edges, 24, limit_rows=broadcast_limit_rows)
     tri_edges = (
         oriented.join(na, oriented["u"] == na["_ju"], "inner")
         .join(nv, oriented["v"] == nv["_jv"], "inner")

@@ -101,10 +101,14 @@ def fix(
         from ..sources import snapshots as SNAP
         from ..sources.archive import list_archive_files
 
+        from ..sources.ref_layout import strip_userinfo
+
         base = os.path.join(root, provider.blockchain_id.lower())
         cur = SNAP.load_snapshot(base)
+        # result locations are credential-stripped; relativize against the
+        # equally-stripped base so URI dirs with userinfo still line up
         new_files = sorted(
-            os.path.relpath(f, base) for r in results for f in r.files
+            os.path.relpath(f, strip_userinfo(base)) for r in results for f in r.files
         )
         if cur is None:
             pre = sorted(set(list_archive_files(base)) - set(new_files))

@@ -8254,20 +8254,32 @@ def d16_degree_assortativity(spark: SparkSession, sf: str) -> DataFrame:
     materialized edges; the corr() is a single agg over the 2m edge-end
     rows with the three scalar corpus stats (node count, edge count,
     mean degree) folded back as 1-row broadcasts — no driver-side math.
+    The degree table is node-count-scaled (grows with the corpus), so its
+    broadcast is GUARDED by the same measured-count + bytes-budget
+    decision `triangle_counts` uses (`operators/dedup.maybe_broadcast`):
+    under the budget the hint saves two shuffles, above it the join is a
+    plain equi-join AQE plans from runtime stats — never a forced
+    driver-memory broadcast of a corpus-scaled frame.
     The oracle recomputes everything from the raw a<b self-join CTE.
 
     Determinism: corr/avg over exact integer degrees; round(·, 6) after
     the one transcendental-free division chain both engines execute in
     IEEE doubles."""
+    from .operators.dedup import maybe_broadcast
+
     edges = _copurchase_edges(spark, sf)
     deg = (
         edges.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
+        .transform(reliable_checkpoint)
     )
+    n_nodes_ct = deg.count()  # measured on the materialized checkpoint
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
-    j = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    du = maybe_broadcast(du, n_nodes_ct, 32)
+    dv = maybe_broadcast(dv, n_nodes_ct, 32)
+    j = edges.join(du, "u").join(dv, "v")
     ends = j.select(
         F.col("deg_u").alias("dx"), F.col("deg_v").alias("dy")
     ).unionByName(j.select(F.col("deg_v").alias("dx"), F.col("deg_u").alias("dy")))

@@ -80,6 +80,27 @@ def _join_path(base: str, *parts: str) -> str:
     return "/".join([b.rstrip("/"), *parts]) + sep + q
 
 
+def strip_userinfo(uri: str) -> str:
+    """Credential-free form of a URI for every EMITTED path string.
+
+    ``--auth.aws.*`` credentials ride the base dir as URI userinfo
+    (``s3://KEY:SECRET@bucket/…`` — pyarrow's documented string form, which
+    is how they reach executor-side ``FileSystem.from_uri`` calls). They
+    must never leave the process though: write-result ``location`` fields
+    are printed in the stdout result JSON, written to ``--notify-dir``
+    JSONL files, and published to Pulsar/Kafka topics. The reference's
+    notification locations are credential-free ``s3://bucket/path``
+    (``storage/objects.rs:182``); this strips the userinfo so ours are too.
+    Posix paths pass through untouched."""
+    if "://" not in uri:
+        return uri
+    scheme, rest = uri.split("://", 1)
+    authority, slash, tail = rest.partition("/")
+    if "@" in authority:  # query-string '@'s are %-quoted, never raw here
+        authority = authority.rsplit("@", 1)[1]
+    return scheme + "://" + authority + slash + tail
+
+
 def _fs_and_path(path: str):
     """Resolve a URI (``s3://…``, ``gs://…``, ``file://…``) to a pyarrow
     FileSystem + fs-native path — the S12 object-store writer seam. Plain
@@ -260,7 +281,9 @@ def _write_group_fn(
                     "run": run,
                     "heightStart": lo_r,
                     "heightEnd": hi_r,
-                    "location": path,
+                    # locations are published (stdout JSON, notify JSONL,
+                    # Pulsar) — never let URI-userinfo credentials through
+                    "location": strip_userinfo(path),
                     "maturity": maturity,
                     "skipped": skipped,
                     "n_rows": 0 if skipped else len(data),

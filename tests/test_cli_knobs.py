@@ -248,24 +248,57 @@ def test_apply_aws_builds_pyarrow_s3_uri():
 def test_cli_archive_to_s3_with_aws_flags(spark, tmp_path):
     """End-to-end: archive straight into the wire-level S3 stub, with the
     endpoint and credentials given as reference-style AWS flags rather
-    than hand-built into the URI."""
+    than hand-built into the URI — and the SECRET never leaves the
+    process: not in the stdout result JSON, not in the notify JSONL
+    (round-8 ADVICE: locations must be credential-free s3://bucket/path,
+    the reference's shape, storage/objects.rs:182)."""
+    import contextlib
+    import io
     import sys
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from stub_s3 import start_s3_stub
 
+    notify_dir = str(tmp_path / "notify")
+    secret = "sUpErSeCrEt"
     endpoint, srv = start_s3_stub()
     try:
-        out = _run_cli([
-            "archive", "--dir", "s3://archive/cold?allow_bucket_creation=true",
-            "--range", "100..149", "--tables", "blocks", "--provider", "mock",
-            "--range-chunk", "50", "--master", "local[4]",
-            "--auth-aws-access-key", "k", "--auth-aws-secret-key", "s",
-            "--aws-endpoint", endpoint, "--aws-region", "us-east-1",
-        ])
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = cli.main([
+                "archive", "--dir", "s3://archive/cold?allow_bucket_creation=true",
+                "--range", "100..149", "--tables", "blocks", "--provider", "mock",
+                "--range-chunk", "50", "--master", "local[4]",
+                "--auth-aws-access-key", "k", "--auth-aws-secret-key", secret,
+                "--aws-endpoint", endpoint, "--aws-region", "us-east-1",
+                "--notify-dir", notify_dir,
+            ])
+        assert rc == 0
+        stdout = buf.getvalue()
+        out = json.loads(stdout.strip().splitlines()[-1])
         assert out["written"] == 1
         keys = [k for (_b, k) in srv.objects]
         assert any(k.endswith("range-000000100_000000149.blocks.parquet")
                    for k in keys), keys
+        # the secret must not appear in ANY published artifact
+        assert secret not in stdout
+        assert out["files"] and all(f.startswith("s3://archive/cold")
+                                    for f in out["files"]), out["files"]
+        jsonl = open(out["notify_dir_file"]).read()
+        assert secret not in jsonl
+        assert '"location": "s3://archive/cold' in jsonl or \
+            '"location":"s3://archive/cold' in jsonl, jsonl[:400]
     finally:
         srv.shutdown()
+
+
+def test_strip_userinfo_shapes():
+    from dshackle_archive_spark.sources.ref_layout import strip_userinfo
+
+    assert strip_userinfo("s3://AK:SK@b/p/x.parquet?region=r") == \
+        "s3://b/p/x.parquet?region=r"
+    assert strip_userinfo("s3://b/p") == "s3://b/p"
+    assert strip_userinfo("s3://AK:SK@b") == "s3://b"
+    assert strip_userinfo("/posix/path") == "/posix/path"
+    # %-quoted '@' inside credentials still strips to the real authority
+    assert strip_userinfo("s3://u%40corp:p%40ss@b/p") == "s3://b/p"

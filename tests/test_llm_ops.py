@@ -723,6 +723,38 @@ def test_triangle_counts_random_graphs_match_naive(spark):
         assert got == naive, sorted(canon)
 
 
+def test_maybe_broadcast_gates_on_rows_and_bytes(spark):
+    """Forced-broadcast guard (round-8 fix for d16 / triangle_counts):
+    the hint is applied only when the MEASURED unit count clears both the
+    row cap and the bytes budget; above either, the frame is returned
+    UNTOUCHED (same object — plain equi-join, AQE decides), and the
+    triangle/assortativity results are identical either way."""
+    df = spark.createDataFrame([(i, i % 3) for i in range(10)], "a long, b long")
+
+    hinted = D.maybe_broadcast(df, 10, 32)
+    assert hinted is not df  # under both limits: hint applied
+
+    assert D.maybe_broadcast(df, 2_000_000, 32) is df            # row cap
+    assert D.maybe_broadcast(df, 900_000, 32, limit_rows=10**6,
+                             limit_bytes=16 << 20) is df         # bytes cap
+    # adjacency-style gating: 5M entries * 24 B ≈ 120 MB > 64 MB budget,
+    # even though 5M "rows" would have passed the old row-count-only gate
+    assert D.maybe_broadcast(df, 5_000_000, 24,
+                             limit_rows=5_000_000) is df
+
+    # equi-join fallback above the limit computes the same triangles
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 0), (1, 3)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    forced_plain = {
+        r["node"]: r["triangles"]
+        for r in D.triangle_counts(e, broadcast_limit_rows=0).collect()
+    }
+    hinted_res = {
+        r["node"]: r["triangles"] for r in D.triangle_counts(e).collect()
+    }
+    assert forced_plain == hinted_res == {0: 3, 1: 3, 2: 3, 3: 3}  # K4
+
+
 def test_top_eigenvector_matches_numpy_on_spiked_matrix(spark):
     """On a spiked spectrum (one dominant direction, λ₂/λ₁ ≈ 0.2) the
     8-round power iteration must land on numpy's leading eigenvector
