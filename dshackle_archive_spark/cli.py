@@ -95,7 +95,8 @@ def _apply_aws(args) -> None:
     from urllib.parse import quote
 
     given = [args.aws_access_key, args.aws_secret_key, args.aws_endpoint,
-             args.aws_region, args.aws_path_style or None]
+             args.aws_region, args.aws_path_style or None,
+             getattr(args, "aws_trust_tls", False) or None]
     if not any(x for x in given):
         return
     if not args.dir or not args.dir.startswith("s3://"):
@@ -103,6 +104,13 @@ def _apply_aws(args) -> None:
     if bool(args.aws_access_key) != bool(args.aws_secret_key):
         raise SystemExit("auth.aws.access-key and auth.aws.secret-key are "
                          "required together")
+    if getattr(args, "aws_trust_tls", False):
+        # args.rs:248-250: trust the endpoint's certificate. Installed
+        # BEFORE any S3 client exists so every later from_uri resolution
+        # (driver and local-mode executors) verifies against the pin.
+        from .sources.s3_tls import trust_s3_endpoint
+
+        trust_s3_endpoint(args.aws_endpoint, tls_ca=args.tls_ca)
     base, sep, query = args.dir[5:].partition("?")
     creds = ""
     if args.aws_access_key and "@" not in base.split("/", 1)[0]:
@@ -138,7 +146,11 @@ def _scope(args, provider) -> Range:
     raise SystemExit("one of --range or --tail is required")
 
 
-def main(argv: list[str] | None = None) -> int:
+def build_parser() -> argparse.ArgumentParser:
+    """The full CLI surface — one parser, reference args.rs drop-in
+    (every flag, short option, and dotted/camelCase alias). Exposed so
+    tests can property-check that every alias spelling of every flag
+    parses to the identical namespace as its canonical form."""
     p = argparse.ArgumentParser(prog="dshackle-archive-spark")
     p.add_argument("command",
                    choices=["archive", "stream", "compact", "fix", "verify", "curate",
@@ -215,6 +227,14 @@ def main(argv: list[str] | None = None) -> int:
                         "or https:// prefix selects the scheme")
     p.add_argument("--aws-region", "--aws.region", dest="aws_region",
                    default=None, metavar="REGION", help="S3 region")
+    p.add_argument("--aws-trust-tls", "--aws.trust-tls", "--aws.trustTls",
+                   dest="aws_trust_tls", action="store_true",
+                   help="trust the TLS certificate the s3 endpoint presents "
+                        "(args.rs:248-250): self-signed MinIO-style stores. "
+                        "Implemented as trust-on-first-use pinning — the "
+                        "presented cert becomes the process's trust root "
+                        "(sources/s3_tls.py); with --tls-ca PEM that CA is "
+                        "trusted instead, with no network fetch")
     p.add_argument("--aws-s3-path-style", "--aws.s3.path-style",
                    dest="aws_path_style", action="store_true",
                    help="path-style bucket addressing (args.rs:245); accepted "
@@ -264,6 +284,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--metrics", default=None, metavar="HOST:PORT",
                    help="serve Prometheus metrics at http://HOST:PORT/metrics "
                         "for the lifetime of the run (metrics/mod.rs:73-76)")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = build_parser()
     args = p.parse_args(argv)
     if args.metrics_await and not args.metrics:
         # without a server there is nothing to scrape: silently skipping the

@@ -302,3 +302,49 @@ def test_strip_userinfo_shapes():
     assert strip_userinfo("/posix/path") == "/posix/path"
     # %-quoted '@' inside credentials still strips to the real authority
     assert strip_userinfo("s3://u%40corp:p%40ss@b/p") == "s3://b/p"
+
+
+def test_every_alias_spelling_parses_identically():
+    """Drop-in compat property (round-8 task): for EVERY flag with more
+    than one spelling (short option, dotted, camelCase), each spelling must
+    parse to exactly the namespace the canonical spelling produces — so a
+    future flag can't silently break one of its reference aliases. Driven
+    by hypothesis over the alias map and arbitrary values."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dshackle_archive_spark.cli import build_parser
+
+    parser = build_parser()
+    aliased = [
+        a for a in parser._actions
+        if len(a.option_strings) > 1 and a.dest != "help"
+    ]
+    assert len(aliased) >= 20  # the alias table is wide; keep it covered
+
+    base = ["report", "--input", "x"]  # minimal valid positional prefix
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        idx=st.integers(min_value=0, max_value=len(aliased) - 1),
+        value=st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+            min_size=1, max_size=12,
+        ).filter(lambda s: not s.startswith("-")),
+    )
+    def check(idx, value):
+        action = aliased[idx]
+        takes_value = action.nargs is None  # store vs store_true
+        if takes_value and action.type is int:
+            value = str(sum(ord(c) for c in value) % 1000 + 1)
+        canonical, *aliases = action.option_strings
+        want = parser.parse_args(
+            base + ([canonical, value] if takes_value else [canonical])
+        )
+        for alt in aliases:
+            got = parser.parse_args(
+                base + ([alt, value] if takes_value else [alt])
+            )
+            assert vars(got) == vars(want), (canonical, alt)
+
+    check()
