@@ -211,6 +211,37 @@ def canary_time(spark, sf_dir: str) -> float:
     return statistics.median(one() for _ in range(REPS))
 
 
+CPU_CANARY_ROWS = int(os.environ.get("BENCH_CPU_CANARY_ROWS", "2000000000"))
+
+
+def cpu_canary_time(spark) -> float:
+    """CPU-BOUND drift canary, paired with the IO-bound one (round-8
+    hardening): ``sum(hash(id))`` over an in-memory 2×10⁹-row range — no
+    IO, no data, one whole-stage-codegen pass saturating every core.
+
+    Why a second canary: four identical-code round-7 runs spanned
+    80.4–117.3 s — a UNIFORM ~15-25% per-query spread (CPU frequency /
+    turbo window) that the IO-bound lineitem scan barely senses, so
+    ``load_suspect`` stayed false while every per-query number drifted
+    together. This canary's before/after pair moves WITH core frequency;
+    readers can divide a query's cross-round ratio by the CPU-canary
+    ratio to frequency-correct it (documented in PERF.md). Deterministic
+    result (murmur3 over a fixed range) doubles as a self-check."""
+    p = max(1, spark.sparkContext.defaultParallelism)
+
+    def one() -> float:
+        t0 = time.perf_counter()
+        row = (
+            spark.range(0, CPU_CANARY_ROWS, 1, p)
+            .selectExpr("sum(cast(hash(id) as bigint)) s")
+            .collect()
+        )
+        assert row[0][0] is not None
+        return time.perf_counter() - t0
+
+    return statistics.median(one() for _ in range(REPS))
+
+
 def git_sha() -> str | None:
     try:
         return subprocess.run(
@@ -249,6 +280,8 @@ def main() -> None:
     # trip the load_suspect flag on a clean run
     canary_time(spark, sf_dir)
     canary_before = round(canary_time(spark, sf_dir), 4)
+    cpu_canary_time(spark)  # one untimed pass: codegen compile for the canary
+    cpu_before = round(cpu_canary_time(spark), 4)
 
     times: dict[str, float] = {}
     best: dict[str, float] = {}
@@ -278,6 +311,7 @@ def main() -> None:
         }
 
     canary_after = round(canary_time(spark, sf_dir), 4)
+    cpu_after = round(cpu_canary_time(spark), 4)
 
     total = round(sum(times.values()), 4)
     meta = {
@@ -286,17 +320,23 @@ def main() -> None:
         "suite_seconds": round(time.perf_counter() - t_suite, 1),
         "cpus": int(cpus),
     }
-    drift = (
-        abs(canary_after - canary_before) / min(canary_before, canary_after)
-        if min(canary_before, canary_after) > 0
-        else 0.0
-    )
-    load_suspect = drift > CANARY_DRIFT_LIMIT
+    def _drift(a: float, b: float) -> float:
+        return abs(b - a) / min(a, b) if min(a, b) > 0 else 0.0
+
+    drift = _drift(canary_before, canary_after)
+    cpu_drift = _drift(cpu_before, cpu_after)
+    load_suspect = drift > CANARY_DRIFT_LIMIT or cpu_drift > CANARY_DRIFT_LIMIT
     canary = {
         "query": "lineitem count+sum",
         "before": canary_before,
         "after": canary_after,
         "drift": round(drift, 3),
+        # CPU-bound pair: divide a query's cross-round ratio by the ratio of
+        # the two rounds' cpu medians to frequency-correct it (PERF.md)
+        "cpu_query": f"sum(hash(id)) over range({CPU_CANARY_ROWS})",
+        "cpu_before": cpu_before,
+        "cpu_after": cpu_after,
+        "cpu_drift": round(cpu_drift, 3),
     }
     # The driver captures only a tail of stdout; round 4's artifact lost the
     # head of one giant JSON line (sweep dicts made it ~8 KB). The stdout

@@ -8338,7 +8338,21 @@ def x46_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: two grouped exact percentiles (per-source median, then
     median of |x−med| after a broadcast join of the K-row median table)
     and one final grouped agg — three shuffles of source-keyed rows, no
-    corpus sort, no window over the corpus."""
+    corpus sort, no window over the corpus.
+
+    Memory invariant (load-bearing — do not relax): ``F.percentile`` is
+    the EXACT percentile, whose aggregation buffer is a per-group map of
+    DISTINCT VALUE → count. That is safe here only because the input is
+    an INTEGER token count: distinct values are bounded by the longest
+    document's token count (thousands), not by group size, so the buffer
+    stays KB-scale per source no matter how many billions of docs a
+    source holds. Feeding a continuous column (a float quality score,
+    a ratio) through this shape would grow the buffer linearly with
+    group size and OOM the executor at 100 TB — switch to
+    ``percentile_approx`` (fixed-size QuantileSummaries sketch) if this
+    audit is ever generalized to non-integer inputs. The integer-input
+    contract is pinned by ``tests/test_llm_ops.py::
+    test_x46_percentile_integer_input_contract``."""
     from .operators.textan import token_count
 
     t = _t(spark, sf, "documents").select(

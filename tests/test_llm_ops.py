@@ -723,6 +723,37 @@ def test_triangle_counts_random_graphs_match_naive(spark):
         assert got == naive, sorted(canon)
 
 
+def test_x46_percentile_integer_input_contract(spark):
+    """x46_mad_outliers uses EXACT F.percentile, whose aggregation buffer
+    maps distinct values to counts — safe only while the input column is
+    an integer token count (distinct values bounded by document length,
+    not group size). Pin that contract: the column feeding the percentile
+    must stay integral. If this fails, someone pointed the MAD audit at a
+    continuous column — switch it to percentile_approx first
+    (see the x46 docstring's memory invariant)."""
+    from pyspark.sql import types as T
+
+    from dshackle_archive_spark.operators.textan import token_count
+    from dshackle_archive_spark.queries import registry
+
+    df = spark.createDataFrame(
+        [("a b c",), ("",), ("  x ",)], "text string"
+    ).select(token_count().alias("n"))
+    assert isinstance(df.schema["n"].dataType, T.IntegralType), \
+        df.schema["n"].dataType
+    assert [r["n"] for r in df.collect()] == [3, 0, 1]
+
+    # and the deployed query's percentile inputs resolve to integral types
+    plan = registry()["x46_mad_outliers"](
+        spark, "/root/testdata/sf0.001"
+    )
+    # med/mad come out of percentile over ints -> exact doubles; n_docs and
+    # n_outliers stay integral
+    sch = {f.name: f.dataType for f in plan.schema.fields}
+    assert isinstance(sch["n_docs"], T.IntegralType)
+    assert isinstance(sch["n_outliers"], T.IntegralType)
+
+
 def test_maybe_broadcast_gates_on_rows_and_bytes(spark):
     """Forced-broadcast guard (round-8 fix for d16 / triangle_counts):
     the hint is applied only when the MEASURED unit count clears both the
