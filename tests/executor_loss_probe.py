@@ -1,0 +1,118 @@
+"""Subprocess body for the executor-loss durability test (round-8 task 4).
+
+The local-cluster smoke proves PARITY on real executor JVMs; this probe
+proves DURABILITY: it runs an iterative registry query under
+``local-cluster[2,2,2048]`` and SIGKILLs one executor JVM mid-iteration —
+immediately after the Nth ``reliable_checkpoint`` materialization, so every
+later round depends on blocks the dead executor (co-)held.
+
+- With ``$SPARK_GRAFT_CHECKPOINT_DIR`` set (DFS-backed ``df.checkpoint()``),
+  the standalone Worker relaunches a replacement executor, the checkpointed
+  blocks are re-read from the checkpoint directory, and the job completes
+  with results identical to an undisturbed single-JVM run.
+- Without it (``localCheckpoint`` fallback), the killed executor's blocks
+  are gone AND unrecomputable (localCheckpoint truncates lineage without
+  writing anywhere durable) — the job must FAIL, not silently produce
+  partial results. This is the spot-instance failure mode the checkpoint
+  strategy exists for (``core/checkpoint.py``).
+
+Usage: executor_loss_probe.py <query> <sf_dir> <kill_after_ckpts> <out.json>
+Mode is selected by the caller via the SPARK_GRAFT_CHECKPOINT_DIR env var.
+Writes {"ok": bool, "killed_pid": int|null, "ckpt_calls": N,
+        "cols": [...], "rows": [[str,...],...] | null, "error": str|null}.
+Always exits 0 — the caller asserts on the JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import signal
+import sys
+import time
+
+
+def _executor_pids() -> list[int]:
+    """Real executor JVMs of THIS session's local-cluster (children of this
+    process tree): /proc cmdline scan for CoarseGrainedExecutorBackend."""
+    pids = []
+    for entry in os.listdir("/proc"):
+        if not entry.isdigit():
+            continue
+        try:
+            with open(f"/proc/{entry}/cmdline", "rb") as f:
+                cmd = f.read().replace(b"\0", b" ")
+        except OSError:
+            continue
+        if b"CoarseGrainedExecutorBackend" in cmd:
+            pids.append(int(entry))
+    return sorted(pids)
+
+
+def main() -> int:
+    qname, sf_dir, kill_after, out_path = (
+        sys.argv[1], sys.argv[2], int(sys.argv[3]), sys.argv[4]
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+
+    import pyspark
+
+    os.environ.setdefault("SPARK_HOME", os.path.dirname(pyspark.__file__))
+    os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+
+    from dshackle_archive_spark.session import get_spark
+
+    spark = get_spark("executor-loss-probe", master="local-cluster[2,2,2048]")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    # wait for both executors to register before arming the kill
+    deadline = time.time() + 60
+    while len(_executor_pids()) < 2 and time.time() < deadline:
+        time.sleep(0.5)
+
+    state = {"calls": 0, "killed": None}
+
+    from dshackle_archive_spark.core import checkpoint as CKPT
+    from dshackle_archive_spark import queries as Q
+    from dshackle_archive_spark.operators import dedup as DEDUP
+
+    real = CKPT.reliable_checkpoint
+
+    def killing_checkpoint(df, eager: bool = True):
+        out = real(df, eager=eager)  # eager=True: blocks exist after this
+        state["calls"] += 1
+        if state["calls"] == kill_after and state["killed"] is None:
+            victims = _executor_pids()
+            if victims:
+                state["killed"] = victims[0]
+                os.kill(victims[0], signal.SIGKILL)
+                time.sleep(2)  # let the scheduler notice the loss
+        return out
+
+    # the iterative operators bind the name at import; patch every consumer
+    DEDUP.reliable_checkpoint = killing_checkpoint
+    Q.reliable_checkpoint = killing_checkpoint
+
+    res: dict = {"ok": False, "killed_pid": None, "ckpt_calls": 0,
+                 "cols": None, "rows": None, "error": None}
+    try:
+        df = Q.registry()[qname](spark, sf_dir)
+        rows = sorted([str(v) for v in r] for r in df.collect())
+        res.update(ok=True, cols=sorted(df.columns), rows=rows)
+    except Exception as e:  # the localCheckpoint path is EXPECTED to land here
+        res["error"] = f"{type(e).__name__}: {e}"[:2000]
+    res["killed_pid"] = state["killed"]
+    res["ckpt_calls"] = state["calls"]
+
+    with open(out_path, "w") as f:
+        json.dump(res, f)
+    try:
+        spark.stop()
+    except Exception:
+        pass  # a dead-executor session may not stop cleanly; result is on disk
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
