@@ -151,6 +151,8 @@ EXTRA = [
     "x46_mad_outliers",
     "w10_rolling_zscore",
     "x47_ndcg_audit",
+    "w11_dow_seasonality",
+    "x48_winnowing_fingerprints",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))

@@ -8566,3 +8566,181 @@ def x47_ndcg_audit(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@query(
+    "w11_dow_seasonality",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), typed AS (
+      SELECT event_type,
+             CAST(d - DATE '1970-01-01' AS INT) % 7 AS dow, n,
+             avg(n) OVER (PARTITION BY event_type) AS overall_mean
+      FROM daily
+    )
+    SELECT event_type, dow,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           round(avg(n), 6) AS mean_n,
+           round(avg(n) / any_value(overall_mean), 6) AS seasonal_index
+    FROM typed
+    GROUP BY event_type, dow
+    ORDER BY event_type, dow
+    """,
+)
+def w11_dow_seasonality(spark: SparkSession, sf: str) -> DataFrame:
+    """Day-of-week seasonal profile of daily event volume: per
+    (event_type, weekday) mean daily count and its seasonal index
+    (weekday mean / overall daily mean). The baseline a feed monitor
+    divides out BEFORE thresholding w10's rolling z-score — without it a
+    perfectly healthy Monday spike on a weekday-heavy feed pages the
+    on-call every week (classical multiplicative seasonal adjustment;
+    reference parity: the reference reports raw per-window counts only,
+    ``progress.rs`` — this is beyond-reference monitoring depth).
+
+    Weekday key is the PORTABLE epoch-day mod 7 (0 = Thursday), not each
+    engine's dayofweek() — Spark counts Sunday=1, DuckDB Sunday=0, and a
+    locale knob should never decide a hash comparison.
+
+    Determinism: daily counts are exact integers; mean and index are one
+    integer-sum division each, the same IEEE double op in both engines;
+    round(·, 6) absorbs dust.
+
+    Scale shape: the corpus reduces to series × days at the daily rollup
+    (w10's shape); the weekday regroup and the per-type overall mean both
+    run over that metadata-scale table, never the event log. The final
+    table is |event_types| × 7 rows."""
+    ev = _t(spark, sf, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("n")
+    )
+    typed = daily.select(
+        "event_type",
+        (F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")) % 7)
+        .alias("dow"),
+        "n",
+        F.avg("n").over(Window.partitionBy("event_type")).alias("overall_mean"),
+    )
+    return (
+        typed.groupBy("event_type", "dow")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum("n").cast("long").alias("n_events"),
+            F.round(F.avg("n"), 6).alias("mean_n"),
+            F.round(F.avg("n") / F.first("overall_mean"), 6)
+            .alias("seasonal_index"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+@query(
+    "x48_winnowing_fingerprints",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+    ), sized AS (
+      SELECT doc_id, toks, len(toks) AS n_toks FROM norm WHERE len(toks) >= 5
+    ), grams AS (
+      SELECT doc_id, p.g AS p,
+             md5(array_to_string(list_slice(toks, p.g, p.g + 4), ' ')) AS h,
+             n_toks - 4 AS n_grams
+      FROM sized, unnest(generate_series(1, n_toks - 4)) p(g)
+    ), fps AS (
+      SELECT doc_id, n_grams,
+             min(h) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+             p
+      FROM grams
+      QUALIFY p <= n_grams - 3
+    ), docfp AS (
+      SELECT DISTINCT doc_id, n_grams, fp FROM fps
+    ), df AS (
+      SELECT fp, count(DISTINCT doc_id) AS df FROM docfp GROUP BY fp
+    )
+    SELECT d.doc_id,
+           CAST(any_value(d.n_grams) AS BIGINT) AS n_kgrams,
+           CAST(count(*) AS BIGINT) AS n_fps,
+           round(count(*) / any_value(d.n_grams), 6) AS fp_density,
+           CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_fps
+    FROM docfp d JOIN df USING (fp)
+    GROUP BY d.doc_id
+    """,
+)
+def x48_winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 —
+    the MOSS algorithm): hash every 5-token k-gram, then keep the MINIMUM
+    hash of each sliding 4-gram window. Guarantees: any shared run of
+    ≥ 8 tokens between two documents shares at least one fingerprint
+    (detection floor), while storage is ~2/(w+1) of all k-gram hashes —
+    the position-robust middle ground between x4's whole-doc fingerprint
+    (breaks on one edit) and x32's fixed 12-token segments (break on
+    alignment shifts). Output per document: k-gram count, distinct
+    fingerprints kept, density, and how many of its fingerprints appear
+    in ≥ 2 documents (the cross-doc overlap signal a plagiarism/near-dup
+    triage ranks by).
+
+    Portability: the k-gram hash is md5 over the joined tokens (hex
+    strings order identically everywhere); window-min over strings and
+    integer-division density are engine-agnostic, so the DuckDB oracle
+    replays bit-for-bit.
+
+    Scale shape: k-gram hashing is one posexplode over token positions
+    (whole-stage codegen — no interpreted higher-order lambdas in the
+    hot path); the window min is partitioned BY DOCUMENT and ordered by
+    position, so its state is one doc's grams (never a corpus sort); the
+    only corpus-wide shuffles are the distinct-fingerprint reduce and the
+    document-frequency groupBy — both on fingerprint keys, both
+    map-side-combinable. At 100 TB the fingerprint store is ~0.4 of the
+    k-gram count and joins back by key; nothing is all-pairs."""
+    K, W = 5, 4
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    sized = (
+        _t(spark, sf, "documents")
+        .select("doc_id", toks.alias("toks"))
+        .withColumn("n_toks", F.size("toks"))
+        .filter(F.col("n_toks") >= K)
+        .withColumn("n_grams", F.col("n_toks") - (K - 1))
+    )
+    grams = (
+        sized.select(
+            "doc_id",
+            "n_grams",
+            "toks",
+            F.explode(F.sequence(F.lit(1), F.col("n_grams"))).alias("p"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "p",
+            F.md5(F.array_join(F.slice(F.col("toks"), F.col("p"), K), " "))
+            .alias("h"),
+        )
+    )
+    wmin = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, W - 1)
+    fps = (
+        grams.withColumn("fp", F.min("h").over(wmin))
+        .filter(F.col("p") <= F.col("n_grams") - (W - 1))
+        .select("doc_id", "n_grams", "fp")
+        .distinct()
+    )
+    df_tbl = fps.groupBy("fp").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    return (
+        fps.join(df_tbl, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_grams").cast("long").alias("n_kgrams"),
+            F.count("*").cast("long").alias("n_fps"),
+            F.round(F.count("*") / F.first("n_grams"), 6).alias("fp_density"),
+            F.sum((F.col("df") >= 2).cast("int")).cast("long")
+            .alias("n_shared_fps"),
+        )
+    )
