@@ -153,6 +153,8 @@ EXTRA = [
     "x47_ndcg_audit",
     "w11_dow_seasonality",
     "x48_winnowing_fingerprints",
+    "w12_cusum_drift",
+    "x49_lexical_diversity",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))

@@ -8744,3 +8744,133 @@ def x48_winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
             .alias("n_shared_fps"),
         )
     )
+
+
+@query(
+    "w12_cusum_drift",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), dev AS (
+      SELECT event_type, d, n,
+             n - avg(n) OVER (PARTITION BY event_type) AS x
+      FROM daily
+    ), pre AS (
+      SELECT event_type, d, n,
+             sum(x) OVER (PARTITION BY event_type ORDER BY d
+                          ROWS UNBOUNDED PRECEDING) AS p
+      FROM dev
+    )
+    SELECT event_type, CAST(d AS VARCHAR) AS day, n,
+           round(p - min(p) OVER (PARTITION BY event_type ORDER BY d
+                                  ROWS UNBOUNDED PRECEDING), 6) AS cusum_up,
+           round(max(p) OVER (PARTITION BY event_type ORDER BY d
+                              ROWS UNBOUNDED PRECEDING) - p, 6) AS cusum_down
+    FROM pre
+    ORDER BY event_type, day
+    """,
+)
+def w12_cusum_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sided CUSUM drift score of daily event volume (Page 1954):
+    the classic sequential change-point statistic that accumulates small
+    sustained deviations a per-day z-score (w10) never trips on — a feed
+    that quietly loses 5% volume every day alarms here within weeks
+    while staying inside every daily band.
+
+    The textbook recursion S_t = max(0, S_{t-1} + x_t) looks
+    non-parallel, but one-sided CUSUM has the closed prefix form
+    S_t = P_t − min_{j≤t} P_j with P the running sum of deviations —
+    so both sides reduce to three stock window functions (per-type mean,
+    ordered cumsum, running min/max), no recursion, no UDF, and the
+    identical expression replays in DuckDB.
+
+    Determinism: deviations are integer-count minus an exact integer-mean
+    division; the ordered cumsum adds doubles in one deterministic order
+    (ORDER BY d within each type), and the running extremum picks among
+    those exact prefix values — round(·, 6) absorbs the final dust.
+
+    Scale shape: every window runs over the daily ROLLUP partitioned by
+    event_type (w10/w11's metadata-scale table); per-partition state is
+    one running sum + one extremum. The event log is touched once, by
+    the rollup groupBy."""
+    ev = _t(spark, sf, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("n")
+    )
+    full = Window.partitionBy("event_type")
+    ordered = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pre = daily.select(
+        "event_type",
+        "d",
+        "n",
+        F.sum(F.col("n") - F.avg("n").over(full)).over(ordered).alias("p"),
+    )
+    return pre.select(
+        "event_type",
+        F.col("d").cast("string").alias("day"),
+        "n",
+        F.round(F.col("p") - F.min("p").over(ordered), 6).alias("cusum_up"),
+        F.round(F.max("p").over(ordered) - F.col("p"), 6).alias("cusum_down"),
+    ).orderBy("event_type", "day")
+
+
+@query(
+    "x49_lexical_diversity",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, {_NORM_SQL} AS nt FROM documents
+      WHERE length(trim(text)) > 0
+    ), tok AS (
+      SELECT doc_id, u.t AS token
+      FROM norm, unnest(string_split(nt, ' ')) u(t)
+    ), tc AS (
+      SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           round(count(*) / sum(c), 6) AS ttr,
+           round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) / sum(c), 6)
+             AS hapax_ratio
+    FROM tc GROUP BY doc_id
+    """,
+)
+def x49_lexical_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Lexical diversity per document: type-token ratio and hapax-legomenon
+    ratio — the vocabulary-richness pair quality pipelines use beside
+    x10's repetition signal (low TTR = template/keyword-stuffed text even
+    when no single n-gram repeats enough for x10 to fire; high hapax on a
+    long doc = noisy OCR/gibberish). Both are emitted as scores, not
+    thresholded flags (knife-edge rule).
+
+    Determinism: token counts are exact integers; ttr/hapax_ratio are one
+    bigint division each (identical IEEE doubles both engines);
+    round(·, 6) absorbs dust.
+
+    Scale shape: one explode + one (doc_id, token) groupBy + one doc_id
+    groupBy — both shuffles are map-side combinable and keyed by
+    document (the second is a prefix of the first's key, so AQE can
+    often pipeline them). No corpus-wide vocabulary table is built:
+    hapax status is per-document, unlike x25's global vocab growth."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    toks = (
+        _t(spark, sf, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", F.explode(F.split(norm, " ")).alias("token"))
+    )
+    tc = toks.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    return tc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.sum((F.col("c") == 1).cast("int")).cast("long").alias("n_hapax"),
+        F.round(F.count("*") / F.sum("c"), 6).alias("ttr"),
+        F.round(F.sum((F.col("c") == 1).cast("int")) / F.sum("c"), 6)
+        .alias("hapax_ratio"),
+    )
