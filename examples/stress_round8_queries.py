@@ -43,6 +43,12 @@ NAMES = [
     "x46_mad_outliers",
     "w10_rolling_zscore",
     "x47_ndcg_audit",
+    # round-8 additions — same claims: rollup-bound windows (w11/w12),
+    # doc-keyed fingerprint/token shuffles (x48/x49)
+    "w11_dow_seasonality",
+    "x48_winnowing_fingerprints",
+    "w12_cusum_drift",
+    "x49_lexical_diversity",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 
