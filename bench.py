@@ -155,6 +155,9 @@ EXTRA = [
     "x48_winnowing_fingerprints",
     "w12_cusum_drift",
     "x49_lexical_diversity",
+    "v16_hard_negatives",
+    "a21_key_skew_audit",
+    "w13_seasonal_decomposition",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))

@@ -107,6 +107,56 @@ def cosine_topk(
     )
 
 
+def hard_negative_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int | None = 6,
+    dim: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector the k most-similar corpus vectors with a DIFFERENT label —
+    the near-misses a contrastive loss learns the most from (the
+    in-batch-negatives / ANCE-style mining step of embedding-model
+    pipelines). Same shape as :func:`cosine_topk` (broadcast queries,
+    hoisted norms, windowed top-k) with the label inequality folded into
+    the broadcast join condition, so the label filter costs nothing
+    extra: the nested loop is still O(N·Q) against a handful of query
+    rows, and same-label rows (including the query itself) never reach
+    the ranking window."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col), dim).alias("q_nrm"),
+    )
+    c = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col), dim).alias("c_nrm"),
+    )
+    sim = _dot(F.col("q_vec"), F.col("c_vec"), dim) / (
+        F.col("q_nrm") * F.col("c_nrm")
+    )
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = c.join(
+        F.broadcast(q), F.col("query_label") != F.col("neighbor_label")
+    ).select("query_id", "query_label", "neighbor_id", "neighbor_label", sim.alias("sim"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label", "rank", "sim"
+        )
+    )
+
+
 def _seed_row(
     vectors: DataFrame, n_cells: int, id_col: str, vec_col: str
 ) -> DataFrame:

@@ -8874,3 +8874,269 @@ def x49_lexical_diversity(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.sum((F.col("c") == 1).cast("int")) / F.sum("c"), 6)
         .alias("hapax_ratio"),
     )
+
+
+@query(
+    "v16_hard_negatives",
+    """
+    WITH flat AS (
+      SELECT vec_id, label, t.i AS i, CAST(embedding[t.i] AS DOUBLE) AS x
+      FROM embeddings, range(1, 65) t(i)
+    ), norms AS (
+      SELECT vec_id, any_value(label) AS label, sqrt(sum(x * x)) AS nrm
+      FROM flat GROUP BY vec_id
+    ), dots AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             sum(a.x * b.x) AS dot
+      FROM flat a JOIN flat b ON a.i = b.i AND a.label <> b.label
+      WHERE a.vec_id < 8
+      GROUP BY 1, 2
+    ), sims AS (
+      SELECT query_id, na.label AS query_label,
+             neighbor_id, nb.label AS neighbor_label,
+             round(dot / (na.nrm * nb.nrm), 6) AS sim
+      FROM dots JOIN norms na ON na.vec_id = query_id
+                JOIN norms nb ON nb.vec_id = neighbor_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM sims
+    )
+    SELECT query_id, query_label, neighbor_id, neighbor_label, rank, sim
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def v16_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    embedding the 5 most-similar vectors with a DIFFERENT label — the
+    near-misses a contrastive loss learns the most from (the offline
+    mining step of ANCE/DPR-style embedding-model training; every
+    retrieval-model data pipeline over a 100 TB corpus runs exactly this
+    shape). Distinct from v1 (unconstrained top-k) and v6 (two-stage
+    rerank): the label inequality rides IN the broadcast join condition,
+    so same-label rows — including the query itself — are never scored
+    or ranked.
+
+    Determinism: sim is one hoisted-norm dot product rounded to 6 (v1's
+    contract); ties break on neighbor_id.
+
+    Scale shape (see ``operators/similarity.py:hard_negative_topk``):
+    broadcast Q query rows, one corpus scan, per-query windowed top-k —
+    O(N·Q) with Q tiny, no all-pairs stage. At training scale Q grows to
+    the full corpus and this becomes v2/v3's bucketed problem; the
+    label-aware candidate join is the piece this query pins."""
+    from .operators.similarity import hard_negative_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return hard_negative_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, dim=64
+    )
+
+
+@query(
+    "a21_key_skew_audit",
+    """
+    WITH melted AS (
+      SELECT 'l_orderkey' AS key_name, l_orderkey AS k FROM lineitem
+      UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+      UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem
+    ), freqs AS (
+      SELECT key_name, k, CAST(count(*) AS BIGINT) AS freq
+      FROM melted GROUP BY 1, 2
+    ), ranked AS (
+      SELECT key_name, freq,
+             row_number() OVER (
+               PARTITION BY key_name ORDER BY freq, k) AS rn
+      FROM freqs
+    )
+    SELECT key_name,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(freq) AS BIGINT) AS n_rows,
+           CAST(max(freq) AS BIGINT) AS max_freq,
+           round(max(freq) / sum(freq), 6) AS top1_share,
+           round(quantile_cont(freq, 0.5), 6) AS p50_freq,
+           round(quantile_cont(freq, 0.99), 6) AS p99_freq,
+           round(quantile_cont(freq, 0.99) / quantile_cont(freq, 0.5), 6)
+             AS p99_over_p50,
+           round(2.0 * sum(rn * freq) / (count(*) * sum(freq))
+                 - (count(*) + 1.0) / count(*), 6) AS gini
+    FROM ranked GROUP BY key_name ORDER BY key_name
+    """,
+)
+def a21_key_skew_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-key skew audit: per candidate join key (orderkey / partkey /
+    suppkey) the frequency-distribution shape that decides a shuffle
+    strategy — top-1 key share, exact p50/p99 per-key multiplicity and
+    their ratio, and the Gini coefficient of the key-frequency
+    distribution. This is the diagnostic a 100 TB pipeline runs BEFORE
+    picking salting factors / AQE skew thresholds (SURVEY's bucketed /
+    skew levers): gini near 0 + p99/p50 near 1 means plain hash
+    partitioning is fine; a fat top1_share means that key needs salting.
+
+    Determinism: frequencies are exact integers. Gini uses the rank
+    formula G = 2·Σ rn·x / (n·Σx) − (n+1)/n with x ascending — Σ rn·x is
+    invariant to tie order (equal values commute across adjacent ranks),
+    so the engines' different tie placements cannot change the sum.
+    Both engines interpolate quantiles at position q·(n−1) on sorted
+    values (the x46 contract), and every division is one double op over
+    exact integer sums.
+
+    Scale shape: one scan melts the three keys map-side (``stack``);
+    the only corpus-scale shuffle is the (key_name, key) groupBy —
+    map-side combinable. The Gini rank term is then computed WITHOUT
+    sorting the key-cardinality freq table: frequencies are first
+    grouped into a (key_name, freq) histogram — bounded by the number
+    of DISTINCT multiplicities, tiny in any real table — and each tie
+    block contributes freq·(cum·cnt + cnt·(cnt+1)/2) in closed form via
+    a window over that histogram. The exact percentile's internal state
+    is bounded by the same distinct-multiplicity count (the x46
+    integer-domain invariant)."""
+    li = _t(spark, sf, "lineitem")
+    melted = li.select(
+        F.expr(
+            "stack(3, 'l_orderkey', l_orderkey,"
+            " 'l_partkey', l_partkey,"
+            " 'l_suppkey', l_suppkey) AS (key_name, k)"
+        )
+    )
+    freqs = melted.groupBy("key_name", "k").agg(
+        F.count("*").cast("long").alias("freq")
+    )
+    pcts = freqs.groupBy("key_name").agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("freq").cast("long").alias("n_rows"),
+        F.max("freq").cast("long").alias("max_freq"),
+        F.expr("percentile(freq, 0.5)").alias("p50"),
+        F.expr("percentile(freq, 0.99)").alias("p99"),
+    )
+    hist = freqs.groupBy("key_name", "freq").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    cum_w = (
+        Window.partitionBy("key_name")
+        .orderBy("freq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rank_term = hist.withColumn(
+        "cum", F.coalesce(F.sum("cnt").over(cum_w), F.lit(0))
+    ).select(
+        "key_name",
+        (
+            F.col("freq")
+            * (
+                F.col("cum") * F.col("cnt")
+                + F.col("cnt") * (F.col("cnt") + 1) / 2
+            )
+        ).alias("block"),
+    )
+    s2 = rank_term.groupBy("key_name").agg(
+        F.sum("block").cast("long").alias("s_rank_freq")
+    )
+    return (
+        pcts.join(s2, "key_name")
+        .select(
+            "key_name",
+            "n_keys",
+            "n_rows",
+            "max_freq",
+            F.round(F.col("max_freq") / F.col("n_rows"), 6).alias("top1_share"),
+            F.round("p50", 6).alias("p50_freq"),
+            F.round("p99", 6).alias("p99_freq"),
+            F.round(F.col("p99") / F.col("p50"), 6).alias("p99_over_p50"),
+            F.round(
+                2.0 * F.col("s_rank_freq") / (F.col("n_keys") * F.col("n_rows"))
+                - (F.col("n_keys") + 1.0) / F.col("n_keys"),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("key_name")
+    )
+
+
+@query(
+    "w13_seasonal_decomposition",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), win AS (
+      SELECT event_type, d, n,
+             sum(n) OVER (PARTITION BY event_type ORDER BY d
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sum7,
+             count(*) OVER (PARTITION BY event_type ORDER BY d
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS cnt7
+      FROM daily
+    ), full7 AS (
+      SELECT event_type, d, n, sum7, 7 * n - sum7 AS det7,
+             CAST(d - DATE '1970-01-01' AS INT) % 7 AS dow
+      FROM win WHERE cnt7 = 7
+    ), seas AS (
+      SELECT *, avg(det7) OVER (PARTITION BY event_type, dow) AS s7
+      FROM full7
+    )
+    SELECT event_type, CAST(d AS VARCHAR) AS day, n,
+           round(sum7 / 7.0, 6) AS trend,
+           round(s7 / 7.0, 6) AS seasonal,
+           round(det7 / 7.0 - s7 / 7.0, 6) AS residual
+    FROM seas ORDER BY event_type, day
+    """,
+)
+def w13_seasonal_decomposition(spark: SparkSession, sf: str) -> DataFrame:
+    """Classical additive seasonal decomposition of daily event volume:
+    trend = centered 7-row moving average, seasonal = per-weekday mean of
+    the detrended series, residual = the rest (the moving-average STL
+    ancestor; Cleveland et al.'s step-0). w11 answers "what does a normal
+    Monday look like"; this splits EVERY observation into the three
+    components so the residual stream can feed w10's z-score / w12's
+    CUSUM without the weekly heartbeat drowning the signal.
+
+    Determinism is engineered exact-integer-first: edge rows with a
+    partial window are EXCLUDED (cnt7 = 7), so 7·n − sum7 is an exact
+    bigint; the weekday seasonal mean averages those integers (doubles
+    sum integer values < 2^53 exactly in any order, then one division);
+    trend / seasonal / residual each apply the identical one-or-two IEEE
+    double ops in both engines; round(·, 6) absorbs dust. Weekday is the
+    portable epoch-day mod 7 (w11's contract).
+
+    Scale shape: everything after the daily rollup groupBy runs over the
+    series × days metadata table (w10-w12's shape); the two windows are
+    partitioned by event_type (state = 7 rows) and by (event_type, dow)
+    (one running integer sum). The event log is touched once."""
+    ev = _t(spark, sf, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("n")
+    )
+    w7 = (
+        Window.partitionBy("event_type").orderBy("d").rowsBetween(-3, 3)
+    )
+    full7 = (
+        daily.select(
+            "event_type",
+            "d",
+            "n",
+            F.sum("n").over(w7).alias("sum7"),
+            F.count("*").over(w7).alias("cnt7"),
+        )
+        .filter(F.col("cnt7") == 7)
+        .select(
+            "event_type",
+            "d",
+            "n",
+            "sum7",
+            (F.lit(7) * F.col("n") - F.col("sum7")).alias("det7"),
+            (F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")) % 7)
+            .alias("dow"),
+        )
+    )
+    seas = full7.withColumn(
+        "s7", F.avg("det7").over(Window.partitionBy("event_type", "dow"))
+    )
+    return seas.select(
+        "event_type",
+        F.col("d").cast("string").alias("day"),
+        "n",
+        F.round(F.col("sum7") / 7.0, 6).alias("trend"),
+        F.round(F.col("s7") / 7.0, 6).alias("seasonal"),
+        F.round(F.col("det7") / 7.0 - F.col("s7") / 7.0, 6).alias("residual"),
+    ).orderBy("event_type", "day")

@@ -1051,3 +1051,91 @@ def test_ivf_topk_curve_slices_equal_standalone(spark, sf_dir):
             ).collect()
         )
         assert sliced == standalone, np_
+
+
+def test_hard_negative_topk_excludes_same_label(spark):
+    """Planted geometry: vector 0's nearest neighbor overall (vector 1,
+    same label) must NOT appear in its hard negatives; the top hard
+    negative is the nearest CROSS-label vector (vector 2), and no
+    returned row ever pairs equal labels."""
+    rows = [
+        (0, [1.0, 0.0, 0.0], 7),
+        (1, [0.999, 0.01, 0.0], 7),   # closest, but same label -> excluded
+        (2, [0.9, 0.1, 0.0], 3),      # nearest cross-label
+        (3, [0.0, 1.0, 0.0], 3),
+        (4, [0.0, 0.0, 1.0], 5),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = S.hard_negative_topk(
+        emb, emb.filter("vec_id = 0"), k=3
+    ).collect()
+    assert all(r["query_label"] != r["neighbor_label"] for r in out)
+    assert all(r["neighbor_id"] != 0 for r in out)
+    top = next(r for r in out if r["rank"] == 1)
+    assert top["neighbor_id"] == 2
+    assert 1 not in {r["neighbor_id"] for r in out}
+
+
+def test_key_skew_audit_gini_uniform_and_skewed(spark, tmp_path):
+    """Gini sanity against the closed-form rank formula: perfectly
+    uniform key frequencies -> gini 0; a planted heavy key moves gini
+    and top1_share exactly as the direct O(n log n) computation says."""
+    import numpy as np
+
+    from dshackle_archive_spark.queries import registry
+
+    # uniform: 40 orderkeys x 3 rows each (part/supp single-valued so
+    # their gini is 0 too); heavy: orderkey 0 gets 60 extra rows
+    rows = []
+    for k in range(40):
+        for _ in range(3):
+            rows.append((k, 1, 1))
+    rows += [(0, 1, 1)] * 60
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_suppkey long"
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    out = {
+        r["key_name"]: r
+        for r in registry()["a21_key_skew_audit"](spark, d).collect()
+    }
+    ok = out["l_orderkey"]
+    freqs = np.array([63] + [3] * 39)
+    x = np.sort(freqs)
+    n = len(x)
+    gini = 2 * np.sum(np.arange(1, n + 1) * x) / (n * x.sum()) - (n + 1) / n
+    assert ok["n_keys"] == 40 and ok["n_rows"] == 180
+    assert ok["max_freq"] == 63
+    assert abs(ok["top1_share"] - 63 / 180) < 1e-6
+    assert abs(ok["gini"] - gini) < 1e-6
+    # single-valued keys: one key owns everything -> gini -> 0 (n = 1)
+    assert out["l_partkey"]["n_keys"] == 1
+    assert abs(out["l_partkey"]["gini"]) < 1e-6
+
+
+def test_seasonal_decomposition_additive_identity(spark, sf_dir):
+    """The three components must reassemble the observation exactly
+    (trend + seasonal + residual = n up to rounding dust) and the
+    residual must average to ~0 within every (event_type, weekday) cell
+    — the defining property of the per-dow seasonal fit."""
+    from dshackle_archive_spark.queries import registry
+
+    out = registry()["w13_seasonal_decomposition"](spark, sf_dir)
+    rows = out.collect()
+    assert rows, "decomposition returned no full-window rows"
+    for r in rows:
+        assert abs(r["trend"] + r["seasonal"] + r["residual"] - r["n"]) < 3e-6
+    cell = (
+        out.withColumn(
+            "dow",
+            F.datediff(F.col("day").cast("date"), F.lit("1970-01-01").cast("date")) % 7,
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.avg("residual").alias("mr"))
+        .collect()
+    )
+    for r in cell:
+        assert abs(r["mr"]) < 1e-4, (r["event_type"], r["dow"], r["mr"])
