@@ -8982,15 +8982,16 @@ def a21_key_skew_audit(spark: SparkSession, sf: str) -> DataFrame:
     exact integer sums.
 
     Scale shape: one scan melts the three keys map-side (``stack``);
-    the only corpus-scale shuffle is the (key_name, key) groupBy —
-    map-side combinable. The Gini rank term is then computed WITHOUT
-    sorting the key-cardinality freq table: frequencies are first
-    grouped into a (key_name, freq) histogram — bounded by the number
-    of DISTINCT multiplicities, tiny in any real table — and each tie
-    block contributes freq·(cum·cnt + cnt·(cnt+1)/2) in closed form via
-    a window over that histogram. The exact percentile's internal state
-    is bounded by the same distinct-multiplicity count (the x46
-    integer-domain invariant)."""
+    the ONLY corpus-scale shuffle is the (key_name, key) groupBy —
+    map-side combinable — and it executes ONCE: everything downstream
+    (percentiles, Gini, totals) is derived from the (key_name, freq)
+    HISTOGRAM, bounded by the number of DISTINCT multiplicities (tiny
+    in any real table), never by re-branching the key-cardinality freq
+    table. The Gini rank term needs no sort of the key table — each tie
+    block contributes freq·(cum·cnt + cnt·(cnt+1)/2) in closed form —
+    and the exact interpolated percentiles are read off the cumulative
+    histogram at positions q·(n−1) (the same lo/hi interpolation both
+    engines' native quantile implements, one when-guarded agg each)."""
     li = _t(spark, sf, "lineitem")
     melted = li.select(
         F.expr(
@@ -9002,55 +9003,79 @@ def a21_key_skew_audit(spark: SparkSession, sf: str) -> DataFrame:
     freqs = melted.groupBy("key_name", "k").agg(
         F.count("*").cast("long").alias("freq")
     )
-    pcts = freqs.groupBy("key_name").agg(
-        F.count("*").cast("long").alias("n_keys"),
-        F.sum("freq").cast("long").alias("n_rows"),
-        F.max("freq").cast("long").alias("max_freq"),
-        F.expr("percentile(freq, 0.5)").alias("p50"),
-        F.expr("percentile(freq, 0.99)").alias("p99"),
-    )
     hist = freqs.groupBy("key_name", "freq").agg(
         F.count("*").cast("long").alias("cnt")
     )
+    # per-key totals as UNBOUNDED windows over the same tiny histogram —
+    # a groupBy+join branch here would re-derive the whole corpus lineage
+    # a second time (Catalyst branches recompute, they don't share)
     cum_w = (
         Window.partitionBy("key_name")
         .orderBy("freq")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    rank_term = hist.withColumn(
-        "cum", F.coalesce(F.sum("cnt").over(cum_w), F.lit(0))
-    ).select(
+    full_w = Window.partitionBy("key_name")
+    h = hist.select(
         "key_name",
-        (
-            F.col("freq")
-            * (
-                F.col("cum") * F.col("cnt")
-                + F.col("cnt") * (F.col("cnt") + 1) / 2
+        "freq",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(cum_w), F.lit(0)).alias("cum"),
+        F.sum("cnt").over(full_w).cast("long").alias("n_keys"),
+        F.sum(F.col("freq") * F.col("cnt")).over(full_w).cast("long")
+        .alias("n_rows"),
+        F.max("freq").over(full_w).cast("long").alias("max_freq"),
+    )
+
+    def _pct_parts(q: float) -> list:
+        """lo/hi sorted-position values for the interpolated q-quantile,
+        read off the cumulative histogram: position q·(n−1) falls in the
+        tie block with cum ≤ pos < cum + cnt (exactly one row matches,
+        so the when-guarded max is just a selector)."""
+        pos = F.lit(q) * (F.col("n_keys") - 1)
+        parts = []
+        for bound, tag in ((F.floor(pos), "lo"), (F.ceil(pos), "hi")):
+            hit = (F.col("cum") <= bound) & (
+                bound < F.col("cum") + F.col("cnt")
             )
-        ).alias("block"),
+            parts.append(
+                F.max(F.when(hit, F.col("freq"))).alias(f"v{tag}{int(q * 100)}")
+            )
+        return parts
+
+    block = F.col("freq") * (
+        F.col("cum") * F.col("cnt")
+        + F.col("cnt") * (F.col("cnt") + 1) / 2
     )
-    s2 = rank_term.groupBy("key_name").agg(
-        F.sum("block").cast("long").alias("s_rank_freq")
+    agg = h.groupBy("key_name").agg(
+        F.first("n_keys").alias("n_keys"),
+        F.first("n_rows").alias("n_rows"),
+        F.first("max_freq").alias("max_freq"),
+        F.sum(block).cast("long").alias("s_rank_freq"),
+        *_pct_parts(0.5),
+        *_pct_parts(0.99),
     )
-    return (
-        pcts.join(s2, "key_name")
-        .select(
-            "key_name",
-            "n_keys",
-            "n_rows",
-            "max_freq",
-            F.round(F.col("max_freq") / F.col("n_rows"), 6).alias("top1_share"),
-            F.round("p50", 6).alias("p50_freq"),
-            F.round("p99", 6).alias("p99_freq"),
-            F.round(F.col("p99") / F.col("p50"), 6).alias("p99_over_p50"),
-            F.round(
-                2.0 * F.col("s_rank_freq") / (F.col("n_keys") * F.col("n_rows"))
-                - (F.col("n_keys") + 1.0) / F.col("n_keys"),
-                6,
-            ).alias("gini"),
-        )
-        .orderBy("key_name")
-    )
+
+    def _interp(q: float) -> F.Column:
+        pos = F.lit(q) * (F.col("n_keys") - 1)
+        lo, hi = F.col(f"vlo{int(q * 100)}"), F.col(f"vhi{int(q * 100)}")
+        return lo + (pos - F.floor(pos)) * (hi - lo)
+
+    p50, p99 = _interp(0.5), _interp(0.99)
+    return agg.select(
+        "key_name",
+        "n_keys",
+        "n_rows",
+        "max_freq",
+        F.round(F.col("max_freq") / F.col("n_rows"), 6).alias("top1_share"),
+        F.round(p50, 6).alias("p50_freq"),
+        F.round(p99, 6).alias("p99_freq"),
+        F.round(p99 / p50, 6).alias("p99_over_p50"),
+        F.round(
+            2.0 * F.col("s_rank_freq") / (F.col("n_keys") * F.col("n_rows"))
+            - (F.col("n_keys") + 1.0) / F.col("n_keys"),
+            6,
+        ).alias("gini"),
+    ).orderBy("key_name")
 
 
 @query(

@@ -49,6 +49,12 @@ NAMES = [
     "x48_winnowing_fingerprints",
     "w12_cusum_drift",
     "x49_lexical_diversity",
+    # second round-8 batch — claims: broadcast-Q corpus scan (v16),
+    # key-grouped freq + tiny histogram windows (a21), rollup-bound
+    # decomposition windows (w13)
+    "v16_hard_negatives",
+    "a21_key_skew_audit",
+    "w13_seasonal_decomposition",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 
