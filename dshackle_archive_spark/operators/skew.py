@@ -45,6 +45,59 @@ def salted_agg(
     )
 
 
+def salted_join_hotkeys(
+    big: DataFrame,
+    other: DataFrame,
+    on: str,
+    hot_keys: list,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Targeted hot-key salting for a shuffle (sort-merge) equi-join —
+    the production fix when the dim side is too big to broadcast and only
+    a FEW keys are pathological (exactly what ``a21_key_skew_audit``'s
+    top1_share/Gini surfaces; pick ``salt`` ≈ hot-key multiplicity /
+    median multiplicity, capped by the reducer count).
+
+    Only the hot keys pay: the big side spreads each hot key's rows over
+    ``salt`` sub-keys via a deterministic per-row hash (monotonically_
+    increasing_id is NOT used — it changes under retries); the other side
+    replicates ONLY its hot-key rows ×salt (cold rows are untouched, so
+    the replication cost is |hot_keys|·salt rows, not |other|·salt).
+    Equivalent to ``big.join(other, on, how)`` for inner/left joins on
+    any data.
+
+    ``hot_keys`` is a driver-side list because it is audit output — a
+    handful of keys by construction (if thousands of keys are "hot",
+    the distribution isn't skewed and plain hash partitioning is fine)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join_hotkeys supports inner/left, got {how}")
+    hot = F.array([F.lit(k) for k in hot_keys])
+    # big side: hot rows get a stable pseudo-random salt derived from the
+    # whole row (xxhash64 over all columns), cold rows salt 0
+    big_s = big.withColumn(
+        "_salt",
+        F.when(
+            F.array_contains(hot, F.col(on)),
+            F.pmod(F.xxhash64(*big.columns), F.lit(salt)).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    # other side: replicate hot rows across the full salt domain, cold
+    # rows ride through once with salt 0
+    other_s = other.withColumn(
+        "_salt",
+        F.explode(
+            F.when(
+                F.array_contains(hot, F.col(on)),
+                F.sequence(F.lit(0), F.lit(salt - 1)),
+            )
+            .otherwise(F.array(F.lit(0)))
+            .cast("array<int>")
+        ),
+    )
+    return big_s.join(other_s, [on, "_salt"], how).drop("_salt")
+
+
 def salted_broadcast_left(
     big: DataFrame,
     small: DataFrame,

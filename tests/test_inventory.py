@@ -242,3 +242,80 @@ def test_salted_broadcast_left_matches_plain(spark, sf_dir):
         for r in salted_broadcast_left(o, c, ["o_custkey"], salt=8).collect()
     )
     assert salted == plain
+
+
+def test_salted_join_hotkeys_matches_plain(spark, sf_dir):
+    """Targeted hot-key salting must be row-for-row equivalent to the
+    plain equi-join (inner AND left, duplicate dim keys included), and
+    must actually spread the hot key over multiple salts on the big
+    side."""
+    from dshackle_archive_spark.operators.skew import salted_join_hotkeys
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_suppkey", "l_quantity")
+    )
+    # dim with a duplicate row for one hot key to exercise multiplicity
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    hot = [r["l_suppkey"] for r in
+           li.groupBy("l_suppkey").count().orderBy("count", ascending=False)
+           .limit(2).collect()]
+    dup = supp.filter(F.col("s_suppkey") == hot[0])
+    dim = supp.union(dup).withColumnRenamed("s_suppkey", "l_suppkey")
+
+    for how in ("inner", "left"):
+        plain = sorted(
+            (tuple(r) for r in li.join(dim, "l_suppkey", how).collect()),
+            key=repr,
+        )
+        salted = sorted(
+            (tuple(r) for r in
+             salted_join_hotkeys(li, dim, "l_suppkey", hot, salt=8, how=how)
+             .collect()),
+            key=repr,
+        )
+        assert salted == plain, how
+
+    # the hot key's big-side rows really fan out over >1 salt value
+    from dshackle_archive_spark.operators.skew import salted_join_hotkeys as _
+    big_s = li.withColumn(
+        "_salt",
+        F.when(
+            F.array_contains(F.array(*[F.lit(k) for k in hot]), F.col("l_suppkey")),
+            F.pmod(F.xxhash64(*li.columns), F.lit(8)).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    n_salts = (
+        big_s.filter(F.col("l_suppkey") == hot[0])
+        .select("_salt").distinct().count()
+    )
+    assert n_salts > 1
+
+
+def test_salted_join_hotkeys_edge_cases(spark):
+    """Degenerate inputs must still be plain-join equivalent: empty hot
+    list (pure pass-through), hot keys absent from either side, salt=1
+    (replication-free), and an unsupported join type must refuse."""
+    import pytest as _pytest
+
+    from dshackle_archive_spark.operators.skew import salted_join_hotkeys
+
+    big = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (3, 30), (3, 31), (3, 32)],
+        "k long, v long",
+    )
+    dim = spark.createDataFrame([(1, 100), (3, 300), (4, 400)], "k long, w long")
+
+    def rows(df):
+        return sorted((tuple(r) for r in df.collect()), key=repr)
+
+    for how in ("inner", "left"):
+        plain = rows(big.join(dim, "k", how))
+        for hot, salt in ([], 4), ([99], 4), ([1, 3], 1), ([1, 2, 3, 4], 6):
+            got = rows(salted_join_hotkeys(big, dim, "k", hot, salt, how))
+            assert got == plain, (how, hot, salt)
+
+    with _pytest.raises(ValueError):
+        salted_join_hotkeys(big, dim, "k", [1], 4, how="full")
