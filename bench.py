@@ -158,6 +158,8 @@ EXTRA = [
     "v16_hard_negatives",
     "a21_key_skew_audit",
     "w13_seasonal_decomposition",
+    "v17_embedding_margin",
+    "w14_anomaly_incidents",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))

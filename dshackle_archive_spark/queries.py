@@ -9165,3 +9165,190 @@ def w13_seasonal_decomposition(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("s7") / 7.0, 6).alias("seasonal"),
         F.round(F.col("det7") / 7.0 - F.col("s7") / 7.0, 6).alias("residual"),
     ).orderBy("event_type", "day")
+
+
+@query(
+    "v17_embedding_margin",
+    """
+    WITH flat AS (
+      SELECT vec_id, label, t.i AS i, CAST(embedding[t.i] AS DOUBLE) AS x
+      FROM embeddings, range(1, 65) t(i)
+    ), norms AS (
+      SELECT vec_id, any_value(label) AS label, sqrt(sum(x * x)) AS nrm
+      FROM flat GROUP BY vec_id
+    ), dots AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             sum(a.x * b.x) AS dot
+      FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id <> b.vec_id
+      WHERE a.vec_id < 8
+      GROUP BY 1, 2
+    ), sims AS (
+      SELECT query_id, na.label AS query_label, neighbor_id,
+             nb.label = na.label AS same_label,
+             round(dot / (na.nrm * nb.nrm), 6) AS sim
+      FROM dots JOIN norms na ON na.vec_id = query_id
+                JOIN norms nb ON nb.vec_id = neighbor_id
+    ), best AS (
+      SELECT query_id, query_label, same_label, neighbor_id, sim
+      FROM sims
+      QUALIFY row_number() OVER (PARTITION BY query_id, same_label
+                                 ORDER BY sim DESC, neighbor_id ASC) = 1
+    )
+    SELECT query_id,
+           any_value(query_label) AS query_label,
+           max(CASE WHEN same_label THEN neighbor_id END) AS pos_id,
+           max(CASE WHEN same_label THEN sim END) AS pos_sim,
+           max(CASE WHEN NOT same_label THEN neighbor_id END) AS neg_id,
+           max(CASE WHEN NOT same_label THEN sim END) AS neg_sim,
+           round(max(CASE WHEN same_label THEN sim END)
+                 - max(CASE WHEN NOT same_label THEN sim END), 6) AS margin
+    FROM best GROUP BY query_id
+    """,
+)
+def v17_embedding_margin(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-quality margin audit: per query vector the best
+    SAME-label similarity (nearest positive) minus the best CROSS-label
+    similarity (nearest hard negative, v16's top row). A healthy
+    retrieval embedding has positive margins; mass near or below zero is
+    the standard go/no-go metric after an embedding-model update and the
+    selector for which anchors need v16's mined negatives most. One
+    number per query, NULL-margined when a label has no second member.
+
+    Determinism: sims are v1's rounded hoisted-norm dot products; the
+    per-(query, side) argmax has a total tiebreak (sim desc, id asc);
+    margin subtracts two already-rounded doubles and rounds again.
+
+    Scale shape: identical to v16 — broadcast Q query rows, one corpus
+    scan, per-(query, side) windowed argmax; the final pivot groups 2
+    rows per query. Nothing is all-pairs."""
+    from .operators.similarity import _dot, _norm
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("q_vec"),
+        _norm(F.col("embedding")).alias("q_nrm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("c_vec"),
+        _norm(F.col("embedding")).alias("c_nrm"),
+    )
+    sims = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            (F.col("neighbor_label") == F.col("query_label")).alias("same_label"),
+            F.round(
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_nrm") * F.col("c_nrm")),
+                6,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id", "same_label").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    best = sims.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    pos_sim = F.max(F.when(F.col("same_label"), F.col("sim")))
+    neg_sim = F.max(F.when(~F.col("same_label"), F.col("sim")))
+    return best.groupBy("query_id").agg(
+        F.first("query_label").alias("query_label"),
+        F.max(F.when(F.col("same_label"), F.col("neighbor_id"))).alias("pos_id"),
+        pos_sim.alias("pos_sim"),
+        F.max(F.when(~F.col("same_label"), F.col("neighbor_id"))).alias("neg_id"),
+        neg_sim.alias("neg_sim"),
+        F.round(pos_sim - neg_sim, 6).alias("margin"),
+    )
+
+
+@query(
+    "w14_anomaly_incidents",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), z AS (
+      SELECT event_type, d, n,
+             CASE WHEN count(*) OVER w >= 3 AND stddev_samp(n) OVER w > 0
+                  THEN round((n - avg(n) OVER w) / stddev_samp(n) OVER w, 6)
+                  END AS z
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    ), flagged AS (
+      SELECT event_type, d, n, z,
+             CAST(d - DATE '1970-01-01' AS INT)
+               - row_number() OVER (PARTITION BY event_type ORDER BY d) AS grp
+      FROM z WHERE abs(z) > 1.5
+    )
+    SELECT event_type,
+           CAST(min(d) AS VARCHAR) AS start_day,
+           CAST(max(d) AS VARCHAR) AS end_day,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(max(n) AS BIGINT) AS peak_n,
+           round(max(abs(z)), 6) AS peak_abs_z
+    FROM flagged GROUP BY event_type, grp
+    ORDER BY event_type, start_day
+    """,
+)
+def w14_anomaly_incidents(spark: SparkSession, sf: str) -> DataFrame:
+    """Anomalous days merged into INCIDENTS: w10's trailing z-score
+    flags days, and consecutive flagged days collapse into one incident
+    row (start/end/duration/peak) via the gaps-and-islands trick
+    (epoch-day minus per-type row_number is constant within a
+    consecutive run) — the difference between a pager firing four times
+    for one four-day outage and once with a duration (A1's island
+    operator applied to the monitoring stream).
+
+    Thresholding is done on the ROUNDED z (w10's knife-edge caveat):
+    both engines compare the identical round(z, 6) double against 1.5,
+    so a value landing exactly on the fence resolves the same way
+    everywhere — the comparison is deterministic even though a raw
+    float threshold would not be.
+
+    Scale shape: w10's daily-rollup window, then islands arithmetic on
+    the FLAGGED subset only (anomalies are rare by construction — the
+    grouping key table is incident-scale, not day-scale)."""
+    ev = _t(spark, sf, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-7, -1)
+    z = F.when(
+        (F.count("*").over(w) >= 3) & (F.stddev_samp("n").over(w) > 0),
+        F.round((F.col("n") - F.avg("n").over(w)) / F.stddev_samp("n").over(w), 6),
+    )
+    scored = daily.select("event_type", "d", "n", z.alias("z"))
+    rn = Window.partitionBy("event_type").orderBy("d")
+    flagged = scored.filter(F.abs(F.col("z")) > 1.5).select(
+        "event_type",
+        "d",
+        "n",
+        "z",
+        (
+            F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+            - F.row_number().over(rn)
+        ).alias("grp"),
+    )
+    return (
+        flagged.groupBy("event_type", "grp")
+        .agg(
+            F.min("d").cast("string").alias("start_day"),
+            F.max("d").cast("string").alias("end_day"),
+            F.count("*").cast("long").alias("n_days"),
+            F.max("n").cast("long").alias("peak_n"),
+            F.round(F.max(F.abs("z")), 6).alias("peak_abs_z"),
+        )
+        .select(
+            "event_type", "start_day", "end_day", "n_days", "peak_n", "peak_abs_z"
+        )
+        .orderBy("event_type", "start_day")
+    )

@@ -83,6 +83,7 @@ SMALL_NONEQUI_BROADCAST_QUERIES = {
     "v15_recall_curve",  # v1 exact side + 3× v3 seed-row probes, all broadcast
     "x47_ndcg_audit",  # v1 exact side + v3 seed-row probe (same shapes)
     "v16_hard_negatives",  # corpus × 8 broadcast query vectors (label ≠ condition)
+    "v17_embedding_margin",  # corpus × 8 broadcast query vectors (id ≠ condition)
 }
 BNLJ_ALLOWED = ONE_ROW_BOUND_QUERIES | SMALL_NONEQUI_BROADCAST_QUERIES
 
