@@ -55,6 +55,10 @@ NAMES = [
     "v16_hard_negatives",
     "a21_key_skew_audit",
     "w13_seasonal_decomposition",
+    # fourth batch — v17 shares v16's broadcast-Q scan shape; w14 is
+    # w10's rollup window + islands on the flagged (incident-scale) rows
+    "v17_embedding_margin",
+    "w14_anomaly_incidents",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 

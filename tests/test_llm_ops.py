@@ -1139,3 +1139,70 @@ def test_seasonal_decomposition_additive_identity(spark, sf_dir):
     )
     for r in cell:
         assert abs(r["mr"]) < 1e-4, (r["event_type"], r["dow"], r["mr"])
+
+
+def test_embedding_margin_planted_geometry(spark, tmp_path):
+    """Planted embeddings where the nearest positive/negative are known:
+    query 0's best positive is vector 1 (same label, closer than vector
+    3), its best negative is vector 2, and the margin is pos−neg."""
+    from dshackle_archive_spark.queries import registry
+
+    rows = [
+        (0, [1.0, 0.0, 0.0] + [0.0] * 61, 7),
+        (1, [0.999, 0.01, 0.0] + [0.0] * 61, 7),   # best positive
+        (2, [0.9, 0.1, 0.0] + [0.0] * 61, 3),      # best negative
+        (3, [0.5, 0.5, 0.0] + [0.0] * 61, 7),
+        (4, [0.0, 1.0, 0.0] + [0.0] * 61, 3),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = str(tmp_path)
+    emb.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    out = {r["query_id"]: r
+           for r in registry()["v17_embedding_margin"](spark, d).collect()}
+    q0 = out[0]
+    assert q0["pos_id"] == 1 and q0["neg_id"] == 2
+    assert abs(q0["margin"] - (q0["pos_sim"] - q0["neg_sim"])) < 2e-6
+    assert q0["margin"] > 0  # positive closer than any cross-label
+
+
+def test_anomaly_incidents_merge_consecutive_days(spark, tmp_path):
+    """A planted 3-day spike run becomes ONE incident row (not three),
+    with the island's bounds, duration and peak; an isolated spike later
+    becomes its own 1-day incident."""
+    import datetime as dt
+
+    from dshackle_archive_spark.queries import registry
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day in range(30):
+        # jittered baseline (flat would give sd=0 -> z NULL); the spike
+        # run RISES day over day so each day clears the trailing window
+        # even as the window absorbs the previous spike
+        n = 10 + (day % 3) - 1
+        if day == 15:
+            n = 100
+        elif day == 16:
+            n = 300
+        elif day == 17:
+            n = 900
+        elif day == 25:
+            n = 90
+        for _ in range(n):
+            rows.append((eid, base + dt.timedelta(days=day, minutes=eid % 60),
+                         1, "ping", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = registry()["w14_anomaly_incidents"](spark, d).collect()
+    spans = [(r["start_day"], r["end_day"], r["n_days"], r["peak_n"]) for r in out]
+    assert ("2024-01-16", "2024-01-18", 3, 900) in spans, spans
+    assert any(s[2] == 1 and s[3] == 90 for s in spans), spans
