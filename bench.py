@@ -160,6 +160,7 @@ EXTRA = [
     "w13_seasonal_decomposition",
     "v17_embedding_margin",
     "w14_anomaly_incidents",
+    "w15_holt_forecast",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))

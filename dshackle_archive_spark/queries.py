@@ -9352,3 +9352,97 @@ def w14_anomaly_incidents(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type", "start_day")
     )
+
+
+@query(
+    "w15_holt_forecast",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ), series AS (
+      SELECT event_type, list(n ORDER BY d) AS xs,
+             count(*) AS n_days
+      FROM daily GROUP BY event_type
+    ), folded AS (
+      -- state rides as [level, trend]: DuckDB 1.0's list_reduce
+      -- mis-evaluates STRUCT accumulators (later fields collapse into
+      -- the first), while list accumulators fold correctly
+      SELECT event_type, n_days,
+             list_reduce(
+               list_transform(xs,
+                 x -> [CAST(x AS DOUBLE), CAST(0.0 AS DOUBLE)]),
+               (acc, x) -> [
+                 0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+                 0.25 * ((0.5 * x[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+                   + 0.75 * acc[2]
+               ]
+             ) AS st
+      FROM series
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           round(st[1], 6) AS level,
+           round(st[2], 6) AS trend,
+           round(st[1] + 7 * st[2], 6) AS forecast_7d
+    FROM folded ORDER BY event_type
+    """,
+)
+def w15_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    """Holt's double exponential smoothing (level + trend) over each
+    event type's daily volume, with the 7-day-ahead linear forecast —
+    the capacity-planning number (α=0.5, β=0.25; Holt 1957) that w7's
+    plain EMA can't produce because it has no trend state. A feed
+    growing 3%/day reads "normal" to every window statistic here until
+    it isn't; the trend term is the early signal.
+
+    The recursion S_t = αx_t + (1−α)(S_{t−1}+b_{t−1}) is inherently
+    sequential — no window frame expresses it — so it runs as a
+    higher-order-function FOLD over the per-series value array
+    (``aggregate`` in Spark, ``list_reduce`` in DuckDB), seeded with
+    (level=x₁, trend=0) and folding elements 2..n in day order. Both
+    engines execute the IDENTICAL sequence of IEEE double ops on the
+    identical operand order, and the smoothing constants are dyadic
+    (0.5/0.25/0.75 exact in binary), so the fold replays bit-for-bit;
+    round(·, 6) guards the final projection.
+
+    Scale shape: the corpus reduces to the daily rollup; each series'
+    array is days-long (metadata scale — the collect_list group is the
+    SERIES, never the event log). For series too long for one row, the
+    same fold runs inside ``applyInPandas`` per key — the pattern, one
+    ordered fold per series, is unchanged."""
+    ev = _t(spark, sf, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("double").alias("n")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("d", "n"))).alias("pairs"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    xs = F.transform(F.col("pairs"), lambda s: s.getField("n"))
+    init = F.struct(
+        F.element_at(xs, 1).alias("level"), F.lit(0.0).alias("trend")
+    )
+
+    def step(acc, x):
+        new_level = 0.5 * x + 0.5 * (
+            acc.getField("level") + acc.getField("trend")
+        )
+        return F.struct(
+            new_level.alias("level"),
+            (
+                0.25 * (new_level - acc.getField("level"))
+                + 0.75 * acc.getField("trend")
+            ).alias("trend"),
+        )
+
+    tail = F.slice(xs, F.lit(2), F.greatest(F.size(xs) - 1, F.lit(0)))
+    st = F.aggregate(tail, init, step)
+    return series.select(
+        "event_type",
+        "n_days",
+        F.round(st.getField("level"), 6).alias("level"),
+        F.round(st.getField("trend"), 6).alias("trend"),
+        F.round(st.getField("level") + 7 * st.getField("trend"), 6)
+        .alias("forecast_7d"),
+    ).orderBy("event_type")

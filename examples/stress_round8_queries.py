@@ -59,6 +59,8 @@ NAMES = [
     # w10's rollup window + islands on the flagged (incident-scale) rows
     "v17_embedding_margin",
     "w14_anomaly_incidents",
+    # w15 folds each series' day-ordered array (metadata scale)
+    "w15_holt_forecast",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 

@@ -1206,3 +1206,42 @@ def test_anomaly_incidents_merge_consecutive_days(spark, tmp_path):
     spans = [(r["start_day"], r["end_day"], r["n_days"], r["peak_n"]) for r in out]
     assert ("2024-01-16", "2024-01-18", 3, 900) in spans, spans
     assert any(s[2] == 1 and s[3] == 90 for s in spans), spans
+
+
+def test_holt_forecast_matches_direct_recursion(spark, tmp_path):
+    """The HOF fold must equal the textbook sequential Holt recursion
+    run in Python over the same day-ordered series."""
+    import datetime as dt
+
+    from dshackle_archive_spark.queries import registry
+
+    counts = [10, 12, 11, 15, 14, 18, 17, 22, 21, 25]
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for day, n in enumerate(counts):
+        for _ in range(n):
+            rows.append((eid, base + dt.timedelta(days=day, seconds=eid % 50),
+                         1, "ping", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    level, trend = float(counts[0]), 0.0
+    for x in counts[1:]:
+        nl = 0.5 * x + 0.5 * (level + trend)
+        trend = 0.25 * (nl - level) + 0.75 * trend
+        level = nl
+
+    out = registry()["w15_holt_forecast"](spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_days"] == len(counts)
+    assert abs(r["level"] - round(level, 6)) < 1e-9
+    assert abs(r["trend"] - round(trend, 6)) < 1e-9
+    assert abs(r["forecast_7d"] - round(level + 7 * trend, 6)) < 1e-9
