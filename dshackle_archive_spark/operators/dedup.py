@@ -1007,3 +1007,131 @@ def triangle_counts(
     if with_degree:
         return counts.join(deg, "node")
     return counts
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    canonical: bool = True,
+    hub_cap: int = 1024,
+    focus: DataFrame | None = None,
+) -> DataFrame:
+    """Adamic-Adar link-prediction scores for NON-adjacent node pairs:
+    AA(u,v) = Σ_{z ∈ N(u)∩N(v)} 1/ln(deg z) (Adamic & Adar 2003) —
+    the classic "which near-duplicate clusters are about to merge /
+    which co-occurrence edge is missing" audit over a similarity or
+    co-occurrence graph. Returns ``(u, v, common_neighbors, aa_score)``
+    for every non-adjacent pair sharing ≥1 non-hub common neighbor.
+
+    Scale design — the wedge stage never runs an unbounded row self-join
+    on the common neighbor:
+
+    - unfocused: the symmetrized adjacency is grouped once per node z
+      into a sorted neighbor array; wedges materialize as in-row pair
+      structs from that array — no (z,u)⋈(z,v) shuffle-join row blow-up;
+    - all-pairs AA is inherently Σ_z deg(z)² — on dense graphs that is
+      the whole cost. ``focus`` (a 1-column node DataFrame, broadcast)
+      scopes scoring to "links predicted FOR these nodes" (the watchlist
+      / recommendation shape) with two EQUI-joins and no array state:
+      sym⋈focus on the neighbor end yields the (z, u) wedge legs
+      (Σ_{u∈focus} deg u rows), and joining the legs back on z fans out
+      the co-neighbors v — K focus nodes cost ≤ K·2m wedge rows,
+      corpus-linear no matter how dense the graph. Focus output is
+      directed (u = the focus node);
+    - hub common-neighbors with deg > ``hub_cap`` are skipped BEFORE
+      expansion (their 1/ln(deg) weight is the smallest in the sum while
+      their wedge cost is the largest — the standard truncation in
+      link prediction at scale; caps the unfocused cost at n·cap²);
+    - the per-pair rollup is one map-side-combinable groupBy(u,v);
+    - existing edges are removed with a broadcast-eligible LEFT ANTI join
+      (AQE decides; adjacency rows are two-long).
+
+    ``canonical=True`` promises src<dst deduplicated input (the shape
+    :func:`triangle_counts` callers already build)."""
+    if canonical:
+        canon = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    else:
+        canon = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("a"),
+                F.greatest(F.col(src), F.col(dst)).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+    sym = canon.select(F.col("a").alias("z"), F.col("b").alias("n")).unionByName(
+        canon.select(F.col("b").alias("z"), F.col("a").alias("n"))
+    )
+    if focus is not None:
+        # Focus path: no adjacency arrays at all — two EQUI-joins carve
+        # out exactly the focus wedges. sym⋈focus on the neighbor end
+        # yields the (z, u) legs (Σ_{u∈focus} deg u rows, a map-side
+        # filter against the broadcast watchlist); joining the legs back
+        # on z fans each leg out to its co-neighbors v. The legs are
+        # checkpointed and counted, and every reuse (weight join, wedge
+        # fan-out, the existing-edge anti side) broadcasts them under the
+        # measured-count + bytes budget — so the big adjacency shuffles
+        # exactly once (the degree groupBy); above the budget each join
+        # falls back to a plain shuffle AQE plans from runtime stats.
+        wt = (
+            sym.groupBy("z")
+            .agg(F.count("*").alias("deg"))
+            .filter((F.col("deg") >= 2) & (F.col("deg") <= hub_cap))
+            .select(
+                "z", (F.lit(1.0) / F.log(F.col("deg").cast("double"))).alias("w")
+            )
+        )
+        fcol = focus.columns[0]
+        f = focus.select(F.col(fcol).alias("fu"))
+        legs_raw = reliable_checkpoint(
+            sym.join(F.broadcast(f), sym["n"] == F.col("fu")).select("z", "fu")
+        )
+        n_legs = legs_raw.count()  # measured on the materialized checkpoint
+        legs = wt.join(maybe_broadcast(legs_raw, n_legs, 16), "z")
+        wedges = (
+            sym.select("z", F.col("n").alias("v"))
+            .join(maybe_broadcast(legs, n_legs, 24), "z")
+            .filter(F.col("v") != F.col("fu"))
+            .select(F.col("fu").alias("u"), "v", "w")
+        )
+        scores = wedges.groupBy("u", "v").agg(
+            F.count("*").cast("long").alias("common_neighbors"),
+            F.sum("w").alias("aa_score"),
+        )
+        u_adj = legs_raw.select(
+            F.col("fu").alias("au"), F.col("z").alias("av")
+        )
+        return scores.join(
+            maybe_broadcast(u_adj, n_legs, 16),
+            (scores["u"] == F.col("au")) & (scores["v"] == F.col("av")),
+            "left_anti",
+        )
+    adj = (
+        sym.groupBy("z")
+        .agg(F.sort_array(F.collect_set("n")).alias("nbrs"))
+        .withColumn("deg", F.size("nbrs"))
+        .filter((F.col("deg") >= 2) & (F.col("deg") <= hub_cap))
+        .withColumn("w", F.lit(1.0) / F.log(F.col("deg").cast("double")))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("nbrs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("nbrs"), i + F.lit(2), F.size(F.col("nbrs"))),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
+    wedges = adj.select(F.col("w"), F.explode(pair_structs).alias("e")).select(
+        "e.u", "e.v", "w"
+    )
+    scores = wedges.groupBy("u", "v").agg(
+        F.count("*").cast("long").alias("common_neighbors"),
+        F.sum("w").alias("aa_score"),
+    )
+    return scores.join(
+        canon,
+        (scores["u"] == canon["a"]) & (scores["v"] == canon["b"]),
+        "left_anti",
+    )

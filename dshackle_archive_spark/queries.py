@@ -9446,3 +9446,216 @@ def w15_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
         F.round(st.getField("level") + 7 * st.getField("trend"), 6)
         .alias("forecast_7d"),
     ).orderBy("event_type")
+
+
+@query(
+    "d17_adamic_adar",
+    r"""
+    WITH pairs AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), e AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM pairs a JOIN pairs b ON a.o = b.o AND a.p < b.p
+    ), sym AS (
+      SELECT u AS z, v AS n FROM e UNION ALL SELECT v, u FROM e
+    ), wt AS (
+      SELECT z, count(*) AS d, 1.0 / ln(CAST(count(*) AS DOUBLE)) AS w
+      FROM sym GROUP BY z
+      HAVING count(*) BETWEEN 2 AND 1024
+    ), focus AS (
+      SELECT DISTINCT l_partkey AS fu FROM lineitem ORDER BY 1 LIMIT 8
+    ), wedges AS (
+      SELECT a.n AS u, b.n AS v, wt.w
+      FROM sym a
+      JOIN sym b ON a.z = b.z AND a.n <> b.n
+      JOIN wt ON wt.z = a.z
+      JOIN focus ON focus.fu = a.n
+    ), scores AS (
+      SELECT u, v, CAST(count(*) AS BIGINT) AS common_neighbors,
+             sum(w) AS aa
+      FROM wedges GROUP BY 1, 2
+    ), nonedges AS (
+      SELECT s.* FROM scores s
+      WHERE NOT EXISTS (SELECT 1 FROM sym WHERE sym.z = s.u AND sym.n = s.v)
+    ), ranked AS (
+      SELECT u, v, common_neighbors, round(aa, 6) AS aa_score,
+             row_number() OVER (
+               PARTITION BY u ORDER BY round(aa, 6) DESC, v ASC) AS rank
+      FROM nonedges
+    )
+    SELECT u, v, rank, common_neighbors, aa_score
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def d17_adamic_adar(spark: SparkSession, sf: str) -> DataFrame:
+    """Adamic-Adar link prediction over the part co-purchase graph, scoped
+    to a watchlist: for each of the 8 lowest part keys, the 5 strongest
+    PREDICTED (non-existing) co-purchase links, scored
+    AA(u,v) = Σ_{z ∈ N(u)∩N(v)} 1/ln(deg z) (Adamic & Adar 2003). On a
+    near-duplicate or co-occurrence graph this is the "which clusters are
+    about to merge / which association is missing" audit — the graph-ML
+    feature-generation step of a training-data pipeline, run for a node
+    watchlist exactly as here.
+
+    Scale shape (see ``operators/dedup.adamic_adar``): all-pairs AA is
+    inherently Σ_z deg(z)² — on this deliberately DENSE graph (avg degree
+    ~116 at sf0.01) that is the whole cost, so the operator takes the
+    watchlist as a broadcast ``focus`` frame and carves out exactly the
+    focus wedges with two EQUI-joins: sym⋈focus on the neighbor end
+    gives the (z, u) legs (Σ_{u∈focus} deg u rows), and joining the legs
+    back on z fans out the co-neighbors v — K focus nodes cost ≤ K·2m
+    wedge rows, corpus-linear no matter how dense the graph, with no
+    BNLJ and no per-node array state. Existing edges leave via a LEFT
+    ANTI join on the thin adjacency. The oracle independently rebuilds
+    everything from the raw row self-join formulation.
+
+    Determinism: weights are 1/ln(exact integer degree) — identical
+    IEEE doubles both engines; the per-pair sum is round(·, 6)-guarded
+    and ranked with a total (score desc, v asc) tiebreak."""
+    from .operators.dedup import adamic_adar
+
+    edges = _copurchase_edges(spark, sf)
+    focus = (
+        _t(spark, sf, "lineitem")
+        .select("l_partkey")
+        .distinct()
+        .orderBy("l_partkey")
+        .limit(8)
+    )
+    scores = adamic_adar(
+        edges, src="u", dst="v", canonical=True, hub_cap=1024, focus=focus
+    )
+    w = Window.partitionBy("u").orderBy(
+        F.desc(F.round(F.col("aa_score"), 6)), F.asc("v")
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "u", "v", "rank", "common_neighbors",
+            F.round("aa_score", 6).alias("aa_score"),
+        )
+    )
+
+
+@query(
+    "w16_changepoint",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), pre AS (
+      SELECT event_type, d, n,
+             sum(n) OVER (PARTITION BY event_type ORDER BY d
+                          ROWS UNBOUNDED PRECEDING) AS sl,
+             sum(n * n) OVER (PARTITION BY event_type ORDER BY d
+                              ROWS UNBOUNDED PRECEDING) AS sl2,
+             row_number() OVER (PARTITION BY event_type ORDER BY d) AS k,
+             sum(n) OVER (PARTITION BY event_type) AS st,
+             sum(n * n) OVER (PARTITION BY event_type) AS st2,
+             count(*) OVER (PARTITION BY event_type) AS nd
+      FROM daily
+    ), costs AS (
+      SELECT event_type, d, k, nd, sl, st,
+             (CAST(sl2 AS DOUBLE)
+              - CAST(sl AS DOUBLE) * sl / k)
+             + (CAST(st2 - sl2 AS DOUBLE)
+                - CAST(st - sl AS DOUBLE) * (st - sl) / (nd - k)) AS cost,
+             CAST(st2 AS DOUBLE) - CAST(st AS DOUBLE) * st / nd AS sse_total
+      FROM pre WHERE k < nd
+    ), best AS (
+      SELECT event_type, d, k, nd, sl, st, cost, sse_total,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cost ASC, d ASC) AS rn
+      FROM costs
+    )
+    SELECT event_type,
+           CAST(d AS VARCHAR) AS split_day,
+           CAST(nd AS BIGINT) AS n_days,
+           CAST(k AS BIGINT) AS left_days,
+           round(CAST(sl AS DOUBLE) / k, 6) AS left_mean,
+           round(CAST(st - sl AS DOUBLE) / (nd - k), 6) AS right_mean,
+           round(sse_total - cost, 6) AS gain
+    FROM best WHERE rn = 1
+    ORDER BY event_type
+    """,
+)
+def w16_changepoint(spark: SparkSession, sf: str) -> DataFrame:
+    """Offline changepoint localization per event type: the single best
+    level-shift split of the daily-volume series by binary segmentation
+    (Scott & Knott 1974 / the first step of PELT-style segmentation) —
+    the day k that minimizes SSE_left + SSE_right. Complements w12: CUSUM
+    *alarms* that drift happened; this query *localizes* the shift and
+    quantifies it (left/right means + variance-reduction gain) — the
+    "when did the crawler/feed change behavior" post-mortem every corpus
+    ingestion pipeline runs.
+
+    Non-obvious reduction: each candidate split's SSE needs only prefix
+    sums — SSE(1..k) = Σx² − (Σx)²/k — so the O(n²) naive scan collapses
+    to three stock windows over the daily rollup (ordered cumsum of n and
+    n², per-type totals) and an argmin window. No recursion, no UDF, no
+    per-split pass.
+
+    Determinism: every prefix/total sum is an exact BIGINT over integer
+    day counts; the cost is a fixed chain of IEEE double ops on those
+    exact operands (identical both engines), the argmin tie-breaks on
+    day, and the projection is round(·, 6)-guarded.
+
+    Scale shape: the corpus reduces to the daily rollup in its one
+    groupBy; every window is partitioned by event_type over days —
+    metadata-scale state (one running pair of sums per type). 100× data
+    grows only the rollup scan."""
+    ev = _t(spark, sf, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    full = Window.partitionBy("event_type")
+    cum = full.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.select(
+        "event_type",
+        "d",
+        F.sum("n").over(cum).alias("sl"),
+        F.sum(F.col("n") * F.col("n")).over(cum).alias("sl2"),
+        F.row_number().over(full.orderBy("d")).alias("k"),
+        F.sum("n").over(full).alias("st"),
+        F.sum(F.col("n") * F.col("n")).over(full).alias("st2"),
+        F.count("*").over(full).alias("nd"),
+    )
+    cost = (
+        F.col("sl2").cast("double")
+        - F.col("sl").cast("double") * F.col("sl") / F.col("k")
+    ) + (
+        (F.col("st2") - F.col("sl2")).cast("double")
+        - (F.col("st") - F.col("sl")).cast("double")
+        * (F.col("st") - F.col("sl"))
+        / (F.col("nd") - F.col("k"))
+    )
+    sse_total = F.col("st2").cast("double") - F.col("st").cast(
+        "double"
+    ) * F.col("st") / F.col("nd")
+    costs = pre.filter(F.col("k") < F.col("nd")).select(
+        "event_type", "d", "k", "nd", "sl", "st",
+        cost.alias("cost"), sse_total.alias("sse_total"),
+    )
+    best = costs.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.asc("cost"), F.asc("d")
+            )
+        ),
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        "event_type",
+        F.col("d").cast("string").alias("split_day"),
+        F.col("nd").cast("long").alias("n_days"),
+        F.col("k").cast("long").alias("left_days"),
+        F.round(F.col("sl").cast("double") / F.col("k"), 6).alias("left_mean"),
+        F.round(
+            (F.col("st") - F.col("sl")).cast("double")
+            / (F.col("nd") - F.col("k")),
+            6,
+        ).alias("right_mean"),
+        F.round(F.col("sse_total") - F.col("cost"), 6).alias("gain"),
+    ).orderBy("event_type")

@@ -61,6 +61,10 @@ NAMES = [
     "w14_anomaly_incidents",
     # w15 folds each series' day-ordered array (metadata scale)
     "w15_holt_forecast",
+    # fifth batch — d17 wedges are focus-scoped (K·2m, never Σdeg²);
+    # w16's three windows run over the daily rollup (days × types)
+    "d17_adamic_adar",
+    "w16_changepoint",
 ]
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 

@@ -1245,3 +1245,128 @@ def test_holt_forecast_matches_direct_recursion(spark, tmp_path):
     assert abs(r["level"] - round(level, 6)) < 1e-9
     assert abs(r["trend"] - round(trend, 6)) < 1e-9
     assert abs(r["forecast_7d"] - round(level + 7 * trend, 6)) < 1e-9
+
+
+def test_adamic_adar_planted_square_and_hub_cap(spark):
+    """C4 (square): the two diagonals are the only non-edges, each with
+    two degree-2 common neighbors -> AA = 2/ln 2. Adding a hub adjacent
+    to every node raises all scores via 1/ln(deg hub) unless hub_cap
+    excludes it — the truncation must remove exactly the hub's term."""
+    import math
+
+    square = [(0, 1), (1, 2), (2, 3), (0, 3)]
+    e = spark.createDataFrame(square, "u long, v long")
+    got = {
+        (r["u"], r["v"]): (r["common_neighbors"], r["aa_score"])
+        for r in D.adamic_adar(e, canonical=False).collect()
+    }
+    aa = 2 / math.log(2)
+    assert set(got) == {(0, 2), (1, 3)}
+    for c, s in got.values():
+        assert c == 2 and abs(s - aa) < 1e-9
+
+    hub = square + [(0, 9), (1, 9), (2, 9), (3, 9)]
+    eh = spark.createDataFrame(hub, "u long, v long")
+    with_hub = {
+        (r["u"], r["v"]): r["aa_score"]
+        for r in D.adamic_adar(eh, canonical=False).collect()
+    }
+    # deg(0..3)=3, deg(9)=4; diagonals gain the hub term 1/ln 4
+    assert abs(with_hub[(0, 2)] - (2 / math.log(3) + 1 / math.log(4))) < 1e-9
+    capped = {
+        (r["u"], r["v"]): r["aa_score"]
+        for r in D.adamic_adar(eh, canonical=False, hub_cap=3).collect()
+    }
+    assert abs(capped[(0, 2)] - 2 / math.log(3)) < 1e-9
+
+
+def test_adamic_adar_random_graphs_match_naive(spark):
+    """Property check vs the naive Python formulation; the focus path
+    must agree with the unfocused scores restricted to its watchlist."""
+    import math
+    import random
+
+    rng = random.Random(20260816)
+    for _trial in range(3):
+        n = rng.randint(5, 12)
+        m = rng.randint(4, 30)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        canon = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+        if not canon:
+            continue
+        nbrs: dict[int, set[int]] = {}
+        for a, b in canon:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        naive = {}
+        nodes = sorted(nbrs)
+        for i, u in enumerate(nodes):
+            for v in nodes[i + 1:]:
+                if (u, v) in canon:
+                    continue
+                zs = nbrs[u] & nbrs[v]
+                zs = {z for z in zs if len(nbrs[z]) >= 2}
+                if zs:
+                    naive[(u, v)] = (
+                        len(zs), sum(1 / math.log(len(nbrs[z])) for z in zs)
+                    )
+        e = spark.createDataFrame(list(canon), "u long, v long")
+        got = {
+            (r["u"], r["v"]): (r["common_neighbors"], r["aa_score"])
+            for r in D.adamic_adar(e).collect()
+        }
+        assert set(got) == set(naive), (sorted(canon), sorted(got), sorted(naive))
+        for k, (c, s) in naive.items():
+            assert got[k][0] == c and abs(got[k][1] - s) < 1e-9
+
+        focus_nodes = nodes[:2]
+        f = spark.createDataFrame([(x,) for x in focus_nodes], "node long")
+        fgot = {
+            (r["u"], r["v"]): (r["common_neighbors"], r["aa_score"])
+            for r in D.adamic_adar(e, focus=f).collect()
+        }
+        expect = {}
+        for (u, v), cs in naive.items():
+            if u in focus_nodes:
+                expect[(u, v)] = cs
+            if v in focus_nodes:
+                expect[(v, u)] = cs
+        assert set(fgot) == set(expect)
+        for k, (c, s) in expect.items():
+            assert fgot[k][0] == c and abs(fgot[k][1] - s) < 1e-9
+
+
+def test_changepoint_planted_level_shift(spark, tmp_path):
+    """A 5->50 events/day shift after day 10 must split exactly at the
+    boundary with the two segment means recovered; a CONSTANT series has
+    zero gain everywhere and must tie-break to the earliest split day."""
+    import datetime as dt
+
+    from dshackle_archive_spark.queries import registry
+
+    base = dt.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for day in range(20):
+        for per_day, etype in ((5 if day < 10 else 50, "shift"), (7, "flat")):
+            for _ in range(per_day):
+                rows.append(
+                    (eid, base + dt.timedelta(days=day, minutes=eid % 120),
+                     1, etype, 1.0, "{}")
+                )
+                eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {r["event_type"]: r for r in registry()["w16_changepoint"](spark, d).collect()}
+    s = out["shift"]
+    assert s["split_day"] == "2024-03-10" and s["left_days"] == 10
+    assert s["left_mean"] == 5.0 and s["right_mean"] == 50.0
+    # gain = total SSE (the split removes ALL variance): 20 days, mean 27.5
+    assert abs(s["gain"] - (10 * 5 * 5 + 10 * 50 * 50 - 20 * 27.5 ** 2)) < 1e-6
+    f = out["flat"]
+    assert f["gain"] == 0.0 and f["split_day"] == "2024-03-01"
+    assert f["left_mean"] == 7.0 and f["right_mean"] == 7.0
