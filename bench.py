@@ -161,6 +161,8 @@ EXTRA = [
     "v17_embedding_margin",
     "w14_anomaly_incidents",
     "w15_holt_forecast",
+    "d17_adamic_adar",
+    "w16_changepoint",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))
