@@ -474,30 +474,32 @@ def countmin_batch_grid(
     unigram tokens — the a17 sketch's streaming half. A partial grid IS a
     mergeable sketch: cell-wise sum of two grids equals the grid of the
     concatenated streams, which is what makes the cumulative state exact
-    to maintain and bounded at depth*width rows forever."""
+    to maintain and bounded at depth*width rows forever.
+
+    The ``depth`` row hashes are the disjoint 32-bit slices of ONE md5
+    per token (Kirsch-Mitzenmacher derived hashes, a17's round-8 trick):
+    one digest per token on the batch-sized branch instead of a salted
+    re-hash per sketch row. Requires ``depth <= 4`` (an md5 yields four
+    u32 slices)."""
+    if depth > 4:
+        raise ValueError("countmin_batch_grid derives rows from one md5: depth <= 4")
     tok = (
         batch_docs.select(
             F.explode(F.split(normalized_text(text_col), " ")).alias("token")
         )
         .filter(F.col("token") != "")
     )
-    salted = tok.select(
-        "token", F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r")
-    )
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("cm"), F.col("r"), F.lit(":"), F.col("token"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % width
+    h = F.md5(F.concat(F.lit("cm:"), F.col("token")))
+    slices = F.array(
+        *[
+            F.conv(F.substring(F.col("h"), 1 + 8 * r, 8), 16, 10).cast("long")
+            % width
+            for r in range(depth)
+        ]
     )
     return (
-        salted.select("r", bucket.alias("bucket"))
+        tok.select(h.alias("h"))
+        .select(F.posexplode(slices).alias("r", "bucket"))
         .groupBy("r", "bucket")
         .agg(F.count("*").alias("cell"))
     )
@@ -546,30 +548,21 @@ def countmin_merge_step(
         .orderBy(F.desc("batch_count"), F.asc("token"))
         .limit(top_m)
     )
+    probe_slices = F.array(
+        *[
+            F.conv(F.substring(F.col("h"), 1 + 8 * r, 8), 16, 10).cast("long")
+            % width
+            for r in range(depth)
+        ]
+    )
     probes = top.select(
         "token",
         "batch_count",
-        F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r"),
+        F.md5(F.concat(F.lit("cm:"), F.col("token"))).alias("h"),
     ).select(
         "token",
         "batch_count",
-        "r",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit("cm"), F.col("r"), F.lit(":"), F.col("token")
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % width
-        ).alias("bucket"),
+        F.posexplode(probe_slices).alias("r", "bucket"),
     )
     report = (
         probes.join(F.broadcast(merged), ["r", "bucket"])
