@@ -81,3 +81,76 @@ def linear_weighted_mean(values: Column, n: Column) -> Column:
         lambda acc, x: acc + x,
     )
     return num / (n.cast("double") * (n.cast("double") + 1) / 2)
+
+
+def best_level_shift(
+    daily: DataFrame,
+    key_col: str = "event_type",
+    day_col: str = "d",
+    n_col: str = "n",
+) -> DataFrame:
+    """Binary-segmentation changepoint: per key, the split of the
+    day-ordered integer series that minimizes SSE_left + SSE_right
+    (Scott & Knott 1974; the single-split step PELT-style segmentation
+    iterates). Returns one row per key: the split day, segment sizes and
+    means, and the variance-reduction ``gain``.
+
+    Non-obvious reduction: SSE(1..k) = Σx² − (Σx)²/k needs only prefix
+    sums, so the O(n²) candidate scan collapses to three stock windows
+    (ordered cumsums of n and n², per-key totals) + an argmin window —
+    no recursion, no UDF, no per-split pass.
+
+    Determinism contract (oracle-replayable): every prefix/total sum is
+    an exact BIGINT over integer counts; the cost is a fixed chain of
+    IEEE double ops on those exact operands; the argmin tie-breaks on
+    day. Scale shape: windows partition by key over the DAILY rollup —
+    per-key state is one running pair of sums; the corpus is only
+    touched by whatever groupBy built ``daily``."""
+    n = F.col(n_col)
+    full = Window.partitionBy(key_col)
+    cum = full.orderBy(day_col).rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.select(
+        key_col,
+        day_col,
+        F.sum(n).over(cum).alias("sl"),
+        F.sum(n * n).over(cum).alias("sl2"),
+        F.row_number().over(full.orderBy(day_col)).alias("k"),
+        F.sum(n).over(full).alias("st"),
+        F.sum(n * n).over(full).alias("st2"),
+        F.count("*").over(full).alias("nd"),
+    )
+    cost = (
+        F.col("sl2").cast("double")
+        - F.col("sl").cast("double") * F.col("sl") / F.col("k")
+    ) + (
+        (F.col("st2") - F.col("sl2")).cast("double")
+        - (F.col("st") - F.col("sl")).cast("double")
+        * (F.col("st") - F.col("sl"))
+        / (F.col("nd") - F.col("k"))
+    )
+    sse_total = F.col("st2").cast("double") - F.col("st").cast(
+        "double"
+    ) * F.col("st") / F.col("nd")
+    costs = pre.filter(F.col("k") < F.col("nd")).select(
+        key_col, day_col, "k", "nd", "sl", "st",
+        cost.alias("cost"), sse_total.alias("sse_total"),
+    )
+    best = costs.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy(key_col).orderBy(F.asc("cost"), F.asc(day_col))
+        ),
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        key_col,
+        F.col(day_col).cast("string").alias("split_day"),
+        F.col("nd").cast("long").alias("n_days"),
+        F.col("k").cast("long").alias("left_days"),
+        F.round(F.col("sl").cast("double") / F.col("k"), 6).alias("left_mean"),
+        F.round(
+            (F.col("st") - F.col("sl")).cast("double")
+            / (F.col("nd") - F.col("k")),
+            6,
+        ).alias("right_mean"),
+        F.round(F.col("sse_total") - F.col("cost"), 6).alias("gain"),
+    )

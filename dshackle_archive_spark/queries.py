@@ -9621,56 +9621,10 @@ def w16_changepoint(spark: SparkSession, sf: str) -> DataFrame:
     groupBy; every window is partitioned by event_type over days —
     metadata-scale state (one running pair of sums per type). 100× data
     grows only the rollup scan."""
+    from .operators.timeseries import best_level_shift
+
     ev = _t(spark, sf, "events")
     daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
         F.count("*").cast("long").alias("n")
     )
-    full = Window.partitionBy("event_type")
-    cum = full.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
-    pre = daily.select(
-        "event_type",
-        "d",
-        F.sum("n").over(cum).alias("sl"),
-        F.sum(F.col("n") * F.col("n")).over(cum).alias("sl2"),
-        F.row_number().over(full.orderBy("d")).alias("k"),
-        F.sum("n").over(full).alias("st"),
-        F.sum(F.col("n") * F.col("n")).over(full).alias("st2"),
-        F.count("*").over(full).alias("nd"),
-    )
-    cost = (
-        F.col("sl2").cast("double")
-        - F.col("sl").cast("double") * F.col("sl") / F.col("k")
-    ) + (
-        (F.col("st2") - F.col("sl2")).cast("double")
-        - (F.col("st") - F.col("sl")).cast("double")
-        * (F.col("st") - F.col("sl"))
-        / (F.col("nd") - F.col("k"))
-    )
-    sse_total = F.col("st2").cast("double") - F.col("st").cast(
-        "double"
-    ) * F.col("st") / F.col("nd")
-    costs = pre.filter(F.col("k") < F.col("nd")).select(
-        "event_type", "d", "k", "nd", "sl", "st",
-        cost.alias("cost"), sse_total.alias("sse_total"),
-    )
-    best = costs.withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("event_type").orderBy(
-                F.asc("cost"), F.asc("d")
-            )
-        ),
-    ).filter(F.col("rn") == 1)
-    return best.select(
-        "event_type",
-        F.col("d").cast("string").alias("split_day"),
-        F.col("nd").cast("long").alias("n_days"),
-        F.col("k").cast("long").alias("left_days"),
-        F.round(F.col("sl").cast("double") / F.col("k"), 6).alias("left_mean"),
-        F.round(
-            (F.col("st") - F.col("sl")).cast("double")
-            / (F.col("nd") - F.col("k")),
-            6,
-        ).alias("right_mean"),
-        F.round(F.col("sse_total") - F.col("cost"), 6).alias("gain"),
-    ).orderBy("event_type")
+    return best_level_shift(daily).orderBy("event_type")

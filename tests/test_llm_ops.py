@@ -1370,3 +1370,57 @@ def test_changepoint_planted_level_shift(spark, tmp_path):
     f = out["flat"]
     assert f["gain"] == 0.0 and f["split_day"] == "2024-03-01"
     assert f["left_mean"] == 7.0 and f["right_mean"] == 7.0
+
+
+_shift_series = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(0, 25), st.integers(0, 60)),
+    min_size=2,
+    max_size=24,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@given(pts=_shift_series)
+@settings(max_examples=12, deadline=None)
+def test_best_level_shift_matches_naive_scan(spark, pts):
+    """Property test: the prefix-sum argmin must equal the brute-force
+    O(n²) best-split scan (cost, split day, means, gain) on random
+    integer daily series — including the all-constant tie case, where
+    the argmin must land on the earliest day."""
+    import datetime as dt
+
+    from dshackle_archive_spark.operators.timeseries import best_level_shift
+
+    series: dict[int, list[tuple[int, int]]] = {}
+    for k, dd, v in pts:
+        series.setdefault(k, []).append((dd, v))
+    # drop 1-day keys: no k < nd split exists
+    series = {k: sorted(v) for k, v in series.items() if len(v) >= 2}
+    if not series:
+        return
+    rows = [
+        (k, dt.date(2024, 1, 1) + dt.timedelta(days=dd), v)
+        for k, pts_k in series.items()
+        for dd, v in pts_k
+    ]
+    df = spark.createDataFrame(rows, "event_type long, d date, n long")
+    got = {r["event_type"]: r for r in best_level_shift(df).collect()}
+    for k, pts_k in series.items():
+        xs = [v for _, v in pts_k]
+        n = len(xs)
+
+        def sse(seg):
+            m = sum(seg) / len(seg)
+            return sum((x - m) ** 2 for x in seg)
+
+        best = min(
+            range(1, n),
+            key=lambda i: (sse(xs[:i]) + sse(xs[i:]), pts_k[i - 1][0]),
+        )
+        r = got[k]
+        assert r["n_days"] == n and r["left_days"] == best
+        expect_day = str(dt.date(2024, 1, 1) + dt.timedelta(days=pts_k[best - 1][0]))
+        assert r["split_day"] == expect_day, (k, r, best)
+        assert abs(r["left_mean"] - round(sum(xs[:best]) / best, 6)) < 1e-9
+        assert abs(r["right_mean"] - round(sum(xs[best:]) / (n - best), 6)) < 1e-9
+        assert abs(r["gain"] - (sse(xs) - sse(xs[:best]) - sse(xs[best:]))) < 1e-6
