@@ -798,7 +798,15 @@ def semantic_dedup(
     are bounded by the quantizer's balance, never the corpus), and norms
     are hoisted to per-side columns so each pair pays one fold. Cross-
     cluster duplicates are missed by design — that is the documented
-    SemDeDup approximation that makes it linear-ish at 100 TB."""
+    SemDeDup approximation that makes it linear-ish at 100 TB.
+
+    Sizing ``n_cells``: keep K ∝ N (fixed K makes the pair stage N²/K).
+    The measured trade-off (PERF.md round-8 K-sweep) is
+    K* ≈ √(c_pair·N / 2c_assign), and in this HOF reference
+    implementation a per-seed assign score costs ~10× a pair dot — at
+    production K (10³+) swap the assign stage for the v12-style
+    Arrow/BLAS ``mapInPandas`` seam (one GEMM per partition against the
+    broadcast seed matrix); the dataflow around it is unchanged."""
     assign = ivf_assign(vectors, n_cells, id_col, vec_col)
     v = (
         vectors.select(
