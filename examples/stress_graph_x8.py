@@ -55,7 +55,7 @@ def build_scaled(dirpath: str) -> None:
 def timed(spark, name: str, sf_dir: str, reps: int) -> float:
     def one() -> float:
         t0 = time.perf_counter()
-        Q.registry()[name](spark, sf_dir).count()
+        Q.registry()[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t0
 
     return statistics.median(one() for _ in range(reps))

@@ -72,7 +72,7 @@ REPS = int(os.environ.get("BENCH_REPS", "3"))
 def timed(spark, name: str, sf_dir: str) -> float:
     def one() -> float:
         t0 = time.perf_counter()
-        Q.registry()[name](spark, sf_dir).count()
+        Q.registry()[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t0
 
     return statistics.median(one() for _ in range(REPS))

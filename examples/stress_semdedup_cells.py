@@ -48,6 +48,10 @@ def build_scaled(dirpath: str) -> None:
     con.close()
 
 
+def noop(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
 def timed(fn, reps: int = REPS) -> float:
     def one() -> float:
         t0 = time.perf_counter()
@@ -67,12 +71,12 @@ def main() -> None:
     emb1 = load_table(spark, BASE, "embeddings")
     emb8 = load_table(spark, scaled, "embeddings")
 
-    semantic_dedup(emb1, n_cells=16).count()  # warmup
+    noop(semantic_dedup(emb1, n_cells=16))  # warmup
     out = {
-        "sf0.1_k16_sec": round(timed(lambda: semantic_dedup(emb1, n_cells=16).count()), 3),
-        "x8_k16_sec": round(timed(lambda: semantic_dedup(emb8, n_cells=16).count()), 3),
-        "x8_k45_sec": round(timed(lambda: semantic_dedup(emb8, n_cells=45).count()), 3),
-        "x8_k128_sec": round(timed(lambda: semantic_dedup(emb8, n_cells=128).count()), 3),
+        "sf0.1_k16_sec": round(timed(lambda: noop(semantic_dedup(emb1, n_cells=16))), 3),
+        "x8_k16_sec": round(timed(lambda: noop(semantic_dedup(emb8, n_cells=16))), 3),
+        "x8_k45_sec": round(timed(lambda: noop(semantic_dedup(emb8, n_cells=45))), 3),
+        "x8_k128_sec": round(timed(lambda: noop(semantic_dedup(emb8, n_cells=128))), 3),
     }
     out["ratio_x8_fixed_k"] = round(out["x8_k16_sec"] / out["sf0.1_k16_sec"], 2)
     out["ratio_x8_k45"] = round(out["x8_k45_sec"] / out["sf0.1_k16_sec"], 2)
