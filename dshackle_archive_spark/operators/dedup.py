@@ -994,16 +994,33 @@ def triangle_counts(
         .select("u", "v", F.array_intersect("_nu", "_nv").alias("common"))
         .filter(F.size("common") > 0)
     )
+    # weighted rollup: an edge closing T triangles contributes T to u and
+    # v and 1 to each common neighbor — emit (u, T), (v, T) and the T
+    # common nodes at weight 1 instead of repeating u/v T times each,
+    # 3x fewer exploded rows through the dominant shuffle (round-8 fix,
+    # measured on the honest noop-materialized bench).
+    one = F.lit(1).cast("long")
     contrib = tri_edges.select(
         F.explode(
             F.concat(
-                F.array_repeat(F.col("u"), F.size("common")),
-                F.array_repeat(F.col("v"), F.size("common")),
-                F.col("common"),
+                F.array(
+                    F.struct(
+                        F.col("u").alias("node"),
+                        F.size("common").cast("long").alias("w"),
+                    ),
+                    F.struct(
+                        F.col("v").alias("node"),
+                        F.size("common").cast("long").alias("w"),
+                    ),
+                ),
+                F.transform(
+                    F.col("common"),
+                    lambda c: F.struct(c.alias("node"), one.alias("w")),
+                ),
             )
-        ).alias("node")
-    )
-    counts = contrib.groupBy("node").agg(F.count("*").alias("triangles"))
+        ).alias("e")
+    ).select("e.node", "e.w")
+    counts = contrib.groupBy("node").agg(F.sum("w").alias("triangles"))
     if with_degree:
         return counts.join(deg, "node")
     return counts
