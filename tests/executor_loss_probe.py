@@ -2,7 +2,7 @@
 
 The local-cluster smoke proves PARITY on real executor JVMs; this probe
 proves DURABILITY: it runs an iterative registry query under
-``local-cluster[2,2,2048]`` and SIGKILLs one executor JVM mid-iteration —
+``local-cluster[2,2,2048]`` and SIGKILLs every live executor JVM mid-iteration —
 immediately after the Nth ``reliable_checkpoint`` materialization, so every
 later round depends on blocks the dead executor (co-)held.
 
@@ -83,10 +83,18 @@ def main() -> int:
         out = real(df, eager=eager)  # eager=True: blocks exist after this
         state["calls"] += 1
         if state["calls"] == kill_after and state["killed"] is None:
+            # kill EVERY live executor, not just one: AQE coalesces the
+            # tiny id-only shuffles to a single partition, so one
+            # surviving executor can happen to hold every cached block
+            # and the localCheckpoint contrast case flakes to success.
+            # Total loss makes both verdicts placement-independent: the
+            # Workers respawn executors either way; only the DFS path
+            # has anywhere durable to re-read the blocks from.
             victims = _executor_pids()
             if victims:
                 state["killed"] = victims[0]
-                os.kill(victims[0], signal.SIGKILL)
+                for pid in victims:
+                    os.kill(pid, signal.SIGKILL)
                 time.sleep(2)  # let the scheduler notice the loss
         return out
 

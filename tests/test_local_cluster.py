@@ -124,7 +124,7 @@ def _run_loss_probe(tmp_path, mode: str) -> dict:
 
 
 def test_executor_loss_reliable_checkpoint_survives(spark, tmp_path):
-    """SIGKILL one executor JVM right after the 2nd checkpoint of the
+    """SIGKILL every executor JVM right after the 2nd checkpoint of the
     connected-components iteration: with DFS-backed checkpointing the
     replacement executor re-reads the blocks from the checkpoint dir and
     the job completes with results IDENTICAL to an undisturbed single-JVM
