@@ -188,7 +188,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="compression for newly written archive files "
                         "(args.rs:102-104; default zstd = the reference's "
                         "level-9 avro blocks, global.rs:34-43)")
-    p.add_argument("--fields-trace", "--fields.trace", dest="fields_trace",
+    p.add_argument("--fields-trace", "--fields.trace", "--fieldsTrace",
+                   dest="fields_trace",
                    default="calls,stateDiff", metavar="LIST",
                    help="which geth tracers the trace archive runs: comma "
                         "list of calls,stateDiff (TraceOptions, "
@@ -214,10 +215,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "Prometheus never misses the run's last counters "
                         "(metrics/server.rs:34-50)")
     p.add_argument("--auth-aws-access-key", "--auth.aws.access-key",
+                   "--auth.aws.accessKey", "--auth.aws.accesskey",
                    dest="aws_access_key", default=None, metavar="KEY",
                    help="S3 access key for an s3:// --dir (args.rs:229-233; "
                         "both key flags required together)")
     p.add_argument("--auth-aws-secret-key", "--auth.aws.secret-key",
+                   "--auth.aws.secretKey", "--auth.aws.secretkey",
                    dest="aws_secret_key", default=None, metavar="SECRET",
                    help="S3 secret key for an s3:// --dir")
     p.add_argument("--aws-endpoint", "--aws.endpoint", dest="aws_endpoint",
@@ -228,6 +231,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--aws-region", "--aws.region", dest="aws_region",
                    default=None, metavar="REGION", help="S3 region")
     p.add_argument("--aws-trust-tls", "--aws.trust-tls", "--aws.trustTls",
+                   "--aws.trusttls",
                    dest="aws_trust_tls", action="store_true",
                    help="trust the TLS certificate the s3 endpoint presents "
                         "(args.rs:248-250): self-signed MinIO-style stores. "
@@ -236,6 +240,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "(sources/s3_tls.py); with --tls-ca PEM that CA is "
                         "trusted instead, with no network fetch")
     p.add_argument("--aws-s3-path-style", "--aws.s3.path-style",
+                   "--aws.s3.pathStyle", "--aws.s3.pathstyle",
                    dest="aws_path_style", action="store_true",
                    help="path-style bucket addressing (args.rs:245); accepted "
                         "for reference command-line compatibility — the "

@@ -1062,7 +1062,16 @@ def adamic_adar(
       link prediction at scale; caps the unfocused cost at n·cap²);
     - the per-pair rollup is one map-side-combinable groupBy(u,v);
     - existing edges are removed with a broadcast-eligible LEFT ANTI join
-      (AQE decides; adjacency rows are two-long).
+      (AQE decides; adjacency rows are two-long);
+    - determinism: ``aa_score`` is computed as an EXACT integer sum —
+      each 1/ln(deg) term is quantized to a 1e-9 grid
+      (``round(term·1e9)`` as BIGINT) before summing, so the sum is
+      partition-order independent (long addition is associative and
+      exact), then divided back. A plain IEEE double Σ 1/ln(deg) can
+      differ by 1 ulp between runs/engines and flip a downstream
+      round-then-rank cutoff; the grid makes replays and the DuckDB
+      oracle bit-identical. Quantization error ≤ 5e-10·terms, far
+      below the repo's round-6 comparison grid.
 
     ``canonical=True`` promises src<dst deduplicated input (the shape
     :func:`triangle_counts` callers already build)."""
@@ -1096,7 +1105,10 @@ def adamic_adar(
             .agg(F.count("*").alias("deg"))
             .filter((F.col("deg") >= 2) & (F.col("deg") <= hub_cap))
             .select(
-                "z", (F.lit(1.0) / F.log(F.col("deg").cast("double"))).alias("w")
+                "z",
+                F.round(
+                    F.lit(1.0) / F.log(F.col("deg").cast("double")) * 1e9
+                ).cast("long").alias("w"),
             )
         )
         fcol = focus.columns[0]
@@ -1114,7 +1126,7 @@ def adamic_adar(
         )
         scores = wedges.groupBy("u", "v").agg(
             F.count("*").cast("long").alias("common_neighbors"),
-            F.sum("w").alias("aa_score"),
+            (F.sum("w").cast("double") / F.lit(1e9)).alias("aa_score"),
         )
         u_adj = legs_raw.select(
             F.col("fu").alias("au"), F.col("z").alias("av")
@@ -1129,7 +1141,12 @@ def adamic_adar(
         .agg(F.sort_array(F.collect_set("n")).alias("nbrs"))
         .withColumn("deg", F.size("nbrs"))
         .filter((F.col("deg") >= 2) & (F.col("deg") <= hub_cap))
-        .withColumn("w", F.lit(1.0) / F.log(F.col("deg").cast("double")))
+        .withColumn(
+            "w",
+            F.round(
+                F.lit(1.0) / F.log(F.col("deg").cast("double")) * 1e9
+            ).cast("long"),
+        )
     )
     pair_structs = F.flatten(
         F.transform(
@@ -1145,7 +1162,7 @@ def adamic_adar(
     )
     scores = wedges.groupBy("u", "v").agg(
         F.count("*").cast("long").alias("common_neighbors"),
-        F.sum("w").alias("aa_score"),
+        (F.sum("w").cast("double") / F.lit(1e9)).alias("aa_score"),
     )
     return scores.join(
         canon,

@@ -95,6 +95,13 @@ def best_level_shift(
     iterates). Returns one row per key: the split day, segment sizes and
     means, and the variance-reduction ``gain``.
 
+    Output contract: a key needs AT LEAST 2 days of data to appear — a
+    single-day series has no candidate split (no k < n_days exists), so
+    the key is dropped from the output entirely rather than emitted
+    with a null split. Callers (w16) that must account for every key
+    should anti-join the result against the key list to recover the
+    too-short ones.
+
     Non-obvious reduction: SSE(1..k) = Σx² − (Σx)²/k needs only prefix
     sums, so the O(n²) candidate scan collapses to three stock windows
     (ordered cumsums of n and n², per-key totals) + an argmin window —

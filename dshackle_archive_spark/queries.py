@@ -9474,7 +9474,12 @@ def w15_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
     ), sym AS (
       SELECT u AS z, v AS n FROM e UNION ALL SELECT v, u FROM e
     ), wt AS (
-      SELECT z, count(*) AS d, 1.0 / ln(CAST(count(*) AS DOUBLE)) AS w
+      -- 1/ln(deg) quantized to a 1e-9 grid so the per-pair sum is an
+      -- EXACT integer sum: partition-order independent on the Spark
+      -- side, bit-identical here (see operators/dedup.adamic_adar)
+      SELECT z, count(*) AS d,
+             CAST(round(1.0 / ln(CAST(count(*) AS DOUBLE)) * 1e9)
+                  AS BIGINT) AS w
       FROM sym GROUP BY z
       HAVING count(*) BETWEEN 2 AND 1024
     ), focus AS (
@@ -9487,7 +9492,7 @@ def w15_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
       JOIN focus ON focus.fu = a.n
     ), scores AS (
       SELECT u, v, CAST(count(*) AS BIGINT) AS common_neighbors,
-             sum(w) AS aa
+             CAST(sum(w) AS DOUBLE) / 1e9 AS aa
       FROM wedges GROUP BY 1, 2
     ), nonedges AS (
       SELECT s.* FROM scores s

@@ -480,7 +480,15 @@ def countmin_batch_grid(
     per token (Kirsch-Mitzenmacher derived hashes, a17's round-8 trick):
     one digest per token on the batch-sized branch instead of a salted
     re-hash per sketch row. Requires ``depth <= 4`` (an md5 yields four
-    u32 slices)."""
+    u32 slices).
+
+    STATE-FORMAT BREAK (round 8): the slice derivation is a DIFFERENT
+    hash family from the earlier per-row salted-md5 version, so a
+    cumulative grid persisted by that version must be DISCARDED, not
+    merged — its (r, bucket) cells no longer correspond to the same
+    token sets, and a mixed :func:`countmin_merge_step` union would
+    produce silently wrong estimates. ``depth >= 5`` (valid under
+    salted hashing) now raises rather than silently degrading."""
     if depth > 4:
         raise ValueError("countmin_batch_grid derives rows from one md5: depth <= 4")
     tok = (

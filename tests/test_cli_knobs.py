@@ -348,3 +348,68 @@ def test_every_alias_spelling_parses_identically():
             assert vars(got) == vars(want), (canonical, alt)
 
     check()
+
+
+# Every long-flag spelling group the reference accepts, transcribed from the
+# clap `#[arg(long=..., aliases=...)]` declarations in
+# /root/reference/src/args.rs (line numbers in comments).  This is the
+# EXPECTED set — unlike test_every_alias_spelling_parses_identically (which
+# only proves the aliases we *did* register agree with each other), this
+# table catches a spelling the reference accepts but our parser doesn't, so
+# the round-8 gap (accessKey/secretKey/trusttls/fieldsTrace missing) cannot
+# recur.
+REFERENCE_SPELLINGS = [
+    # args.rs:51
+    ["dry-run", "dryRun", "dryrun"],
+    # args.rs:80
+    ["range.chunk", "rangeChunk", "range-chunk"],
+    # args.rs:92
+    ["fields.trace", "fieldsTrace", "fields-trace"],
+    # args.rs:98
+    ["fix.clean", "fix-clean"],
+    # args.rs:119
+    ["metrics.await", "metrics-await"],
+    # args.rs:182
+    ["connection.notls", "connection-notls"],
+    # args.rs:204,208,212
+    ["notify.dir", "notify-dir"],
+    ["notify.pulsar.topic", "notify-pulsar-topic"],
+    ["notify.pulsar.url", "notify-pulsar-url"],
+    # args.rs:229
+    ["auth.aws.access-key", "auth.aws.accessKey", "auth.aws.accesskey",
+     "auth-aws-access-key"],
+    # args.rs:233
+    ["auth.aws.secret-key", "auth.aws.secretKey", "auth.aws.secretkey",
+     "auth-aws-secret-key"],
+    # args.rs:237 (alias == long form; single spelling)
+    ["aws.endpoint"],
+    # args.rs:241
+    ["aws.region", "aws-region"],
+    # args.rs:245
+    ["aws.s3.path-style", "aws.s3.pathStyle", "aws.s3.pathstyle",
+     "aws-s3-path-style"],
+    # args.rs:249
+    ["aws.trust-tls", "aws.trustTls", "aws.trusttls", "aws-trust-tls"],
+]
+
+
+def test_reference_spelling_table_fully_accepted():
+    """Every spelling in every args.rs alias group is a registered option
+    string, and all spellings in a group resolve to the SAME argparse action
+    (same dest) — i.e. a user may paste any reference command line verbatim."""
+    from dshackle_archive_spark.cli import build_parser
+
+    parser = build_parser()
+    by_option = {}
+    for action in parser._actions:
+        for opt in action.option_strings:
+            by_option[opt] = action
+
+    for group in REFERENCE_SPELLINGS:
+        actions = []
+        for spelling in group:
+            opt = "--" + spelling
+            assert opt in by_option, f"reference spelling {opt} not accepted"
+            actions.append(by_option[opt])
+        assert len({id(a) for a in actions}) == 1, \
+            f"spellings of {group[0]} map to different options"

@@ -1394,10 +1394,10 @@ def test_best_level_shift_matches_naive_scan(spark, pts):
     series: dict[int, list[tuple[int, int]]] = {}
     for k, dd, v in pts:
         series.setdefault(k, []).append((dd, v))
-    # drop 1-day keys: no k < nd split exists
-    series = {k: sorted(v) for k, v in series.items() if len(v) >= 2}
-    if not series:
-        return
+    series = {k: sorted(v) for k, v in series.items()}
+    # 1-day keys stay IN the input: the documented contract is that they
+    # are dropped from the output (no k < nd split exists), asserted below
+    short_keys = {k for k, v in series.items() if len(v) < 2}
     rows = [
         (k, dt.date(2024, 1, 1) + dt.timedelta(days=dd), v)
         for k, pts_k in series.items()
@@ -1405,7 +1405,10 @@ def test_best_level_shift_matches_naive_scan(spark, pts):
     ]
     df = spark.createDataFrame(rows, "event_type long, d date, n long")
     got = {r["event_type"]: r for r in best_level_shift(df).collect()}
+    assert set(got) == set(series) - short_keys
     for k, pts_k in series.items():
+        if k in short_keys:
+            continue
         xs = [v for _, v in pts_k]
         n = len(xs)
 
