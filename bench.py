@@ -163,6 +163,7 @@ EXTRA = [
     "w15_holt_forecast",
     "d17_adamic_adar",
     "w16_changepoint",
+    "d18_triangle_sample_audit",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))
@@ -269,6 +270,57 @@ def git_sha() -> str | None:
         return None
 
 
+def prev_committed_detail() -> dict | None:
+    """The PREVIOUS round's committed BENCH_DETAIL.json (HEAD version —
+    bench.py overwrites the worktree copy, so the git blob is the last
+    officially recorded run)."""
+    try:
+        out = subprocess.run(
+            ["git", "show", "HEAD:BENCH_DETAIL.json"],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        return json.loads(out.stdout) if out.returncode == 0 else None
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def normalized_vs_prev(times: dict[str, float], canary: dict) -> dict | None:
+    """Ambient-normalized cross-round ratios (round-9 task): per query,
+
+        normalized = (median_now / median_prev) / cpu_canary_ratio
+
+    where ``cpu_canary_ratio = mean(cpu_before, cpu_after)_now /
+    mean(cpu_before, cpu_after)_prev``. The CPU-bound canary moves with
+    core frequency / ambient load and is code-independent, so dividing by
+    its ratio removes the uniform machine-speed component — a normalized
+    ratio ≈ 1.0 means "same plan cost, machine drifted", > 1 means the
+    code (or data) genuinely got slower. Judges previously hand-adjusted
+    for this; now it's mechanical."""
+    prev = prev_committed_detail()
+    if not prev or "canary" not in prev:
+        return None
+    pc = prev["canary"]
+    try:
+        prev_cpu = (pc["cpu_before"] + pc["cpu_after"]) / 2
+        now_cpu = (canary["cpu_before"] + canary["cpu_after"]) / 2
+        cpu_ratio = now_cpu / prev_cpu
+    except (KeyError, ZeroDivisionError, TypeError):
+        return None
+    prev_times = prev.get("queries_median", {})
+    per_query = {
+        n: round((times[n] / prev_times[n]) / cpu_ratio, 3)
+        for n in times
+        if prev_times.get(n)
+    }
+    return {
+        "prev_commit": (prev.get("meta") or {}).get("commit"),
+        "cpu_canary_ratio": round(cpu_ratio, 4),
+        "formula": "(median_now/median_prev) / cpu_canary_ratio",
+        "queries": per_query,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -369,6 +421,7 @@ def main() -> None:
         "load_retries": load_retries,
         "meta": meta,
         "queries_median": times,
+        "normalized_vs_prev": normalized_vs_prev(times, canary),
         "total": total,
         "sf": sf,
     }

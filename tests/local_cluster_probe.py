@@ -6,7 +6,13 @@ Runs registry queries + one curate cycle under ``local-cluster[2,2,2048]``
 shipping to executor Python workers, localCheckpoint block placement,
 broadcast exchange, ``file:`` path handling in the file sinks.
 
-Usage: python local_cluster_probe.py <comma-queries> <sf_dir> <out.json>
+Usage: python local_cluster_probe.py <comma-queries> <sf_dir> <out.json> \
+           [master] [mode]
+Default master is ``local-cluster[2,2,2048]``; pass e.g.
+``local-cluster[2,2,1024]`` for the memory-pressure variant. mode
+``digest`` records {"cols", "n", "sha256"} per query (bounded output for
+big result sets) and skips the curate cycle; the default records full
+sorted rows + one curate cycle.
 Writes {"queries": {name: {"cols": [...], "rows": [[str,...],...]}},
         "curate": {"survivors": N, "stages": {...}}} to out.json.
 """
@@ -23,6 +29,8 @@ def main() -> int:
     names = [n for n in sys.argv[1].split(",") if n]
     sf_dir = sys.argv[2]
     out_path = sys.argv[3]
+    master = sys.argv[4] if len(sys.argv) > 4 else "local-cluster[2,2,2048]"
+    mode = sys.argv[5] if len(sys.argv) > 5 else "rows"
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
@@ -35,7 +43,7 @@ def main() -> int:
 
     from dshackle_archive_spark.session import get_spark
 
-    spark = get_spark("local-cluster-probe", master="local-cluster[2,2,2048]")
+    spark = get_spark("local-cluster-probe", master=master)
     spark.conf.set("spark.sql.shuffle.partitions", "8")
 
     import dshackle_archive_spark.queries as Q
@@ -45,17 +53,28 @@ def main() -> int:
     for name in names:
         df = reg[name](spark, sf_dir)
         rows = sorted([str(v) for v in r] for r in df.collect())
-        out["queries"][name] = {"cols": sorted(df.columns), "rows": rows}
+        if mode == "digest":
+            import hashlib
 
-    # one curate cycle end-to-end: staged plan with checkpoints + file sink
-    from dshackle_archive_spark.plans.curate_plan import curate
-    from dshackle_archive_spark.sources.tables import load_tables
+            sha = hashlib.sha256(
+                "\n".join("\x1f".join(r) for r in rows).encode()
+            ).hexdigest()
+            out["queries"][name] = {
+                "cols": sorted(df.columns), "n": len(rows), "sha256": sha,
+            }
+        else:
+            out["queries"][name] = {"cols": sorted(df.columns), "rows": rows}
 
-    docs = load_tables(spark, sf_dir)["documents"]
-    with tempfile.TemporaryDirectory() as tmp:
-        curated, res = curate(docs, output_path=os.path.join(tmp, "out"))
-        survivors = spark.read.parquet(os.path.join(tmp, "out")).count()
-    out["curate"] = {"survivors": survivors, "stages": res.stage_counts}
+    if mode != "digest":
+        # one curate cycle end-to-end: staged plan + checkpoints + file sink
+        from dshackle_archive_spark.plans.curate_plan import curate
+        from dshackle_archive_spark.sources.tables import load_tables
+
+        docs = load_tables(spark, sf_dir)["documents"]
+        with tempfile.TemporaryDirectory() as tmp:
+            curated, res = curate(docs, output_path=os.path.join(tmp, "out"))
+            survivors = spark.read.parquet(os.path.join(tmp, "out")).count()
+        out["curate"] = {"survivors": survivors, "stages": res.stage_counts}
 
     with open(out_path, "w") as f:
         json.dump(out, f)

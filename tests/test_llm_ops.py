@@ -1247,6 +1247,54 @@ def test_holt_forecast_matches_direct_recursion(spark, tmp_path):
     assert abs(r["forecast_7d"] - round(level + 7 * trend, 6)) < 1e-9
 
 
+def test_doulion_triangle_sampling(spark):
+    """DOULION machinery: p=1.0 keeps everything (estimate == exact as
+    doubles); p=0.5 must equal a naive Python recomputation that applies
+    the SAME md5 keep-rule and 1/p³ scale — i.e. the sample is the
+    deterministic hash rule, not rand()."""
+    import hashlib
+    import itertools
+
+    import dshackle_archive_spark.operators.dedup as D
+
+    # K7 complete graph: 35 triangles, every node in C(6,2)=15
+    nodes = list(range(7))
+    edges = [(u, v) for u, v in itertools.combinations(nodes, 2)]
+    e = spark.createDataFrame(edges, "u long, v long")
+
+    exact = {r["node"]: r["triangles"]
+             for r in D.triangle_counts(e, src="u", dst="v", canonical=True).collect()}
+    assert exact == {n: 15 for n in nodes}
+
+    full = {r["node"]: r["triangles"]
+            for r in D.triangle_counts(e, src="u", dst="v", canonical=True,
+                                       sample_p=1.0).collect()}
+    assert full == {n: 15.0 for n in nodes}
+
+    p = 0.5
+
+    def keep(u, v):
+        h = hashlib.md5(f"tri:{u}:{v}".encode()).hexdigest()
+        return int(h[:8], 16) < int(round(p * 2**32))
+
+    kept = [(u, v) for u, v in edges if keep(u, v)]
+    kept_set = set(kept)
+    want = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if {(a, b), (a, c), (b, c)} <= kept_set:
+            for n in (a, b, c):
+                want[n] = want.get(n, 0.0) + 1 / p**3
+    got = {r["node"]: r["triangles"]
+           for r in D.triangle_counts(e, src="u", dst="v", canonical=True,
+                                      sample_p=p).collect()}
+    assert got == want
+    # determinism: a second run is identical
+    got2 = {r["node"]: r["triangles"]
+            for r in D.triangle_counts(e, src="u", dst="v", canonical=True,
+                                       sample_p=p).collect()}
+    assert got2 == got
+
+
 def test_adamic_adar_planted_square_and_hub_cap(spark):
     """C4 (square): the two diagonals are the only non-edges, each with
     two degree-2 common neighbors -> AA = 2/ln 2. Adding a hub adjacent

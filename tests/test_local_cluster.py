@@ -152,3 +152,61 @@ def test_executor_loss_local_checkpoint_fails_loudly(tmp_path):
     assert not res["ok"]
     assert "CHECKPOINT" in (res["error"] or "").upper() or \
         "block" in (res["error"] or "").lower(), res["error"]
+
+
+# --------------------------------------------------------------------------
+# Memory-pressure durability (round-9 task 6): the executor-loss probe
+# proved RECOMPUTATION; this proves SPILL — the 5 heaviest queries complete
+# on 1 GiB executors at sf0.1 (per-executor memory ~10x below the local[32]
+# session's share) with results identical to an unconstrained local[4] run.
+# "Does it spill or OOM at 100x" — the plans must degrade to disk, not die.
+# --------------------------------------------------------------------------
+
+HEAVIEST_SF01 = [
+    "d12_triangle_count",
+    "d11_pagerank",
+    "d17_adamic_adar",
+    "d8_chain_components",
+    "d13_cluster_profile",
+]
+
+
+def test_heaviest_queries_complete_on_1g_executors(spark, tmp_path):
+    """BENCH_r08's 5 most expensive queries at sf0.1 under
+    ``local-cluster[2,2,1024]`` must (a) complete — shuffles/aggregations
+    spill instead of OOM — and (b) digest-match the same queries on the
+    in-process local[4] session."""
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "local_cluster_probe.py")
+    out = tmp_path / "memsqueeze.json"
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CHECKPOINT_DIR"] = str(tmp_path / "ckpt")
+    proc = subprocess.run(
+        [sys.executable, script, ",".join(HEAVIEST_SF01),
+         "/root/testdata/sf0.1", str(out),
+         "local-cluster[2,2,1024]", "digest"],
+        capture_output=True, text=True, timeout=1800, env=env,
+    )
+    assert proc.returncode == 0, (
+        f"1 GiB-executor probe failed (OOM instead of spill?)\n"
+        f"stdout: {proc.stdout[-2000:]}\nstderr: {proc.stderr[-4000:]}"
+    )
+    res = json.loads(out.read_text())
+
+    import hashlib
+
+    import dshackle_archive_spark.queries as Q
+
+    reg = Q.registry()
+    mismatches = []
+    for name in HEAVIEST_SF01:
+        df = reg[name](spark, "/root/testdata/sf0.1")
+        rows = sorted([str(v) for v in r] for r in df.collect())
+        sha = hashlib.sha256(
+            "\n".join("\x1f".join(r) for r in rows).encode()
+        ).hexdigest()
+        got = res["queries"][name]
+        if (got["cols"] != sorted(df.columns) or got["n"] != len(rows)
+                or got["sha256"] != sha):
+            mismatches.append(name)
+    assert mismatches == []

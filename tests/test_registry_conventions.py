@@ -66,6 +66,7 @@ ONE_ROW_BOUND_QUERIES = {
     "x44_burstiness",  # corpus doc count as a 1-row broadcast (x11 shape)
     "p11_json_schema_profile",  # event total as a 1-row broadcast
     "d16_degree_assortativity",  # node/edge/corr scalars as 1-row broadcasts
+    "d18_triangle_sample_audit",  # exact/estimate/edge totals as 1-row broadcasts
 }
 SMALL_NONEQUI_BROADCAST_QUERIES = {
     "j7_range_chunk_assignment",  # files × chunk intervals (chunks tiny)
