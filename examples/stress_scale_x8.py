@@ -87,7 +87,9 @@ def build_scaled(dirpath: str) -> None:
         sel = " UNION ALL ".join(
             "SELECT "
             + ", ".join(
-                f"{c} + {i} * {shifts[c]} AS {c}" if c in shifts else c
+                # pre-multiplied literal: DuckDB evaluates `3 * 1000000000`
+                # as INT32×INT32 and overflows before widening
+                f"{c} + {i * shifts[c]} AS {c}" if c in shifts else c
                 for c in cols
             )
             + f" FROM read_parquet('{src}')"
