@@ -164,6 +164,8 @@ EXTRA = [
     "d17_adamic_adar",
     "w16_changepoint",
     "d18_triangle_sample_audit",
+    "d19_kcore_prune",
+    "w17_theil_sen_trend",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))

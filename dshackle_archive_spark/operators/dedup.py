@@ -891,6 +891,70 @@ def maybe_broadcast(
     return df
 
 
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    canonical: bool = False,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """k-core of an undirected simple graph (Seidman 1983): the maximal
+    subgraph in which every node has degree ≥ k — the standard pruning
+    primitive before community/triangle analysis on a similarity or
+    co-occurrence graph (peripheral low-degree noise rarely changes the
+    dense-cluster verdict but dominates the wedge cost). Returns
+    ``(node, deg)`` for core members, with ``deg`` the degree INSIDE the
+    core (≥ k by construction).
+
+    Algorithm: iterative peel — drop every node whose CURRENT degree is
+    < k, delete its edges, repeat until a fixpoint (removing a node can
+    drag neighbors below k, so one pass is not enough). Scale shape per
+    round: one groupBy degree count + two LEFT SEMI joins, all on id-only
+    rows, with the surviving edge set reliable-checkpointed (same
+    iterative-durability contract as large-star/small-star CC) so a lost
+    executor replays from the round boundary, and the convergence test is
+    a count on the materialized checkpoint. Round count is the peel DEPTH
+    (longest cascade), typically tiny; ``max_rounds`` is a loud backstop,
+    never a silent truncation."""
+    if canonical:
+        canon = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    else:
+        canon = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("a"),
+                F.greatest(F.col(src), F.col(dst)).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+    cur = reliable_checkpoint(canon)
+    prev = cur.count()
+    for _ in range(max_rounds):
+        keep = (
+            cur.select(F.explode(F.array("a", "b")).alias("node"))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("node")
+        )
+        nxt = cur.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+        nxt = nxt.join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+        nxt = reliable_checkpoint(nxt)
+        n = nxt.count()
+        cur = nxt
+        if n == prev:
+            break
+        prev = n
+    else:
+        raise RuntimeError(f"kcore({k}) did not converge in {max_rounds} rounds")
+    return (
+        cur.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+
+
 def doulion_keep(u: Column, v: Column, sample_p: float, salt: str = "tri") -> Column:
     """Deterministic DOULION edge-sampling predicate (Tsourakakis, Kang,
     Miller & Faloutsos, KDD'09): keep the canonical edge (u, v) iff the

@@ -1292,3 +1292,102 @@ def d18_triangle_sample_audit(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("rel_error_pct"),
         )
     )
+
+
+def _kcore_iter_sql(prev: str, cur: str) -> str:
+    """One unrolled k-core peel CTE: keep only edges whose BOTH endpoints
+    have degree >= k in the previous round's surviving edge set — matches
+    ``operators/dedup.kcore`` round-for-round. Peeling is idempotent at
+    the fixpoint, so unrolling MORE stages than the data needs is a no-op
+    (the oracle unrolls 12: sf0.001 needs 3, sf0.01 needs 6 — measured,
+    2x margin). MATERIALIZED is load-bearing: each stage reads its
+    predecessor three times, so un-materialized CTE inlining would blow
+    up 3^12 scans of the base parquet."""
+    return f"""
+    {cur} AS MATERIALIZED (
+      SELECT e.u, e.v FROM {prev} e
+      JOIN (SELECT node FROM (SELECT u AS node FROM {prev}
+                              UNION ALL SELECT v FROM {prev})
+            GROUP BY 1 HAVING count(*) >= (SELECT k FROM kk)) ka
+        ON ka.node = e.u
+      JOIN (SELECT node FROM (SELECT u AS node FROM {prev}
+                              UNION ALL SELECT v FROM {prev})
+            GROUP BY 1 HAVING count(*) >= (SELECT k FROM kk)) kb
+        ON kb.node = e.v
+    )"""
+
+
+@query(
+    "d19_kcore_prune",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), e0 AS MATERIALIZED (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM pairs a JOIN pairs b ON a.o = b.o AND a.p < b.p
+    ), deg0 AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+      GROUP BY 1
+    ), kk AS MATERIALIZED (
+      -- data-relative threshold: k = ceil(0.7 * discrete lower-median
+      -- degree); both engines compute the identical IEEE 0.7*m product
+      SELECT CAST(ceil(0.7 * deg) AS BIGINT) AS k
+      FROM (SELECT deg,
+                   row_number() OVER (ORDER BY deg, node) AS rn,
+                   count(*) OVER () AS c
+            FROM deg0)
+      WHERE rn = (c + 1) // 2
+    ),"""
+    + "".join(
+        _kcore_iter_sql(f"e{i}", f"e{i + 1}") + ("," if i < 11 else "")
+        for i in range(12)
+    )
+    + """
+    SELECT node, CAST(count(*) AS BIGINT) AS core_deg
+    FROM (SELECT u AS node FROM e12 UNION ALL SELECT v FROM e12)
+    GROUP BY 1
+    ORDER BY node
+    """,
+)
+def d19_kcore_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """k-core pruning of the co-purchase graph (Seidman 1983): strip the
+    low-degree periphery before dense-cluster analytics — the cheap
+    pre-pass that caps the wedge/triangle cost of d12/d17 on power-law
+    graphs. Nontrivial here by construction: the threshold is
+    data-relative, k = ceil(0.7 x the discrete lower-median degree), so a
+    peel cascade exists at every sf (measured: 3 fixpoint rounds at
+    sf0.001, 6 at sf0.01).
+
+    Scale shape: `operators/dedup.kcore` peels iteratively — per round one
+    id-only degree groupBy + two LEFT SEMI joins on the surviving edges,
+    reliable-checkpointed with a count-based fixpoint test (the d8 CC
+    durability contract). The median-degree threshold is ONE metadata
+    scalar collected from the degree table (the repo's convergence-scalar
+    convention); everything else stays distributed. The oracle replays
+    the peel as 12 unrolled CTE stages (idempotent past the fixpoint) and
+    the identical ceil(0.7*median) threshold."""
+    import math
+
+    from ..operators.dedup import kcore
+
+    edges = _copurchase_edges(spark, sf)
+    deg = (
+        edges.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    w = Window.orderBy("deg", "node")
+    ranked = deg.select(
+        "deg",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("c"),
+    )
+    # discrete lower median: rn == (c+1) // 2
+    med = ranked.filter(F.col("rn") == F.floor((F.col("c") + 1) / 2))
+    m = med.collect()[0]["deg"]  # one metadata scalar (threshold)
+    k = int(math.ceil(0.7 * m))
+    core = kcore(edges, k, src="u", dst="v", canonical=True)
+    return core.select(
+        "node", F.col("deg").cast("long").alias("core_deg")
+    ).orderBy("node")

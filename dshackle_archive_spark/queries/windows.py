@@ -948,3 +948,105 @@ def w16_changepoint(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").cast("long").alias("n")
     )
     return best_level_shift(daily).orderBy("event_type")
+
+
+@query(
+    "w17_theil_sen_trend",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(ts AS DATE) - DATE '1970-01-01' AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.event_type,
+             CAST(b.n - a.n AS DOUBLE) / (b.d - a.d) AS slope,
+             a.d AS da, b.d AS db
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.d < b.d
+    ), ranked AS (
+      SELECT event_type, slope,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY slope, da, db) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS np
+      FROM pairs
+    ), ts AS (
+      SELECT event_type, slope AS ts_slope, np
+      FROM ranked WHERE rn = (np + 1) // 2
+    ), ols AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             (count(*) * sum(d * n) - sum(d) * sum(n)) AS num,
+             (count(*) * sum(d * d) - sum(d) * sum(d)) AS den
+      FROM daily GROUP BY 1
+    )
+    SELECT o.event_type,
+           o.n_days,
+           CAST(t.np AS BIGINT) AS n_pairs,
+           round(t.ts_slope, 6) AS ts_slope,
+           round(CAST(o.num AS DOUBLE) / o.den, 6) AS ols_slope
+    FROM ols o JOIN ts t ON t.event_type = o.event_type
+    ORDER BY o.event_type
+    """,
+)
+def w17_theil_sen_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Theil-Sen robust trend per event type — the discrete lower median
+    of all pairwise daily-count slopes (Theil 1950 / Sen 1968), side by
+    side with the OLS slope. The divergence between the two IS the audit:
+    OLS bends toward volume spikes and outage days; the median slope
+    ignores up to ~29% contaminated points — the robust drift signal for
+    corpus-ingest monitoring.
+
+    Determinism: each pairwise slope is one IEEE division of exact
+    integers (daily BIGINT counts, epoch-day ints), the median is the
+    DISCRETE element at rank (m+1)//2 under a total order (slope, then
+    day pair), and the OLS slope is one division of exact BIGINT
+    cross-sums — no accumulation-order dependence anywhere. Scale shape:
+    the O(days²) pair join runs per key on the DAILY ROLLUP (30 days →
+    435 pairs), never the corpus; the corpus is touched once by the
+    groupBy that builds ``daily``."""
+    ev = _t(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")).alias("d"),
+    ).agg(F.count("*").alias("n"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        ((F.col("b.n") - F.col("a.n")).cast("double")
+         / (F.col("b.d") - F.col("a.d"))).alias("slope"),
+        F.col("a.d").alias("da"),
+        F.col("b.d").alias("db"),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope", "da", "db")
+    ranked = pairs.select(
+        "event_type", "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("np"),
+    )
+    ts = ranked.filter(
+        F.col("rn") == F.floor((F.col("np") + 1) / 2)
+    ).select("event_type", F.col("slope").alias("ts_slope"), "np")
+    ols = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        (F.count("*") * F.sum(F.col("d") * F.col("n"))
+         - F.sum("d") * F.sum("n")).alias("num"),
+        (F.count("*") * F.sum(F.col("d") * F.col("d"))
+         - F.sum("d") * F.sum("d")).alias("den"),
+    )
+    return (
+        ols.join(ts, "event_type")
+        .select(
+            "event_type",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("np").cast("long").alias("n_pairs"),
+            F.round("ts_slope", 6).alias("ts_slope"),
+            F.round(F.col("num").cast("double") / F.col("den"), 6)
+            .alias("ols_slope"),
+        )
+        .orderBy("event_type")
+    )

@@ -1475,3 +1475,67 @@ def test_best_level_shift_matches_naive_scan(spark, pts):
         assert abs(r["left_mean"] - round(sum(xs[:best]) / best, 6)) < 1e-9
         assert abs(r["right_mean"] - round(sum(xs[best:]) / (n - best), 6)) < 1e-9
         assert abs(r["gain"] - (sse(xs) - sse(xs[:best]) - sse(xs[best:]))) < 1e-6
+
+
+def test_kcore_peel_cascade_and_empty(spark):
+    """K4 with a 3-node tail: k=2 must peel the tail via a CASCADE (each
+    removal drags the next endpoint under k — one pass is not enough) and
+    keep exactly the clique at degree 3; k=4 exceeds every degree and
+    must return empty."""
+    import dshackle_archive_spark.operators.dedup as D
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    tail = [(0, 10), (10, 11), (11, 12)]
+    e = spark.createDataFrame(k4 + tail, "u long, v long")
+
+    core2 = {r["node"]: r["deg"]
+             for r in D.kcore(e, 2, src="u", dst="v", canonical=True).collect()}
+    assert core2 == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    assert D.kcore(e, 4, src="u", dst="v", canonical=True).count() == 0
+
+
+def test_theil_sen_resists_outlier_day(spark, tmp_path):
+    """Planted series: 6 days of perfect +2/day growth plus one extreme
+    outlier day. The Theil-Sen median slope must stay ~2 while the OLS
+    slope is dragged far above it — both verified against a naive
+    recomputation applying the IDENTICAL discrete-median rule."""
+    import datetime as dt
+    import itertools
+
+    from dshackle_archive_spark.queries import registry
+
+    counts = [10, 12, 14, 16, 18, 20, 100]
+    days = [dt.datetime(2024, 3, 1 + i, 12, 0) for i in range(len(counts))]
+    rows = [
+        ("trend", days[i], float(i), "{}")
+        for i, n in enumerate(counts)
+        for _ in range(n)
+    ]
+    df = spark.createDataFrame(
+        [(j, e, ts, v, p) for j, (e, ts, v, p) in enumerate(rows)],
+        "event_id long, event_type string, ts timestamp, value double, props string",
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    out = registry()["w17_theil_sen_trend"](spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+
+    ds = [(dt.date(2024, 3, 1 + i) - dt.date(1970, 1, 1)).days
+          for i in range(len(counts))]
+    slopes = sorted(
+        (counts[j] - counts[i]) / (ds[j] - ds[i])
+        for i, j in itertools.combinations(range(len(counts)), 2)
+    )
+    want_ts = slopes[(len(slopes) + 1) // 2 - 1]
+    m = len(counts)
+    want_ols = (m * sum(d_ * n for d_, n in zip(ds, counts))
+                - sum(ds) * sum(counts)) / (m * sum(d_ * d_ for d_ in ds)
+                                            - sum(ds) ** 2)
+    assert r["n_days"] == m and r["n_pairs"] == len(slopes)
+    assert abs(r["ts_slope"] - round(want_ts, 6)) < 1e-9
+    assert abs(r["ols_slope"] - round(want_ols, 6)) < 1e-9
+    # the planted outlier: OLS dragged well above the robust slope
+    assert r["ols_slope"] > r["ts_slope"] + 5
