@@ -166,6 +166,7 @@ EXTRA = [
     "d18_triangle_sample_audit",
     "d19_kcore_prune",
     "w17_theil_sen_trend",
+    "d20_personalized_pagerank",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))

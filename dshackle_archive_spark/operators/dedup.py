@@ -861,6 +861,63 @@ def pagerank(
     return ranks
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Personalized PageRank — random walk with restart to a SEED set
+    (Haveliwala, WWW'02; Jeh & Widom's rooted PageRank): the teleport
+    mass returns to the seeds instead of spreading uniformly, so scores
+    measure proximity TO the watchlist rather than global centrality.
+    This is the standard graph-expansion primitive for "grow this seed
+    set" curation moves: start from known-good (or known-bad) documents
+    in a similarity/co-occurrence graph and rank everything by walk
+    proximity. Returns sparse ``(node, pr)`` — only nodes reached by the
+    walk appear.
+
+    Scale design mirrors :func:`pagerank` (one equi-join shuffle + one
+    grouped sum per iteration on the checkpointed out-degree edge table),
+    with one structural improvement the personalized form makes possible:
+    the rank vector stays SPARSE. A global-teleport PageRank must carry
+    every vertex every round (the uniform restart term touches all n);
+    here nodes with zero restart and zero in-mass never materialize a
+    row, so K seeds cost at most the iters-hop neighborhood of the seed
+    set — corpus-independent for bounded iters on bounded-degree graphs.
+    Initial vector = the restart vector (all mass on seeds), the RWR
+    convention."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    deg = e.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
+    ed = e.join(deg, "src").transform(reliable_checkpoint)
+    scol = seeds.columns[0]
+    s = seeds.select(F.col(scol).alias("node")).distinct()
+    ns = s.groupBy().agg(F.count("*").cast("double").alias("ns"))
+    restart = s.crossJoin(F.broadcast(ns)).select(
+        "node", (F.lit(1.0) / F.col("ns")).alias("r")
+    ).transform(reliable_checkpoint)
+    ranks = restart.select("node", F.col("r").alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            ranks.join(ed, ranks["node"] == ed["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("mass"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(damping) * F.col("mass")).alias("pr"),
+            )
+        )
+        base = restart.select(
+            "node", (F.lit(1.0 - damping) * F.col("r")).alias("pr")
+        )
+        ranks = (
+            base.unionByName(contrib).groupBy("node").agg(F.sum("pr").alias("pr"))
+        )
+    return ranks
+
+
 BROADCAST_BYTES_BUDGET = 64 << 20
 """Hard cap on any FORCED broadcast side, in estimated bytes.
 

@@ -1391,3 +1391,90 @@ def d19_kcore_prune(spark: SparkSession, sf: str) -> DataFrame:
     return core.select(
         "node", F.col("deg").cast("long").alias("core_deg")
     ).orderBy("node")
+
+
+def _ppr_iter_sql(prev: str, cur: str) -> str:
+    """One unrolled personalized-PageRank iteration CTE, matching
+    ``operators/dedup.personalized_pagerank``'s float-op order exactly:
+    mass = Σ pr/deg summed FIRST, then ×0.85; restart term 0.15·r; the
+    final per-node total is one two-value IEEE addition (commutative, so
+    Spark's union-then-sum and this UNION ALL agree bit-for-bit)."""
+    return f"""
+    {cur} AS MATERIALIZED (
+      SELECT node, sum(pr) AS pr FROM (
+        SELECT node, 0.15 * r AS pr FROM restart
+        UNION ALL
+        SELECT dst AS node, 0.85 * mass AS pr FROM (
+          SELECT e.dst, sum(p.pr / d.deg) AS mass
+          FROM {prev} p
+          JOIN edges e ON e.src = p.node
+          JOIN deg d ON d.src = p.node
+          GROUP BY 1
+        )
+      ) GROUP BY 1
+    )"""
+
+
+@query(
+    "d20_personalized_pagerank",
+    f"""
+    WITH pairs AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), e AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM pairs a JOIN pairs b ON a.o = b.o AND a.p < b.p
+    ), edges AS MATERIALIZED (
+      SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e
+    ), deg AS MATERIALIZED (
+      SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY 1
+    ), seeds AS (
+      SELECT DISTINCT l_partkey AS node FROM lineitem ORDER BY 1 LIMIT 8
+    ), ns AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n FROM seeds
+    ), restart AS MATERIALIZED (
+      SELECT node, 1.0 / ns.n AS r FROM seeds CROSS JOIN ns
+    ), p0 AS (
+      SELECT node, r AS pr FROM restart
+    ), {_ppr_iter_sql("p0", "p1")},
+    {_ppr_iter_sql("p1", "p2")},
+    {_ppr_iter_sql("p2", "p3")}
+    SELECT node, round(pr, 6) AS ppr
+    FROM p3
+    ORDER BY round(pr, 6) DESC, node ASC
+    LIMIT 20
+    """,
+)
+def d20_personalized_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Personalized PageRank from the d17 watchlist (8 seed parts) over
+    the symmetrized co-purchase graph: top-20 nodes by walk proximity to
+    the seeds — the "grow this seed set" expansion move (start from
+    known-good or known-bad documents, rank the corpus by random-walk
+    closeness). Complements d11 (global centrality: what is important
+    anywhere) and d17 (missing-link prediction: what SHOULD be adjacent):
+    d20 ranks the existing neighborhood by multi-hop reachability.
+
+    Scale shape (see ``operators/dedup.personalized_pagerank``): the rank
+    vector stays sparse — only the seeds' iters-hop neighborhood ever
+    materializes rows, vs the global teleport's all-n vector; per
+    iteration one equi-join + grouped sum on id-only rows. Top-k on the
+    ROUNDED score with a node tiebreak (deterministic cutoff, the d11
+    convention)."""
+    from ..operators.dedup import personalized_pagerank
+
+    canon = _copurchase_edges(spark, sf)
+    edges = canon.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(canon.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    seeds = (
+        _t(spark, sf, "lineitem")
+        .select("l_partkey")
+        .distinct()
+        .orderBy("l_partkey")
+        .limit(8)
+    )
+    ranks = personalized_pagerank(edges, seeds, iters=3, damping=0.85)
+    return (
+        ranks.select("node", F.round("pr", 6).alias("ppr"))
+        .orderBy(F.desc(F.round(F.col("pr"), 6)), F.asc("node"))
+        .limit(20)
+    )

@@ -1539,3 +1539,25 @@ def test_theil_sen_resists_outlier_day(spark, tmp_path):
     assert abs(r["ols_slope"] - round(want_ols, 6)) < 1e-9
     # the planted outlier: OLS dragged well above the robust slope
     assert r["ols_slope"] > r["ts_slope"] + 5
+
+
+def test_personalized_pagerank_locality_and_mass(spark):
+    """Path graph 0-1-…-8 (symmetrized), seed {0}, 3 iterations: the
+    sparse contract means ONLY the 3-hop neighborhood {0,1,2,3} gets a
+    row; scores decay with hop distance WITHIN a parity class (a path is
+    bipartite, so a 3-step walk piles mass on odd distances — comparing
+    across parities would be wrong); and because every node has
+    out-degree >= 1 the walk conserves mass (Σpr = 1 up to float)."""
+    import dshackle_archive_spark.operators.dedup as D
+
+    path = [(i, i + 1) for i in range(8)]
+    edges = spark.createDataFrame(
+        path + [(b, a) for a, b in path], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["pr"]
+           for r in D.personalized_pagerank(edges, seeds, iters=3).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert got[0] > got[2] > 0  # even-distance class decays outward
+    assert got[1] > got[3] > 0  # odd-distance class decays outward
+    assert abs(sum(got.values()) - 1.0) < 1e-9
