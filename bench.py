@@ -40,6 +40,7 @@ from datetime import datetime, timezone
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from dshackle_archive_spark import queries as Q  # noqa: E402
+from dshackle_archive_spark.core.checkpoint import release_all_pinned  # noqa: E402
 from dshackle_archive_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
@@ -183,7 +184,12 @@ def run_one(spark, name: str, sf_dir: str) -> float:
     # silently flattering exactly the scan-bound queries. Round-8 fix; the
     # affected queries' recorded times rose accordingly.
     df.write.mode("overwrite").format("noop").save()
-    return time.perf_counter() - t0
+    dt = time.perf_counter() - t0
+    # inter-job hygiene: each fresh construction pins its own checkpoints
+    # (edge lists, signatures); without releasing, reps x queries
+    # accumulate to driver-heap exhaustion at large sf (core/checkpoint.py)
+    release_all_pinned(spark)
+    return dt
 
 
 def median_time(spark, name: str, sf_dir: str, reps: int = REPS) -> tuple[float, float]:

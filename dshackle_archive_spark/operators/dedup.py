@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from ..core.checkpoint import reliable_checkpoint
+from ..core.checkpoint import checkpoint_with_release, reliable_checkpoint
 
 
 def normalized_text(col: str = "text") -> Column:
@@ -362,6 +362,7 @@ def connected_components(
     # instead of a self-join diff (decimal(38,0) so 10⁸ nodes × 64-bit ids
     # cannot overflow the probe)
     prev_sum = None
+    release_labels = None
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["src"] == labels["node"])
@@ -373,11 +374,16 @@ def connected_components(
             "node",
             F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
         )
-        new_labels = new_labels.transform(reliable_checkpoint)  # truncate lineage
+        # truncate lineage; round i's pinned blocks are released as soon as
+        # round i+1 is materialized (checkpoint_with_release — an N-round
+        # run must not hold N copies of the label table)
+        new_labels, release_new = checkpoint_with_release(new_labels)
         cur_sum = new_labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)"))
         ).collect()[0][0]
-        labels = new_labels
+        if release_labels is not None:
+            release_labels()
+        labels, release_labels = new_labels, release_new
         if prev_sum is not None and cur_sum == prev_sum:
             break
         prev_sum = cur_sum
@@ -430,6 +436,7 @@ def connected_components_star(
     )
     n_edges = edges.count()
     rounds = 0
+    release_edges = None
     for _ in range(max_iter):
         # -- large-star: symmetric neighborhoods, re-point bigger neighbors
         sym = edges.unionByName(
@@ -456,15 +463,20 @@ def connected_components_star(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .transform(reliable_checkpoint)
         )
+        small, release_small = checkpoint_with_release(small)
         rounds += 1
         new_n = small.count()
         # the exceptAll diff (a join-shaped job) only runs when the cheap
         # count probe is inconclusive — most non-final rounds change the
         # edge count, so the expensive probe fires ~once per run
         changed = new_n != n_edges or small.exceptAll(edges).limit(1).count() > 0
-        edges, n_edges = small, new_n
+        # round i's pinned blocks are released only AFTER the exceptAll
+        # probe read them; the first round's `edges` checkpoint has no
+        # release handle (it is the caller-visible input materialization)
+        if release_edges is not None:
+            release_edges()
+        edges, n_edges, release_edges = small, new_n, release_small
         if not changed:
             break
     roots = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster"))
@@ -985,7 +997,7 @@ def kcore(
             .filter(F.col("a") != F.col("b"))
             .distinct()
         )
-    cur = reliable_checkpoint(canon)
+    cur, release_cur = checkpoint_with_release(canon)
     prev = cur.count()
     for _ in range(max_rounds):
         keep = (
@@ -997,9 +1009,11 @@ def kcore(
         )
         nxt = cur.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
         nxt = nxt.join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
-        nxt = reliable_checkpoint(nxt)
+        nxt, release_nxt = checkpoint_with_release(nxt)
         n = nxt.count()
-        cur = nxt
+        # round i's pinned blocks freed once round i+1 is materialized
+        release_cur()
+        cur, release_cur = nxt, release_nxt
         if n == prev:
             break
         prev = n

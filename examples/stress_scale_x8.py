@@ -29,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 
 from dshackle_archive_spark import queries as Q
+from dshackle_archive_spark.core.checkpoint import release_all_pinned
 from dshackle_archive_spark.session import get_spark
 
 # 20 heaviest non-graph queries from BENCH_DETAIL (sf0.1 medians), plus the
@@ -105,7 +106,9 @@ def timed(spark, name: str, sf_dir: str, reps: int) -> float:
     def one() -> float:
         t0 = time.perf_counter()
         Q.registry()[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        return time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        release_all_pinned(spark)  # inter-rep hygiene (core/checkpoint.py)
+        return dt
 
     return statistics.median(one() for _ in range(reps))
 

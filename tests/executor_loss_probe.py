@@ -78,9 +78,9 @@ def main() -> int:
     from dshackle_archive_spark.operators import dedup as DEDUP
 
     real = CKPT.reliable_checkpoint
+    real_cwr = CKPT.checkpoint_with_release
 
-    def killing_checkpoint(df, eager: bool = True):
-        out = real(df, eager=eager)  # eager=True: blocks exist after this
+    def _after_materialize():
         state["calls"] += 1
         if state["calls"] == kill_after and state["killed"] is None:
             # kill EVERY live executor, not just one: AQE coalesces the
@@ -96,11 +96,23 @@ def main() -> int:
                 for pid in victims:
                     os.kill(pid, signal.SIGKILL)
                 time.sleep(2)  # let the scheduler notice the loss
+
+    def killing_checkpoint(df, eager: bool = True):
+        out = real(df, eager=eager)  # eager=True: blocks exist after this
+        _after_materialize()
         return out
 
-    # the iterative operators bind the name at import; patch every consumer
+    def killing_cwr(df, eager: bool = True):
+        # the round-9 iterative loops materialize through
+        # checkpoint_with_release — same kill point, handle passed through
+        out, release = real_cwr(df, eager=eager)
+        _after_materialize()
+        return out, release
+
+    # the iterative operators bind the names at import; patch every consumer
     DEDUP.reliable_checkpoint = killing_checkpoint
     Q.reliable_checkpoint = killing_checkpoint
+    DEDUP.checkpoint_with_release = killing_cwr
 
     res: dict = {"ok": False, "killed_pid": None, "ckpt_calls": 0,
                  "cols": None, "rows": None, "error": None}

@@ -66,3 +66,31 @@ def test_transform_chaining_and_parity(spark, _clean_env, tmp_path):
     os.environ[CHECKPOINT_DIR_ENV] = str(tmp_path / "c2")
     reliable = df.transform(reliable_checkpoint).groupBy("g").count()
     assert sorted(map(tuple, local.collect())) == sorted(map(tuple, reliable.collect()))
+
+
+def test_iterative_loops_release_superseded_rounds(spark):
+    """Round-9 leak fix: localCheckpoint blocks are PINNED (un-evictable)
+    storage, so an N-round iterative loop must not leave N pinned RDDs
+    behind — at ×8-of-sf0.1 data the accumulated rounds OOM'd an 8 GiB
+    driver. kcore (a multi-round peel) may leave at most its FINAL round
+    pinned; release_all_pinned() then clears the session completely."""
+    from dshackle_archive_spark.core.checkpoint import release_all_pinned
+    from dshackle_archive_spark.operators.dedup import kcore
+
+    release_all_pinned(spark)  # clean slate
+
+    def pinned() -> int:
+        return int(spark.sparkContext._jsc.getPersistentRDDs().size())
+
+    base = pinned()
+    # K4 + 3-node tail: k=2 peels the tail over a 3-round cascade
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    tail = [(0, 10), (10, 11), (11, 12)]
+    e = spark.createDataFrame(k4 + tail, "u long, v long")
+    out = kcore(e, 2, src="u", dst="v", canonical=True)
+    assert out.count() == 4
+    leaked = pinned() - base
+    assert leaked <= 1, f"kcore left {leaked} pinned RDDs (superseded rounds leak)"
+    released = release_all_pinned(spark)
+    assert released >= leaked
+    assert pinned() == 0
