@@ -61,9 +61,29 @@ def reliable_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     return df.localCheckpoint(eager=eager)
 
 
+def _checkpointed_jrdd(ck: DataFrame):
+    """The JVM RDD a checkpointed Dataset wraps.
+
+    ``Dataset.checkpoint`` / ``localCheckpoint`` replace the logical plan
+    with a ``LogicalRDD`` over the materialized internal-row RDD, so the
+    analyzed plan IS the handle to the pinned blocks (local path) and the
+    checkpoint directory (DFS path). Deriving the RDD from the returned
+    DataFrame — instead of diffing ``getPersistentRDDs()`` around the call
+    — makes release() exact under concurrency: another thread persisting
+    or checkpointing in the same window can no longer get its RDDs
+    captured and unpersisted out from under it (round-10 fix)."""
+    plan = ck._jdf.queryExecution().analyzed()
+    cls = plan.getClass().getSimpleName()
+    if cls != "LogicalRDD":  # loud, not a silent leak
+        raise RuntimeError(
+            f"expected LogicalRDD under a checkpointed Dataset, got {cls}"
+        )
+    return plan.rdd()
+
+
 def checkpoint_with_release(df: DataFrame, eager: bool = True):
     """``reliable_checkpoint`` plus a ``release()`` that frees the
-    materialized blocks once the caller no longer needs them — returns
+    materialized state once the caller no longer needs it — returns
     ``(checkpointed_df, release)``.
 
     Why this exists (round-9 finding): ``localCheckpoint`` blocks are
@@ -73,39 +93,50 @@ def checkpoint_with_release(df: DataFrame, eager: bool = True):
     for the rest of the session; at ×8-of-sf0.1 data the accumulated
     rounds of one k-core run OOM'd an 8 GiB driver on a later broadcast
     build ("Not enough memory to build and broadcast"). Iterative
-    operators must release round i's blocks as soon as round i+1 is
+    operators must release round i's state as soon as round i+1 is
     materialized and any cross-round probe (count diff, exceptAll) has
     run.
 
-    ``release()`` unpersists exactly the RDDs this call pinned (diffed
-    via ``JavaSparkContext.getPersistentRDDs`` around the checkpoint —
-    assumes no concurrent checkpointing thread). On the DFS-backed path
-    (``$SPARK_GRAFT_CHECKPOINT_DIR``) blocks are files, not storage
-    memory, so release is a no-op and durability is unaffected.
+    Release semantics per strategy (both derived from the returned
+    DataFrame's own RDD — no getPersistentRDDs() set-diff, so concurrent
+    checkpointing threads are safe):
 
-    After ``release()`` the returned DataFrame is UNREADABLE (its blocks
-    are gone and its lineage is truncated) — callers must only release
+    - local path: ``release()`` unpersists exactly the RDD this call
+      pinned.
+    - DFS path (``$SPARK_GRAFT_CHECKPOINT_DIR``): the blocks are FILES,
+      and before round 10 they leaked — every superseded round's
+      ``rdd-N`` directory stayed on the DFS for the session's lifetime,
+      the disk twin of the round-9 memory leak, biting exactly the
+      long-lived cluster session the DFS path exists for. ``release()``
+      now deletes the superseded round's checkpoint directory
+      (``RDD.getCheckpointFile``) via the Hadoop FileSystem API (works
+      for hdfs://, s3a://, file://). The checkpoint file is resolved at
+      RELEASE time, not capture time, so ``eager=False`` frames that
+      materialize later still release correctly (and ones that never
+      materialize release as a no-op).
+
+    After ``release()`` the returned DataFrame is UNREADABLE (its state
+    is gone and its lineage is truncated) — callers must only release
     a round that is strictly superseded."""
     ckpt_dir = os.environ.get(CHECKPOINT_DIR_ENV)
     if ckpt_dir:
-        return reliable_checkpoint(df, eager=eager), (lambda: None)
-    sc = df.sparkSession.sparkContext
+        ck = reliable_checkpoint(df, eager=eager)
+        jrdd = _checkpointed_jrdd(ck)
+        sc = df.sparkSession.sparkContext
 
-    def _ids() -> set[int]:
-        return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+        def release() -> None:
+            opt = jrdd.getCheckpointFile()
+            if not opt.isDefined():
+                return  # never materialized — nothing on the DFS
+            path = sc._jvm.org.apache.hadoop.fs.Path(opt.get())
+            fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+            fs.delete(path, True)
 
-    before = _ids()
+        return ck, release
+
     ck = df.localCheckpoint(eager=eager)
-    pinned = _ids() - before
-
-    def release() -> None:
-        jmap = sc._jsc.getPersistentRDDs()
-        for i in pinned:
-            jrdd = jmap.get(i)
-            if jrdd is not None:
-                jrdd.unpersist(False)
-
-    return ck, release
+    jrdd = _checkpointed_jrdd(ck)
+    return ck, (lambda: jrdd.unpersist(False))
 
 
 def release_all_pinned(spark) -> int:

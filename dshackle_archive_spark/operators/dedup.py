@@ -979,13 +979,18 @@ def kcore(
     Algorithm: iterative peel — drop every node whose CURRENT degree is
     < k, delete its edges, repeat until a fixpoint (removing a node can
     drag neighbors below k, so one pass is not enough). Scale shape per
-    round: one groupBy degree count + two LEFT SEMI joins, all on id-only
-    rows, with the surviving edge set reliable-checkpointed (same
-    iterative-durability contract as large-star/small-star CC) so a lost
-    executor replays from the round boundary, and the convergence test is
-    a count on the materialized checkpoint. Round count is the peel DEPTH
-    (longest cascade), typically tiny; ``max_rounds`` is a loud backstop,
-    never a silent truncation."""
+    round: ONE groupBy degree count (persisted for the round, so the two
+    LEFT SEMI joins read it instead of recomputing the shuffle twice) +
+    two id-only semi joins, with the surviving edge set
+    reliable-checkpointed (same iterative-durability contract as
+    large-star/small-star CC) so a lost executor replays from the round
+    boundary. The convergence test is FUSED into the round (round-10
+    task): the drop-count on the persisted degree table decides BEFORE
+    the joins run, so reaching the fixpoint costs one cheap degree-count
+    job — not a full wasted round that re-joins and re-checkpoints an
+    identical edge set just to observe an unchanged count. Round count is
+    the peel DEPTH (longest cascade), typically tiny; ``max_rounds`` is a
+    loud backstop, never a silent truncation."""
     if canonical:
         canon = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     else:
@@ -998,25 +1003,25 @@ def kcore(
             .distinct()
         )
     cur, release_cur = checkpoint_with_release(canon)
-    prev = cur.count()
     for _ in range(max_rounds):
-        keep = (
+        degs = (
             cur.select(F.explode(F.array("a", "b")).alias("node"))
             .groupBy("node")
             .agg(F.count("*").alias("deg"))
-            .filter(F.col("deg") >= k)
-            .select("node")
+            .persist()
         )
-        nxt = cur.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
-        nxt = nxt.join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
-        nxt, release_nxt = checkpoint_with_release(nxt)
-        n = nxt.count()
+        try:
+            if degs.filter(F.col("deg") < k).count() == 0:
+                break  # fixpoint decided pre-join: no confirmation round
+            keep = degs.filter(F.col("deg") >= k).select("node")
+            nxt = cur.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            nxt = nxt.join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            nxt, release_nxt = checkpoint_with_release(nxt)
+        finally:
+            degs.unpersist()
         # round i's pinned blocks freed once round i+1 is materialized
         release_cur()
         cur, release_cur = nxt, release_nxt
-        if n == prev:
-            break
-        prev = n
     else:
         raise RuntimeError(f"kcore({k}) did not converge in {max_rounds} rounds")
     return (

@@ -1181,9 +1181,13 @@ def d17_adamic_adar(spark: SparkSession, sf: str) -> DataFrame:
     ANTI join on the thin adjacency. The oracle independently rebuilds
     everything from the raw row self-join formulation.
 
-    Determinism: weights are 1/ln(exact integer degree) — identical
-    IEEE doubles both engines; the per-pair sum is round(·, 6)-guarded
-    and ranked with a total (score desc, v asc) tiebreak."""
+    Determinism: each weight 1/ln(deg z) is quantized to a 1e-9 fixed
+    grid (``round(w·1e9)`` as BIGINT, see the oracle's ``wt`` CTE and
+    the operator docstring), so the per-pair score is an EXACT integer
+    sum — partition-order independent on the Spark side, bit-identical
+    in DuckDB — divided back by 1e9 only at emission; ranking uses the
+    round(·, 6)-guarded score with a total (score desc, v asc)
+    tiebreak."""
     from ..operators.dedup import adamic_adar
 
     edges = _copurchase_edges(spark, sf)
@@ -1346,6 +1350,16 @@ def _kcore_iter_sql(prev: str, cur: str) -> str:
     + """
     SELECT node, CAST(count(*) AS BIGINT) AS core_deg
     FROM (SELECT u AS node FROM e12 UNION ALL SELECT v FROM e12)
+    -- fixpoint guard: the unroll is only valid if stage 12 changed
+    -- nothing vs stage 11; at a scale factor whose peel depth exceeds
+    -- the unroll this FAILS LOUDLY instead of silently hash-mismatching
+    -- (round-9 advice; measured depth: 3 rounds at sf0.001, 6 at sf0.01
+    -- — a 2x margin under the 12-stage unroll)
+    WHERE (SELECT CASE WHEN (SELECT count(*) FROM e11)
+                          = (SELECT count(*) FROM e12)
+           THEN 1 ELSE error(
+             'd19 oracle: peel depth exceeds the 12-stage unroll at this sf'
+           ) END) = 1
     GROUP BY 1
     ORDER BY node
     """,
@@ -1359,14 +1373,19 @@ def d19_kcore_prune(spark: SparkSession, sf: str) -> DataFrame:
     peel cascade exists at every sf (measured: 3 fixpoint rounds at
     sf0.001, 6 at sf0.01).
 
-    Scale shape: `operators/dedup.kcore` peels iteratively — per round one
-    id-only degree groupBy + two LEFT SEMI joins on the surviving edges,
-    reliable-checkpointed with a count-based fixpoint test (the d8 CC
-    durability contract). The median-degree threshold is ONE metadata
+    Scale shape: `operators/dedup.kcore` peels iteratively — per round
+    ONE id-only degree groupBy (persisted, shared by the convergence test
+    and both semi joins) + two LEFT SEMI joins on the surviving edges,
+    reliable-checkpointed (the d8 CC durability contract); the fixpoint
+    test is fused into the round (drop-count on the degree table, decided
+    BEFORE the joins), so convergence costs one cheap count job instead
+    of a wasted full round. The median-degree threshold is ONE metadata
     scalar collected from the degree table (the repo's convergence-scalar
     convention); everything else stays distributed. The oracle replays
-    the peel as 12 unrolled CTE stages (idempotent past the fixpoint) and
-    the identical ceil(0.7*median) threshold."""
+    the peel as 12 unrolled CTE stages (idempotent past the fixpoint,
+    and GUARDED: a WHERE-level error() fires if stage 11 vs 12 counts
+    still differ, so a deeper-than-12 peel fails loudly instead of
+    silently diverging) and the identical ceil(0.7*median) threshold."""
     import math
 
     from ..operators.dedup import kcore

@@ -109,10 +109,20 @@ def main() -> int:
         _after_materialize()
         return out, release
 
-    # the iterative operators bind the names at import; patch every consumer
-    DEDUP.reliable_checkpoint = killing_checkpoint
-    Q.reliable_checkpoint = killing_checkpoint
-    DEDUP.checkpoint_with_release = killing_cwr
+    # Every consumer binds the names at ITS OWN import (`from ..core.checkpoint
+    # import reliable_checkpoint`), so patching a fixed module list rots as
+    # modules split — after the round-9 queries-package split the package
+    # __init__ attribute was a dead patch (round-9 advice). Sweep sys.modules
+    # instead: rebind in every already-imported package module whose attribute
+    # IS the real function (identity check keeps unrelated attrs untouched).
+    _ = (Q, DEDUP)  # imported above to force the family modules into sys.modules
+    for mod in list(sys.modules.values()):
+        if not getattr(mod, "__name__", "").startswith("dshackle_archive_spark"):
+            continue
+        if getattr(mod, "reliable_checkpoint", None) is real:
+            mod.reliable_checkpoint = killing_checkpoint
+        if getattr(mod, "checkpoint_with_release", None) is real_cwr:
+            mod.checkpoint_with_release = killing_cwr
 
     res: dict = {"ok": False, "killed_pid": None, "ckpt_calls": 0,
                  "cols": None, "rows": None, "error": None}

@@ -68,6 +68,71 @@ def test_transform_chaining_and_parity(spark, _clean_env, tmp_path):
     assert sorted(map(tuple, local.collect())) == sorted(map(tuple, reliable.collect()))
 
 
+def test_dfs_checkpoint_release_deletes_superseded_dirs(spark, _clean_env, tmp_path):
+    """Round-10 disk-leak fix (the DFS twin of the round-9 pinned-block
+    leak): on the reliable path every superseded round's ``rdd-N``
+    checkpoint directory used to stay on the DFS for the session's
+    lifetime — exactly the long-lived 100 TB cluster session the DFS path
+    exists for. ``release()`` now deletes the superseded round's
+    directory, so after an N-round kcore peel exactly ONE rdd-* dir (the
+    final round the result reads from) remains, and the result frame is
+    still fully readable."""
+    from dshackle_archive_spark.operators.dedup import kcore
+
+    ckpt = tmp_path / "dfs_ckpt"
+    os.environ[CHECKPOINT_DIR_ENV] = str(ckpt)
+    # K4 + 3-node tail: k=2 peels the tail over a 3-round cascade
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    tail = [(0, 10), (10, 11), (11, 12)]
+    e = spark.createDataFrame(k4 + tail, "u long, v long")
+    out = kcore(e, 2, src="u", dst="v", canonical=True)
+    rows = sorted(map(tuple, out.collect()))
+    assert [n for n, _ in rows] == [0, 1, 2, 3]
+    assert all(d >= 2 for _, d in rows)
+    rdd_dirs = [p for p in ckpt.rglob("rdd-*") if p.is_dir()]
+    assert len(rdd_dirs) == 1, (
+        f"superseded checkpoint dirs leaked on the DFS path: "
+        f"{sorted(p.name for p in rdd_dirs)}"
+    )
+    # the surviving dir is the live one: the result stays readable
+    assert sorted(map(tuple, out.collect())) == rows
+
+
+def test_release_unpersists_exactly_the_checkpointed_rdd(spark, _clean_env):
+    """Round-9 advice: the old getPersistentRDDs() set-diff captured ANY
+    RDD persisted concurrently inside its snapshot window — a racing
+    thread's cache could be unpersisted out from under it. release() now
+    derives the pinned RDD straight from the returned DataFrame's
+    LogicalRDD (no snapshots, no window), so the contract is exact by
+    construction: release removes the checkpointed RDD's id and NOTHING
+    else, whatever else the session pins meanwhile."""
+    from dshackle_archive_spark.core.checkpoint import (
+        _checkpointed_jrdd,
+        checkpoint_with_release,
+        release_all_pinned,
+    )
+
+    release_all_pinned(spark)  # clean slate
+
+    def pinned_ids() -> set[int]:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(i) for i in jmap.keySet().toArray()}
+
+    bystander = spark.range(1000).withColumn("v", F.col("id") * 3).persist()
+    assert bystander.count() == 1000
+    before = pinned_ids()
+    df = spark.range(500).withColumn("g", F.col("id") % 7)
+    ck, release = checkpoint_with_release(df)
+    ck_id = int(_checkpointed_jrdd(ck).id())
+    assert ck_id in pinned_ids()
+    release()
+    after = pinned_ids()
+    assert ck_id not in after, "release() left the checkpointed RDD pinned"
+    assert after == before, f"release() touched bystander RDDs: {before ^ after}"
+    assert bystander.count() == 1000  # bystander blocks still readable
+    bystander.unpersist()
+
+
 def test_iterative_loops_release_superseded_rounds(spark):
     """Round-9 leak fix: localCheckpoint blocks are PINNED (un-evictable)
     storage, so an N-round iterative loop must not leave N pinned RDDs
