@@ -168,6 +168,7 @@ EXTRA = [
     "d19_kcore_prune",
     "w17_theil_sen_trend",
     "d20_personalized_pagerank",
+    "d21_neardup_cap_audit",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))
@@ -351,6 +352,27 @@ def main() -> None:
         except Exception:
             pass
 
+    # Plan-shape gate at BENCH scale (round-10 task 1): the suite's
+    # fingerprint gate runs at sf0.001 stats, where broadcast-vs-SMJ
+    # choices differ from the plans this bench actually times. Diff the
+    # full registry's fingerprints at the bench SF against the committed
+    # sf-matched table (tests/plan_fingerprints_sf01.json for sf0.1) and
+    # stamp any drift into both the artifact and the stdout line — an
+    # unintentional shape change can no longer ride a noisy wall-clock.
+    plan_drift: dict | None = None
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+        from test_plan_fingerprints import (  # noqa: E402
+            _table_for, current_fingerprints, fingerprint_diff,
+        )
+        table = _table_for(sf_dir)
+        if table and os.path.exists(table):
+            with open(table) as f:
+                want = json.load(f)
+            plan_drift = fingerprint_diff(want, current_fingerprints(spark, sf_dir))
+    except Exception as e:  # the gate must never cost the round its bench
+        plan_drift = {"gate_error": f"{type(e).__name__}: {e}"[:500]}
+
     # warm the canary's own scan path once, untimed: the before-canary
     # otherwise reads the target-sf lineitem cold (page cache + column
     # reader init) while the after-canary runs fully warm — a structural
@@ -428,6 +450,7 @@ def main() -> None:
         "canary": canary,
         "load_suspect": load_suspect,
         "load_retries": load_retries,
+        "plan_drift": plan_drift,
         "meta": meta,
         "queries_median": times,
         "normalized_vs_prev": normalized_vs_prev(times, canary),
@@ -456,6 +479,7 @@ def main() -> None:
                 "reps": REPS,
                 "stat": "median",
                 "load_suspect": load_suspect,
+                "plan_drift_keys": sorted(plan_drift) if plan_drift else [],
                 "canary": canary,
                 "meta": meta,
                 "detail": "BENCH_DETAIL.json",

@@ -173,11 +173,81 @@ def lsh_candidate_pairs(
     )
 
 
+def neighbor_rank(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    score: str = "jaccard",
+) -> DataFrame:
+    """Per-pair BEST endpoint rank over a symmetric near-dup pair set:
+    rank each pair inside both endpoints' neighbor lists (score desc,
+    neighbor id asc — a total order) and keep the smaller of the two
+    ranks as ``best_rank``. A pair with ``best_rank <= k`` is in at least
+    one endpoint's k strongest neighbors — the standard kNN-graph
+    membership rule (union-of-top-k, so the sparsified graph never
+    orphans a document that IS someone's nearest neighbor).
+
+    Cost: ONE pass over the pair set — an explode to the two directed
+    views (the naive union-of-two-selects + join-back shape evaluates the
+    whole upstream pair plan THREE times; on a posting-list join that
+    triples the dominant cost), one row_number window per endpoint, one
+    groupBy back to the canonical pair — all shuffles on doc ids, never
+    on payloads; output is exactly the input pair set plus one int."""
+    others = [c for c in pairs.columns if c not in (id_a, id_b)]
+    directed = pairs.select(
+        "*",
+        F.explode(
+            F.array(
+                F.struct(F.col(id_a).alias("s"), F.col(id_b).alias("d")),
+                F.struct(F.col(id_b).alias("s"), F.col(id_a).alias("d")),
+            )
+        ).alias("_e"),
+    )
+    w = Window.partitionBy("_e.s").orderBy(F.desc(score), F.asc("_e.d"))
+    ranked = directed.withColumn("_r", F.row_number().over(w))
+    # both directed rows of a pair carry identical payload -> any_value
+    return (
+        ranked.groupBy(id_a, id_b)
+        .agg(
+            F.min("_r").alias("best_rank"),
+            *[F.any_value(c).alias(c) for c in others],
+        )
+        .select(*pairs.columns, "best_rank")
+    )
+
+
+def cap_pairs_per_doc(
+    pairs: DataFrame,
+    max_pairs_per_doc: int,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    score: str = "jaccard",
+) -> DataFrame:
+    """Output-cap dial for the pair-emitting near-dup family (round-10
+    task 7): keep only pairs ranking in the top ``max_pairs_per_doc``
+    neighbors of at least one endpoint.
+
+    Why: the pair stage of d4/d10-style near-dup is OUTPUT-bound — correct
+    plans, but a pathological duplication spike (one passage copied into M
+    documents) emits Θ(M²) pairs and the downstream shuffle becomes the
+    100 TB bottleneck no matter how good the candidate generation is. The
+    cap bounds output at ≤ 2·k·N pairs unconditionally (the v2/cosine_topk
+    shape applied to a pair graph). OPT-IN because it changes semantics:
+    discarded pairs can merge clusters in a later connected-components
+    pass; run the ``d21_neardup_cap_audit``-style audit to see what a k
+    would discard before enabling it."""
+    capped = neighbor_rank(pairs, id_a, id_b, score).filter(
+        F.col("best_rank") <= max_pairs_per_doc
+    )
+    return capped.drop("best_rank")
+
+
 def jaccard_pairs(
     doc_tokens: DataFrame,
     threshold: float = 0.6,
     token_col: str = "token",
     max_token_df: int | None = 1000,
+    max_pairs_per_doc: int | None = None,
 ) -> DataFrame:
     """Token-set Jaccard over candidate pairs sharing ≥1 token.
 
@@ -185,7 +255,12 @@ def jaccard_pairs(
     cap) — the standard posting-list pruning that keeps the candidate join
     sub-quadratic at scale. Default ON (1000): one hot token across M docs
     would otherwise contribute M²/2 candidate pairs; pass ``None`` only when
-    exact set semantics over stop-tokens genuinely matter."""
+    exact set semantics over stop-tokens genuinely matter.
+
+    ``max_pairs_per_doc`` (opt-in, default off) additionally caps the OUTPUT
+    at each doc's top-k strongest neighbors via :func:`cap_pairs_per_doc` —
+    the dial for duplication-spike corpora where even df-capped posting
+    lists emit quadratic pair volume."""
     toks = doc_tokens.select("doc_id", F.col(token_col).alias("token"))
     if max_token_df is not None:
         rare = (
@@ -202,7 +277,7 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tokens").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tokens").alias("n_b"))
-    return (
+    out = (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn(
@@ -212,6 +287,9 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
     )
+    if max_pairs_per_doc is not None:
+        out = cap_pairs_per_doc(out, max_pairs_per_doc)
+    return out
 
 
 def containment_pairs(

@@ -49,6 +49,10 @@ from ..operators.textan import quality_features
 @dataclass
 class CurateResult:
     stage_counts: dict[str, int] = field(default_factory=dict)
+    # wall seconds per stage, measured around each stage's materializing
+    # count (round-10 memory-pressure probe evidence; the attrition audit
+    # gains a cost audit)
+    stage_seconds: dict[str, float] = field(default_factory=dict)
     output_path: str | None = None
 
 
@@ -139,13 +143,25 @@ def curate(
     probe corpus drove it to broadcast a corpus-sized side and exhaust the
     heap. Checkpointing gives AQE true sizes and bounds recomputation; at
     cluster scale these boundaries would be persisted tables anyway."""
-    res = CurateResult()
-    res.stage_counts["input"] = docs.count()
+    import time as _time
 
-    stage = quality_filter(
-        docs, min_tokens, max_tokens, min_stopword_ratio, max_punct_ratio
-    ).transform(reliable_checkpoint)
-    res.stage_counts["quality"] = stage.count()
+    res = CurateResult()
+
+    def _staged(name: str, df: DataFrame, checkpoint: bool = True) -> DataFrame:
+        # timing wraps BOTH the (eager) checkpoint materialization and the
+        # count — the checkpoint is where the stage's work actually runs
+        t0 = _time.perf_counter()
+        out_df = reliable_checkpoint(df) if checkpoint else df
+        res.stage_counts[name] = out_df.count()
+        res.stage_seconds[name] = round(_time.perf_counter() - t0, 3)
+        return out_df
+
+    _staged("input", docs, checkpoint=False)
+
+    stage = _staged(
+        "quality",
+        quality_filter(docs, min_tokens, max_tokens, min_stopword_ratio, max_punct_ratio),
+    )
     observed = stage  # post-quality, pre-strip: source of the segment-df index
 
     if strip_passages:
@@ -158,7 +174,8 @@ def curate(
         cleaned = repeated_segment_removal(
             stage, seg_len=passage_seg_len, min_df=passage_min_df
         )
-        stage = (
+        stage = _staged(
+            "passage_strip",
             stage.drop("text")
             .join(
                 cleaned.select(
@@ -169,16 +186,14 @@ def curate(
                 "doc_id",
             )
             .filter(F.col("kept_tokens") >= min_tokens)
-            .drop("kept_tokens")
-            .transform(reliable_checkpoint)
+            .drop("kept_tokens"),
         )
-        res.stage_counts["passage_strip"] = stage.count()
 
-    stage = distinct_documents(stage).transform(reliable_checkpoint)
-    res.stage_counts["exact_dedup"] = stage.count()
+    stage = _staged("exact_dedup", distinct_documents(stage))
 
-    stage = neardup_filter(stage, jaccard_threshold=jaccard_threshold).transform(reliable_checkpoint)
-    res.stage_counts["neardup"] = stage.count()
+    stage = _staged(
+        "neardup", neardup_filter(stage, jaccard_threshold=jaccard_threshold)
+    )
 
     if benchmark is not None:
         flagged = benchmark_contamination(
@@ -187,8 +202,9 @@ def curate(
             n=contamination_n,
             threshold=contamination_threshold,
         ).select("doc_id")
-        stage = stage.join(flagged, "doc_id", "left_anti").transform(reliable_checkpoint)
-        res.stage_counts["decontaminated"] = stage.count()
+        stage = _staged(
+            "decontaminated", stage.join(flagged, "doc_id", "left_anti")
+        )
 
     out = stage.withColumn("split", split_column())
     if output_path is not None:

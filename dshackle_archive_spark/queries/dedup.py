@@ -1497,3 +1497,131 @@ def d20_personalized_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc(F.round(F.col("pr"), 6)), F.asc("node"))
         .limit(20)
     )
+
+
+@query(
+    "d21_neardup_cap_audit",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 100
+      UNION ALL
+      -- planted duplication spike: 15 verbatim copies of doc 0 — the
+      -- Theta(M^2) pair-clique pathology the cap exists for
+      SELECT 200000 + i AS doc_id, text
+      FROM documents, unnest(generate_series(1, 15)) t(i)
+      WHERE doc_id = 0
+    ), norm AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM corpus
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+      FROM norm, unnest(generate_series(1, greatest(len(toks), 1))) t(i)
+      WHERE i <= greatest(len(toks) - 2, 1)
+        AND length(concat_ws(' ', toks[i], toks[i+1], toks[i+2])) > 0
+    ), shf AS (
+      SELECT sh.doc_id, sh.shingle FROM sh
+      JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000) f
+        USING (shingle)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b,
+             CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+      FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+                 JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.02
+    ), ranked AS (
+      SELECT least(_src, _dst) AS doc_a, greatest(_src, _dst) AS doc_b,
+             min(r) AS best_rank
+      FROM (
+        SELECT _src, _dst,
+               row_number() OVER (
+                 PARTITION BY _src ORDER BY _s DESC, _dst ASC) AS r
+        FROM (
+          SELECT doc_a AS _src, doc_b AS _dst, jaccard AS _s FROM pairs
+          UNION ALL
+          SELECT doc_b, doc_a, jaccard FROM pairs
+        )
+      ) GROUP BY 1, 2
+    ), scored AS (
+      SELECT p.doc_a, p.doc_b, p.jaccard, r.best_rank,
+             CAST(round(p.jaccard * 1e6) AS BIGINT) AS sim_micro
+      FROM pairs p JOIN ranked r USING (doc_a, doc_b)
+    )
+    SELECT k, (best_rank <= k) AS kept,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN (doc_a = 0 OR doc_a >= 200000)
+                          AND doc_b >= 200000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_spike_pairs,
+           round(min(jaccard), 6) AS min_sim,
+           round(max(jaccard), 6) AS max_sim,
+           round(CAST(sum(sim_micro) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) / 1e6, 6) AS mean_sim
+    FROM scored, unnest([1, 3, 5]) kk(k)
+    GROUP BY 1, 2
+    ORDER BY k, kept
+    """,
+)
+def d21_neardup_cap_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Audit of the near-dup output cap (round-10 task 7): what would
+    ``cap_pairs_per_doc`` keep and discard at k = 1, 3, 5 on a corpus with
+    a planted duplication SPIKE (15 verbatim copies of one document — the
+    Theta(M^2) pair-clique pathology that makes uncapped pair emission the
+    100 TB bottleneck)?
+
+    Per (k, kept) bucket: pair count, how many are spike-clique pairs,
+    and the min/max/mean similarity — the d9-style "what does the cheap
+    mode cost" evidence a curator reads before opting into the cap. The
+    spike rows make the headline visible: the 120-pair clique collapses
+    to O(k·M) kept pairs while every discarded pair's similarity is
+    bounded by the kept min of some endpoint.
+
+    Scale shape: pairs come from the d3 posting-list join (df-capped, no
+    cartesian); ranking is ``operators/dedup.neighbor_rank`` — one explode
+    to the two directed copies, one row_number window per endpoint, one
+    groupBy back to canonical pairs, all id-only shuffles; the k-sweep is
+    an explode over three literals, not three plan copies.
+
+    Determinism: ranking orders by the RAW IEEE jaccard (identical
+    integer-division doubles both engines) with a doc-id tiebreak; the
+    mean is an exact integer sum of 1e-6-quantized micro-units divided
+    once at emission (the d17 scheme)."""
+    from ..operators.dedup import jaccard_pairs, neighbor_rank, shingles
+
+    docs = _t(spark, sf, "documents")
+    spike = (
+        docs.filter(F.col("doc_id") == 0)
+        .select(F.explode(F.sequence(F.lit(1), F.lit(15))).alias("i"), "text")
+        .select((F.col("i") + 200000).alias("doc_id"), "text")
+    )
+    corpus = docs.filter(F.col("doc_id") < 100).select("doc_id", "text").unionByName(spike)
+    pairs = jaccard_pairs(shingles(corpus, n=3), threshold=0.02, token_col="shingle")
+    ranked = neighbor_rank(pairs.select("doc_a", "doc_b", "jaccard"))
+    is_spike = (
+        ((F.col("doc_a") == 0) | (F.col("doc_a") >= 200000))
+        & (F.col("doc_b") >= 200000)
+    ).cast("int")
+    return (
+        ranked.select(
+            "doc_a", "doc_b", "jaccard", "best_rank",
+            F.round(F.col("jaccard") * 1e6).cast("long").alias("sim_micro"),
+            F.explode(F.array(F.lit(1), F.lit(3), F.lit(5))).alias("k"),
+        )
+        .groupBy("k", (F.col("best_rank") <= F.col("k")).alias("kept"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(is_spike).cast("long").alias("n_spike_pairs"),
+            F.round(F.min("jaccard"), 6).alias("min_sim"),
+            F.round(F.max("jaccard"), 6).alias("max_sim"),
+            F.round(
+                F.sum("sim_micro").cast("double")
+                / F.count("*").cast("double") / F.lit(1e6),
+                6,
+            ).alias("mean_sim"),
+        )
+        .orderBy("k", "kept")
+    )

@@ -462,6 +462,29 @@ def vacuum(
                     shutil.rmtree(p, ignore_errors=True)
                 else:
                     os.remove(p)
+    # Directory sweep (round-10 streaming-soak finding): manifests list
+    # parquet FILES, so deleting a dropped manifest's files left its
+    # per-attempt data directory behind holding only writer residue
+    # (_SUCCESS, .crc) — one orphaned dir per micro-batch, forever, on a
+    # streaming state store. Remove any directory that held a doomed file
+    # and no longer holds any parquet we didn't just doom; a dir with an
+    # unknown (externally created) parquet is left alone.
+    live_dirs = {os.path.dirname(f) for f in live}
+    for d in sorted({os.path.dirname(rel) for rel in doomed} - live_dirs - {""}):
+        p = os.path.join(root, d)
+        if not os.path.isdir(p):
+            continue
+        keep_parquet = [
+            n for n in os.listdir(p)
+            if n.endswith(".parquet") and os.path.join(d, n) not in doomed
+        ]
+        if keep_parquet:
+            continue
+        removed.append(d)
+        if not dry_run:
+            import shutil
+
+            shutil.rmtree(p, ignore_errors=True)
     if not dry_run:
         for v in drop:
             try:

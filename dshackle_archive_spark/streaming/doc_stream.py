@@ -208,6 +208,7 @@ def neardup_batch_step(
     watermark_delay_sec: int | None = None,
     event_time_col: str = "event_time",
     text_col: str = "text",
+    release_to: list | None = None,
 ) -> DataFrame:
     """One micro-batch of streaming near-dup dedup (pure batch logic).
 
@@ -218,13 +219,26 @@ def neardup_batch_step(
     batch. Band hashes of dropped docs still enter the store (a near-dup
     chain A~B, B~C drops both B and C, matching batch keep-one on the
     connected component).
-    """
+
+    ``release_to`` (round-10 soak hygiene): the step pins two
+    batch-sized checkpoints (the input docs and the drop set) that the
+    returned ``survivors`` frame still reads — they cannot be freed here.
+    Pass a list and the step appends their release handles; the caller
+    MUST invoke them after materializing/writing the survivors, or a
+    long-running streaming query accumulates two pinned RDDs per
+    micro-batch for the session's lifetime (the streaming twin of the
+    round-9 iterative-loop leak). Handles are per-RDD exact
+    (core/checkpoint.py), so concurrent monitors in one session never
+    release each other's state."""
     from pyspark.sql import Window
 
+    from ..core.checkpoint import checkpoint_with_release
     from ..operators.dedup import minhash_signatures, shingles
 
     spark = batch_docs.sparkSession
-    batch_docs = batch_docs.transform(reliable_checkpoint)
+    batch_docs, _rel_docs = checkpoint_with_release(batch_docs)
+    if release_to is not None:
+        release_to.append(_rel_docs)
 
     sigs = minhash_signatures(
         shingles(batch_docs, n=n, text_col=text_col), num_hashes=num_hashes
@@ -303,9 +317,11 @@ def neardup_batch_step(
     # frame returned to the caller must not lazily re-read the previous
     # store's files — this step's own commit+vacuum may delete them before
     # the caller collects (a batch-N retry retires the oldest manifest)
-    dropped = (
-        store_hit.unionByName(batch_hit).distinct().transform(reliable_checkpoint)
+    dropped, _rel_dropped = checkpoint_with_release(
+        store_hit.unionByName(batch_hit).distinct()
     )
+    if release_to is not None:
+        release_to.append(_rel_dropped)
     survivors = batch_docs.join(dropped, "doc_id", "left_anti")
 
     # next generation: union of the (already horizon-pruned) store and ALL
@@ -329,6 +345,7 @@ def start_streaming_neardup_dedup(
     checkpoint: str,
     watermark_delay_sec: int | None = None,
     trigger_processing_time: str | None = None,
+    available_now: bool = False,
     **step_kwargs,
 ):
     """Wire ``neardup_batch_step`` into a StreamingQuery: each micro-batch's
@@ -338,22 +355,32 @@ def start_streaming_neardup_dedup(
     fixed per-batch cost (store read + generation write) over more rows; at
     ingest scale the step cost is dominated by the batch's own minhash pass,
     so longer triggers amortize the store overhead without growing state.
-    """
+    ``available_now`` drains the currently-available input then terminates
+    (catch-up / soak mode). Per-batch checkpoint pins are released as soon
+    as the batch's survivors are written (round-10 soak hygiene)."""
 
     def on_batch(bdf: DataFrame, batch_id: int) -> None:
+        releases: list = []
         surv = neardup_batch_step(
             bdf,
             state_dir,
             batch_id,
             watermark_delay_sec=watermark_delay_sec,
+            release_to=releases,
             **step_kwargs,
         )
-        surv.write.mode("append").parquet(output_path)
+        try:
+            surv.write.mode("append").parquet(output_path)
+        finally:
+            for r in releases:
+                r()
 
     w = stream_docs.writeStream.foreachBatch(on_batch).option(
         "checkpointLocation", checkpoint
     )
-    if trigger_processing_time is not None:
+    if available_now:
+        w = w.trigger(availableNow=True)
+    elif trigger_processing_time is not None:
         w = w.trigger(processingTime=trigger_processing_time)
     return w.start()
 
@@ -521,6 +548,7 @@ def countmin_merge_step(
     width: int = 256,
     top_m: int = 10,
     text_col: str = "text",
+    release_to: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """One micro-batch of the streaming heavy-hitter monitor (pure batch
     logic): merge the batch's partial count-min grid into the cumulative
@@ -535,14 +563,23 @@ def countmin_merge_step(
     Scale shape: the grid state is ≤ depth*width rows regardless of stream
     length (the entire point of sketching the stream); each batch costs one
     partial-agg groupBy over (depth x batch tokens) plus metadata-sized
-    merges and probes."""
+    merges and probes.
+
+    ``release_to`` (round-10 soak hygiene): the merged grid is pinned so
+    the snapshot commit and the report both read one materialization;
+    pass a list to receive its release handle and call it once both are
+    written — otherwise a long stream pins one grid copy per batch."""
     grid_b = countmin_batch_grid(batch_docs, depth, width, text_col)
     merged = grid_b if prior_grid is None else (
         grid_b.unionByName(prior_grid)
         .groupBy("r", "bucket")
         .agg(F.sum("cell").alias("cell"))
     )
-    merged = merged.transform(reliable_checkpoint)
+    from ..core.checkpoint import checkpoint_with_release
+
+    merged, _rel = checkpoint_with_release(merged)
+    if release_to is not None:
+        release_to.append(_rel)
 
     tok = (
         batch_docs.select(
@@ -594,6 +631,7 @@ def start_streaming_heavy_hitters(
     width: int = 256,
     top_m: int = 10,
     trigger_processing_time: str | None = None,
+    available_now: bool = False,
 ):
     """Wire ``countmin_merge_step`` into a StreamingQuery: the cumulative
     grid persists through the same manifest-pinned snapshot commits as the
@@ -604,24 +642,36 @@ def start_streaming_heavy_hitters(
     The snapshot read (newest manifest with batch < N) also closes a
     retry hazard the gen-dir store had: reading "the newest generation"
     on a retried batch N found gen N itself and merged the batch's grid
-    TWICE — the manifest chain can't, by construction."""
+    TWICE — the manifest chain can't, by construction.
+
+    ``available_now`` drains the currently-available input then
+    terminates (catch-up / soak mode). The per-batch grid pin is released
+    once the snapshot commit and the report write both land (round-10
+    soak hygiene)."""
 
     def on_batch(bdf: DataFrame, batch_id: int) -> None:
         spark = bdf.sparkSession
         prior = _load_state_snapshot(spark, state_dir, batch_id)
+        releases: list = []
         merged, report = countmin_merge_step(
-            bdf, prior, batch_id, depth, width, top_m
+            bdf, prior, batch_id, depth, width, top_m, release_to=releases
         )
-        _commit_state_snapshot(
-            merged.coalesce(1), state_dir, batch_id,
-            note=f"count-min grid, batch {batch_id}",
-        )
-        report.write.mode("append").parquet(output_path)
+        try:
+            _commit_state_snapshot(
+                merged.coalesce(1), state_dir, batch_id,
+                note=f"count-min grid, batch {batch_id}",
+            )
+            report.write.mode("append").parquet(output_path)
+        finally:
+            for r in releases:
+                r()
 
     w = stream_docs.writeStream.foreachBatch(on_batch).option(
         "checkpointLocation", checkpoint
     )
-    if trigger_processing_time is not None:
+    if available_now:
+        w = w.trigger(availableNow=True)
+    elif trigger_processing_time is not None:
         w = w.trigger(processingTime=trigger_processing_time)
     return w.start()
 

@@ -50,6 +50,65 @@ def main() -> int:
 
     reg = Q.registry()
     out: dict = {"queries": {}, "curate": None}
+
+    if mode == "curate_x8":
+        # Round-10 task 5: the END-TO-END curate (strip-passages -> exact
+        # dedup -> near-dup CC -> decontamination -> split) at x8-of-sf
+        # documents under whatever master/memory the caller picked, with
+        # per-stage wall time and a full-row digest for cross-session
+        # parity. x8 corpus: 8 id-shifted copies, each with a distinct
+        # appended token, so copies survive exact dedup (near-identical,
+        # not identical) and the near-dup CC stage gets real 8-cliques.
+        import hashlib
+
+        from dshackle_archive_spark.plans.curate_plan import curate
+        from dshackle_archive_spark.sources.tables import load_tables
+
+        base = load_tables(spark, sf_dir)["documents"]
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        copies = [
+            base.select(
+                (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(f" copytag{i}")).alias("text"),
+                "lang", "source", "n_chars",
+            )
+            for i in range(8)
+        ]
+        docs = reduce(lambda a, b: a.unionByName(b), copies)
+        bench = base.filter("doc_id % 29 = 0").select("doc_id", "text")
+        # output_path exercises the full sink under pressure too: the
+        # split-partitioned parquet write, the _MANIFEST audit, and the
+        # persisted segment-df _index
+        with tempfile.TemporaryDirectory() as tmp:
+            curated, res = curate(
+                docs, benchmark=bench, strip_passages=True,
+                output_path=os.path.join(tmp, "out"),
+            )
+            rows = sorted(
+                [str(v) for v in r]
+                for r in curated.select("doc_id", "split").collect()
+            )
+            index_files = [
+                f for f in os.listdir(os.path.join(tmp, "out", "_index"))
+            ] if os.path.isdir(os.path.join(tmp, "out", "_index")) else []
+        sha = hashlib.sha256(
+            "\n".join("\x1f".join(r) for r in rows).encode()
+        ).hexdigest()
+        out["curate"] = {
+            "survivors": len(rows),
+            "stages": res.stage_counts,
+            "stage_seconds": res.stage_seconds,
+            "cols": sorted(curated.columns),
+            "sha256": sha,
+            "index_parts": sorted(index_files),
+        }
+        with open(out_path, "w") as f:
+            json.dump(out, f)
+        spark.stop()
+        return 0
     for name in names:
         df = reg[name](spark, sf_dir)
         rows = sorted([str(v) for v in r] for r in df.collect())

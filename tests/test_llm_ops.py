@@ -1561,3 +1561,52 @@ def test_personalized_pagerank_locality_and_mass(spark):
     assert got[0] > got[2] > 0  # even-distance class decays outward
     assert got[1] > got[3] > 0  # odd-distance class decays outward
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_cap_pairs_per_doc_union_of_topk(spark):
+    """Round-10 output cap: a pair survives iff it ranks in the top-k of
+    AT LEAST ONE endpoint (union-of-top-k kNN-graph rule). Star graph:
+    hub 0 with spokes 1..5 at descending sims — k=2 keeps the hub's two
+    strongest spokes PLUS every other spoke's own view of the hub (each
+    spoke's rank-1 neighbor IS the hub), i.e. all pairs survive; a
+    spoke-spoke weak pair ranked below k on both ends is discarded."""
+    from dshackle_archive_spark.operators.dedup import cap_pairs_per_doc, neighbor_rank
+
+    rows = [(0, i, 1.0 - i / 10.0) for i in range(1, 6)]  # hub-spoke, sims .9-.5
+    rows.append((4, 5, 0.05))  # weak spoke-spoke pair: rank>=2 on both ends
+    pairs = spark.createDataFrame(rows, "doc_a long, doc_b long, jaccard double")
+
+    ranked = {(r["doc_a"], r["doc_b"]): r["best_rank"]
+              for r in neighbor_rank(pairs).collect()}
+    # hub's view ranks spokes 1..5 at ranks 1..5; every spoke ranks the hub 1st
+    assert ranked[(0, 1)] == 1 and ranked[(0, 5)] == 1
+    assert ranked[(4, 5)] == 2  # best of: rank-2 at node 4, rank-2 at node 5
+
+    kept = {(r["doc_a"], r["doc_b"])
+            for r in cap_pairs_per_doc(pairs, 1).collect()}
+    assert kept == {(0, i) for i in range(1, 6)}  # union keeps every hub edge
+    kept2 = {(r["doc_a"], r["doc_b"])
+             for r in cap_pairs_per_doc(pairs, 2).collect()}
+    assert kept2 == {(0, i) for i in range(1, 6)} | {(4, 5)}
+
+
+def test_jaccard_pairs_cap_optin_bounds_clique(spark):
+    """max_pairs_per_doc on jaccard_pairs: a 6-doc verbatim clique emits
+    15 uncapped pairs; k=1 keeps only each doc's single best neighbor
+    (ties broken by id) while an unrelated organic pair is untouched."""
+    from dshackle_archive_spark.operators.dedup import jaccard_pairs, shingles
+
+    clique_text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(i, clique_text) for i in range(6)]
+        + [(10, "unique one two three four five"),
+           (11, "unique one two three four five six")],
+        "doc_id long, text string",
+    )
+    sh = shingles(docs, n=3)
+    assert jaccard_pairs(sh, 0.3, "shingle").count() == 15 + 1
+    capped = jaccard_pairs(sh, 0.3, "shingle", max_pairs_per_doc=1)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    # all clique sims tie at 1.0 -> each doc's rank-1 neighbor is its
+    # smallest-id partner (doc 0; doc 0's own rank-1 is doc 1)
+    assert got == {(0, i) for i in range(1, 6)} | {(10, 11)}

@@ -210,3 +210,85 @@ def test_heaviest_queries_complete_on_1g_executors(spark, tmp_path):
                 or got["sha256"] != sha):
             mismatches.append(name)
     assert mismatches == []
+
+
+# --------------------------------------------------------------------------
+# Memory-pressure END-TO-END curate (round-10 task 5): the 1 GiB probe above
+# covers the 5 heaviest QUERIES; the full curate chain (strip-passages ->
+# exact dedup -> near-dup CC -> decontamination -> split) with its staged
+# checkpoints had never run under executor memory pressure or at x8 docs.
+# --------------------------------------------------------------------------
+
+
+def _x8_docs(spark, sf_dir: str):
+    """8 id-shifted copies of the sf documents, each with a distinct
+    appended token — copies survive exact dedup (near-identical, not
+    identical) so the near-dup CC stage gets real 8-cliques. MUST stay in
+    lockstep with local_cluster_probe.py's curate_x8 builder."""
+    from functools import reduce
+
+    from dshackle_archive_spark.sources.tables import load_tables
+    from pyspark.sql import functions as F
+
+    base = load_tables(spark, sf_dir)["documents"]
+    copies = [
+        base.select(
+            (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" copytag{i}")).alias("text"),
+            "lang", "source", "n_chars",
+        )
+        for i in range(8)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), copies), base
+
+
+def test_curate_x8_completes_on_1g_executors(spark, tmp_path):
+    """curate at x8-of-sf0.1 documents (40k docs) on
+    ``local-cluster[2,2,1024]`` with DFS checkpoints must (a) complete —
+    every staged materialization spills instead of OOMing — and (b) match
+    the identical pipeline on the unconstrained in-process local[4]
+    session: same per-stage attrition counts and the same
+    (doc_id, split) row digest. Per-stage wall times land in the probe
+    JSON (recorded in PERF.md)."""
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "local_cluster_probe.py")
+    out = tmp_path / "curate_x8.json"
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CHECKPOINT_DIR"] = str(tmp_path / "ckpt")
+    proc = subprocess.run(
+        [sys.executable, script, "", "/root/testdata/sf0.1", str(out),
+         "local-cluster[2,2,1024]", "curate_x8"],
+        capture_output=True, text=True, timeout=1800, env=env,
+    )
+    assert proc.returncode == 0, (
+        f"curate x8 memory probe failed (OOM instead of spill?)\n"
+        f"stdout: {proc.stdout[-2000:]}\nstderr: {proc.stderr[-4000:]}"
+    )
+    res = json.loads(out.read_text())["curate"]
+
+    # parity leg: identical pipeline, in-process unconstrained session
+    import hashlib
+
+    from dshackle_archive_spark.plans.curate_plan import curate
+
+    docs, base = _x8_docs(spark, "/root/testdata/sf0.1")
+    bench = base.filter("doc_id % 29 = 0").select("doc_id", "text")
+    curated, local_res = curate(docs, benchmark=bench, strip_passages=True)
+    rows = sorted(
+        [str(v) for v in r]
+        for r in curated.select("doc_id", "split").collect()
+    )
+    sha = hashlib.sha256(
+        "\n".join("\x1f".join(r) for r in rows).encode()
+    ).hexdigest()
+
+    assert res["stages"] == local_res.stage_counts
+    assert res["survivors"] == len(rows)
+    assert res["cols"] == sorted(curated.columns)
+    assert res["sha256"] == sha
+    # the dedup _index (hashes + bands + segment-df) persisted under pressure
+    assert {"hashes", "bands", "segments"} <= set(res["index_parts"])
+    # the x8 build actually fed the pipeline
+    assert local_res.stage_counts["input"] == 8 * base.count()
+    # stage timing evidence exists for every executed stage
+    assert set(res["stage_seconds"]) == set(res["stages"])

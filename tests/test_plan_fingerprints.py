@@ -1,4 +1,4 @@
-"""Registry-wide physical-plan shape regression gate (round-9 task).
+"""Registry-wide physical-plan shape regression gate (rounds 9-10).
 
 The round-8 performance wins are all plan-shaped — guarded broadcasts, leg
 reuse, weighted rollups — and nothing in a value-level parity suite stops a
@@ -12,19 +12,29 @@ COUNT of each heavyweight physical node in the executed plan:
 - ``smj``      — SortMergeJoins
 - ``shj``      — ShuffledHashJoins
 - ``bnlj``     — BroadcastNestedLoopJoins
+- ``cartesian``— CartesianProducts (also a hard invariant: always 0)
 
-and diffs every query's current plan against the committed table
-``tests/plan_fingerprints.json``.
+and diffs every query's current plan against a committed table.
+
+TWO tables are committed (round-10 task — plan shapes depend on input
+STATS, and broadcast-vs-SMJ choices flip between scale factors, so the
+sf0.001 gate alone left the plans the bench actually executes unguarded):
+
+- ``tests/plan_fingerprints.json``      — recorded at sf0.001, asserted by
+  the default suite run;
+- ``tests/plan_fingerprints_sf01.json`` — recorded at sf0.1, asserted by
+  ``bench.py`` on every official bench run (stamped into BENCH_DETAIL.json
+  as ``plan_drift``) and by this suite when pointed at sf0.1.
 
 Update path (INTENTIONAL plan changes only): re-run the generator and
 commit the diff together with the code change that caused it —
 
-    python tests/test_plan_fingerprints.py --regen
+    python tests/test_plan_fingerprints.py --regen            # sf0.001 table
+    python tests/test_plan_fingerprints.py --regen --sf 0.1   # sf0.1 table
 
-Fingerprints are recorded under the suite's pinned config (local[4],
-spark.sql.shuffle.partitions=4, sf0.001) — plan shapes depend on input
-stats, so the gate skips itself when SPARK_GRAFT_TEST_SF_DIR points the
-suite at a different scale factor.
+Stats-robust invariants (asserted at ANY scale factor, no committed table
+needed): no query's plan may contain a CartesianProduct — the one join
+strategy that cannot survive a 100x scale-up under any stats.
 """
 
 from __future__ import annotations
@@ -33,7 +43,12 @@ import json
 import os
 import re
 
-FINGERPRINT_PATH = os.path.join(os.path.dirname(__file__), "plan_fingerprints.json")
+import pytest
+
+FINGERPRINT_TABLES = {
+    "0.001": os.path.join(os.path.dirname(__file__), "plan_fingerprints.json"),
+    "0.1": os.path.join(os.path.dirname(__file__), "plan_fingerprints_sf01.json"),
+}
 
 # node-count dimensions: name -> regex counted over executedPlan().toString()
 DIMENSIONS = {
@@ -45,6 +60,7 @@ DIMENSIONS = {
     "smj": r"SortMergeJoin",
     "shj": r"ShuffledHashJoin",
     "bnlj": r"BroadcastNestedLoopJoin",
+    "cartesian": r"CartesianProduct",
 }
 
 
@@ -61,52 +77,104 @@ def plan_fingerprint(plan: str) -> dict[str, int]:
 
 def current_fingerprints(spark, sf_dir) -> dict[str, dict[str, int]]:
     import __spark_entry__ as entrymod
+    from dshackle_archive_spark.core.checkpoint import release_all_pinned
 
     out = {}
     for name, fn in entrymod.queries().items():
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         out[name] = plan_fingerprint(plan)
+    # constructing iterative queries materializes checkpoints; a full
+    # registry pass (and the determinism double-pass) must not leave
+    # 170 queries' worth of pinned blocks behind
+    release_all_pinned(spark)
     return dict(sorted(out.items()))
 
 
-def test_plan_shapes_match_committed_fingerprints(spark, sf_dir):
-    if os.environ.get("SPARK_GRAFT_TEST_SF_DIR"):
-        import pytest
-
-        pytest.skip("fingerprints are recorded at the default sf0.001 stats")
-    with open(FINGERPRINT_PATH) as f:
-        want = json.load(f)
-    got = current_fingerprints(spark, sf_dir)
-    assert set(got) == set(want), (
-        f"registry changed: regenerate fingerprints for "
-        f"{sorted(set(got) ^ set(want))} "
-        f"(python tests/test_plan_fingerprints.py --regen)"
-    )
-    diffs = {
+def fingerprint_diff(
+    want: dict[str, dict[str, int]], got: dict[str, dict[str, int]]
+) -> dict:
+    """Registry-key and per-query shape differences between two tables —
+    shared by the suite gate and bench.py's per-round sf0.1 assert."""
+    out: dict = {}
+    if set(got) != set(want):
+        out["registry_changed"] = sorted(set(got) ^ set(want))
+    shape = {
         name: {"want": want[name], "got": got[name]}
-        for name in want
+        for name in set(want) & set(got)
         if want[name] != got[name]
     }
+    if shape:
+        out["shape_changed"] = shape
+    return out
+
+
+def _table_for(sf_dir: str) -> str | None:
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir.rstrip("/"))
+    return FINGERPRINT_TABLES.get(m.group(1)) if m else None
+
+
+@pytest.fixture(scope="module")
+def fingerprints_twice(spark, sf_dir):
+    """Two independent full-registry fingerprint passes on one session —
+    shared by the match gate (uses the first) and the determinism check
+    (compares both), so the double-pass is paid once per suite run."""
+    return current_fingerprints(spark, sf_dir), current_fingerprints(spark, sf_dir)
+
+
+def test_plan_shapes_match_committed_fingerprints(sf_dir, fingerprints_twice):
+    table = _table_for(sf_dir)
+    if table is None or not os.path.exists(table):
+        pytest.skip(f"no committed fingerprint table for {sf_dir}")
+    with open(table) as f:
+        want = json.load(f)
+    got = fingerprints_twice[0]
+    diffs = fingerprint_diff(want, got)
     assert not diffs, (
         "physical plan shape changed — if INTENTIONAL, regenerate with "
-        "`python tests/test_plan_fingerprints.py --regen` and commit the "
-        f"diff alongside the code change: {json.dumps(diffs, indent=2)}"
+        "`python tests/test_plan_fingerprints.py --regen` (add `--sf 0.1` "
+        "for the bench-scale table) and commit the diff alongside the code "
+        f"change: {json.dumps(diffs, indent=2)}"
     )
+
+
+def test_regen_is_deterministic(fingerprints_twice):
+    """Round-9 verdict task 8: the gate itself must not rot — if plan
+    RENDERING ever becomes nondeterministic (unstable ids leaking into the
+    counted node names, registry iteration order, release interference),
+    every --regen would churn the committed table and the gate degrades to
+    noise. Two back-to-back full passes must serialize byte-identically."""
+    a, b = fingerprints_twice
+    assert json.dumps(a, sort_keys=True) == json.dumps(b, sort_keys=True), {
+        k: (a.get(k), b.get(k)) for k in set(a) | set(b) if a.get(k) != b.get(k)
+    }
+
+
+# NOTE: the stats-robust any-SF invariants (0 CartesianProducts, BNLJ only
+# on the allow-listed 1-row-bound queries) live in
+# test_registry_conventions.test_no_cartesian_products_anywhere — that test
+# runs at ANY SPARK_GRAFT_TEST_SF_DIR, complementing the committed-table
+# gates here. The `cartesian` dimension in DIMENSIONS additionally freezes
+# the zero into both committed tables.
 
 
 if __name__ == "__main__":
     import sys
 
     if "--regen" not in sys.argv:
-        sys.exit("usage: python tests/test_plan_fingerprints.py --regen")
+        sys.exit(
+            "usage: python tests/test_plan_fingerprints.py --regen [--sf 0.1]"
+        )
+    sf = sys.argv[sys.argv.index("--sf") + 1] if "--sf" in sys.argv else "0.001"
+    if sf not in FINGERPRINT_TABLES:
+        sys.exit(f"no table registered for sf{sf} ({sorted(FINGERPRINT_TABLES)})")
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from dshackle_archive_spark.session import get_spark
 
     spark = get_spark("plan-fingerprints", master="local[4]")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
-    fps = current_fingerprints(spark, "/root/testdata/sf0.001")
-    with open(FINGERPRINT_PATH, "w") as f:
+    fps = current_fingerprints(spark, f"/root/testdata/sf{sf}")
+    with open(FINGERPRINT_TABLES[sf], "w") as f:
         json.dump(fps, f, indent=1, sort_keys=True)
         f.write("\n")
-    print(f"wrote {len(fps)} fingerprints to {FINGERPRINT_PATH}")
+    print(f"wrote {len(fps)} fingerprints to {FINGERPRINT_TABLES[sf]}")
     spark.stop()

@@ -260,9 +260,11 @@ def test_compact_snapshot_mode_is_transactional(spark, tmp_path):
     old_view = S.read_snapshot(spark, pre)
     assert old_view.select("height").distinct().count() == 100
 
-    # vacuum with keep_last=1 drops the singles from disk
+    # vacuum with keep_last=1 drops the singles from disk, then sweeps
+    # their now-parquet-free directory (round-10 orphan-dir fix)
     removed = S.vacuum(base, keep_last=1)
-    assert len(removed) == 100
+    assert len([r for r in removed if r.endswith(".parquet")]) == 100
+    assert all(r.endswith(".parquet") or "/" in r for r in removed)
     assert S.read_snapshot(spark, S.load_snapshot(base)).count() == new_view.count()
 
 
@@ -412,7 +414,8 @@ def test_cli_vacuum_command(spark, tmp_path, capsys):
     rc = cli.main(["vacuum", "--dir", root, "--chain", "ETH", "--keep-last", "1"])
     assert rc == 0
     out = J.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert out["command"] == "vacuum" and len(out["removed"]) == 100
+    assert out["command"] == "vacuum"
+    assert len([r for r in out["removed"] if r.endswith(".parquet")]) == 100
     assert out["current"] == res.snapshot_version
 
 
