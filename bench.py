@@ -169,6 +169,7 @@ EXTRA = [
     "w17_theil_sen_trend",
     "d20_personalized_pagerank",
     "d21_neardup_cap_audit",
+    "d22_ktruss_prune",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))

@@ -1109,6 +1109,92 @@ def kcore(
     )
 
 
+def ktruss(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    canonical: bool = False,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """k-truss of an undirected simple graph (Cohen 2008): the maximal
+    subgraph in which every EDGE closes >= k-2 triangles — the edge-level
+    sharpening of k-core (a k-truss is always inside the (k-1)-core, but
+    prunes "bridge" edges that high degrees alone cannot justify). On a
+    similarity/co-occurrence graph this keeps only cohesive-community
+    edges before clustering or CC, where k-core still admits hub-spoke
+    noise. Returns ``(a, b, support)`` for surviving canonical edges,
+    ``support`` the triangle count INSIDE the truss (>= k-2 by
+    construction).
+
+    Algorithm: iterative peel — per round enumerate triangles on the
+    CURRENT edge set with the oriented wedge join (x<y<z via the
+    canonical a<b orientation: e1(x,y) equi-joins e2(y,z) on the shared
+    middle node, closed by e3(x,z) — the d12 shape, never an all-pairs
+    product), explode each triangle to its 3 edges, one groupBy for
+    per-edge support, drop edges below k-2, reliable-checkpoint the
+    survivors, repeat to fixpoint. The convergence test is FUSED into the
+    round (the kcore round-10 contract): the drop-count on the persisted
+    (edge, support) table decides BEFORE the next round's joins, and at
+    the fixpoint that same table — already >= k-2 everywhere — is
+    checkpointed and returned, so the final support costs no extra
+    triangle pass. Scale shape per round: one wedge join bounded by
+    Σ_y deg⁺(y)·deg⁻(y) + one id-only groupBy; rounds = peel depth
+    (measured: 1 at sf0.001, 4 at sf0.01 for the d22 threshold);
+    ``max_rounds`` is a loud backstop."""
+    if canonical:
+        canon = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    else:
+        canon = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("a"),
+                F.greatest(F.col(src), F.col(dst)).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+    min_sup = k - 2
+    cur, release_cur = checkpoint_with_release(canon)
+    for _ in range(max_rounds):
+        e1 = cur.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        e2 = cur.select(F.col("a").alias("y"), F.col("b").alias("z"))
+        e3 = cur.select(F.col("a").alias("x"), F.col("b").alias("z"))
+        tri = e1.join(e2, "y").join(e3, ["x", "z"])
+        sup = (
+            tri.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("x").alias("a"), F.col("y").alias("b")),
+                        F.struct(F.col("x").alias("a"), F.col("z").alias("b")),
+                        F.struct(F.col("y").alias("a"), F.col("z").alias("b")),
+                    )
+                ).alias("e")
+            )
+            .groupBy("e.a", "e.b")
+            .agg(F.count("*").alias("support"))
+        )
+        scored = (
+            cur.join(sup, ["a", "b"], "left")
+            .select("a", "b", F.coalesce("support", F.lit(0)).alias("support"))
+            .persist()
+        )
+        try:
+            if scored.filter(F.col("support") < min_sup).count() == 0:
+                # fixpoint: `scored` IS the truss with its final support —
+                # checkpoint it (caller-visible pin, the kcore contract)
+                final, _release_final = checkpoint_with_release(scored)
+                release_cur()
+                return final
+            nxt, release_nxt = checkpoint_with_release(
+                scored.filter(F.col("support") >= min_sup).select("a", "b")
+            )
+        finally:
+            scored.unpersist()
+        release_cur()
+        cur, release_cur = nxt, release_nxt
+    raise RuntimeError(f"ktruss({k}) did not converge in {max_rounds} rounds")
+
+
 def doulion_keep(u: Column, v: Column, sample_p: float, salt: str = "tri") -> Column:
     """Deterministic DOULION edge-sampling predicate (Tsourakakis, Kang,
     Miller & Faloutsos, KDD'09): keep the canonical edge (u, v) iff the

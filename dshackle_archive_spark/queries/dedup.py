@@ -1004,14 +1004,23 @@ def d15_lsh_band_tuning(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
-def _copurchase_edges(spark: SparkSession, sf: str) -> DataFrame:
+def _copurchase_edges(
+    spark: SparkSession, sf: str, max_part: int | None = None
+) -> DataFrame:
     """Canonical (u < v, distinct) part co-purchase edges, materialized.
 
     One groupBy(orderkey) collect_set + in-row sorted-array self-pairing
     (a TPC-H order holds ≤7 parts ⇒ ≤21 pair structs per row) — one
     grouped shuffle + the dedup shuffle, instead of a two-sided row
-    self-join on orderkey. Shared by the graph analytics (d12, d16)."""
+    self-join on orderkey. Shared by the graph analytics (d12, d16).
+
+    ``max_part`` restricts to the subgraph induced on part keys below the
+    bound (filter pushed to the lineitem scan — for induced subgraphs the
+    source filter and the edge filter are equivalent, and the source
+    filter never materializes out-of-scope edges)."""
     li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    if max_part is not None:
+        li = li.filter(F.col("l_partkey") < max_part)
     g = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
@@ -1624,4 +1633,168 @@ def d21_neardup_cap_audit(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("mean_sim"),
         )
         .orderBy("k", "kept")
+    )
+
+
+def _ktruss_iter_sql(prev: str, tri: str, cur: str) -> str:
+    """One unrolled k-truss peel stage: enumerate triangles on ``prev``
+    with the oriented x<y<z wedge join (the d12/d18 shape), explode each
+    to its 3 edges for per-edge support, keep edges with support >=
+    min_sup. MATERIALIZED so stages execute once each; idempotent past
+    the fixpoint."""
+    return f"""
+    {tri} AS MATERIALIZED (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM {prev} e1 JOIN {prev} e2 ON e2.u = e1.v
+      JOIN {prev} e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    {cur} AS MATERIALIZED (
+      SELECT e.u, e.v FROM {prev} e
+      JOIN (
+        SELECT u, v, count(*) AS s FROM (
+          SELECT x AS u, y AS v FROM {tri}
+          UNION ALL SELECT x, z FROM {tri}
+          UNION ALL SELECT y, z FROM {tri}
+        ) GROUP BY 1, 2
+      ) s ON s.u = e.u AND s.v = e.v
+      WHERE s.s >= (SELECT min_sup FROM kk)
+    )"""
+
+
+@query(
+    "d22_ktruss_prune",
+    """
+    WITH pairs AS (
+      -- analysis scope: the first 4,000 part keys (the d17 watchlist
+      -- convention) — the full graph at sf <= 0.02, a bounded induced
+      -- subgraph beyond; the OPERATOR takes any edge set (the unbounded
+      -- full-graph run is recorded in PERF.md)
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+      WHERE l_partkey < 4000
+    ), e0 AS MATERIALIZED (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM pairs a JOIN pairs b ON a.o = b.o AND a.p < b.p
+    ), tri0 AS MATERIALIZED (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM e0 e1 JOIN e0 e2 ON e2.u = e1.v
+      JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), supall0 AS (
+      -- initial per-edge support over ALL edges (0 for triangle-free)
+      SELECT e.u, e.v, coalesce(s.s, 0) AS s
+      FROM e0 e LEFT JOIN (
+        SELECT u, v, count(*) AS s FROM (
+          SELECT x AS u, y AS v FROM tri0
+          UNION ALL SELECT x, z FROM tri0
+          UNION ALL SELECT y, z FROM tri0
+        ) GROUP BY 1, 2
+      ) s ON s.u = e.u AND s.v = e.v
+    ), kk AS MATERIALIZED (
+      -- data-relative threshold: min support = max(1, ceil(0.3 * discrete
+      -- lower-median initial support)); identical IEEE 0.3*m both engines
+      SELECT GREATEST(1, CAST(ceil(0.3 * s) AS BIGINT)) AS min_sup
+      FROM (SELECT s,
+                   row_number() OVER (ORDER BY s, u, v) AS rn,
+                   count(*) OVER () AS c
+            FROM supall0)
+      WHERE rn = (c + 1) // 2
+    ),"""
+    + "".join(
+        _ktruss_iter_sql(f"e{i}", f"tri{i + 1}", f"e{i + 1}") + ("," if i < 7 else "")
+        for i in range(8)
+    )
+    + """,
+    trif AS MATERIALIZED (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM e8 e1 JOIN e8 e2 ON e2.u = e1.v
+      JOIN e8 e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT e.u, e.v, CAST(s.s AS BIGINT) AS support
+    FROM e8 e JOIN (
+      SELECT u, v, count(*) AS s FROM (
+        SELECT x AS u, y AS v FROM trif
+        UNION ALL SELECT x, z FROM trif
+        UNION ALL SELECT y, z FROM trif
+      ) GROUP BY 1, 2
+    ) s ON s.u = e.u AND s.v = e.v
+    -- fixpoint guard (the d19 convention): the 8-stage unroll is only
+    -- valid if stage 8 changed nothing vs stage 7 — fail loudly at a
+    -- scale factor whose peel depth exceeds the unroll (measured depth:
+    -- 1 at sf0.001, 4 at sf0.01 — a 2x margin)
+    WHERE (SELECT CASE WHEN (SELECT count(*) FROM e7)
+                          = (SELECT count(*) FROM e8)
+           THEN 1 ELSE error(
+             'd22 oracle: peel depth exceeds the 8-stage unroll at this sf'
+           ) END) = 1
+    ORDER BY e.u, e.v
+    """,
+)
+def d22_ktruss_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """k-truss pruning of the co-purchase graph (Cohen 2008): keep only
+    edges closing >= k-2 triangles INSIDE the surviving subgraph — the
+    edge-level sharpening of d19's k-core (a hub's spoke edges survive
+    coreness but close no triangles; the truss drops them), the standard
+    cohesive-community pre-pass before clustering a similarity graph.
+    Nontrivial by construction: the threshold is data-relative,
+    min support = max(1, ceil(0.3 x discrete lower-median initial
+    support)) (measured peel: 1 fixpoint round at sf0.001 — the tiny
+    graph is uniformly dense — 4 rounds / 382 pruned edges at sf0.01,
+    2 rounds / 18,660 pruned at sf0.1). The QUERY analyzes the
+    first-4,000-part-keys scope (the d17 watchlist convention: the full
+    graph at sf <= 0.02, a bounded induced subgraph beyond, so the
+    benched cost is the analysis, not an ever-growing whole-graph
+    enumeration); the OPERATOR is scope-free and its unbounded
+    full-graph sf0.1 run is recorded in PERF.md.
+
+    Scale shape: `operators/dedup.ktruss` — per round ONE oriented-wedge
+    triangle enumeration (the d12 x<y<z equi-join shape, never an
+    all-pairs product) + one id-only support groupBy + the fused
+    drop-count fixpoint test on a persisted (edge, support) table (the
+    kcore round-10 contract); at the fixpoint that table IS the result,
+    checkpointed and returned with no extra triangle pass. The
+    median-support threshold is ONE metadata scalar (the d19
+    convention). The oracle replays the peel as 8 unrolled CTE stages,
+    GUARDED: a WHERE-level error() fires if stage 7 vs 8 still differ,
+    so a deeper-than-8 peel fails loudly instead of silently
+    diverging."""
+    import math
+
+    from ..operators.dedup import ktruss
+
+    edges = _copurchase_edges(spark, sf, max_part=4000)
+    e1 = edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = edges.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = edges.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    sup = (
+        tri.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("x").alias("u"), F.col("y").alias("v")),
+                    F.struct(F.col("x").alias("u"), F.col("z").alias("v")),
+                    F.struct(F.col("y").alias("u"), F.col("z").alias("v")),
+                )
+            ).alias("e")
+        )
+        .groupBy("e.u", "e.v")
+        .agg(F.count("*").alias("s"))
+    )
+    supall = edges.join(sup, ["u", "v"], "left").select(
+        "u", "v", F.coalesce("s", F.lit(0)).alias("s")
+    )
+    w = Window.orderBy("s", "u", "v")
+    ranked = supall.select(
+        "s",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("c"),
+    )
+    med = ranked.filter(F.col("rn") == F.floor((F.col("c") + 1) / 2))
+    m = med.collect()[0]["s"]  # one metadata scalar (threshold)
+    min_sup = max(1, int(math.ceil(0.3 * m)))
+    truss = ktruss(edges, min_sup + 2, src="u", dst="v", canonical=True)
+    return (
+        truss.select(
+            F.col("a").alias("u"), F.col("b").alias("v"),
+            F.col("support").cast("long").alias("support"),
+        )
+        .orderBy("u", "v")
     )

@@ -1433,8 +1433,18 @@ _shift_series = st.lists(
 def test_best_level_shift_matches_naive_scan(spark, pts):
     """Property test: the prefix-sum argmin must equal the brute-force
     O(n²) best-split scan (cost, split day, means, gain) on random
-    integer daily series — including the all-constant tie case, where
-    the argmin must land on the earliest day."""
+    integer daily series — including tie cases (all-constant, or a
+    value-symmetric series where two splits cost EXACTLY the same),
+    where the argmin must land on the earliest day.
+
+    The naive model replays the operator's documented float chain
+    (exact BIGINT prefix sums; per side one double multiply, one divide,
+    one subtract; one final add) rather than a mean-based SSE: the two
+    formulations agree to rationals but can round differently by one
+    ULP, and on an exact tie that phantom ULP made a mean-based model
+    prefer the LATER split while the operator (correctly, per its
+    determinism contract) took the earlier day — a round-10 hypothesis
+    find against the test model, not the operator."""
     import datetime as dt
 
     from dshackle_archive_spark.operators.timeseries import best_level_shift
@@ -1459,15 +1469,19 @@ def test_best_level_shift_matches_naive_scan(spark, pts):
             continue
         xs = [v for _, v in pts_k]
         n = len(xs)
+        st, st2 = sum(xs), sum(x * x for x in xs)
 
-        def sse(seg):
+        def cost(i):  # the operator's exact double-op chain
+            sl, sl2 = sum(xs[:i]), sum(x * x for x in xs[:i])
+            left = float(sl2) - float(sl) * sl / i
+            right = float(st2 - sl2) - float(st - sl) * (st - sl) / (n - i)
+            return left + right
+
+        def sse(seg):  # mean-based SSE only for the gain tolerance check
             m = sum(seg) / len(seg)
             return sum((x - m) ** 2 for x in seg)
 
-        best = min(
-            range(1, n),
-            key=lambda i: (sse(xs[:i]) + sse(xs[i:]), pts_k[i - 1][0]),
-        )
+        best = min(range(1, n), key=lambda i: (cost(i), pts_k[i - 1][0]))
         r = got[k]
         assert r["n_days"] == n and r["left_days"] == best
         expect_day = str(dt.date(2024, 1, 1) + dt.timedelta(days=pts_k[best - 1][0]))
@@ -1610,3 +1624,24 @@ def test_jaccard_pairs_cap_optin_bounds_clique(spark):
     # all clique sims tie at 1.0 -> each doc's rank-1 neighbor is its
     # smallest-id partner (doc 0; doc 0's own rank-1 is doc 1)
     assert got == {(0, i) for i in range(1, 6)} | {(10, 11)}
+
+
+def test_ktruss_drops_pendant_triangles_keeps_clique(spark):
+    """K5 + a pendant triangle sharing one clique node: in the 4-truss
+    (support >= 2) every K5 edge survives with support 3 (all its
+    triangles are internal), while the pendant triangle's edges each
+    close exactly ONE triangle and peel away — the hub-adjacent noise
+    k-core cannot remove (all pendant nodes have degree 2, but a k=2
+    CORE keeps them)."""
+    from dshackle_archive_spark.operators.dedup import kcore, ktruss
+
+    k5 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    pendant = [(0, 10), (0, 11), (10, 11)]
+    e = spark.createDataFrame(k5 + pendant, "u long, v long")
+    got = {(r["a"], r["b"]): r["support"]
+           for r in ktruss(e, 4, src="u", dst="v", canonical=True).collect()}
+    assert got == {edge: 3 for edge in k5}
+    # contrast: the 2-core keeps the pendant nodes the truss rejected
+    core_nodes = {r["node"] for r in
+                  kcore(e, 2, src="u", dst="v", canonical=True).collect()}
+    assert {10, 11} <= core_nodes

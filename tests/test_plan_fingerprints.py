@@ -113,16 +113,23 @@ def _table_for(sf_dir: str) -> str | None:
     return FINGERPRINT_TABLES.get(m.group(1)) if m else None
 
 
+def _suite_sf_dir() -> str:
+    # module-scope twin of the conftest function-scoped sf_dir fixture
+    # (a module fixture cannot request a function fixture)
+    return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
 @pytest.fixture(scope="module")
-def fingerprints_twice(spark, sf_dir):
+def fingerprints_twice(spark):
     """Two independent full-registry fingerprint passes on one session —
     shared by the match gate (uses the first) and the determinism check
     (compares both), so the double-pass is paid once per suite run."""
+    sf_dir = _suite_sf_dir()
     return current_fingerprints(spark, sf_dir), current_fingerprints(spark, sf_dir)
 
 
-def test_plan_shapes_match_committed_fingerprints(sf_dir, fingerprints_twice):
-    table = _table_for(sf_dir)
+def test_plan_shapes_match_committed_fingerprints(fingerprints_twice):
+    table = _table_for(_suite_sf_dir())
     if table is None or not os.path.exists(table):
         pytest.skip(f"no committed fingerprint table for {sf_dir}")
     with open(table) as f:
