@@ -106,16 +106,17 @@ def test_curate_cycle_survives_executors(probe_result):
 # proves the checkpoint strategy's actual failure-mode claim.
 # --------------------------------------------------------------------------
 
-def _run_loss_probe(tmp_path, mode: str) -> dict:
+def _run_loss_probe(tmp_path, mode: str,
+                    qname: str = "d8_chain_components") -> dict:
     script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "executor_loss_probe.py")
-    out = tmp_path / f"loss_{mode}.json"
+    out = tmp_path / f"loss_{mode}_{qname}.json"
     env = dict(os.environ)
     env.pop("SPARK_GRAFT_CHECKPOINT_DIR", None)
     if mode == "reliable":
         env["SPARK_GRAFT_CHECKPOINT_DIR"] = str(tmp_path / "ckpt")
     proc = subprocess.run(
-        [sys.executable, script, "d8_chain_components",
+        [sys.executable, script, qname,
          "/root/testdata/sf0.01", "2", str(out)],
         capture_output=True, text=True, timeout=900, env=env,
     )
@@ -292,3 +293,26 @@ def test_curate_x8_completes_on_1g_executors(spark, tmp_path):
     assert local_res.stage_counts["input"] == 8 * base.count()
     # stage timing evidence exists for every executed stage
     assert set(res["stage_seconds"]) == set(res["stages"])
+
+
+def test_executor_loss_ktruss_reliable_survives(spark, tmp_path):
+    """The round-10 iterative operator honors the same durability
+    contract as CC: SIGKILL every executor right after d22's 2nd
+    checkpoint (the peel's round boundary) — with DFS-backed
+    checkpointing the peel resumes from the round boundary and the truss
+    (edges + exact support values) matches an undisturbed single-JVM
+    run. Guards the contract for operators added AFTER the probe was
+    built (the fused-fixpoint loop releases superseded checkpoint DIRS,
+    so this also proves release() never deletes a directory recovery
+    still needs)."""
+    res = _run_loss_probe(tmp_path, "reliable", qname="d22_ktruss_prune")
+    assert res["killed_pid"], "no executor was killed — probe misfired"
+    assert res["ok"], res["error"]
+    assert res["ckpt_calls"] > 2  # the peel CONTINUED after the kill
+
+    import dshackle_archive_spark.queries as Q
+
+    df = Q.registry()["d22_ktruss_prune"](spark, "/root/testdata/sf0.01")
+    truth = sorted([str(v) for v in r] for r in df.collect())
+    assert res["cols"] == sorted(df.columns)
+    assert res["rows"] == truth
