@@ -170,6 +170,7 @@ EXTRA = [
     "d20_personalized_pagerank",
     "d21_neardup_cap_audit",
     "d22_ktruss_prune",
+    "d23_clustering_coefficient",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))

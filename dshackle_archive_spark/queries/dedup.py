@@ -1798,3 +1798,111 @@ def d22_ktruss_prune(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("u", "v")
     )
+
+
+@query(
+    "d23_clustering_coefficient",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), e AS MATERIALIZED (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM pairs a JOIN pairs b ON a.o = b.o AND a.p < b.p
+    ), deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      GROUP BY 1
+    ), tri AS (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM e e1 JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), tnode AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS t
+      FROM (SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri)
+      GROUP BY 1
+    ), coeff AS (
+      SELECT d.node, d.deg, coalesce(t.t, 0) AS t,
+             -- integer-exact band: floor(log2(deg)) via binary width —
+             -- no libm in the grouping key
+             CAST(length(to_base(d.deg, 2)) - 1 AS INT) AS band,
+             2.0 * coalesce(t.t, 0) / (d.deg * (d.deg - 1)) AS c
+      FROM deg d LEFT JOIN tnode t USING (node)
+      WHERE d.deg >= 2
+    )
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(CASE WHEN t > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_closed,
+           round(CAST(sum(CAST(round(c * 1e6) AS BIGINT)) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) / 1e6, 6) AS avg_coeff,
+           round(max(c), 6) AS max_coeff
+    FROM coeff
+    GROUP BY 1
+    ORDER BY band
+    """,
+)
+def d23_clustering_coefficient(spark: SparkSession, sf: str) -> DataFrame:
+    """Local clustering coefficient by degree band over the co-purchase
+    graph: c(v) = 2·T(v) / (deg(v)·(deg(v)−1)), aggregated per
+    floor(log2(deg)) band — the classic "does clustering fall with
+    degree" curve that separates community-structured graphs (flat-ish)
+    from hub-dominated ones (falling), i.e. whether a near-dup/similarity
+    graph's hubs are real dense communities or boilerplate super-
+    connectors that d19/d22 should strip. Completes the graph-diagnostics
+    battery: d12 counts triangles globally, d16 measures degree mixing,
+    d23 measures CLOSURE per degree scale.
+
+    Scale shape: node triangle counts come from
+    ``operators/dedup.triangle_counts(with_degree=True)`` — the
+    Suri-Vassilvitskii degree-ordered orientation with in-row
+    ``array_intersect`` close (wedges never materialize, the round-8
+    shape) — left-joined onto the full degree table so zero-triangle
+    nodes count in their band's average; the band is an integer-exact
+    binary width (no libm in a grouping key), and the per-band mean is
+    an exact integer sum of 1e-6-quantized coefficients (the d17/d21
+    scheme). Output is ~log(max degree) rows at any corpus size.
+
+    Determinism: c = 2T/(deg·(deg−1)) is one IEEE division of exact
+    integers — bit-identical both engines; max_coeff rounds the same
+    doubles; the DuckDB oracle recounts per-node triangles from the raw
+    x<y<z 3-way self-join."""
+    from ..operators.dedup import triangle_counts
+
+    edges = _copurchase_edges(spark, sf)
+    tc = triangle_counts(
+        edges, src="u", dst="v", canonical=True, with_degree=True
+    ).select("node", "triangles")
+    deg = (
+        edges.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    c = (
+        F.lit(2.0) * F.coalesce(F.col("triangles"), F.lit(0))
+        / (F.col("deg") * (F.col("deg") - F.lit(1)))
+    )
+    coeff = (
+        deg.join(tc, "node", "left")
+        .filter(F.col("deg") >= 2)
+        .select(
+            (F.length(F.conv(F.col("deg"), 10, 2)) - 1).cast("int").alias("band"),
+            F.coalesce(F.col("triangles"), F.lit(0)).alias("t"),
+            c.alias("c"),
+        )
+    )
+    return (
+        coeff.groupBy("band")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum(F.when(F.col("t") > 0, 1).otherwise(0)).cast("long").alias("n_closed"),
+            F.round(
+                F.sum(F.round(F.col("c") * 1e6).cast("long")).cast("double")
+                / F.count("*").cast("double") / F.lit(1e6),
+                6,
+            ).alias("avg_coeff"),
+            F.round(F.max("c"), 6).alias("max_coeff"),
+        )
+        .orderBy("band")
+    )
