@@ -171,6 +171,7 @@ EXTRA = [
     "d21_neardup_cap_audit",
     "d22_ktruss_prune",
     "d23_clustering_coefficient",
+    "m6_shot_boundaries",
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "3"))

@@ -364,3 +364,125 @@ def m5_silence_segments(spark: SparkSession, sf: str) -> DataFrame:
         )
         .drop("grp")
     )
+
+
+@query(
+    "m6_shot_boundaries",
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             500 * (doc_id % 20 + 1) AS duration_ms,
+             doc_id % 4 + 3 AS scene_len
+      FROM documents WHERE doc_id % 3 = 0
+    ), frames AS (
+      SELECT m.media_id, m.scene_len, t.i AS idx,
+             CAST(t.i * 500 AS BIGINT) AS ts_ms,
+             t.i // m.scene_len AS scene_id
+      FROM media m, range(0, 41) t(i)
+      WHERE t.i * 500 <= m.duration_ms
+    ), fp AS (
+      -- 4 x 16-bit scene-constant bands + ONE per-frame noise bit XORed
+      -- into band 0 (sensor noise stand-in): integer-exact, replayed
+      -- bit-for-bit from md5 hex in both engines
+      SELECT media_id, idx, ts_ms,
+             xor(
+               CAST(concat('0x', substr(md5(media_id || ':' || scene_id || ':0'), 1, 4)) AS BIGINT),
+               CAST(1 AS BIGINT) << CAST(
+                 CAST(concat('0x', substr(md5(media_id || ':' || idx || ':n'), 1, 1)) AS BIGINT) AS INT)
+             ) AS b0,
+             CAST(concat('0x', substr(md5(media_id || ':' || scene_id || ':1'), 1, 4)) AS BIGINT) AS b1,
+             CAST(concat('0x', substr(md5(media_id || ':' || scene_id || ':2'), 1, 4)) AS BIGINT) AS b2,
+             CAST(concat('0x', substr(md5(media_id || ':' || scene_id || ':3'), 1, 4)) AS BIGINT) AS b3
+      FROM frames
+    ), ham AS (
+      SELECT media_id, idx, ts_ms,
+             bit_count(CAST(xor(b0, lag(b0) OVER w) AS BIGINT))
+           + bit_count(CAST(xor(b1, lag(b1) OVER w) AS BIGINT))
+           + bit_count(CAST(xor(b2, lag(b2) OVER w) AS BIGINT))
+           + bit_count(CAST(xor(b3, lag(b3) OVER w) AS BIGINT)) AS d
+      FROM fp
+      WINDOW w AS (PARTITION BY media_id ORDER BY idx)
+    )
+    SELECT media_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(1 + sum(CASE WHEN d > 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_shots,
+           CAST(min(CASE WHEN d > 8 THEN ts_ms END) AS BIGINT) AS first_cut_ms,
+           CAST(max(coalesce(d, 0)) AS BIGINT) AS max_hamming
+    FROM ham
+    GROUP BY 1
+    ORDER BY media_id
+    """,
+)
+def m6_shot_boundaries(spark: SparkSession, sf: str) -> DataFrame:
+    """Video shot-boundary detection over per-frame perceptual hashes:
+    consecutive frames whose fingerprint hamming distance exceeds a cut
+    threshold mark a shot change — the standard pre-pass before per-shot
+    frame sampling (m2) and near-dup video matching (the m4 banding
+    applied per shot), i.e. how a 100 TB video corpus gets deduplicated
+    at SHOT granularity instead of paying full-clip comparisons.
+
+    Media rows are synthesized from documents (the m2 convention) with a
+    deterministic per-media scene structure: scenes of 3-6 frames, each
+    frame's 64-bit fingerprint = four 16-bit md5 bands constant within
+    the scene, plus ONE per-frame noise bit XORed into band 0 (re-encode
+    jitter stand-in — a real pipeline computes the same bands from
+    decoded pixels in the m4 Pandas codec stage). Within a scene
+    consecutive frames differ by <= 2 bits; across a scene cut the bands
+    rehash (~32 expected); the cut rule is hamming > 8.
+
+    Scale shape: the frame plan is the m2 sequence-explode; fingerprints
+    are pure Catalyst md5/conv/xor column math (zero UDFs, zero payload
+    bytes shuffled); the boundary scan is ONE lag window per media
+    ordered by frame index; output is one row per clip. Determinism:
+    every step is integer-exact (md5 hex -> 16-bit ints, xor, bit_count),
+    replayed bit-for-bit by the oracle's from_hex/xor/bit_count chain."""
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") % 3 == 0)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (500 * (F.col("doc_id") % 20 + 1)).alias("duration_ms"),
+        (F.col("doc_id") % 4 + 3).alias("scene_len"),
+    )
+    frames = media.select(
+        "media_id",
+        "scene_len",
+        F.explode(F.sequence(F.lit(0), (F.col("duration_ms") / 500).cast("long"))).alias("idx"),
+    ).select(
+        "media_id",
+        "idx",
+        (F.col("idx") * 500).cast("long").alias("ts_ms"),
+        F.floor(F.col("idx") / F.col("scene_len")).alias("scene_id"),
+    )
+
+    def band(tag: str) -> F.Column:
+        key = F.concat_ws(":", F.col("media_id"), F.col("scene_id"), F.lit(tag))
+        return F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("long")
+
+    noise_slot = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col("media_id"), F.col("idx"), F.lit("n"))), 1, 1),
+        16, 10,
+    ).cast("long")
+    fp = frames.select(
+        "media_id", "idx", "ts_ms",
+        # 1 << slot via pow (shiftleft takes only a literal shift): exact
+        # in IEEE for slot <= 15
+        band("0").bitwiseXOR(F.pow(F.lit(2.0), noise_slot).cast("long")).alias("b0"),
+        band("1").alias("b1"),
+        band("2").alias("b2"),
+        band("3").alias("b3"),
+    )
+    w = Window.partitionBy("media_id").orderBy("idx")
+    d = sum(
+        F.bit_count(F.col(c).bitwiseXOR(F.lag(c).over(w)))
+        for c in ("b0", "b1", "b2", "b3")
+    )
+    ham = fp.select("media_id", "idx", "ts_ms", d.alias("d"))
+    return (
+        ham.groupBy("media_id")
+        .agg(
+            F.count("*").alias("n_frames"),
+            (F.lit(1) + F.sum(F.when(F.col("d") > 8, 1).otherwise(0))).cast("long").alias("n_shots"),
+            F.min(F.when(F.col("d") > 8, F.col("ts_ms"))).cast("long").alias("first_cut_ms"),
+            F.max(F.coalesce(F.col("d"), F.lit(0))).cast("long").alias("max_hamming"),
+        )
+        .orderBy("media_id")
+    )
