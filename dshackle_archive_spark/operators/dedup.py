@@ -24,6 +24,8 @@ Scale design
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from ..core.checkpoint import checkpoint_with_release, reliable_checkpoint
@@ -1038,6 +1040,68 @@ def maybe_broadcast(
     return df
 
 
+KCORE_DRIVER_EDGES_ENV = "SPARK_GRAFT_KCORE_DRIVER_EDGES"
+KCORE_DRIVER_EDGES_DEFAULT = 16_000_000  # ≈256 MB of (long, long) pairs
+
+
+def _kcore_driver_finish(cur: DataFrame, k: int) -> DataFrame:
+    """Finish a k-core peel driver-side in ONE pass over a small surviving
+    edge set (the v13 eigensolve precedent: once the distributed remainder
+    is driver-manageable, scheduling ~0.2 s Spark rounds per peel LEVEL is
+    pure fixed overhead — measured at sf0.1 the cascade tail is 21 levels
+    dropping 1-6 nodes each). Exact, not approximate: the k-core is the
+    unique maximal subgraph with min-degree ≥ k, so any correct peel order
+    yields the identical node set and in-core degrees.
+
+    Implementation: Arrow-collect the canonical edges, build a CSR
+    adjacency with numpy, then peel LEVEL-AT-A-TIME vectorized — per level
+    the removed nodes' neighbor slices are gathered (Python touches each
+    REMOVED node once, total work O(E)) and alive-neighbor degrees are
+    decremented via one bincount. Returns the (node, deg-inside-core)
+    DataFrame as a local relation."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = cur.sparkSession
+    node_type = cur.schema[0].dataType
+    out_schema = StructType(
+        [StructField("node", node_type), StructField("deg", LongType())]
+    )
+    pdf = cur.toPandas()
+    a, b = pdf.columns[0], pdf.columns[1]
+    if len(pdf) == 0:
+        return spark.createDataFrame([], out_schema)
+    both = np.concatenate([pdf[a].to_numpy(), pdf[b].to_numpy()])
+    # hash-based factorize (O(N)) over sort-based np.unique (O(N log N));
+    # int32 codes halve the CSR sort cost (node count ≪ 2³¹ by the cap)
+    inv, nodes = pd.factorize(both, sort=False)
+    inv = inv.astype(np.int32)
+    nodes = np.asarray(nodes)
+    m, n = len(pdf), len(nodes)
+    sa, sb = inv[:m], inv[m:]
+    u = np.concatenate([sa, sb])
+    # introsort, not stable: within-group neighbor order is irrelevant,
+    # and stable/radix measured 2.5x slower on 19M int32 keys
+    vs = np.concatenate([sb, sa])[np.argsort(u)]
+    degc = np.bincount(u, minlength=n).astype(np.int64)
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(degc, out=indptr[1:])
+    alive = np.ones(n, dtype=bool)
+    removed_now = np.flatnonzero(degc < k)
+    while removed_now.size:
+        alive[removed_now] = False
+        nbr_slices = [vs[indptr[x]: indptr[x + 1]] for x in removed_now]
+        nbrs = np.concatenate(nbr_slices)
+        nbrs = nbrs[alive[nbrs]]  # same-level / earlier removals: no-op
+        degc -= np.bincount(nbrs, minlength=n)
+        removed_now = np.flatnonzero(alive & (degc < k))
+    out = {"node": nodes[alive], "deg": degc[alive]}
+    import pandas as pd
+
+    return spark.createDataFrame(pd.DataFrame(out), out_schema)
+
+
 def kcore(
     edges: DataFrame,
     k: int,
@@ -1045,6 +1109,7 @@ def kcore(
     dst: str = "dst",
     canonical: bool = False,
     max_rounds: int = 64,
+    driver_finish_edges: int | None = None,
 ) -> DataFrame:
     """k-core of an undirected simple graph (Seidman 1983): the maximal
     subgraph in which every node has degree ≥ k — the standard pruning
@@ -1062,13 +1127,29 @@ def kcore(
     two id-only semi joins, with the surviving edge set
     reliable-checkpointed (same iterative-durability contract as
     large-star/small-star CC) so a lost executor replays from the round
-    boundary. The convergence test is FUSED into the round (round-10
-    task): the drop-count on the persisted degree table decides BEFORE
-    the joins run, so reaching the fixpoint costs one cheap degree-count
-    job — not a full wasted round that re-joins and re-checkpoints an
-    identical edge set just to observe an unchanged count. Round count is
-    the peel DEPTH (longest cascade), typically tiny; ``max_rounds`` is a
-    loud backstop, never a silent truncation."""
+    boundary. The convergence test is FUSED into the round: ONE agg on
+    the persisted degree table yields both the drop count (fixpoint,
+    decided BEFORE the joins run) and the surviving edge count.
+
+    Distributed-until-small hybrid (round-11): batch peeling's round
+    count is the cascade DEPTH, and measured at sf0.1 the tail is 21
+    levels dropping 1-6 nodes each at ~0.2-0.45 s of fixed scheduling
+    overhead per level — round latency, not per-round work, dominates
+    (a superstep-fusion attempt measured WORSE: 16.2 s vs 11.4 s,
+    PERF.md negative-result log). So when the surviving edge count —
+    read from the same agg that decides convergence — is at most
+    ``driver_finish_edges`` (default ``$SPARK_GRAFT_KCORE_DRIVER_EDGES``
+    or 16M edges ≈ 256 MB, the size class of a broadcast dimension
+    table; 0 disables), the peel finishes driver-side in one exact
+    vectorized pass (``_kcore_driver_finish``). At 100 TB scale the
+    distributed rounds strip the bulk until the survivor set fits the
+    cap; at bench scale the whole graph is already driver-manageable.
+    ``max_rounds`` stays a loud backstop on the distributed path, never
+    a silent truncation."""
+    if driver_finish_edges is None:
+        driver_finish_edges = int(
+            os.environ.get(KCORE_DRIVER_EDGES_ENV, KCORE_DRIVER_EDGES_DEFAULT)
+        )
     if canonical:
         canon = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     else:
@@ -1089,8 +1170,17 @@ def kcore(
             .persist()
         )
         try:
-            if degs.filter(F.col("deg") < k).count() == 0:
+            # one job: fixpoint drop-count + surviving-edge count (Σdeg/2)
+            row = degs.agg(
+                F.count(F.when(F.col("deg") < k, 1)).alias("drops"),
+                F.sum("deg").alias("degsum"),
+            ).collect()[0]
+            if (row["drops"] or 0) == 0:
                 break  # fixpoint decided pre-join: no confirmation round
+            if (row["degsum"] or 0) // 2 <= driver_finish_edges:
+                out = _kcore_driver_finish(cur, k)
+                release_cur()
+                return out
             keep = degs.filter(F.col("deg") >= k).select("node")
             nxt = cur.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
             nxt = nxt.join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
@@ -1101,6 +1191,8 @@ def kcore(
         release_cur()
         cur, release_cur = nxt, release_nxt
     else:
+        # error path must not leak the final round's pinned checkpoint
+        release_cur()
         raise RuntimeError(f"kcore({k}) did not converge in {max_rounds} rounds")
     return (
         cur.select(F.explode(F.array("a", "b")).alias("node"))
@@ -1192,6 +1284,8 @@ def ktruss(
             scored.unpersist()
         release_cur()
         cur, release_cur = nxt, release_nxt
+    # error path must not leak the final round's pinned checkpoint
+    release_cur()
     raise RuntimeError(f"ktruss({k}) did not converge in {max_rounds} rounds")
 
 

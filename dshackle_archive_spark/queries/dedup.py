@@ -1399,23 +1399,36 @@ def d19_kcore_prune(spark: SparkSession, sf: str) -> DataFrame:
 
     from ..operators.dedup import kcore
 
-    edges = _copurchase_edges(spark, sf)
-    deg = (
-        edges.select(F.explode(F.array("u", "v")).alias("node"))
-        .groupBy("node")
-        .agg(F.count("*").alias("deg"))
-    )
-    w = Window.orderBy("deg", "node")
-    ranked = deg.select(
-        "deg",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy()).alias("c"),
-    )
-    # discrete lower median: rn == (c+1) // 2
-    med = ranked.filter(F.col("rn") == F.floor((F.col("c") + 1) / 2))
-    m = med.collect()[0]["deg"]  # one metadata scalar (threshold)
-    k = int(math.ceil(0.7 * m))
-    core = kcore(edges, k, src="u", dst="v", canonical=True)
+    # persisted across BOTH consumers (the median threshold scan and the
+    # peel's round-0 checkpoint) so the grouped pair expansion runs once
+    edges = _copurchase_edges(spark, sf).persist()
+    try:
+        deg = (
+            edges.select(F.explode(F.array("u", "v")).alias("node"))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        # discrete lower median (rank (c+1)//2 ascending) via the
+        # distinct-value cumulative window — the d22 convention: the
+        # node-scale work stays in the groupBy, the window runs over the
+        # DISTINCT degree values only (metadata scale)
+        n_nodes = deg.count()
+        pos = (n_nodes + 1) // 2
+        ddist = deg.groupBy("deg").agg(F.count("*").alias("n"))
+        wcum = Window.orderBy("deg").rowsBetween(Window.unboundedPreceding, 0)
+        m = (
+            ddist.select("deg", F.sum("n").over(wcum).alias("cum"))
+            .filter(F.col("cum") >= pos)
+            .orderBy("deg")
+            .limit(1)
+            .collect()
+        )[0]["deg"]  # one metadata scalar (threshold)
+        k = int(math.ceil(0.7 * m))
+        # kcore eager-checkpoints its canonical frame, so the persisted
+        # edges are fully consumed by the time this call returns
+        core = kcore(edges, k, src="u", dst="v", canonical=True)
+    finally:
+        edges.unpersist()
     return core.select(
         "node", F.col("deg").cast("long").alias("core_deg")
     ).orderBy("node")
@@ -1781,14 +1794,23 @@ def d22_ktruss_prune(spark: SparkSession, sf: str) -> DataFrame:
     supall = edges.join(sup, ["u", "v"], "left").select(
         "u", "v", F.coalesce("s", F.lit(0)).alias("s")
     )
-    w = Window.orderBy("s", "u", "v")
-    ranked = supall.select(
-        "s",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy()).alias("c"),
-    )
-    med = ranked.filter(F.col("rn") == F.floor((F.col("c") + 1) / 2))
-    m = med.collect()[0]["s"]  # one metadata scalar (threshold)
+    # Discrete LOWER median of s (rank floor((n+1)/2) under ascending s;
+    # the old (s, u, v)-tiebroken row_number picked the same s value, but
+    # globally sorted every edge row in one partition to find it). Here
+    # the edge-scale work stays distributed: one groupBy on s, then the
+    # cumulative window runs over the DISTINCT support values only —
+    # metadata scale (bounded by max support), the d19 scalar convention.
+    n_edges = supall.count()
+    pos = (n_edges + 1) // 2
+    sdist = supall.groupBy("s").agg(F.count("*").alias("n"))
+    wcum = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    m = (
+        sdist.select("s", F.sum("n").over(wcum).alias("cum"))
+        .filter(F.col("cum") >= pos)
+        .orderBy("s")
+        .limit(1)
+        .collect()
+    )[0]["s"]  # one metadata scalar (threshold)
     min_sup = max(1, int(math.ceil(0.3 * m)))
     truss = ktruss(edges, min_sup + 2, src="u", dst="v", canonical=True)
     return (

@@ -466,19 +466,28 @@ def vacuum(
     # parquet FILES, so deleting a dropped manifest's files left its
     # per-attempt data directory behind holding only writer residue
     # (_SUCCESS, .crc) — one orphaned dir per micro-batch, forever, on a
-    # streaming state store. Remove any directory that held a doomed file
-    # and no longer holds any parquet we didn't just doom; a dir with an
-    # unknown (externally created) parquet is left alone.
-    live_dirs = {os.path.dirname(f) for f in live}
-    for d in sorted({os.path.dirname(rel) for rel in doomed} - live_dirs - {""}):
+    # streaming state store. Remove a directory that held a doomed file
+    # only when (a) no live manifest path lives anywhere UNDER it (not
+    # just as an immediate child — vacuum() is a public API over
+    # arbitrary roots, so nested layouts must be safe), and (b) every
+    # remaining entry is known writer residue (_SUCCESS, *.crc) or a
+    # file we just doomed. Any unknown payload — a sidecar, a non-parquet
+    # data file, an externally created parquet — leaves the dir alone.
+    def _residue(name: str) -> bool:
+        return name == "_SUCCESS" or name.endswith(".crc")
+
+    for d in sorted({os.path.dirname(rel) for rel in doomed} - {""}):
+        prefix = d + os.sep
+        if any(f == d or f.startswith(prefix) for f in live):
+            continue
         p = os.path.join(root, d)
         if not os.path.isdir(p):
             continue
-        keep_parquet = [
+        leftovers = [
             n for n in os.listdir(p)
-            if n.endswith(".parquet") and os.path.join(d, n) not in doomed
+            if not _residue(n) and os.path.join(d, n) not in doomed
         ]
-        if keep_parquet:
+        if leftovers:
             continue
         removed.append(d)
         if not dry_run:

@@ -85,7 +85,10 @@ def test_dfs_checkpoint_release_deletes_superseded_dirs(spark, _clean_env, tmp_p
     k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
     tail = [(0, 10), (10, 11), (11, 12)]
     e = spark.createDataFrame(k4 + tail, "u long, v long")
-    out = kcore(e, 2, src="u", dst="v", canonical=True)
+    # driver_finish_edges=0 pins the DISTRIBUTED peel (the path whose DFS
+    # behavior this test gates; the default cap would driver-finish a
+    # graph this small on round 0)
+    out = kcore(e, 2, src="u", dst="v", canonical=True, driver_finish_edges=0)
     rows = sorted(map(tuple, out.collect()))
     assert [n for n, _ in rows] == [0, 1, 2, 3]
     assert all(d >= 2 for _, d in rows)
@@ -152,10 +155,45 @@ def test_iterative_loops_release_superseded_rounds(spark):
     k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
     tail = [(0, 10), (10, 11), (11, 12)]
     e = spark.createDataFrame(k4 + tail, "u long, v long")
-    out = kcore(e, 2, src="u", dst="v", canonical=True)
+    # force the distributed peel — the leak class under test lives there
+    out = kcore(e, 2, src="u", dst="v", canonical=True, driver_finish_edges=0)
     assert out.count() == 4
     leaked = pinned() - base
     assert leaked <= 1, f"kcore left {leaked} pinned RDDs (superseded rounds leak)"
     released = release_all_pinned(spark)
     assert released >= leaked
     assert pinned() == 0
+
+
+def test_non_convergence_error_path_releases_pin(spark):
+    """Round-10 advice: on the ``did not converge`` raise path, kcore and
+    ktruss must release the final round's pinned checkpoint before raising
+    — the error path was the one remaining leak site of the class the
+    round-9/10 release work targets (a caller catching the backstop error
+    in a long-lived session would otherwise accumulate one pinned working
+    set per failed attempt)."""
+    import pytest
+
+    from dshackle_archive_spark.core.checkpoint import release_all_pinned
+    from dshackle_archive_spark.operators.dedup import kcore, ktruss
+
+    release_all_pinned(spark)  # clean slate
+
+    def pinned() -> int:
+        return int(spark.sparkContext._jsc.getPersistentRDDs().size())
+
+    # path graph: k=2 peel cascades from both ends — needs >1 round
+    path = [(i, i + 1) for i in range(10)]
+    e = spark.createDataFrame(path, "u long, v long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(
+            e, 2, src="u", dst="v", canonical=True,
+            max_rounds=1, driver_finish_edges=0,
+        )
+    assert pinned() == 0, "kcore error path leaked a pinned checkpoint"
+
+    # no edge closes a triangle: round 1 drops everything, fixpoint is
+    # only observable in round 2 — max_rounds=1 hits the backstop
+    with pytest.raises(RuntimeError, match="did not converge"):
+        ktruss(e, 3, src="u", dst="v", canonical=True, max_rounds=1)
+    assert pinned() == 0, "ktruss error path leaked a pinned checkpoint"

@@ -1502,11 +1502,46 @@ def test_kcore_peel_cascade_and_empty(spark):
     tail = [(0, 10), (10, 11), (11, 12)]
     e = spark.createDataFrame(k4 + tail, "u long, v long")
 
-    core2 = {r["node"]: r["deg"]
-             for r in D.kcore(e, 2, src="u", dst="v", canonical=True).collect()}
-    assert core2 == {0: 3, 1: 3, 2: 3, 3: 3}
+    # both peel paths — the round-11 driver-finish hybrid (default cap
+    # takes it on a graph this small) and the forced distributed peel —
+    # must produce the identical (node, in-core degree) set
+    for cap in (None, 0):
+        core2 = {r["node"]: r["deg"]
+                 for r in D.kcore(e, 2, src="u", dst="v", canonical=True,
+                                  driver_finish_edges=cap).collect()}
+        assert core2 == {0: 3, 1: 3, 2: 3, 3: 3}, f"cap={cap}"
 
-    assert D.kcore(e, 4, src="u", dst="v", canonical=True).count() == 0
+        assert D.kcore(e, 4, src="u", dst="v", canonical=True,
+                       driver_finish_edges=cap).count() == 0, f"cap={cap}"
+
+
+def test_kcore_driver_finish_matches_distributed_on_random_graph(spark):
+    """Path-equivalence on a non-trivial graph: the k-core is the UNIQUE
+    maximal subgraph of min-degree >= k, so the round-11 driver-finish
+    vectorized peel and the distributed semi-join peel must agree exactly
+    — node set AND in-core degrees — on a deterministic pseudo-random
+    graph with a real cascade (k chosen near the degree median)."""
+    import dshackle_archive_spark.operators.dedup as D
+
+    # deterministic "random" graph: 300 nodes, ~1800 multiplicative-hash
+    # edges (no RNG — repo convention)
+    edges = []
+    x = 1
+    for _ in range(1800):
+        x = (x * 1103515245 + 12345) % (2**31)
+        u, v = x % 300, (x // 300) % 300
+        if u != v:
+            edges.append((min(u, v), max(u, v)))
+    e = spark.createDataFrame(sorted(set(edges)), "u long, v long")
+    for k in (3, 8):
+        dist = {r["node"]: r["deg"]
+                for r in D.kcore(e, k, src="u", dst="v",
+                                 driver_finish_edges=0).collect()}
+        drv = {r["node"]: r["deg"]
+               for r in D.kcore(e, k, src="u", dst="v",
+                                driver_finish_edges=10**9).collect()}
+        assert dist == drv, f"k={k}: paths diverge"
+        assert dist and all(d >= k for d in dist.values())
 
 
 def test_theil_sen_resists_outlier_day(spark, tmp_path):

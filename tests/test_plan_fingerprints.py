@@ -31,6 +31,17 @@ commit the diff together with the code change that caused it —
 
     python tests/test_plan_fingerprints.py --regen            # sf0.001 table
     python tests/test_plan_fingerprints.py --regen --sf 0.1   # sf0.1 table
+    python tests/test_plan_fingerprints.py --regen --sf 0.1 --only d22_ktruss_prune
+
+``--only KEY[,KEY...]`` (round-11 task) regenerates just the named
+entries and leaves every other committed entry byte-identical — an
+intentional single-plan change should not force a full re-record. The
+full sf0.1 pass builds (not executes) all ~174 plans against the
+bench-scale tables and takes ~6-8 min on local[4]; a full sf0.001 pass
+~4-5 min; an --only pass is seconds per key. Fingerprints count plan
+NODES, so any scale dir with the tables present works for --only as
+long as it matches the table being updated (the tool derives the dir
+from --sf).
 
 Stats-robust invariants (asserted at ANY scale factor, no committed table
 needed): no query's plan may contain a CartesianProduct — the one join
@@ -75,18 +86,44 @@ def plan_fingerprint(plan: str) -> dict[str, int]:
     return fp
 
 
-def current_fingerprints(spark, sf_dir) -> dict[str, dict[str, int]]:
+def current_fingerprints(
+    spark, sf_dir, only: list[str] | None = None
+) -> dict[str, dict[str, int]]:
     import __spark_entry__ as entrymod
     from dshackle_archive_spark.core.checkpoint import release_all_pinned
 
+    registry = entrymod.queries()
+    if only is not None:
+        unknown = sorted(set(only) - set(registry))
+        if unknown:
+            raise KeyError(f"--only names not in the registry: {unknown}")
+        registry = {k: registry[k] for k in only}
     out = {}
-    for name, fn in entrymod.queries().items():
+    for name, fn in registry.items():
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         out[name] = plan_fingerprint(plan)
     # constructing iterative queries materializes checkpoints; a full
     # registry pass (and the determinism double-pass) must not leave
     # 170 queries' worth of pinned blocks behind
     release_all_pinned(spark)
+    return dict(sorted(out.items()))
+
+
+def merged_table(
+    existing: dict[str, dict[str, int]],
+    fresh: dict[str, dict[str, int]],
+    only: list[str] | None,
+) -> dict[str, dict[str, int]]:
+    """Merge a (possibly partial) regen pass into the committed table. A
+    full pass (only=None) REPLACES the table — removed registry keys drop
+    out. An --only pass updates exactly the named keys and must leave every
+    other committed entry untouched (byte-identical after json round-trip);
+    the partial-regen test enforces that contract."""
+    if only is None:
+        return dict(sorted(fresh.items()))
+    out = dict(existing)
+    for k in only:
+        out[k] = fresh[k]
     return dict(sorted(out.items()))
 
 
@@ -131,7 +168,7 @@ def fingerprints_twice(spark):
 def test_plan_shapes_match_committed_fingerprints(fingerprints_twice):
     table = _table_for(_suite_sf_dir())
     if table is None or not os.path.exists(table):
-        pytest.skip(f"no committed fingerprint table for {sf_dir}")
+        pytest.skip(f"no committed fingerprint table for {_suite_sf_dir()}")
     with open(table) as f:
         want = json.load(f)
     got = fingerprints_twice[0]
@@ -156,6 +193,29 @@ def test_regen_is_deterministic(fingerprints_twice):
     }
 
 
+def test_partial_regen_leaves_other_entries_byte_identical(spark):
+    """Round-11 task: ``--regen --only KEY`` must rewrite exactly the named
+    entries — every other committed entry survives the merge byte-identical
+    (json round-trip), so an intentional single-plan change never churns
+    unrelated fingerprints under time pressure."""
+    table = _table_for(_suite_sf_dir())
+    if table is None or not os.path.exists(table):
+        pytest.skip(f"no committed fingerprint table for {_suite_sf_dir()}")
+    with open(table) as f:
+        committed = json.load(f)
+    key = sorted(committed)[0]
+    fresh = current_fingerprints(spark, _suite_sf_dir(), only=[key])
+    assert set(fresh) == {key}  # --only computed nothing else
+    merged = merged_table(committed, fresh, [key])
+    strip = lambda t: json.dumps(  # noqa: E731
+        {k: v for k, v in t.items() if k != key}, sort_keys=True
+    )
+    assert strip(merged) == strip(committed)
+    assert set(merged) == set(committed)
+    with pytest.raises(KeyError):  # unknown keys fail loudly, not silently
+        current_fingerprints(spark, _suite_sf_dir(), only=["not_a_registry_key"])
+
+
 # NOTE: the stats-robust any-SF invariants (0 CartesianProducts, BNLJ only
 # on the allow-listed 1-row-bound queries) live in
 # test_registry_conventions.test_no_cartesian_products_anywhere — that test
@@ -169,19 +229,34 @@ if __name__ == "__main__":
 
     if "--regen" not in sys.argv:
         sys.exit(
-            "usage: python tests/test_plan_fingerprints.py --regen [--sf 0.1]"
+            "usage: python tests/test_plan_fingerprints.py --regen"
+            " [--sf 0.1] [--only KEY[,KEY...]]"
         )
     sf = sys.argv[sys.argv.index("--sf") + 1] if "--sf" in sys.argv else "0.001"
     if sf not in FINGERPRINT_TABLES:
         sys.exit(f"no table registered for sf{sf} ({sorted(FINGERPRINT_TABLES)})")
+    only = (
+        sys.argv[sys.argv.index("--only") + 1].split(",")
+        if "--only" in sys.argv
+        else None
+    )
+    table_path = FINGERPRINT_TABLES[sf]
+    existing: dict = {}
+    if os.path.exists(table_path):
+        with open(table_path) as f:
+            existing = json.load(f)
+    if only is not None and not existing:
+        sys.exit("--only requires an existing committed table to merge into")
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from dshackle_archive_spark.session import get_spark
 
     spark = get_spark("plan-fingerprints", master="local[4]")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
-    fps = current_fingerprints(spark, f"/root/testdata/sf{sf}")
-    with open(FINGERPRINT_TABLES[sf], "w") as f:
-        json.dump(fps, f, indent=1, sort_keys=True)
+    fps = current_fingerprints(spark, f"/root/testdata/sf{sf}", only=only)
+    out = merged_table(existing, fps, only)
+    with open(table_path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
         f.write("\n")
-    print(f"wrote {len(fps)} fingerprints to {FINGERPRINT_TABLES[sf]}")
+    what = f"{len(fps)} of {len(out)}" if only is not None else str(len(out))
+    print(f"wrote {what} fingerprints to {table_path}")
     spark.stop()

@@ -557,3 +557,42 @@ def test_sharded_manifest_million_files(tmp_path):
     remaining = os.listdir(mdir)
     assert not any(n.startswith(f"v{snap.version}-shard") for n in remaining)
     assert len(S.load_snapshot(root).files) == 1_000_000 - 999
+
+
+def test_vacuum_dir_sweep_spares_nested_live_and_sidecars(tmp_path):
+    """Round-10 advice hardening of the orphan-dir sweep: vacuum() is a
+    public API over arbitrary roots, so the sweep must (a) skip a dir when
+    a LIVE manifest path lives anywhere UNDER it — not just as an immediate
+    child — and (b) only delete a dir whose leftovers are known writer
+    residue (_SUCCESS, *.crc); an unknown sidecar/payload file keeps the
+    dir (and itself) alive. Only the pure-residue dir is swept."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "arch")
+
+    def mk(rel):
+        p = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        pq.write_table(pa.table({"x": [1]}), p)
+        return rel
+
+    doomed_nested = mk("a/old.parquet")      # live data NESTED below a/
+    live_nested = mk("a/sub/live.parquet")
+    doomed_sidecar = mk("b/old.parquet")     # unknown payload beside it
+    with open(os.path.join(root, "b", "notes.txt"), "w") as f:
+        f.write("sidecar payload vacuum must never delete")
+    doomed_clean = mk("c/old.parquet")       # only writer residue remains
+    open(os.path.join(root, "c", "_SUCCESS"), "w").close()
+    with open(os.path.join(root, "c", ".old.parquet.crc"), "w") as f:
+        f.write("crc")
+
+    S.publish_snapshot(root, [doomed_nested, doomed_sidecar, doomed_clean], note="v1")
+    S.publish_snapshot(root, [live_nested], note="v2")
+
+    removed = S.vacuum(root, keep_last=1)
+    assert set(removed) == {doomed_nested, doomed_sidecar, doomed_clean, "c"}
+    assert os.path.isfile(os.path.join(root, live_nested))  # nested live kept
+    assert os.path.isdir(os.path.join(root, "a"))           # its ancestor kept
+    assert os.path.isfile(os.path.join(root, "b", "notes.txt"))  # sidecar kept
+    assert not os.path.exists(os.path.join(root, "c"))      # pure residue swept
