@@ -161,7 +161,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tables", "-t", default="blocks,txes", help="comma list: blocks,txes,traces")
     p.add_argument("--range-chunk", "--range.chunk", "--rangeChunk", type=int,
                    default=1000, dest="chunk")
-    p.add_argument("--parallel", type=int, default=16, help="API rate cap (1-512)")
+    p.add_argument("--parallel", type=int, default=None,
+                   help="API rate cap (1-512); absent → "
+                        "$EMERALD_DSHACKLE_THREADS_API, then 16")
     p.add_argument("--dry-run", "--dryRun", "--dryrun", dest="dry_run",
                    action="store_true")
     p.add_argument("--fix-clean", "--fix.clean", dest="fix_clean",
@@ -401,7 +403,14 @@ def main(argv: list[str] | None = None) -> int:
         calls, state_diff = parse_trace_options(args.fields_trace)
     except ValueError as e:
         raise SystemExit(f"bad --fields-trace: {e}")
-    policy = FetchPolicy(parallel=max(1, min(args.parallel, 512)),
+    # one resolve at startup (set_threads parity, global.rs:62-97):
+    # --parallel > $EMERALD_DSHACKLE_THREADS_API > 16, clamped 1-512; the
+    # tx/trace/blocks caps honor their own env spellings over the derived
+    # api/2, api/4, api/2 defaults
+    from .sources.fetcher import resolve_threads
+
+    threads = resolve_threads(args.parallel)
+    policy = FetchPolicy(parallel=threads.api, threads=threads,
                          include_call_trace=calls,
                          include_state_diff=state_diff)
     from pyspark.sql import SparkSession

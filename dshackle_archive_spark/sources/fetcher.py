@@ -16,6 +16,7 @@ SURVEY §4).
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 from datetime import datetime, timezone
@@ -27,6 +28,73 @@ from pyspark.sql import DataFrame, SparkSession
 from ..core.ranges import Range
 from ..schemas import BLOCKS_SCHEMA, TRACES_SCHEMA, TRANSACTIONS_SCHEMA
 
+MAX_THREADS = 512  # global.rs:59
+DEFAULT_API_THREADS = 16  # global.rs:60
+
+THREADS_ENV = {
+    "api": "EMERALD_DSHACKLE_THREADS_API",
+    "tx": "EMERALD_DSHACKLE_THREADS_TX",
+    "trace": "EMERALD_DSHACKLE_THREADS_TRACE",
+    "blocks": "EMERALD_DSHACKLE_THREADS_BLOCK",
+}
+
+
+@dataclass(frozen=True)
+class ThreadsConfig:
+    """Per-kind fetch rate caps (reference ``ThreadsConfig``,
+    ``global.rs:59-97``)."""
+
+    api: int
+    tx: int
+    trace: int
+    blocks: int
+
+
+def _env_threads(name: str) -> int | None:
+    """``read_env`` parity (global.rs:104-106): unset OR unparseable → None
+    (the reference's ``parse().ok()`` swallows bad values silently)."""
+    raw = os.environ.get(name)
+    if raw is None:
+        return None
+    try:
+        v = int(raw)
+    except ValueError:
+        return None
+    return v if v >= 0 else None  # usize can't be negative
+
+
+def resolve_threads(parallel: int | None = None) -> ThreadsConfig:
+    """Resolve the per-kind fetch caps with the reference's exact
+    precedence and clamps (``set_threads``, ``global.rs:62-97``):
+
+    - api: ``--parallel`` flag > ``EMERALD_DSHACKLE_THREADS_API`` env >
+      default 16, then clamped to 1..512.
+    - tx / trace / blocks: the matching env var (clamped only to the
+      global 1..512 when set explicitly) > derived from api with the
+      tighter derived clamps — tx = (api/2).clamp(1, 64),
+      trace = (api/4).clamp(1, 16), blocks = (api/2).clamp(1, 64).
+
+    A real operator migrating from the reference sets these spellings in
+    a container env; honoring them is config-surface parity, not tuning.
+    """
+    api = parallel if parallel is not None else _env_threads(THREADS_ENV["api"])
+    if api is None:
+        api = DEFAULT_API_THREADS
+    api = max(1, min(api, MAX_THREADS))
+
+    def pick(kind: str, derived: int, derived_cap: int) -> int:
+        explicit = _env_threads(THREADS_ENV[kind])
+        if explicit is not None:
+            return max(1, min(explicit, MAX_THREADS))
+        return max(1, min(derived, derived_cap))
+
+    return ThreadsConfig(
+        api=api,
+        tx=pick("tx", api // 2, 64),
+        trace=pick("trace", api // 4, 16),
+        blocks=pick("blocks", api // 2, 64),
+    )
+
 
 @dataclass(frozen=True)
 class FetchPolicy:
@@ -35,9 +103,17 @@ class FetchPolicy:
     ``include_call_trace`` / ``include_state_diff`` are the reference's
     ``--fields.trace`` selection (``TraceOptions``, ``datakind.rs:224-256``):
     which geth tracers the trace archive runs per transaction. Both default
-    on, matching ``TraceOptions::default()``."""
+    on, matching ``TraceOptions::default()``.
 
-    parallel: int = 16
+    ``parallel`` mirrors ``--parallel``: ``None`` means "flag absent", so
+    the api cap falls through to ``$EMERALD_DSHACKLE_THREADS_API`` then the
+    default 16 (``global.rs:66-76``). ``threads`` carries a pre-resolved
+    ``ThreadsConfig`` (the CLI path resolves once at startup, like the
+    reference's ``set_threads``); when ``None``, per-kind caps resolve
+    lazily via ``thread_caps()`` — env overrides included either way."""
+
+    parallel: int | None = None
+    threads: ThreadsConfig | None = None
     attempts: int = 10
     backoff_base_s: float = 0.1
     backoff_factor: float = 1.75
@@ -45,6 +121,14 @@ class FetchPolicy:
     timeout_s: float = 10.0
     include_call_trace: bool = True
     include_state_diff: bool = True
+
+    def thread_caps(self) -> ThreadsConfig:
+        """The resolved per-kind caps this policy fetches under: an
+        explicit ``threads`` wins, else ``resolve_threads(self.parallel)``
+        (flag > env > default, reference clamps)."""
+        if self.threads is not None:
+            return self.threads
+        return resolve_threads(self.parallel)
 
     def call(self, fn: Callable, *args):
         delay = self.backoff_base_s
@@ -113,7 +197,7 @@ def fetch_blocks(
     heights (stream-mode behavior T5: both versions co-exist keyed by
     (height, blockId) until verify prunes losers).
     """
-    cap = max(1, policy.parallel // 2)  # blocks = api/2 (global.rs:78-97)
+    cap = policy.thread_caps().blocks  # blocks cap (global.rs:78-97)
 
     uncle_fn = getattr(provider, "uncles", None)
 
@@ -219,7 +303,8 @@ def fetch_table_for_heights(
     """Fetch txes/traces for a range (reference table.rs:17-150): per-height
     fan-out at the kind's rate cap, one row per (block, tx-index)."""
     with_traces = kind == "traces"
-    cap = max(1, policy.parallel // (4 if with_traces else 2))
+    caps = policy.thread_caps()
+    cap = caps.trace if with_traces else caps.tx
     schema = TRACES_SCHEMA if with_traces else TRANSACTIONS_SCHEMA
     cols = [f.name for f in schema.fields]
 

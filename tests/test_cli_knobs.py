@@ -413,3 +413,108 @@ def test_reference_spelling_table_fully_accepted():
             actions.append(by_option[opt])
         assert len({id(a) for a in actions}) == 1, \
             f"spellings of {group[0]} map to different options"
+
+
+# ---------------------------------------------------------------------------
+# EMERALD_DSHACKLE_THREADS_* env overrides (round-11 task; the one reference
+# surface gap VERDICT r10 found). Spec: global.rs:59-106 — api resolves
+# flag > env > default 16 then clamps 1..512; tx/trace/blocks resolve their
+# own env spelling (global 1..512 clamp only) over the derived
+# (api/2).clamp(1,64) / (api/4).clamp(1,16) / (api/2).clamp(1,64); read_env
+# silently ignores unparseable values (parse::<usize>().ok()).
+# ---------------------------------------------------------------------------
+
+THREAD_ENV_KEYS = [
+    "EMERALD_DSHACKLE_THREADS_API",
+    "EMERALD_DSHACKLE_THREADS_TX",
+    "EMERALD_DSHACKLE_THREADS_TRACE",
+    "EMERALD_DSHACKLE_THREADS_BLOCK",
+]
+
+
+@pytest.fixture()
+def _clean_thread_env(monkeypatch):
+    for k in THREAD_ENV_KEYS:
+        monkeypatch.delenv(k, raising=False)
+    return monkeypatch
+
+
+def test_threads_defaults_and_derived_clamps(_clean_thread_env):
+    from dshackle_archive_spark.sources.fetcher import resolve_threads
+
+    # no flag, no env: (16, 8, 4, 8) — global.rs:60, 78-88
+    t = resolve_threads()
+    assert (t.api, t.tx, t.trace, t.blocks) == (16, 8, 4, 8)
+    # derived caps bite: api=512 → tx/blocks capped 64, trace capped 16
+    t = resolve_threads(512)
+    assert (t.api, t.tx, t.trace, t.blocks) == (512, 64, 16, 64)
+    # api clamps to the global max; floor at 1
+    assert resolve_threads(9999).api == 512
+    assert resolve_threads(0).api == 1
+    t = resolve_threads(1)  # derived floors: max(1, ...)
+    assert (t.tx, t.trace, t.blocks) == (1, 1, 1)
+
+
+def test_threads_env_overrides_and_precedence(_clean_thread_env):
+    mp = _clean_thread_env
+    from dshackle_archive_spark.sources.fetcher import resolve_threads
+
+    # env api honored when the flag is absent, derived caps follow it
+    mp.setenv("EMERALD_DSHACKLE_THREADS_API", "40")
+    t = resolve_threads()
+    assert (t.api, t.tx, t.trace, t.blocks) == (40, 20, 10, 20)
+    # flag > env (global.rs:66-68)
+    assert resolve_threads(8).api == 8
+    # per-kind env: ONLY the global 512 clamp applies — an explicit env
+    # may exceed the derived cap (tx=100 > 64), gets clamped at 512, and
+    # floors at 1
+    mp.setenv("EMERALD_DSHACKLE_THREADS_TX", "100")
+    mp.setenv("EMERALD_DSHACKLE_THREADS_TRACE", "600")
+    mp.setenv("EMERALD_DSHACKLE_THREADS_BLOCK", "0")
+    t = resolve_threads(16)
+    assert (t.tx, t.trace, t.blocks) == (100, 512, 1)
+    # unparseable / negative env values are silently ignored
+    # (read_env's parse::<usize>().ok(), global.rs:104-106)
+    mp.setenv("EMERALD_DSHACKLE_THREADS_TX", "eight")
+    mp.setenv("EMERALD_DSHACKLE_THREADS_TRACE", "-3")
+    t = resolve_threads(16)
+    assert (t.tx, t.trace) == (8, 4)
+
+
+def test_threads_env_reaches_fetch_partitioning(_clean_thread_env, spark):
+    """The env override must reach the actual fetch fan-out: the blocks
+    stage partitions its height domain to the resolved blocks cap."""
+    mp = _clean_thread_env
+    from dshackle_archive_spark.core import Range
+    from dshackle_archive_spark.sources.fetcher import FetchPolicy, fetch_blocks
+    from dshackle_archive_spark.sources.mock_chain import MockChain
+
+    chain = MockChain(head_height=10_000)
+    # default-constructed policy (flag absent) resolves lazily → env wins
+    mp.setenv("EMERALD_DSHACKLE_THREADS_BLOCK", "3")
+    df = fetch_blocks(spark, chain, Range(0, 29), FetchPolicy(attempts=1))
+    assert df.rdd.getNumPartitions() == 3
+    assert df.count() == 30
+    # an explicit --parallel still derives blocks=api/2 when no env is set
+    mp.delenv("EMERALD_DSHACKLE_THREADS_BLOCK")
+    df = fetch_blocks(spark, chain, Range(0, 29), FetchPolicy(parallel=8))
+    assert df.rdd.getNumPartitions() == 4
+
+
+def test_cli_parallel_flag_beats_threads_env(_clean_thread_env, spark, tmp_path):
+    """END-TO-END through cli.main: --parallel present → env api ignored
+    (precedence, global.rs:66-68); absent → env api drives the caps."""
+    mp = _clean_thread_env
+    mp.setenv("EMERALD_DSHACKLE_THREADS_API", "2")
+    out = _run_cli([
+        "archive", "--dir", str(tmp_path / "a"), "--range", "100..119",
+        "--tables", "blocks", "--provider", "mock", "--range-chunk", "20",
+        "--master", "local[4]", "--parallel", "6",
+    ])
+    assert out["written"] == 1 and out["skipped"] == 0
+    out = _run_cli([
+        "archive", "--dir", str(tmp_path / "b"), "--range", "100..119",
+        "--tables", "blocks", "--provider", "mock", "--range-chunk", "20",
+        "--master", "local[4]",
+    ])
+    assert out["written"] == 1 and out["skipped"] == 0
