@@ -53,10 +53,44 @@ def _payload_invalid(col: str) -> F.Column:
     return c.isNull() | (F.length(c) == 0) | (c.cast("string") == "null")
 
 
+VERIFY_DRIVER_ROWS_ENV = "SPARK_GRAFT_VERIFY_MAX_DRIVER_ROWS"
+DEFAULT_VERIFY_DRIVER_ROWS = 100_000
+
+
+def _bounded_collect(df: DataFrame, what: str) -> list:
+    """Collect driver-side verify metadata under an ENFORCED ceiling.
+
+    The driver-state invariant (round-11 task): ``verify`` collects only
+    PER-CHUNK inventories — path lists, group keys, chunk-end scalars,
+    delete lists — whose size is set by chunking discipline (≤ ~1000
+    files per chunk at reference layout), never by data volume. Before
+    this guard the invariant was implicit: a caller handing verify an
+    unchunked fleet-scale scope would silently materialize a huge list on
+    the driver. Now every metadata collect routes here; the cap
+    (``$SPARK_GRAFT_VERIFY_MAX_DRIVER_ROWS``, default 100k — two orders
+    above any disciplined chunk) is pushed into the plan as a LIMIT, so
+    an absurd scope fails loudly after cap+1 rows instead of OOMing."""
+    cap = int(os.environ.get(VERIFY_DRIVER_ROWS_ENV, DEFAULT_VERIFY_DRIVER_ROWS))
+    rows = df.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise RuntimeError(
+            f"verify driver inventory for {what} exceeds {cap} rows — verify "
+            "is designed to run per-chunk; narrow the scope (--range-chunk) "
+            f"or raise ${VERIFY_DRIVER_ROWS_ENV}"
+        )
+    return rows
+
+
 def _read_kind(spark, base: str, inv: DataFrame, kind: str) -> DataFrame | None:
     from ..sources.avro_io import read_archive_data
 
-    paths = [r["path"] for r in inv.filter(F.col("kind") == kind).collect()]
+    paths = [
+        r["path"]
+        for r in _bounded_collect(
+            inv.filter(F.col("kind") == kind).select("path"),
+            f"{kind} path list",
+        )
+    ]
     if not paths:
         return None
     full = [os.path.join(base, p) for p in paths]
@@ -104,7 +138,8 @@ def verify_native(
     )
     ends = linked.groupBy("g_start").agg(F.max("height").alias("g_end"))
     lookup = spark.createDataFrame(
-        [(int(r["g_end"]), provider.block_hash(int(r["g_end"]))) for r in ends.collect()],
+        [(int(r["g_end"]), provider.block_hash(int(r["g_end"])))
+         for r in _bounded_collect(ends, "chunk-end list")],
         "g_end long, live_hash string",
     )
     blocks_stat = (
@@ -223,7 +258,7 @@ def verify(
     forked_heights = (
         singles.groupBy("start").agg(F.countDistinct("hash").alias("n")).filter("n > 1")
     )
-    fork_list = [r["start"] for r in forked_heights.collect()]
+    fork_list = [r["start"] for r in _bounded_collect(forked_heights, "forked heights")]
     if fork_list:
         lookup = spark.createDataFrame(
             [(h, provider.block_hash(h)) for h in fork_list], "start long, live_hash string"
@@ -262,7 +297,7 @@ def verify(
     )
     seen_groups: set = set()
     failed_group_keys: set[tuple[int, int]] = set()
-    for r in pruned_files.collect():
+    for r in _bounded_collect(pruned_files, "pruned-file list"):
         destructive = r["reason"] != "incomplete" or fix_clean
         if destructive:
             to_delete.add(r["path"])
@@ -331,7 +366,13 @@ def verify(
             ).otherwise(0),
         )
         # J5 head-hash confirmation against the live chain
-        ends = [r["g_end"] for r in bdf.select("g_end").distinct().collect() if r["g_end"] is not None]
+        ends = [
+            r["g_end"]
+            for r in _bounded_collect(
+                bdf.select("g_end").distinct(), "group-end list"
+            )
+            if r["g_end"] is not None
+        ]
         head_lookup = spark.createDataFrame(
             [(h, provider.block_hash(h)) for h in ends], "g_end long, live_hash string"
         )
@@ -421,7 +462,7 @@ def verify(
 
     failing_keys: list[tuple[int, int]] = []
     if bad_groups is not None:
-        for r in bad_groups.collect():
+        for r in _bounded_collect(bad_groups, "failing block groups"):
             failing_keys.append((r["g_start"], r["g_end"]))
             report.failures.append(
                 {
@@ -435,7 +476,7 @@ def verify(
     if "transactions" in kinds:
         bad_tx = tx_check("transactions", ["json", "raw"])
         if bad_tx is not None:
-            for r in bad_tx.collect():
+            for r in _bounded_collect(bad_tx, "failing tx groups"):
                 failing_keys.append((r["g_start"], r["g_end"]))
                 report.failures.append(
                     {
@@ -449,7 +490,7 @@ def verify(
     if "traces" in kinds:
         bad_tr = tx_check("traces", ["traceJson", "stateDiffJson"])
         if bad_tr is not None:
-            for r in bad_tr.collect():
+            for r in _bounded_collect(bad_tr, "failing trace groups"):
                 failing_keys.append((r["g_start"], r["g_end"]))
                 report.failures.append(
                     {"start": r["g_start"], "end": r["g_end"], "reason": "traces_content"}
@@ -465,7 +506,7 @@ def verify(
             "left_semi",
         ).select(F.col("m_start").alias("start"), F.col("m_end").alias("end"))
         fail_files = surviving_inv.join(fail_members, ["start", "end"], "left_semi")
-        for r in fail_files.collect():
+        for r in _bounded_collect(fail_files, "failing-island file list"):
             to_delete.add(r["path"])
             failed_group_keys.add((r["start"], r["end"]))
 

@@ -550,3 +550,22 @@ def test_layout_sink_writes_through_filesystem_uri(spark, tmp_path):
     wr2 = ref_layout.write_range_files(
         df, uri_root, "ETH", DataKind.BLOCKS, chunk=50, requested=Range(100, 149))
     assert [r["skipped"] for r in wr2.collect()] == [True]
+
+
+def test_verify_driver_inventory_bound_is_enforced(spark, tmp_path, monkeypatch):
+    """Round-11 task: the per-chunk driver-state invariant is now LOUD.
+    verify collects only chunk-scale metadata (path lists, group keys);
+    with an absurdly small ceiling the collect fails with a RuntimeError
+    naming the knob instead of silently materializing a fleet-scale list,
+    and the LIMIT pushdown means it fails after cap+1 rows. At the default
+    ceiling the same archive verifies clean."""
+    from dshackle_archive_spark.plans.verify_plan import VERIFY_DRIVER_ROWS_ENV
+
+    archive(spark, CHAIN, str(tmp_path), Range(100, 499), tables=BT,
+            chunk=100, policy=POLICY)
+    monkeypatch.setenv(VERIFY_DRIVER_ROWS_ENV, "2")  # 4 chunks > 2
+    with pytest.raises(RuntimeError, match="SPARK_GRAFT_VERIFY_MAX_DRIVER_ROWS"):
+        verify(spark, CHAIN, str(tmp_path), Range(100, 499), tables=BT)
+    monkeypatch.delenv(VERIFY_DRIVER_ROWS_ENV)
+    rep = verify(spark, CHAIN, str(tmp_path), Range(100, 499), tables=BT)
+    assert rep.failures == [] and rep.groups_ok == 4
