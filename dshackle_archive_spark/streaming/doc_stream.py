@@ -27,6 +27,27 @@ from ..core.checkpoint import reliable_checkpoint
 from ..operators.dedup import content_hash, normalized_text
 
 
+def _idempotent_batch_write(df: DataFrame, output_path: str, batch_id: int) -> None:
+    """Exactly-once parquet sink for the foreachBatch monitors (round-11
+    restart-chaos finding): ``mode("append")`` re-appends a replayed
+    batch's rows when the process is killed between the output write and
+    the streaming commit — the state snapshots were already exactly-once
+    by construction (a retry of batch N reads the newest pre-N manifest),
+    but the OUTPUT feed was only at-least-once. Writing each batch into
+    its own ``batch_id=N`` partition with DYNAMIC partition overwrite
+    makes the replay overwrite its own partition: idempotent per batch,
+    never a global truncate, and readers keep ``spark.read.parquet(out)``
+    (``batch_id`` comes back as a partition column)."""
+    if "batch_id" not in df.columns:
+        df = df.withColumn("batch_id", F.lit(int(batch_id)))
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(output_path)
+    )
+
+
 def streaming_exact_dedup(
     stream_docs: DataFrame,
     known_hashes: DataFrame | None = None,
@@ -370,7 +391,7 @@ def start_streaming_neardup_dedup(
             **step_kwargs,
         )
         try:
-            surv.write.mode("append").parquet(output_path)
+            _idempotent_batch_write(surv, output_path, batch_id)
         finally:
             for r in releases:
                 r()
@@ -481,7 +502,7 @@ def start_streaming_drift_monitor(
         scores = drift_batch_step(bdf, ref, batch_id)
         if alert_kl is not None:
             scores = scores.withColumn("alert", F.col("kl") >= alert_kl)
-        scores.write.mode("append").parquet(output_path)
+        _idempotent_batch_write(scores, output_path, batch_id)
 
     w = stream_docs.writeStream.foreachBatch(on_batch).option(
         "checkpointLocation", checkpoint
@@ -661,7 +682,7 @@ def start_streaming_heavy_hitters(
                 merged.coalesce(1), state_dir, batch_id,
                 note=f"count-min grid, batch {batch_id}",
             )
-            report.write.mode("append").parquet(output_path)
+            _idempotent_batch_write(report, output_path, batch_id)
         finally:
             for r in releases:
                 r()
@@ -793,9 +814,11 @@ def start_streaming_novelty_monitor(
             "est_union double, novel_est double, novelty_rate double"
             + (", alert boolean" if alert_below is not None else "")
         )
-        spark.createDataFrame([tuple(row.values())], schema).write.mode(
-            "append"
-        ).parquet(output_path)
+        _idempotent_batch_write(
+            spark.createDataFrame([tuple(row.values())], schema),
+            output_path,
+            batch_id,
+        )
 
     w = stream_docs.writeStream.foreachBatch(on_batch).option(
         "checkpointLocation", checkpoint

@@ -316,3 +316,41 @@ def test_executor_loss_ktruss_reliable_survives(spark, tmp_path):
     truth = sorted([str(v) for v in r] for r in df.collect())
     assert res["cols"] == sorted(df.columns)
     assert res["rows"] == truth
+
+
+def test_verify_fix_chaos_closed_loop(tmp_path):
+    """Round-11 task: the reference lifecycle end-to-end UNDER FAILURE.
+    Archive → damage a mix of files (one txes file deleted, one blocks
+    file corrupted at a single height) → ``verify --snapshot --fix.clean``
+    with every executor SIGKILLed mid-content-check → vacuum → ``fix
+    --snapshot``. The final snapshot (file list AND per-kind content
+    digest over stable columns) must equal an undisturbed clean run's —
+    the CAS commit loop, the vacuum, and plain-recompute stage retries
+    compose under the failure mode they exist for."""
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "verify_fix_chaos_probe.py")
+    runs = {}
+    for mode in ("clean", "chaos"):
+        out = tmp_path / f"{mode}.json"
+        proc = subprocess.run(
+            [sys.executable, script, str(tmp_path / mode), str(out), mode],
+            capture_output=True, text=True, timeout=900,
+        )
+        assert proc.returncode == 0, proc.stderr[-4000:]
+        with open(out) as f:
+            runs[mode] = json.load(f)
+    clean, chaos = runs["clean"], runs["chaos"]
+    assert clean["ok"], clean["error"]
+    assert chaos["ok"], chaos["error"]
+    # the chaos actually happened
+    assert chaos["killed"], "no executor was killed — probe misfired"
+    assert chaos["verify_failures"] >= 2  # incomplete + content corruption
+    assert chaos["pruned"] >= 3  # orphan blocks + corrupted chunk's pair
+    # adjacent missing chunks coalesce into one island per kind; fix then
+    # re-splits at chunk boundaries so the restored FILES keep chunk names
+    assert chaos["fixed"] == ["blocks:200..399", "transactions:200..399"]
+    # the clean run saw nothing to do
+    assert clean["verify_failures"] == 0 and clean["fixed"] == []
+    # closed loop: bit-for-bit the same final archive state
+    assert chaos["files"] == clean["files"]
+    assert chaos["digests"] == clean["digests"]

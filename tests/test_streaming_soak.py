@@ -35,10 +35,10 @@ N_BATCHES = 70  # x3 concurrent monitors = 210 micro-batches driven
 DOCS_PER_BATCH = 5
 
 
-def _write_source_files(src_dir: str) -> None:
-    """200-odd tiny parquet files (one per micro-batch via
-    maxFilesPerTrigger=1), written with pyarrow directly — 70 Spark write
-    jobs would dominate the soak's wall time with setup cost."""
+def _write_source_files(src_dir: str, n_batches: int = N_BATCHES) -> None:
+    """Tiny parquet files (one per micro-batch via maxFilesPerTrigger=1),
+    written with pyarrow directly — that many Spark write jobs would
+    dominate the soak's wall time with setup cost."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from datetime import datetime, timedelta, timezone
@@ -46,7 +46,7 @@ def _write_source_files(src_dir: str) -> None:
     os.makedirs(src_dir, exist_ok=True)
     t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
     boiler = " ".join(f"boiler{i}" for i in range(8))
-    for b in range(N_BATCHES):
+    for b in range(n_batches):
         ids, texts, evs = [], [], []
         for j in range(DOCS_PER_BATCH):
             d = b * DOCS_PER_BATCH + j
@@ -185,3 +185,131 @@ def test_monitor_soak_bounded_resources(spark, tmp_path):
     for name in ("neardup", "hh", "novelty"):
         n_files = len(_tree_files(dirs[name]["ckpt"]))
         assert n_files <= 120, (name, n_files)
+
+
+# ---------------------------------------------------------------------------
+# Restart-chaos soak (round-11 task): the 100 TB operating mode is monitors
+# that get KILLED and resumed, not one long-lived process. Hard-kill the
+# whole monitor process (SIGKILL — no cleanup, no stop()) after a non-final
+# batch of the parameterized monitor commits, restart from the checkpoints,
+# and assert the end state is IDENTICAL to an undisturbed clean run:
+# exactly-once across the restart boundary (no double-merged count-min grid,
+# no re-admitted or doubled near-dup survivor, no repeated novelty row).
+# This is what found the at-least-once output sink the monitors had before
+# round 11 (mode("append") re-appended a replayed batch's rows) — fixed by
+# _idempotent_batch_write's per-batch dynamic partition overwrite.
+# ---------------------------------------------------------------------------
+
+N_BATCHES_CHAOS = 12
+KILL_AT_COMMIT = 3  # SIGKILL once the target monitor commits batch 3
+
+
+def _probe_cmd(src: str, work: str) -> list[str]:
+    import sys as _sys
+
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "monitor_chaos_probe.py")
+    return [_sys.executable, script, src, work]
+
+
+def _out_rows(spark, out_dir: str) -> list[tuple]:
+    df = spark.read.parquet(out_dir)
+    cols = sorted(df.columns)
+    return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+
+def _state_rows(spark, state_dir: str) -> list[tuple]:
+    from dshackle_archive_spark.streaming.doc_stream import _load_state_snapshot
+
+    store = _load_state_snapshot(spark, state_dir, 10**9)
+    assert store is not None
+    return sorted(tuple(str(v) for v in r) for r in store.collect())
+
+
+@pytest.fixture(scope="module")
+def chaos_clean_run(tmp_path_factory):
+    """ONE undisturbed subprocess run — the ground truth every chaos run
+    must match exactly. Subprocess (not in-session) so clean and chaos
+    runs share identical session config."""
+    import subprocess
+
+    src = str(tmp_path_factory.mktemp("chaos_src"))
+    _write_source_files(src, N_BATCHES_CHAOS)
+    work = str(tmp_path_factory.mktemp("chaos_clean"))
+    proc = subprocess.run(
+        _probe_cmd(src, work), capture_output=True, text=True, timeout=600
+    )
+    assert proc.returncode == 0 and "DRAINED" in proc.stdout, (
+        f"clean run failed\nstdout: {proc.stdout[-2000:]}\n"
+        f"stderr: {proc.stderr[-4000:]}"
+    )
+    return src, work
+
+
+@pytest.mark.parametrize("kill_monitor", ["neardup", "hh", "novelty"])
+def test_restart_chaos_exactly_once(spark, tmp_path, chaos_clean_run, kill_monitor):
+    import signal
+    import subprocess
+    import time
+
+    from monitor_chaos_probe import monitor_dirs
+
+    src, clean_work = chaos_clean_run
+    work = str(tmp_path / "work")
+    dirs = monitor_dirs(work)
+
+    # ---- phase 1: run until the target monitor commits KILL_AT, SIGKILL --
+    proc = subprocess.Popen(
+        _probe_cmd(src, work), stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True,
+    )
+    commits_dir = os.path.join(dirs[kill_monitor]["ckpt"], "commits")
+    deadline = time.time() + 300
+    killed = False
+    while time.time() < deadline:
+        if proc.poll() is not None:
+            out, err = proc.communicate()
+            raise AssertionError(
+                f"probe drained before the kill point — raise N_BATCHES_CHAOS"
+                f"\nstdout: {out[-1000:]}\nstderr: {err[-2000:]}"
+            )
+        done = [int(f) for f in (os.listdir(commits_dir)
+                                 if os.path.isdir(commits_dir) else [])
+                if f.isdigit()]
+        if done and max(done) >= KILL_AT_COMMIT:
+            # non-final: input must remain for the resume leg to replay
+            assert max(done) < N_BATCHES_CHAOS - 1, "kill point too late"
+            os.kill(proc.pid, signal.SIGKILL)
+            killed = True
+            break
+        time.sleep(0.05)
+    assert killed, "kill condition never reached within 5 min"
+    proc.wait(timeout=60)
+    assert proc.returncode == -signal.SIGKILL
+
+    # ---- phase 2: restart from the checkpoints, drain the remainder ------
+    proc2 = subprocess.run(
+        _probe_cmd(src, work), capture_output=True, text=True, timeout=600
+    )
+    assert proc2.returncode == 0 and "DRAINED" in proc2.stdout, (
+        f"resume run failed\nstdout: {proc2.stdout[-2000:]}\n"
+        f"stderr: {proc2.stderr[-4000:]}"
+    )
+
+    # ---- exactly-once: end state identical to the undisturbed run --------
+    clean_dirs = monitor_dirs(clean_work)
+    for name in ("neardup", "hh", "novelty"):
+        got = _out_rows(spark, dirs[name]["out"])
+        want = _out_rows(spark, clean_dirs[name]["out"])
+        assert got == want, f"{name} output diverged across the restart"
+        got_state = _state_rows(spark, dirs[name]["state"])
+        want_state = _state_rows(spark, clean_dirs[name]["state"])
+        assert got_state == want_state, f"{name} store diverged across restart"
+    # spot invariants on the chaos run itself (not just equality)
+    surv = spark.read.parquet(dirs["neardup"]["out"])
+    assert surv.count() == 5 + 4 * (N_BATCHES_CHAOS - 1)
+    nov = spark.read.parquet(dirs["novelty"]["out"])
+    assert nov.count() == N_BATCHES_CHAOS  # one row per batch, no repeats
+    hh = spark.read.parquet(dirs["hh"]["out"])
+    assert hh.select("batch_id").distinct().count() == N_BATCHES_CHAOS
+    assert hh.filter("est_total < batch_count").count() == 0
