@@ -30,7 +30,14 @@ from dshackle_archive_spark import queries as Q
 from dshackle_archive_spark.core.checkpoint import release_all_pinned
 from dshackle_archive_spark.session import get_spark
 
-NAMES = ["d12_triangle_count", "d16_degree_assortativity", "d17_adamic_adar"]
+NAMES = [
+    "d12_triangle_count",
+    "d16_degree_assortativity",
+    "d17_adamic_adar",
+    # round-11: the k-core driver-finish hybrid's recorded ×8 evidence
+    # (sf0.1 3.62 s / ×8 12.95 s) is reproducible here
+    "d19_kcore_prune",
+]
 COPIES = 8
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 BASE = "/root/testdata/sf0.1"

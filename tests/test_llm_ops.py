@@ -1543,6 +1543,22 @@ def test_kcore_driver_finish_matches_distributed_on_random_graph(spark):
         assert dist == drv, f"k={k}: paths diverge"
         assert dist and all(d >= k for d in dist.values())
 
+    # the driver finish is node-type-generic (pd.factorize over object
+    # arrays): the SAME graph with string node ids peels identically on
+    # both paths and matches the long-keyed k=3 core exactly
+    long_core3 = {r["node"]: r["deg"]
+                  for r in D.kcore(e, 3, src="u", dst="v",
+                                   driver_finish_edges=0).collect()}
+    es = spark.createDataFrame(
+        [(f"n{a:03d}", f"n{b:03d}") for a, b in sorted(set(edges))],
+        "u string, v string",
+    )
+    for cap in (0, 10**9):
+        got = {r["node"]: r["deg"]
+               for r in D.kcore(es, 3, src="u", dst="v",
+                                driver_finish_edges=cap).collect()}
+        assert got == {f"n{n:03d}": d for n, d in long_core3.items()}, f"cap={cap}"
+
 
 def test_theil_sen_resists_outlier_day(spark, tmp_path):
     """Planted series: 6 days of perfect +2/day growth plus one extreme
