@@ -1797,16 +1797,19 @@ def d22_ktruss_prune(spark: SparkSession, sf: str) -> DataFrame:
     # Discrete LOWER median of s (rank floor((n+1)/2) under ascending s;
     # the old (s, u, v)-tiebroken row_number picked the same s value, but
     # globally sorted every edge row in one partition to find it). Here
-    # the edge-scale work stays distributed: one groupBy on s, then the
-    # cumulative window runs over the DISTINCT support values only —
+    # the edge-scale work stays distributed AND single-pass: one groupBy
+    # on s, then both windows (cumulative count and the grand total the
+    # median rank needs) run over the DISTINCT support values only —
     # metadata scale (bounded by max support), the d19 scalar convention.
-    n_edges = supall.count()
-    pos = (n_edges + 1) // 2
     sdist = supall.groupBy("s").agg(F.count("*").alias("n"))
     wcum = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
     m = (
-        sdist.select("s", F.sum("n").over(wcum).alias("cum"))
-        .filter(F.col("cum") >= pos)
+        sdist.select(
+            "s",
+            F.sum("n").over(wcum).alias("cum"),
+            F.sum("n").over(Window.partitionBy()).alias("total"),
+        )
+        .filter(F.col("cum") >= F.floor((F.col("total") + 1) / 2))
         .orderBy("s")
         .limit(1)
         .collect()
