@@ -1104,12 +1104,13 @@ def _kcore_driver_finish(cur: DataFrame, k: int) -> DataFrame:
 
 def kcore(
     edges: DataFrame,
-    k: int,
+    k: int | None,
     src: str = "src",
     dst: str = "dst",
     canonical: bool = False,
     max_rounds: int = 64,
     driver_finish_edges: int | None = None,
+    threshold_fn=None,
 ) -> DataFrame:
     """k-core of an undirected simple graph (Seidman 1983): the maximal
     subgraph in which every node has degree ≥ k — the standard pruning
@@ -1145,7 +1146,16 @@ def kcore(
     distributed rounds strip the bulk until the survivor set fits the
     cap; at bench scale the whole graph is already driver-manageable.
     ``max_rounds`` stays a loud backstop on the distributed path, never
-    a silent truncation."""
+    a silent truncation.
+
+    Data-relative thresholds (round-11): pass ``k=None`` with
+    ``threshold_fn(degs) -> int`` and the threshold derives from the
+    peel's OWN persisted round-0 degree table — a caller computing a
+    degree statistic (median, percentile) for k would otherwise run the
+    exact aggregation round 0 immediately repeats; the hook removes one
+    full pass over the edge list at any scale."""
+    if (k is None) == (threshold_fn is None):
+        raise ValueError("exactly one of k / threshold_fn must be given")
     if driver_finish_edges is None:
         driver_finish_edges = int(
             os.environ.get(KCORE_DRIVER_EDGES_ENV, KCORE_DRIVER_EDGES_DEFAULT)
@@ -1170,6 +1180,8 @@ def kcore(
             .persist()
         )
         try:
+            if k is None:
+                k = int(threshold_fn(degs))  # reads the persisted table
             # one job: fixpoint drop-count + surviving-edge count (Σdeg/2)
             row = degs.agg(
                 F.count(F.when(F.col("deg") < k, 1)).alias("drops"),

@@ -1399,36 +1399,34 @@ def d19_kcore_prune(spark: SparkSession, sf: str) -> DataFrame:
 
     from ..operators.dedup import kcore
 
-    # persisted across BOTH consumers (the median threshold scan and the
-    # peel's round-0 checkpoint) so the grouped pair expansion runs once
-    edges = _copurchase_edges(spark, sf).persist()
-    try:
-        deg = (
-            edges.select(F.explode(F.array("u", "v")).alias("node"))
-            .groupBy("node")
-            .agg(F.count("*").alias("deg"))
-        )
-        # discrete lower median (rank (c+1)//2 ascending) via the
-        # distinct-value cumulative window — the d22 convention: the
-        # node-scale work stays in the groupBy, the window runs over the
-        # DISTINCT degree values only (metadata scale)
-        n_nodes = deg.count()
-        pos = (n_nodes + 1) // 2
-        ddist = deg.groupBy("deg").agg(F.count("*").alias("n"))
+    def median_k(degs: DataFrame) -> int:
+        """ceil(0.7 × discrete lower median degree), computed from the
+        peel's OWN persisted round-0 degree table (the round-11
+        threshold_fn hook — the separate median pass used to re-aggregate
+        the whole edge list that round 0 immediately re-aggregated).
+        Discrete lower median = rank (c+1)//2 ascending, via the
+        distinct-value cumulative window (the d22 convention): node-scale
+        work stays in the groupBy, the windows run over the DISTINCT
+        degree values only — metadata scale."""
+        ddist = degs.groupBy("deg").agg(F.count("*").alias("n"))
         wcum = Window.orderBy("deg").rowsBetween(Window.unboundedPreceding, 0)
         m = (
-            ddist.select("deg", F.sum("n").over(wcum).alias("cum"))
-            .filter(F.col("cum") >= pos)
+            ddist.select(
+                "deg",
+                F.sum("n").over(wcum).alias("cum"),
+                F.sum("n").over(Window.partitionBy()).alias("total"),
+            )
+            .filter(F.col("cum") >= F.floor((F.col("total") + 1) / 2))
             .orderBy("deg")
             .limit(1)
             .collect()
         )[0]["deg"]  # one metadata scalar (threshold)
-        k = int(math.ceil(0.7 * m))
-        # kcore eager-checkpoints its canonical frame, so the persisted
-        # edges are fully consumed by the time this call returns
-        core = kcore(edges, k, src="u", dst="v", canonical=True)
-    finally:
-        edges.unpersist()
+        return int(math.ceil(0.7 * m))
+
+    core = kcore(
+        _copurchase_edges(spark, sf), None,
+        src="u", dst="v", canonical=True, threshold_fn=median_k,
+    )
     return core.select(
         "node", F.col("deg").cast("long").alias("core_deg")
     ).orderBy("node")

@@ -1543,6 +1543,22 @@ def test_kcore_driver_finish_matches_distributed_on_random_graph(spark):
         assert dist == drv, f"k={k}: paths diverge"
         assert dist and all(d >= k for d in dist.values())
 
+    # round-11 threshold_fn hook: k derived from the peel's own round-0
+    # degree table equals a fixed-k call, and the exactly-one-of contract
+    # is loud
+    import pytest as _pytest
+
+    hooked = {r["node"]: r["deg"]
+              for r in D.kcore(e, None, src="u", dst="v", threshold_fn=lambda
+                               degs: 3).collect()}
+    fixed = {r["node"]: r["deg"]
+             for r in D.kcore(e, 3, src="u", dst="v").collect()}
+    assert hooked == fixed
+    with _pytest.raises(ValueError, match="exactly one"):
+        D.kcore(e, None, src="u", dst="v")
+    with _pytest.raises(ValueError, match="exactly one"):
+        D.kcore(e, 3, src="u", dst="v", threshold_fn=lambda degs: 3)
+
     # the driver finish is node-type-generic (pd.factorize over object
     # arrays): the SAME graph with string node ids peels identically on
     # both paths and matches the long-keyed k=3 core exactly
