@@ -354,3 +354,40 @@ def test_verify_fix_chaos_closed_loop(tmp_path):
     # closed loop: bit-for-bit the same final archive state
     assert chaos["files"] == clean["files"]
     assert chaos["digests"] == clean["digests"]
+
+
+def test_compact_chaos_executor_loss_matches_clean(tmp_path):
+    """Round-11: the one lifecycle mutation the verify→fix leg doesn't
+    cover — ``compact --snapshot`` REWRITES data (singles → range files,
+    tmp+rename, overwrite) then CAS-swaps the manifest. SIGKILL every
+    executor as the second kind's rewrite starts: the write job, the
+    J6/A7 reconciliation, and the snapshot commit must complete on
+    respawned executors with a final snapshot identical to a clean run."""
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "compact_chaos_probe.py")
+    runs = {}
+    for mode in ("clean", "chaos"):
+        out = tmp_path / f"{mode}.json"
+        proc = subprocess.run(
+            [sys.executable, script, str(tmp_path / mode), str(out), mode],
+            capture_output=True, text=True, timeout=900,
+        )
+        assert proc.returncode == 0, proc.stderr[-4000:]
+        with open(out) as f:
+            runs[mode] = json.load(f)
+    clean, chaos = runs["clean"], runs["chaos"]
+    assert clean["ok"], clean["error"]
+    assert chaos["ok"], chaos["error"]
+    assert chaos["killed"], "no executor was killed — probe misfired"
+    for r in (clean, chaos):
+        assert r["compacted"] == [[100, 199], [200, 299]], r
+        assert r["skipped"] == []
+        assert r["snapshot_version"] is not None
+    assert chaos["files"] == clean["files"]
+    assert sorted(clean["files"]) == [
+        "000000000/range-000000100_000000199.blocks.parquet",
+        "000000000/range-000000100_000000199.txes.parquet",
+        "000000000/range-000000200_000000299.blocks.parquet",
+        "000000000/range-000000200_000000299.txes.parquet",
+    ]
+    assert chaos["digests"] == clean["digests"]
