@@ -1712,3 +1712,28 @@ def test_ktruss_drops_pendant_triangles_keeps_clique(spark):
     core_nodes = {r["node"] for r in
                   kcore(e, 2, src="u", dst="v", canonical=True).collect()}
     assert {10, 11} <= core_nodes
+
+
+def test_kcore_driver_cap_env_selects_path(spark, monkeypatch):
+    """The SPARK_GRAFT_KCORE_DRIVER_EDGES env knob picks the peel path
+    when the parameter is not given: 0 forces the distributed peel (plan
+    ends in the degree aggregation), a generous cap yields the
+    driver-finish local relation. Values match either way."""
+    import dshackle_archive_spark.operators.dedup as D
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    e = spark.createDataFrame(k4 + [(0, 10), (10, 11)], "u long, v long")
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    monkeypatch.setenv(D.KCORE_DRIVER_EDGES_ENV, "0")
+    dist = D.kcore(e, 2, src="u", dst="v")
+    assert "LocalTableScan" not in plan_of(dist)
+    monkeypatch.setenv(D.KCORE_DRIVER_EDGES_ENV, "1000000")
+    drv = D.kcore(e, 2, src="u", dst="v")
+    assert "LocalTableScan" in plan_of(drv)
+    monkeypatch.delenv(D.KCORE_DRIVER_EDGES_ENV)
+    a = {(r["node"], r["deg"]) for r in dist.collect()}
+    b = {(r["node"], r["deg"]) for r in drv.collect()}
+    assert a == b and len(a) > 0

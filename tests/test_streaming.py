@@ -1111,3 +1111,27 @@ def test_streaming_novelty_monitor(spark, tmp_path):
     prev = SNAP.load_snapshot(state, snap.version - 1)
     if prev is not None and prev.files:
         assert spark.read.parquet(*prev.paths()).count() <= 1024
+
+
+def test_idempotent_batch_write_replay_overwrites_own_partition(spark, tmp_path):
+    """Fast guard for the round-11 restart-chaos finding: a replayed
+    foreachBatch (process killed between output write and streaming
+    commit) must overwrite ITS OWN batch partition, not append a second
+    copy — and must not touch other batches' partitions."""
+    from pyspark.sql import functions as F
+
+    from dshackle_archive_spark.streaming.doc_stream import (
+        _idempotent_batch_write,
+    )
+
+    out = str(tmp_path / "out")
+    df3 = spark.range(5).select(F.col("id").alias("doc_id"))
+    df4 = spark.range(7).select(F.col("id").alias("doc_id"))
+    _idempotent_batch_write(df3, out, 3)
+    _idempotent_batch_write(df4, out, 4)
+    _idempotent_batch_write(df3, out, 3)  # the replay
+    got = spark.read.parquet(out)
+    assert got.count() == 12  # 5 + 7, not 17
+    per = {r["batch_id"]: r["n"] for r in
+           got.groupBy("batch_id").agg(F.count("*").alias("n")).collect()}
+    assert {int(k): v for k, v in per.items()} == {3: 5, 4: 7}
