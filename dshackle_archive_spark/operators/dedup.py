@@ -1097,8 +1097,6 @@ def _kcore_driver_finish(cur: DataFrame, k: int) -> DataFrame:
         degc -= np.bincount(nbrs, minlength=n)
         removed_now = np.flatnonzero(alive & (degc < k))
     out = {"node": nodes[alive], "deg": degc[alive]}
-    import pandas as pd
-
     return spark.createDataFrame(pd.DataFrame(out), out_schema)
 
 
@@ -1157,8 +1155,10 @@ def kcore(
     if (k is None) == (threshold_fn is None):
         raise ValueError("exactly one of k / threshold_fn must be given")
     if driver_finish_edges is None:
-        driver_finish_edges = int(
-            os.environ.get(KCORE_DRIVER_EDGES_ENV, KCORE_DRIVER_EDGES_DEFAULT)
+        from ..core.env import env_int
+
+        driver_finish_edges = env_int(
+            KCORE_DRIVER_EDGES_ENV, KCORE_DRIVER_EDGES_DEFAULT
         )
     if canonical:
         canon = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -1171,41 +1171,67 @@ def kcore(
             .filter(F.col("a") != F.col("b"))
             .distinct()
         )
+    # non-numeric node ids (strings) are ~8x wider than a long once
+    # Arrow-collected into object arrays — scale the edge-count cap so
+    # the driver-memory budget it encodes (≈256 MB at the default) holds
+    # regardless of key type
+    from pyspark.sql.types import NumericType
+
+    if not isinstance(canon.schema[0].dataType, NumericType):
+        driver_finish_edges //= 8
     cur, release_cur = checkpoint_with_release(canon)
-    for _ in range(max_rounds):
-        degs = (
-            cur.select(F.explode(F.array("a", "b")).alias("node"))
-            .groupBy("node")
-            .agg(F.count("*").alias("deg"))
-            .persist()
-        )
-        try:
-            if k is None:
-                k = int(threshold_fn(degs))  # reads the persisted table
-            # one job: fixpoint drop-count + surviving-edge count (Σdeg/2)
-            row = degs.agg(
-                F.count(F.when(F.col("deg") < k, 1)).alias("drops"),
-                F.sum("deg").alias("degsum"),
-            ).collect()[0]
-            if (row["drops"] or 0) == 0:
-                break  # fixpoint decided pre-join: no confirmation round
-            if (row["degsum"] or 0) // 2 <= driver_finish_edges:
-                out = _kcore_driver_finish(cur, k)
-                release_cur()
-                return out
-            keep = degs.filter(F.col("deg") >= k).select("node")
-            nxt = cur.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
-            nxt = nxt.join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
-            nxt, release_nxt = checkpoint_with_release(nxt)
-        finally:
-            degs.unpersist()
-        # round i's pinned blocks freed once round i+1 is materialized
+    release_nxt = None
+    try:
+        for _ in range(max_rounds):
+            release_nxt = None
+            degs = (
+                cur.select(F.explode(F.array("a", "b")).alias("node"))
+                .groupBy("node")
+                .agg(F.count("*").alias("deg"))
+                .persist()
+            )
+            try:
+                if k is None:
+                    # an empty graph has an empty core for any k>=1 — decide
+                    # BEFORE calling threshold_fn (whose statistic is
+                    # undefined on an empty degree table); one trivial job
+                    # on the persisted (empty) table
+                    if degs.limit(1).count() == 0:
+                        break
+                    k = int(threshold_fn(degs))  # reads the persisted table
+                # one job: fixpoint drop-count + surviving-edge count (Σdeg/2)
+                row = degs.agg(
+                    F.count(F.when(F.col("deg") < k, 1)).alias("drops"),
+                    F.sum("deg").alias("degsum"),
+                ).collect()[0]
+                if (row["drops"] or 0) == 0:
+                    break  # fixpoint decided pre-join: no confirmation round
+                if (row["degsum"] or 0) // 2 <= driver_finish_edges:
+                    out = _kcore_driver_finish(cur, k)
+                    release_cur()
+                    return out
+                keep = degs.filter(F.col("deg") >= k).select("node")
+                nxt = cur.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+                nxt = nxt.join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+                nxt, release_nxt = checkpoint_with_release(nxt)
+            finally:
+                degs.unpersist()
+            # round i's pinned blocks freed once round i+1 is materialized
+            release_cur()
+            cur, release_cur = nxt, release_nxt
+            release_nxt = None
+        else:
+            raise RuntimeError(
+                f"kcore({k}) did not converge in {max_rounds} rounds"
+            )
+    except BaseException:
+        # NO exception path may leak a pinned checkpoint (the round-10/11
+        # leak class): release the current round and, if a next-round
+        # checkpoint materialized before the failure, that one too
         release_cur()
-        cur, release_cur = nxt, release_nxt
-    else:
-        # error path must not leak the final round's pinned checkpoint
-        release_cur()
-        raise RuntimeError(f"kcore({k}) did not converge in {max_rounds} rounds")
+        if release_nxt is not None and release_nxt is not release_cur:
+            release_nxt()
+        raise
     return (
         cur.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
@@ -1259,46 +1285,55 @@ def ktruss(
         )
     min_sup = k - 2
     cur, release_cur = checkpoint_with_release(canon)
-    for _ in range(max_rounds):
-        e1 = cur.select(F.col("a").alias("x"), F.col("b").alias("y"))
-        e2 = cur.select(F.col("a").alias("y"), F.col("b").alias("z"))
-        e3 = cur.select(F.col("a").alias("x"), F.col("b").alias("z"))
-        tri = e1.join(e2, "y").join(e3, ["x", "z"])
-        sup = (
-            tri.select(
-                F.explode(
-                    F.array(
-                        F.struct(F.col("x").alias("a"), F.col("y").alias("b")),
-                        F.struct(F.col("x").alias("a"), F.col("z").alias("b")),
-                        F.struct(F.col("y").alias("a"), F.col("z").alias("b")),
-                    )
-                ).alias("e")
+    release_nxt = None
+    try:
+        for _ in range(max_rounds):
+            release_nxt = None
+            e1 = cur.select(F.col("a").alias("x"), F.col("b").alias("y"))
+            e2 = cur.select(F.col("a").alias("y"), F.col("b").alias("z"))
+            e3 = cur.select(F.col("a").alias("x"), F.col("b").alias("z"))
+            tri = e1.join(e2, "y").join(e3, ["x", "z"])
+            sup = (
+                tri.select(
+                    F.explode(
+                        F.array(
+                            F.struct(F.col("x").alias("a"), F.col("y").alias("b")),
+                            F.struct(F.col("x").alias("a"), F.col("z").alias("b")),
+                            F.struct(F.col("y").alias("a"), F.col("z").alias("b")),
+                        )
+                    ).alias("e")
+                )
+                .groupBy("e.a", "e.b")
+                .agg(F.count("*").alias("support"))
             )
-            .groupBy("e.a", "e.b")
-            .agg(F.count("*").alias("support"))
-        )
-        scored = (
-            cur.join(sup, ["a", "b"], "left")
-            .select("a", "b", F.coalesce("support", F.lit(0)).alias("support"))
-            .persist()
-        )
-        try:
-            if scored.filter(F.col("support") < min_sup).count() == 0:
-                # fixpoint: `scored` IS the truss with its final support —
-                # checkpoint it (caller-visible pin, the kcore contract)
-                final, _release_final = checkpoint_with_release(scored)
-                release_cur()
-                return final
-            nxt, release_nxt = checkpoint_with_release(
-                scored.filter(F.col("support") >= min_sup).select("a", "b")
+            scored = (
+                cur.join(sup, ["a", "b"], "left")
+                .select("a", "b", F.coalesce("support", F.lit(0)).alias("support"))
+                .persist()
             )
-        finally:
-            scored.unpersist()
+            try:
+                if scored.filter(F.col("support") < min_sup).count() == 0:
+                    # fixpoint: `scored` IS the truss with its final support —
+                    # checkpoint it (caller-visible pin, the kcore contract)
+                    final, _release_final = checkpoint_with_release(scored)
+                    release_cur()
+                    return final
+                nxt, release_nxt = checkpoint_with_release(
+                    scored.filter(F.col("support") >= min_sup).select("a", "b")
+                )
+            finally:
+                scored.unpersist()
+            release_cur()
+            cur, release_cur = nxt, release_nxt
+            release_nxt = None
+        raise RuntimeError(f"ktruss({k}) did not converge in {max_rounds} rounds")
+    except BaseException:
+        # NO exception path may leak a pinned checkpoint (round-10/11
+        # leak class) — current round plus any already-materialized next
         release_cur()
-        cur, release_cur = nxt, release_nxt
-    # error path must not leak the final round's pinned checkpoint
-    release_cur()
-    raise RuntimeError(f"ktruss({k}) did not converge in {max_rounds} rounds")
+        if release_nxt is not None and release_nxt is not release_cur:
+            release_nxt()
+        raise
 
 
 def doulion_keep(u: Column, v: Column, sample_p: float, salt: str = "tri") -> Column:

@@ -70,7 +70,9 @@ def _bounded_collect(df: DataFrame, what: str) -> list:
     (``$SPARK_GRAFT_VERIFY_MAX_DRIVER_ROWS``, default 100k — two orders
     above any disciplined chunk) is pushed into the plan as a LIMIT, so
     an absurd scope fails loudly after cap+1 rows instead of OOMing."""
-    cap = int(os.environ.get(VERIFY_DRIVER_ROWS_ENV, DEFAULT_VERIFY_DRIVER_ROWS))
+    from ..core.env import env_int
+
+    cap = env_int(VERIFY_DRIVER_ROWS_ENV, DEFAULT_VERIFY_DRIVER_ROWS)
     rows = df.limit(cap + 1).collect()
     if len(rows) > cap:
         raise RuntimeError(

@@ -1307,6 +1307,37 @@ def d18_triangle_sample_audit(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _discrete_lower_median(df: DataFrame, col: str):
+    """Discrete LOWER median of ``df[col]`` — the value at rank
+    ``floor((n+1)/2)`` under ascending order — as ONE collected metadata
+    scalar, with the row-scale work kept distributed: one groupBy on the
+    value, then cumulative-count and grand-total windows over the
+    DISTINCT values only (metadata scale, bounded by the value range).
+    The scale-safe replacement (round-11 advice) for a global
+    ``row_number`` window, which single-partition-sorts the whole table.
+    Shared by d19's degree threshold and d22's support threshold; raises
+    loudly on an empty input (the statistic is undefined — callers that
+    can see empty inputs must decide before calling, as kcore's
+    empty-graph short-circuit does)."""
+    dist = df.groupBy(col).agg(F.count("*").alias("n"))
+    wcum = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+    rows = (
+        dist.select(
+            col,
+            F.sum("n").over(wcum).alias("cum"),
+            F.sum("n").over(Window.partitionBy()).alias("total"),
+        )
+        .filter(F.col("cum") >= F.floor((F.col("total") + 1) / 2))
+        .orderBy(col)
+        .limit(1)
+        .collect()
+    )
+    if not rows:
+        raise ValueError(f"discrete median of empty input ({col})")
+    return rows[0][col]
+
+
+
 def _kcore_iter_sql(prev: str, cur: str) -> str:
     """One unrolled k-core peel CTE: keep only edges whose BOTH endpoints
     have degree >= k in the previous round's surviving edge set — matches
@@ -1403,25 +1434,10 @@ def d19_kcore_prune(spark: SparkSession, sf: str) -> DataFrame:
         """ceil(0.7 × discrete lower median degree), computed from the
         peel's OWN persisted round-0 degree table (the round-11
         threshold_fn hook — the separate median pass used to re-aggregate
-        the whole edge list that round 0 immediately re-aggregated).
-        Discrete lower median = rank (c+1)//2 ascending, via the
-        distinct-value cumulative window (the d22 convention): node-scale
-        work stays in the groupBy, the windows run over the DISTINCT
-        degree values only — metadata scale."""
-        ddist = degs.groupBy("deg").agg(F.count("*").alias("n"))
-        wcum = Window.orderBy("deg").rowsBetween(Window.unboundedPreceding, 0)
-        m = (
-            ddist.select(
-                "deg",
-                F.sum("n").over(wcum).alias("cum"),
-                F.sum("n").over(Window.partitionBy()).alias("total"),
-            )
-            .filter(F.col("cum") >= F.floor((F.col("total") + 1) / 2))
-            .orderBy("deg")
-            .limit(1)
-            .collect()
-        )[0]["deg"]  # one metadata scalar (threshold)
-        return int(math.ceil(0.7 * m))
+        the whole edge list that round 0 immediately re-aggregated);
+        kcore's empty-graph short-circuit guarantees this is never
+        called on an empty table."""
+        return int(math.ceil(0.7 * _discrete_lower_median(degs, "deg")))
 
     core = kcore(
         _copurchase_edges(spark, sf), None,
@@ -1794,24 +1810,10 @@ def d22_ktruss_prune(spark: SparkSession, sf: str) -> DataFrame:
     )
     # Discrete LOWER median of s (rank floor((n+1)/2) under ascending s;
     # the old (s, u, v)-tiebroken row_number picked the same s value, but
-    # globally sorted every edge row in one partition to find it). Here
-    # the edge-scale work stays distributed AND single-pass: one groupBy
-    # on s, then both windows (cumulative count and the grand total the
-    # median rank needs) run over the DISTINCT support values only —
-    # metadata scale (bounded by max support), the d19 scalar convention.
-    sdist = supall.groupBy("s").agg(F.count("*").alias("n"))
-    wcum = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
-    m = (
-        sdist.select(
-            "s",
-            F.sum("n").over(wcum).alias("cum"),
-            F.sum("n").over(Window.partitionBy()).alias("total"),
-        )
-        .filter(F.col("cum") >= F.floor((F.col("total") + 1) / 2))
-        .orderBy("s")
-        .limit(1)
-        .collect()
-    )[0]["s"]  # one metadata scalar (threshold)
+    # globally sorted every edge row in one partition to find it) — the
+    # shared _discrete_lower_median helper keeps the edge-scale work
+    # distributed and single-pass (one metadata scalar collected).
+    m = _discrete_lower_median(supall, "s")
     min_sup = max(1, int(math.ceil(0.3 * m)))
     truss = ktruss(edges, min_sup + 2, src="u", dst="v", canonical=True)
     return (

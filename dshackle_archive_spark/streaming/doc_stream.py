@@ -37,7 +37,25 @@ def _idempotent_batch_write(df: DataFrame, output_path: str, batch_id: int) -> N
     its own ``batch_id=N`` partition with DYNAMIC partition overwrite
     makes the replay overwrite its own partition: idempotent per batch,
     never a global truncate, and readers keep ``spark.read.parquet(out)``
-    (``batch_id`` comes back as a partition column)."""
+    (``batch_id`` comes back as a partition column).
+
+    MIGRATION NOTE: an output directory written by the pre-round-11
+    APPEND sink holds flat ``part-*.parquet`` files; mixing the
+    partitioned layout into it would make every subsequent read fail
+    with "conflicting directory structures". A best-effort local check
+    refuses loudly up front — move the legacy files into a
+    ``batch_id=-1/`` subdirectory (they keep reading fine there) or
+    point the monitor at a fresh output path."""
+    import os as _os
+
+    if _os.path.isdir(output_path) and any(
+        n.endswith(".parquet") for n in _os.listdir(output_path)
+    ):
+        raise RuntimeError(
+            f"{output_path} holds flat (pre-partitioned-layout) parquet "
+            "files from the legacy append sink; move them into a "
+            "batch_id=-1/ subdirectory or use a fresh output path"
+        )
     if "batch_id" not in df.columns:
         df = df.withColumn("batch_id", F.lit(int(batch_id)))
     (

@@ -197,3 +197,37 @@ def test_non_convergence_error_path_releases_pin(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
         ktruss(e, 3, src="u", dst="v", canonical=True, max_rounds=1)
     assert pinned() == 0, "ktruss error path leaked a pinned checkpoint"
+
+
+def test_threshold_fn_failure_releases_pin(spark):
+    """Round-11 review finding: a raising threshold_fn (or any mid-loop
+    failure) must not leak the pinned round-0 checkpoint — the same leak
+    class as the non-convergence path, one exception site over."""
+    import pytest
+
+    from dshackle_archive_spark.core.checkpoint import release_all_pinned
+    from dshackle_archive_spark.operators.dedup import kcore
+
+    release_all_pinned(spark)
+
+    def pinned() -> int:
+        return int(spark.sparkContext._jsc.getPersistentRDDs().size())
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
+
+    def boom(degs):
+        raise RuntimeError("threshold exploded")
+
+    with pytest.raises(RuntimeError, match="threshold exploded"):
+        kcore(e, None, src="u", dst="v", threshold_fn=boom)
+    assert pinned() == 0, "threshold_fn failure leaked a pinned checkpoint"
+
+    # an EMPTY graph with a data-relative threshold returns an empty core
+    # without ever calling threshold_fn (whose statistic is undefined)
+    empty = spark.createDataFrame([], "u long, v long")
+    out = kcore(empty, None, src="u", dst="v", threshold_fn=boom)
+    assert out.count() == 0
+    # the SUCCESS contract allows exactly the final round's pin (the
+    # result reads from it) — nothing more
+    assert pinned() <= 1
+    release_all_pinned(spark)

@@ -518,3 +518,19 @@ def test_cli_parallel_flag_beats_threads_env(_clean_thread_env, spark, tmp_path)
         "--master", "local[4]",
     ])
     assert out["written"] == 1 and out["skipped"] == 0
+
+
+def test_engine_int_env_knobs_fail_loudly_with_name(monkeypatch):
+    """Round-11 review finding: the engine's own SPARK_GRAFT_* integer
+    knobs must fail naming the variable on a typo'd value (contrast the
+    EMERALD_DSHACKLE_THREADS_* family, which silently ignores bad values
+    as reference parity)."""
+    from dshackle_archive_spark.core.env import env_int
+
+    monkeypatch.setenv("SPARK_GRAFT_TEST_KNOB", "16M")
+    with pytest.raises(ValueError, match=r"\$SPARK_GRAFT_TEST_KNOB"):
+        env_int("SPARK_GRAFT_TEST_KNOB", 5)
+    monkeypatch.delenv("SPARK_GRAFT_TEST_KNOB")
+    assert env_int("SPARK_GRAFT_TEST_KNOB", 5) == 5
+    monkeypatch.setenv("SPARK_GRAFT_TEST_KNOB", "42")
+    assert env_int("SPARK_GRAFT_TEST_KNOB", 5) == 42

@@ -1135,3 +1135,22 @@ def test_idempotent_batch_write_replay_overwrites_own_partition(spark, tmp_path)
     per = {r["batch_id"]: r["n"] for r in
            got.groupBy("batch_id").agg(F.count("*").alias("n")).collect()}
     assert {int(k): v for k, v in per.items()} == {3: 5, 4: 7}
+
+
+def test_idempotent_batch_write_refuses_legacy_flat_layout(spark, tmp_path):
+    """Round-11 review finding: an output dir written by the legacy
+    APPEND sink (flat part-*.parquet) must be refused loudly — mixing
+    the batch_id-partitioned layout into it would break every subsequent
+    read with 'conflicting directory structures'."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dshackle_archive_spark.streaming.doc_stream import (
+        _idempotent_batch_write,
+    )
+
+    out = str(tmp_path / "legacy")
+    df = spark.range(3).select(F.col("id").alias("doc_id"))
+    df.write.mode("append").parquet(out)  # the pre-round-11 layout
+    with pytest.raises(RuntimeError, match="legacy append sink"):
+        _idempotent_batch_write(df, out, 7)
