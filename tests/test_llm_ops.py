@@ -267,11 +267,14 @@ def test_star_cc_chain_graph_logarithmic_rounds(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
     )
-    got, rounds = connected_components_star(pairs)
+    # driver_finish_edges=0 pins the DISTRIBUTED contraction — the round-11
+    # driver-finish hybrid would otherwise label this graph locally in 0
+    # rounds and the log-rounds assertion below would be vacuous
+    got, rounds = connected_components_star(pairs, driver_finish_edges=0)
     rows = got.collect()
     assert {r["cluster"] for r in rows} == {0} and len(rows) == n
     # 2·log2(n)+4 bound: large+small star contract path length ~2× per round
-    assert rounds <= 2 * int(math.log2(n)) + 4, rounds
+    assert 1 <= rounds <= 2 * int(math.log2(n)) + 4, rounds
 
 
 def test_cluster_representatives_longest_wins(spark):
@@ -623,6 +626,72 @@ def test_star_cc_random_graphs_match_label_propagation(spark):
         star_df, _ = connected_components_star(pairs, nodes=nodes)
         star = {r["doc_id"]: r["cluster"] for r in star_df.collect()}
         assert star == base, (n, sorted(edges))
+
+
+def test_star_cc_driver_finish_matches_distributed(spark):
+    """Path-equivalence for the round-11 CC driver-finish hybrid: the
+    labeling ``cluster = min(node in component)`` is unique, so the
+    vectorized driver pass and the distributed star contraction must agree
+    exactly — on a deterministic pseudo-random long-keyed graph with
+    singleton padding, and on STRING keys (where the driver pass relies on
+    pandas/numpy code-point ordering agreeing with Spark's UTF8 binary
+    ``least``/``greatest``)."""
+    from dshackle_archive_spark.operators.dedup import connected_components_star
+
+    # deterministic "random" graph: 120 nodes, ~300 multiplicative-hash
+    # edges incl. self-loops (no RNG — repo convention)
+    edges, x = [], 1
+    for _ in range(300):
+        x = (x * 1103515245 + 12345) % (2**31)
+        edges.append((x % 120, (x // 120) % 120))
+    nodes = spark.createDataFrame([(i,) for i in range(140)], "doc_id long")
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    dist_df, dist_rounds = connected_components_star(
+        pairs, nodes=nodes, driver_finish_edges=0
+    )
+    drv_df, drv_rounds = connected_components_star(
+        pairs, nodes=nodes, driver_finish_edges=10**9
+    )
+    dist = {r["doc_id"]: r["cluster"] for r in dist_df.collect()}
+    drv = {r["doc_id"]: r["cluster"] for r in drv_df.collect()}
+    assert dist == drv and len(dist) == 140
+    assert dist_rounds >= 1 and drv_rounds == 0
+
+    s_edges = [(f"doc-{a:03d}", f"doc-{b:03d}") for a, b in edges[:80]]
+    s_pairs = spark.createDataFrame(s_edges, "doc_a string, doc_b string")
+    sd, _ = connected_components_star(s_pairs, driver_finish_edges=0)
+    sv, r0 = connected_components_star(s_pairs, driver_finish_edges=10**9)
+    assert (
+        {(r["doc_id"], r["cluster"]) for r in sd.collect()}
+        == {(r["doc_id"], r["cluster"]) for r in sv.collect()}
+        and r0 == 0
+    )
+
+
+def test_star_cc_driver_cap_env_selects_path(spark, monkeypatch):
+    """The SPARK_GRAFT_CC_DRIVER_EDGES env knob picks the path when the
+    parameter is not given: 0 forces the distributed star contraction (no
+    local relation in the plan), a generous cap yields the driver-finish
+    local relation. Values match either way."""
+    import dshackle_archive_spark.operators.dedup as D
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)] + [(20, 21)], "doc_a long, doc_b long"
+    )
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    monkeypatch.setenv(D.CC_DRIVER_EDGES_ENV, "0")
+    dist, rd = D.connected_components_star(pairs)
+    assert "LocalTableScan" not in plan_of(dist) and rd >= 1
+    monkeypatch.setenv(D.CC_DRIVER_EDGES_ENV, "1000000")
+    drv, rv = D.connected_components_star(pairs)
+    assert "LocalTableScan" in plan_of(drv) and rv == 0
+    monkeypatch.delenv(D.CC_DRIVER_EDGES_ENV)
+    a = {(r["doc_id"], r["cluster"]) for r in dist.collect()}
+    b = {(r["doc_id"], r["cluster"]) for r in drv.collect()}
+    assert a == b and len(a) == 12
 
 
 def test_containment_catches_fragment_jaccard_misses(spark):
