@@ -7,7 +7,11 @@ session: rep pairs alternate (A, B, A, B, ...), so ambient load hits both
 arms equally and the ratio is trustworthy even when absolutes are not.
 
 Usage:
-  python examples/ab_env_bench.py ENVVAR A_VALUE B_VALUE q1 [q2 ...]
+  python examples/ab_env_bench.py VAR A_VALUE B_VALUE q1 [q2 ...]
+
+``VAR`` starting with ``spark.`` is set as a runtime SQL conf
+(``spark.conf.set``) instead of a process env var — for A/B-ing
+runtime-settable session settings (AQE knobs, thresholds) the same way.
 
 Example (round-11 CC driver-finish hybrid):
   python examples/ab_env_bench.py SPARK_GRAFT_CC_DRIVER_EDGES 0 16000000 \
@@ -38,6 +42,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     reg = Q.registry()
 
+    def set_var(v: str) -> None:
+        if env.startswith("spark."):
+            spark.conf.set(env, v)
+        else:
+            os.environ[env] = v
+
     def run(n: str, d: str) -> float:
         t0 = time.perf_counter()
         reg[n](spark, d).write.mode("overwrite").format("noop").save()
@@ -47,15 +57,15 @@ def main() -> None:
 
     for n in names:  # warmup both arms (JIT/codegen) on the smallest sf
         for v in (a_val, b_val):
-            os.environ[env] = v
+            set_var(v)
             run(n, os.path.join(data_root, "sf0.001"))
 
     for n in names:
         ta, tb = [], []
         for _ in range(reps):
-            os.environ[env] = a_val
+            set_var(a_val)
             ta.append(run(n, sf_dir))
-            os.environ[env] = b_val
+            set_var(b_val)
             tb.append(run(n, sf_dir))
         ma, mb = statistics.median(ta), statistics.median(tb)
         print(
