@@ -1009,6 +1009,7 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    broadcast_limit_rows: int = 1_000_000,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list →
     ``(node, pr)`` — the classic link-centrality score a web-scale
@@ -1017,33 +1018,48 @@ def pagerank(
     crawlers). Fixed iteration count keeps the computation a pure,
     replayable dataflow.
 
-    Scale design: per iteration ONE equi-join shuffle (ranks × out-edges)
-    plus a grouped sum on the destination — the same join primitive as
+    Scale design: per iteration ONE equi-join (ranks × out-edges) plus a
+    grouped sum on the destination — the same join primitive as
     ``connected_components``; out-degrees are computed once and ride along
     the checkpointed edge table, and the node count folds in as a 1-row
-    broadcast, never a driver-side constant. Dangling mass: callers that
-    pass graphs with sink nodes should pre-symmetrize (as the d11 registry
-    query does) or accept rank leakage — the uniform teleport term keeps
-    the recursion well-defined either way."""
+    broadcast, never a driver-side constant. The rank vector and the
+    per-iteration contribution table are NODE-count-scale (exactly n and
+    ≤ n rows), so both sides carry a :func:`maybe_broadcast` hint gated on
+    the measured vertex count (the checkpointed ``verts`` table) — under
+    the budget every iteration streams the checkpointed edge table past a
+    broadcast rank vector with zero edge shuffles (the SMJ cascade a
+    stats-free ExistingRDD scan otherwise forces); above it the joins are
+    plain equi-joins AQE plans from runtime stats. Dangling mass: callers
+    that pass graphs with sink nodes should pre-symmetrize (as the d11
+    registry query does) or accept rank leakage — the uniform teleport
+    term keeps the recursion well-defined either way."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     deg = e.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
     ed = e.join(deg, "src").transform(reliable_checkpoint)
     verts = ed.select(F.col("src").alias("node")).unionByName(
         ed.select(F.col("dst").alias("node"))
     ).distinct().transform(reliable_checkpoint)
+    n_nodes = verts.count()  # measured on the materialized checkpoint
     nn = verts.groupBy().agg(F.count("*").cast("double").alias("n"))
     ranks = verts.crossJoin(F.broadcast(nn)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("pr")
     )
     for _ in range(iters):
+        r = maybe_broadcast(ranks, n_nodes, 24, limit_rows=broadcast_limit_rows)
         contrib = (
-            ranks.join(ed, ranks["node"] == ed["src"])
+            r.join(ed, r["node"] == ed["src"])
             .groupBy("dst")
             .agg(F.sum(F.col("pr") / F.col("deg")).alias("mass"))
             .withColumnRenamed("dst", "node")
         )
         ranks = (
-            verts.join(contrib, "node", "left")
+            verts.join(
+                maybe_broadcast(
+                    contrib, n_nodes, 24, limit_rows=broadcast_limit_rows
+                ),
+                "node",
+                "left",
+            )
             .crossJoin(F.broadcast(nn))
             .select(
                 "node",
@@ -1344,11 +1360,12 @@ def kcore(
 
 def ktruss(
     edges: DataFrame,
-    k: int,
+    k: int | None,
     src: str = "src",
     dst: str = "dst",
     canonical: bool = False,
     max_rounds: int = 64,
+    threshold_fn=None,
 ) -> DataFrame:
     """k-truss of an undirected simple graph (Cohen 2008): the maximal
     subgraph in which every EDGE closes >= k-2 triangles — the edge-level
@@ -1374,7 +1391,19 @@ def ktruss(
     triangle pass. Scale shape per round: one wedge join bounded by
     Σ_y deg⁺(y)·deg⁻(y) + one id-only groupBy; rounds = peel depth
     (measured: 1 at sf0.001, 4 at sf0.01 for the d22 threshold);
-    ``max_rounds`` is a loud backstop."""
+    ``max_rounds`` is a loud backstop.
+
+    Data-relative thresholds (the kcore round-11 hook): pass ``k=None``
+    with ``threshold_fn(scored) -> k`` and the threshold derives from the
+    peel's OWN persisted round-0 ``(a, b, support)`` table — a caller
+    computing a support statistic (median, percentile) for k would
+    otherwise run the exact triangle enumeration + support groupBy that
+    round 0 immediately repeats; the hook removes one full triangle pass
+    over the edge list at any scale. On an empty edge set the (empty)
+    truss returns before ``threshold_fn`` is consulted (its statistic is
+    undefined there)."""
+    if (k is None) == (threshold_fn is None):
+        raise ValueError("exactly one of k / threshold_fn must be given")
     if canonical:
         canon = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     else:
@@ -1386,7 +1415,7 @@ def ktruss(
             .filter(F.col("a") != F.col("b"))
             .distinct()
         )
-    min_sup = k - 2
+    min_sup = None if k is None else k - 2
     cur, release_cur = checkpoint_with_release(canon)
     release_nxt = None
     try:
@@ -1415,6 +1444,14 @@ def ktruss(
                 .persist()
             )
             try:
+                if min_sup is None:
+                    # empty graph ⇒ empty truss for any k — decide BEFORE
+                    # calling threshold_fn (undefined on an empty table)
+                    if scored.limit(1).count() == 0:
+                        final, _release_final = checkpoint_with_release(scored)
+                        release_cur()
+                        return final
+                    min_sup = int(threshold_fn(scored)) - 2  # reads the persisted table
                 if scored.filter(F.col("support") < min_sup).count() == 0:
                     # fixpoint: `scored` IS the truss with its final support —
                     # checkpoint it (caller-visible pin, the kcore contract)
@@ -1429,7 +1466,10 @@ def ktruss(
             release_cur()
             cur, release_cur = nxt, release_nxt
             release_nxt = None
-        raise RuntimeError(f"ktruss({k}) did not converge in {max_rounds} rounds")
+        raise RuntimeError(
+            f"ktruss({min_sup + 2 if min_sup is not None else k}) "
+            f"did not converge in {max_rounds} rounds"
+        )
     except BaseException:
         # NO exception path may leak a pinned checkpoint (round-10/11
         # leak class) — current round plus any already-materialized next
@@ -1453,6 +1493,82 @@ def doulion_keep(u: Column, v: Column, sample_p: float, salt: str = "tri") -> Co
     return h < F.lit(threshold)
 
 
+def triangle_close_edges(
+    canon: DataFrame, broadcast_limit_rows: int = 5_000_000
+) -> tuple[DataFrame, DataFrame]:
+    """Shared triangle-ENUMERATION core of :func:`triangle_counts` and the
+    d18 sampling audit: degree-ordered orientation (Suri & Vassilvitskii
+    WWW'11) + in-row ``array_intersect`` close over a canonical
+    (``a`` < ``b``, distinct) edge set.
+
+    Returns ``(deg, tri_edges)``:
+
+    - ``deg`` — the materialized ``(node, deg)`` undirected-degree table
+      (every node, computed for the orientation anyway);
+    - ``tri_edges`` — one row per oriented edge closing ≥ 1 triangle:
+      ``(u, v, common)`` with ``common`` the sorted array of closing third
+      nodes. Each triangle of the input graph appears EXACTLY once, at the
+      edge between its two lower-(degree, id) endpoints — so callers can
+      derive exact totals (Σ size(common)), per-corner rollups, or
+      per-triangle predicates (the d18 DOULION replay) from a single
+      enumeration pass.
+
+    Scale shape: orientation caps out-degree at O(√2m) (a degree-d hub
+    owns O(d) oriented edges, never O(d²) wedges); adjacency/degree sides
+    broadcast only under a measured-count + bytes budget
+    (:func:`maybe_broadcast`), else plain equi-joins AQE plans from
+    runtime stats; wedges never materialize — only the O(#triangles)
+    closed output."""
+    deg = (
+        canon.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+        .transform(reliable_checkpoint)
+    )
+    n_nodes = deg.count()  # cheap: counts the materialized checkpoint
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    # two-long rows ≈ 32 B each; bytes budget caps the hint well below the
+    # row cap on big graphs (round-8 fix: row count alone under-gates)
+    da = maybe_broadcast(da, n_nodes, 32, limit_rows=broadcast_limit_rows)
+    db = maybe_broadcast(db, n_nodes, 32, limit_rows=broadcast_limit_rows)
+    oriented = (
+        canon.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+        .transform(reliable_checkpoint)
+    )
+    n_edges = oriented.count()
+    adj = (
+        oriented.groupBy("u")
+        .agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
+        .transform(reliable_checkpoint)
+    )
+    na = adj.select(F.col("u").alias("_ju"), F.col("nbrs").alias("_nu"))
+    nv = adj.select(F.col("u").alias("_jv"), F.col("nbrs").alias("_nv"))
+    # the adjacency payload scales with TOTAL NEIGHBOR ENTRIES (= n_edges),
+    # not adjacency rows: 5M oriented edges ≈ hundreds of MB of arrays.
+    # Gate the hint on entry bytes (~24 B/entry), not row count alone.
+    na = maybe_broadcast(na, n_edges, 24, limit_rows=broadcast_limit_rows)
+    nv = maybe_broadcast(nv, n_edges, 24, limit_rows=broadcast_limit_rows)
+    tri_edges = (
+        oriented.join(na, oriented["u"] == na["_ju"], "inner")
+        .join(nv, oriented["v"] == nv["_jv"], "inner")
+        .select("u", "v", F.array_intersect("_nu", "_nv").alias("common"))
+        .filter(F.size("common") > 0)
+    )
+    return deg, tri_edges
+
+
 def triangle_counts(
     edges: DataFrame,
     src: str = "src",
@@ -1461,6 +1577,7 @@ def triangle_counts(
     with_degree: bool = False,
     broadcast_limit_rows: int = 5_000_000,
     sample_p: float | None = None,
+    include_zero: bool = False,
 ) -> DataFrame:
     """Per-node triangle participation counts over an undirected simple
     graph given as (src, dst) pairs (either or both directions; duplicates
@@ -1474,6 +1591,11 @@ def triangle_counts(
     undirected degree (computed anyway for the orientation) to the output
     — ``(node, triangles, deg)`` — saving callers a second degree pass
     over the edges (clustering-coefficient consumers).
+    ``include_zero=True`` (requires ``with_degree``) covers EVERY node of
+    the graph, with ``triangles`` coalesced to 0 for nodes closing none —
+    the operator's own degree table LEFT-joins the counts, so consumers
+    that need zero-triangle nodes (per-degree-band closure curves) don't
+    re-aggregate the edge list for a second degree pass.
 
     Scale design — degree-ordered orientation (Suri & Vassilvitskii,
     "Counting Triangles and the Curse of the Last Reducer", WWW'11)
@@ -1528,53 +1650,7 @@ def triangle_counts(
         if not 0.0 < sample_p <= 1.0:
             raise ValueError("sample_p must be in (0, 1]")
         canon = canon.filter(doulion_keep(F.col("a"), F.col("b"), sample_p))
-    deg = (
-        canon.select(F.explode(F.array("a", "b")).alias("node"))
-        .groupBy("node")
-        .agg(F.count("*").alias("deg"))
-        .transform(reliable_checkpoint)
-    )
-    n_nodes = deg.count()  # cheap: counts the materialized checkpoint
-    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
-    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
-    # two-long rows ≈ 32 B each; bytes budget caps the hint well below the
-    # row cap on big graphs (round-8 fix: row count alone under-gates)
-    da = maybe_broadcast(da, n_nodes, 32, limit_rows=broadcast_limit_rows)
-    db = maybe_broadcast(db, n_nodes, 32, limit_rows=broadcast_limit_rows)
-    oriented = (
-        canon.join(da, "a")
-        .join(db, "b")
-        .select(
-            F.when(
-                (F.col("deg_a") < F.col("deg_b"))
-                | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
-                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
-            )
-            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
-            .alias("e")
-        )
-        .select("e.u", "e.v")
-        .transform(reliable_checkpoint)
-    )
-    n_edges = oriented.count()
-    adj = (
-        oriented.groupBy("u")
-        .agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
-        .transform(reliable_checkpoint)
-    )
-    na = adj.select(F.col("u").alias("_ju"), F.col("nbrs").alias("_nu"))
-    nv = adj.select(F.col("u").alias("_jv"), F.col("nbrs").alias("_nv"))
-    # the adjacency payload scales with TOTAL NEIGHBOR ENTRIES (= n_edges),
-    # not adjacency rows: 5M oriented edges ≈ hundreds of MB of arrays.
-    # Gate the hint on entry bytes (~24 B/entry), not row count alone.
-    na = maybe_broadcast(na, n_edges, 24, limit_rows=broadcast_limit_rows)
-    nv = maybe_broadcast(nv, n_edges, 24, limit_rows=broadcast_limit_rows)
-    tri_edges = (
-        oriented.join(na, oriented["u"] == na["_ju"], "inner")
-        .join(nv, oriented["v"] == nv["_jv"], "inner")
-        .select("u", "v", F.array_intersect("_nu", "_nv").alias("common"))
-        .filter(F.size("common") > 0)
-    )
+    deg, tri_edges = triangle_close_edges(canon, broadcast_limit_rows)
     # weighted rollup: an edge closing T triangles contributes T to u and
     # v and 1 to each common neighbor — emit (u, T), (v, T) and the T
     # common nodes at weight 1 instead of repeating u/v T times each,
@@ -1607,7 +1683,14 @@ def triangle_counts(
             "triangles",
             (F.col("triangles").cast("double") / F.lit(sample_p**3)),
         )
+    if include_zero and not with_degree:
+        raise ValueError("include_zero requires with_degree=True")
     if with_degree:
+        if include_zero:
+            zero = F.lit(0.0) if sample_p is not None else F.lit(0).cast("long")
+            return deg.join(counts, "node", "left").select(
+                "node", F.coalesce("triangles", zero).alias("triangles"), "deg"
+            )
         return counts.join(deg, "node")
     return counts
 

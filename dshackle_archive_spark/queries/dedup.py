@@ -1108,19 +1108,39 @@ def d16_degree_assortativity(spark: SparkSession, sf: str) -> DataFrame:
     du = maybe_broadcast(du, n_nodes_ct, 32)
     dv = maybe_broadcast(dv, n_nodes_ct, 32)
     j = edges.join(du, "u").join(dv, "v")
-    ends = j.select(
-        F.col("deg_u").alias("dx"), F.col("deg_v").alias("dy")
-    ).unionByName(j.select(F.col("deg_v").alias("dx"), F.col("deg_u").alias("dy")))
+    # One-pass moment form (optimization round 11): the old
+    # union-then-corr() executed the degree join TWICE (one per union
+    # branch) and shuffled 2m end rows into the Pearson aggregate. Over
+    # the SYMMETRIZED end list the x and y marginals are identical, so
+    # r = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with n = 2m ends,
+    # Σx = Σy = Σ(deg_u+deg_v), Σx² = Σy² = Σ(deg_u²+deg_v²),
+    # Σxy = 2·Σ(deg_u·deg_v) — four EXACT integer sums in ONE aggregate
+    # over the join (edge count rides along), combined in IEEE doubles
+    # only at the final 1-row select. Deterministic (integer sums are
+    # order-independent, unlike the incremental float co-moment), and
+    # the corr-input shuffle + duplicate join execution are gone.
+    stats = j.agg(
+        F.count("*").alias("n_edges"),
+        F.sum(F.col("deg_u") + F.col("deg_v")).alias("s1"),
+        F.sum(
+            F.col("deg_u") * F.col("deg_u") + F.col("deg_v") * F.col("deg_v")
+        ).alias("s2"),
+        F.sum(F.col("deg_u") * F.col("deg_v")).alias("sxy_half"),
+    )
     node_stats = deg.agg(
         F.count("*").alias("n_nodes"),
         F.round(F.avg("deg"), 6).alias("avg_deg"),
     )
-    edge_total = edges.agg(F.count("*").alias("n_edges"))
-    assort = ends.agg(F.round(F.corr("dx", "dy"), 6).alias("assortativity"))
+    n_ends = (F.col("n_edges") * 2).cast("double")
+    s1 = F.col("s1").cast("double")
+    assort = F.round(
+        (n_ends * F.lit(2.0) * F.col("sxy_half") - s1 * s1)
+        / (n_ends * F.col("s2").cast("double") - s1 * s1),
+        6,
+    )
     return (
-        node_stats.crossJoin(F.broadcast(edge_total))
-        .crossJoin(F.broadcast(assort))
-        .select("n_nodes", "n_edges", "avg_deg", "assortativity")
+        node_stats.crossJoin(F.broadcast(stats))
+        .select("n_nodes", "n_edges", "avg_deg", assort.alias("assortativity"))
     )
 
 
@@ -1269,19 +1289,42 @@ def d18_triangle_sample_audit(spark: SparkSession, sf: str) -> DataFrame:
     bits of ``tri:u:v`` < p·2³², which the oracle replays bit-for-bit;
     with p = 2⁻¹ the 1/p³ = 8 scale-up keeps every estimate an exact
     binary integer, so the double sums are order-independent. Totals
-    fold in as 1-row aggregate crossJoins (the a3 pattern), one action."""
-    from ..operators.dedup import doulion_keep, triangle_counts
+    fold in as 1-row aggregate crossJoins (the a3 pattern), one action.
+
+    Single-enumeration form (optimization round 11): both totals derive
+    from ONE oriented-close pass (``triangle_close_edges``) instead of
+    two full triangle_counts runs. A triangle of the sampled graph is
+    exactly a full-graph triangle whose 3 canonical edges all pass the
+    hash keep rule, so the DOULION count is replayed per enumerated
+    triangle as a pure expression (2 md5s per closing node + 1 per
+    closing edge) — the second degree/orientation/adjacency/close pass
+    and both per-node rollup shuffles are gone, and the totals are the
+    same exact integers: Σ size(common) = T_exact (each triangle closes
+    at exactly one oriented edge), and Σ surviving/p³ = the old
+    Σ per-node estimates / 3 (both equal 8·T_samp in exact binary)."""
+    from ..operators.dedup import doulion_keep, triangle_close_edges
 
     p = 0.5
     edges = _copurchase_edges(spark, sf)
-    exact = triangle_counts(edges, src="u", dst="v", canonical=True)
-    samp = triangle_counts(edges, src="u", dst="v", canonical=True, sample_p=p)
-    # per-node counts sum each triangle 3x — divide back for the totals
-    exact_tot = exact.agg(
-        (F.sum("triangles") / 3).cast("long").alias("exact_triangles")
+    _deg, tri = triangle_close_edges(
+        edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
     )
-    est_tot = samp.agg(
-        (F.sum("triangles") / F.lit(3.0)).alias("est_raw")
+
+    def _keep(x, y):  # canonical (least, greatest) order — the sample rule
+        return doulion_keep(F.least(x, y), F.greatest(x, y), p)
+
+    samp_cnt = F.when(
+        _keep(F.col("u"), F.col("v")),
+        F.size(
+            F.filter(
+                F.col("common"),
+                lambda c: _keep(F.col("u"), c) & _keep(F.col("v"), c),
+            )
+        ),
+    ).otherwise(F.lit(0))
+    tri_tot = tri.agg(  # one pass: both totals from the same enumeration
+        F.sum(F.size("common")).cast("long").alias("exact_triangles"),
+        (F.sum(samp_cnt).cast("double") / F.lit(p**3)).alias("est_raw"),
     )
     edge_tot = edges.agg(
         F.count("*").alias("total_edges"),
@@ -1290,8 +1333,7 @@ def d18_triangle_sample_audit(spark: SparkSession, sf: str) -> DataFrame:
         ).cast("long").alias("kept_edges"),
     )
     return (
-        edge_tot.crossJoin(exact_tot)
-        .crossJoin(est_tot)
+        edge_tot.crossJoin(tri_tot)
         .select(
             F.lit(p).alias("sample_p"),
             "total_edges",
@@ -1788,34 +1830,22 @@ def d22_ktruss_prune(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.dedup import ktruss
 
     edges = _copurchase_edges(spark, sf, max_part=4000)
-    e1 = edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
-    e2 = edges.select(F.col("u").alias("y"), F.col("v").alias("z"))
-    e3 = edges.select(F.col("u").alias("x"), F.col("v").alias("z"))
-    tri = e1.join(e2, "y").join(e3, ["x", "z"])
-    sup = (
-        tri.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("x").alias("u"), F.col("y").alias("v")),
-                    F.struct(F.col("x").alias("u"), F.col("z").alias("v")),
-                    F.struct(F.col("y").alias("u"), F.col("z").alias("v")),
-                )
-            ).alias("e")
-        )
-        .groupBy("e.u", "e.v")
-        .agg(F.count("*").alias("s"))
+
+    def median_k(scored: DataFrame) -> int:
+        """max(1, ceil(0.3 × discrete lower-median initial support)) + 2,
+        computed from the peel's OWN persisted round-0 (a, b, support)
+        table (the ktruss threshold_fn hook — the separate median pass
+        used to re-run the exact wedge join + support groupBy that round
+        0 immediately repeated); ktruss's empty-graph short-circuit
+        guarantees this is never called on an empty table. The discrete
+        LOWER median (rank floor((n+1)/2) ascending) keeps the edge-scale
+        work distributed and single-pass (one metadata scalar)."""
+        m = _discrete_lower_median(scored, "support")
+        return max(1, int(math.ceil(0.3 * m))) + 2
+
+    truss = ktruss(
+        edges, None, src="u", dst="v", canonical=True, threshold_fn=median_k
     )
-    supall = edges.join(sup, ["u", "v"], "left").select(
-        "u", "v", F.coalesce("s", F.lit(0)).alias("s")
-    )
-    # Discrete LOWER median of s (rank floor((n+1)/2) under ascending s;
-    # the old (s, u, v)-tiebroken row_number picked the same s value, but
-    # globally sorted every edge row in one partition to find it) — the
-    # shared _discrete_lower_median helper keeps the edge-scale work
-    # distributed and single-pass (one metadata scalar collected).
-    m = _discrete_lower_median(supall, "s")
-    min_sup = max(1, int(math.ceil(0.3 * m)))
-    truss = ktruss(edges, min_sup + 2, src="u", dst="v", canonical=True)
     return (
         truss.select(
             F.col("a").alias("u"), F.col("b").alias("v"),
@@ -1896,24 +1926,22 @@ def d23_clustering_coefficient(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.dedup import triangle_counts
 
     edges = _copurchase_edges(spark, sf)
+    # include_zero rides the operator's OWN degree table (computed for the
+    # orientation anyway) — the old second explode+groupBy degree pass
+    # over the edge list and its left join are gone (round-11 opt)
     tc = triangle_counts(
-        edges, src="u", dst="v", canonical=True, with_degree=True
-    ).select("node", "triangles")
-    deg = (
-        edges.select(F.explode(F.array("u", "v")).alias("node"))
-        .groupBy("node")
-        .agg(F.count("*").alias("deg"))
+        edges, src="u", dst="v", canonical=True,
+        with_degree=True, include_zero=True,
     )
     c = (
-        F.lit(2.0) * F.coalesce(F.col("triangles"), F.lit(0))
+        F.lit(2.0) * F.col("triangles")
         / (F.col("deg") * (F.col("deg") - F.lit(1)))
     )
     coeff = (
-        deg.join(tc, "node", "left")
-        .filter(F.col("deg") >= 2)
+        tc.filter(F.col("deg") >= 2)
         .select(
             (F.length(F.conv(F.col("deg"), 10, 2)) - 1).cast("int").alias("band"),
-            F.coalesce(F.col("triangles"), F.lit(0)).alias("t"),
+            F.col("triangles").alias("t"),
             c.alias("c"),
         )
     )

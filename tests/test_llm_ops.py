@@ -1806,3 +1806,117 @@ def test_kcore_driver_cap_env_selects_path(spark, monkeypatch):
     a = {(r["node"], r["deg"]) for r in dist.collect()}
     b = {(r["node"], r["deg"]) for r in drv.collect()}
     assert a == b and len(a) > 0
+
+
+def test_ktruss_threshold_fn_matches_fixed_k(spark):
+    """The round-11 threshold_fn hook: k derived from the peel's OWN
+    persisted round-0 (a, b, support) table equals a fixed-k run, the
+    hook sees the full-graph support values exactly once, and the
+    k/threshold_fn exclusivity is enforced. K5 + pendant triangle: round-0
+    support is 3 on clique edges, 1 on pendant edges."""
+    k5 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    pendant = [(0, 10), (0, 11), (10, 11)]
+    e = spark.createDataFrame(k5 + pendant, "u long, v long")
+    seen: list[dict] = []
+
+    def fn(scored):
+        seen.append({(r["a"], r["b"]): r["support"] for r in scored.collect()})
+        return 4
+
+    hooked = {(r["a"], r["b"]): r["support"]
+              for r in D.ktruss(e, None, src="u", dst="v", canonical=True,
+                                threshold_fn=fn).collect()}
+    fixed = {(r["a"], r["b"]): r["support"]
+             for r in D.ktruss(e, 4, src="u", dst="v", canonical=True).collect()}
+    assert hooked == fixed == {edge: 3 for edge in k5}
+    assert len(seen) == 1  # consulted once, on round 0 only
+    assert seen[0][(0, 10)] == 1 and seen[0][(0, 1)] == 3
+    with pytest.raises(ValueError):
+        D.ktruss(e, 4, threshold_fn=fn)
+    with pytest.raises(ValueError):
+        D.ktruss(e, None)
+
+
+def test_triangle_counts_include_zero_covers_all_nodes(spark):
+    """include_zero=True rides the operator's own degree table: every
+    node appears (triangles coalesced to 0), degrees match the plain
+    with_degree output, and include_zero without with_degree raises.
+    K4 + pendant chain: nodes 10, 11 close no triangles."""
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    e = spark.createDataFrame(k4 + [(0, 10), (10, 11)], "u long, v long")
+    rows = D.triangle_counts(
+        e, src="u", dst="v", canonical=True, with_degree=True, include_zero=True
+    ).collect()
+    got = {r["node"]: (r["triangles"], r["deg"]) for r in rows}
+    assert got == {
+        0: (3, 4), 1: (3, 3), 2: (3, 3), 3: (3, 3),
+        10: (0, 2), 11: (0, 1),
+    }
+    with pytest.raises(ValueError):
+        D.triangle_counts(e, src="u", dst="v", include_zero=True)
+
+
+def test_triangle_close_edges_totals_match_two_pass(spark):
+    """The d18 single-enumeration identity: from ONE
+    triangle_close_edges pass, Σ size(common) equals the exact
+    triangle total, and the per-triangle DOULION keep replay (all 3
+    canonical edges pass the hash rule) equals running triangle_counts
+    on the pre-sampled graph — on a pseudo-random graph where sampling
+    actually drops edges."""
+    import random
+
+    rng = random.Random(11)
+    edges = {tuple(sorted(rng.sample(range(40), 2))) for _ in range(260)}
+    e = spark.createDataFrame(sorted(edges), "a long, b long")
+    p = 0.5
+    _deg, tri = D.triangle_close_edges(e)
+
+    def keep(x, y):
+        return D.doulion_keep(F.least(x, y), F.greatest(x, y), p)
+
+    samp_cnt = F.when(
+        keep(F.col("u"), F.col("v")),
+        F.size(F.filter(
+            F.col("common"),
+            lambda c: keep(F.col("u"), c) & keep(F.col("v"), c),
+        )),
+    ).otherwise(F.lit(0))
+    row = tri.agg(
+        F.sum(F.size("common")).alias("exact"),
+        F.sum(samp_cnt).alias("samp"),
+    ).collect()[0]
+    exact_nodes = D.triangle_counts(e, src="a", dst="b", canonical=True)
+    assert row["exact"] == exact_nodes.agg(
+        (F.sum("triangles") / 3).cast("long").alias("t")
+    ).collect()[0]["t"] > 0
+    samp_nodes = D.triangle_counts(e, src="a", dst="b", canonical=True,
+                                   sample_p=p)
+    two_pass = samp_nodes.agg(
+        (F.sum("triangles") / F.lit(3.0)).alias("est")
+    ).collect()[0]["est"]
+    assert float(row["samp"]) / p**3 == two_pass
+    assert 0 < row["samp"] < row["exact"]  # sampling genuinely dropped some
+
+
+def test_pagerank_broadcast_and_shuffle_paths_agree(spark):
+    """The round-11 maybe_broadcast hints on the rank/contribution
+    vectors change the join strategy, never the values: forcing the
+    shuffle fallback (broadcast_limit_rows=0) yields bit-identical
+    rounded ranks on a graph with hubs, and the default path actually
+    broadcasts (plan check)."""
+    import random
+
+    rng = random.Random(7)
+    pairs = {(rng.randrange(30), 30 + rng.randrange(8)) for _ in range(150)}
+    e = spark.createDataFrame(
+        sorted(pairs) + [(b, a) for a, b in sorted(pairs)], "src long, dst long"
+    )
+    fast = D.pagerank(e, iters=3)
+    slow = D.pagerank(e, iters=3, broadcast_limit_rows=0)
+    plan_fast = fast._jdf.queryExecution().executedPlan().toString()
+    plan_slow = slow._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_fast
+    assert "BroadcastHashJoin" not in plan_slow
+    a = {r["node"]: round(r["pr"], 9) for r in fast.collect()}
+    b = {r["node"]: round(r["pr"], 9) for r in slow.collect()}
+    assert a == b and len(a) == 38
