@@ -29,6 +29,11 @@ import os
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from ..core.checkpoint import checkpoint_with_release, reliable_checkpoint
+from ..core.env import env_int
+
+TRI_CLOSE_SPREAD_ENV = "SPARK_GRAFT_TRI_CLOSE_SPREAD"
+"""0 disables the broadcast-path close repartition in
+:func:`triangle_close_edges` (A/B dial; default on)."""
 
 
 def normalized_text(col: str = "text") -> Column:
@@ -578,8 +583,6 @@ def connected_components_star(
     the knob only moves WHERE the tail of the computation finishes.
     """
     if driver_finish_edges is None:
-        from ..core.env import env_int
-
         driver_finish_edges = env_int(CC_DRIVER_EDGES_ENV, CC_DRIVER_EDGES_DEFAULT)
     # canonical undirected edge set as (hi, lo): self-loops dropped
     e0 = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).filter(
@@ -1034,6 +1037,10 @@ def pagerank(
     registry query does) or accept rank leakage — the uniform teleport
     term keeps the recursion well-defined either way."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # NOTE (r11 negative result): checkpointing the degree table first and
+    # broadcasting it into this eager build measured 1.4-2.3x SLOWER at
+    # sf0.1 (alternated A/B) — the extra checkpoint materialization + count
+    # job cost more than the one-off SMJ it removed. Left as-is.
     deg = e.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
     ed = e.join(deg, "src").transform(reliable_checkpoint)
     verts = ed.select(F.col("src").alias("node")).unionByName(
@@ -1101,6 +1108,8 @@ def personalized_pagerank(
     Initial vector = the restart vector (all mass on seeds), the RWR
     convention."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # see pagerank(): the deg-broadcast variant of this eager build is a
+    # measured r11 negative result; the one-off SMJ stays.
     deg = e.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
     ed = e.join(deg, "src").transform(reliable_checkpoint)
     scol = seeds.columns[0]
@@ -1274,8 +1283,6 @@ def kcore(
     if (k is None) == (threshold_fn is None):
         raise ValueError("exactly one of k / threshold_fn must be given")
     if driver_finish_edges is None:
-        from ..core.env import env_int
-
         driver_finish_edges = env_int(
             KCORE_DRIVER_EDGES_ENV, KCORE_DRIVER_EDGES_DEFAULT
         )
@@ -1558,11 +1565,32 @@ def triangle_close_edges(
     # the adjacency payload scales with TOTAL NEIGHBOR ENTRIES (= n_edges),
     # not adjacency rows: 5M oriented edges ≈ hundreds of MB of arrays.
     # Gate the hint on entry bytes (~24 B/entry), not row count alone.
+    will_broadcast = (
+        n_edges <= broadcast_limit_rows
+        and n_edges * 24 <= BROADCAST_BYTES_BUDGET
+    )
     na = maybe_broadcast(na, n_edges, 24, limit_rows=broadcast_limit_rows)
     nv = maybe_broadcast(nv, n_edges, 24, limit_rows=broadcast_limit_rows)
+    close_in = oriented
+    spread = env_int(TRI_CLOSE_SPREAD_ENV, 1)
+    if will_broadcast and spread:
+        # On the broadcast path the close inherits the checkpoint's
+        # byte-coalesced partitioning (AQE sizes for ~64 MB of BYTES, but
+        # the intersection close is CPU-bound per row — measured at sf0.1
+        # the 2.8 s close ran on 10 of 32 cores). Spread the small edge
+        # table to full parallelism first; a round-robin pass over a
+        # byte-small table costs far less than the idle cores. On the
+        # non-broadcast path the close's own join shuffle already fans
+        # out to spark.sql.shuffle.partitions — nothing to fix there.
+        par = (
+            spread
+            if spread > 1
+            else oriented.sparkSession.sparkContext.defaultParallelism
+        )
+        close_in = oriented.repartition(par)
     tri_edges = (
-        oriented.join(na, oriented["u"] == na["_ju"], "inner")
-        .join(nv, oriented["v"] == nv["_jv"], "inner")
+        close_in.join(na, close_in["u"] == na["_ju"], "inner")
+        .join(nv, close_in["v"] == nv["_jv"], "inner")
         .select("u", "v", F.array_intersect("_nu", "_nv").alias("common"))
         .filter(F.size("common") > 0)
     )
