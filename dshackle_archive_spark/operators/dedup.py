@@ -35,6 +35,26 @@ TRI_CLOSE_SPREAD_ENV = "SPARK_GRAFT_TRI_CLOSE_SPREAD"
 """0 disables the broadcast-path close repartition in
 :func:`triangle_close_edges` (A/B dial; default on)."""
 
+PR_DEG_WINDOW_ENV = "SPARK_GRAFT_PR_DEG_WINDOW"
+"""0 switches the PageRank out-degree attach back to groupBy+join
+(A/B dial; default on = single-shuffle count window)."""
+
+
+def _attach_out_degree(e: DataFrame) -> DataFrame:
+    """``(src, dst) -> (src, dst, deg)`` with deg = out-degree of src.
+
+    Default path: ONE hash shuffle by src + a count window over the
+    partition — the edge list is scanned once. The groupBy+equi-join
+    alternative (knob 0) scans the edge lineage twice and shuffles three
+    times (deg agg, join left, join right). Skew class is identical:
+    either way every edge row of a hub src lands in one task (the join
+    shuffle hashes src too), so the window buys strictly fewer passes."""
+    if env_int(PR_DEG_WINDOW_ENV, 1):
+        w = Window.partitionBy("src")
+        return e.withColumn("deg", F.count("*").over(w).cast("double"))
+    deg = e.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
+    return e.join(deg, "src")
+
 
 def normalized_text(col: str = "text") -> Column:
     """Lowercase, collapse whitespace — the canonical form for hashing."""
@@ -1040,9 +1060,9 @@ def pagerank(
     # NOTE (r11 negative result): checkpointing the degree table first and
     # broadcasting it into this eager build measured 1.4-2.3x SLOWER at
     # sf0.1 (alternated A/B) — the extra checkpoint materialization + count
-    # job cost more than the one-off SMJ it removed. Left as-is.
-    deg = e.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
-    ed = e.join(deg, "src").transform(reliable_checkpoint)
+    # job cost more than the one-off SMJ it removed. The shipped fix is
+    # _attach_out_degree's count window: same skew class, one shuffle.
+    ed = _attach_out_degree(e).transform(reliable_checkpoint)
     verts = ed.select(F.col("src").alias("node")).unionByName(
         ed.select(F.col("dst").alias("node"))
     ).distinct().transform(reliable_checkpoint)
@@ -1108,10 +1128,9 @@ def personalized_pagerank(
     Initial vector = the restart vector (all mass on seeds), the RWR
     convention."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    # see pagerank(): the deg-broadcast variant of this eager build is a
-    # measured r11 negative result; the one-off SMJ stays.
-    deg = e.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
-    ed = e.join(deg, "src").transform(reliable_checkpoint)
+    # see pagerank(): deg-broadcast into this eager build is a measured
+    # r11 negative result; the single-shuffle count window is the fix.
+    ed = _attach_out_degree(e).transform(reliable_checkpoint)
     scol = seeds.columns[0]
     s = seeds.select(F.col(scol).alias("node")).distinct()
     ns = s.groupBy().agg(F.count("*").cast("double").alias("ns"))

@@ -1898,6 +1898,32 @@ def test_triangle_close_edges_totals_match_two_pass(spark):
     assert 0 < row["samp"] < row["exact"]  # sampling genuinely dropped some
 
 
+def test_pagerank_deg_window_and_join_paths_agree(spark, monkeypatch):
+    """The round-11 single-shuffle count-window degree attach and the
+    groupBy+join fallback (knob 0) yield bit-identical rounded ranks for
+    both PageRank variants on a hubby graph."""
+    import random
+
+    rng = random.Random(11)
+    pairs = {(rng.randrange(30), 30 + rng.randrange(8)) for _ in range(150)}
+    e = spark.createDataFrame(
+        sorted(pairs) + [(b, a) for a, b in sorted(pairs)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,), (3,)], "node long")
+    out = {}
+    for knob in ("1", "0"):
+        monkeypatch.setenv(D.PR_DEG_WINDOW_ENV, knob)
+        out[knob] = (
+            {r["node"]: round(r["pr"], 9) for r in D.pagerank(e, iters=3).collect()},
+            {
+                r["node"]: round(r["pr"], 9)
+                for r in D.personalized_pagerank(e, seeds, iters=3).collect()
+            },
+        )
+    assert out["1"] == out["0"]
+    assert len(out["1"][0]) == 37 and len(out["1"][1]) > 2
+
+
 def test_pagerank_broadcast_and_shuffle_paths_agree(spark):
     """The round-11 maybe_broadcast hints on the rank/contribution
     vectors change the join strategy, never the values: forcing the
