@@ -115,6 +115,12 @@ def _run_loss_probe(tmp_path, mode: str,
     env.pop("SPARK_GRAFT_CHECKPOINT_DIR", None)
     if mode == "reliable":
         env["SPARK_GRAFT_CHECKPOINT_DIR"] = str(tmp_path / "ckpt")
+    # the probe exists to exercise DISTRIBUTED-iteration checkpoint
+    # recovery: force that arm, or the r11 driver-finish hybrid ends the
+    # peel before the kill point arms (sf0.01 fits the driver cap) and
+    # the probe misfires with zero kills
+    env["SPARK_GRAFT_CC_DRIVER_EDGES"] = "0"
+    env["SPARK_GRAFT_KCORE_DRIVER_EDGES"] = "0"
     proc = subprocess.run(
         [sys.executable, script, qname,
          "/root/testdata/sf0.01", "2", str(out)],
