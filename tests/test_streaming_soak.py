@@ -236,8 +236,13 @@ def chaos_clean_run(tmp_path_factory):
     src = str(tmp_path_factory.mktemp("chaos_src"))
     _write_source_files(src, N_BATCHES_CHAOS)
     work = str(tmp_path_factory.mktemp("chaos_clean"))
+    # 30 min, not 10: a healthy window drains the probe in ~2-6 min, but
+    # this host's wall-clock swings 1.5-2x on multi-minute phases (measured
+    # 2026-08-18: one full-suite run timed this exact subprocess out at
+    # 600 s; the standalone re-run passed all three params in 378 s total).
+    # The timeout exists to catch hangs, not slow phases.
     proc = subprocess.run(
-        _probe_cmd(src, work), capture_output=True, text=True, timeout=600
+        _probe_cmd(src, work), capture_output=True, text=True, timeout=1800
     )
     assert proc.returncode == 0 and "DRAINED" in proc.stdout, (
         f"clean run failed\nstdout: {proc.stdout[-2000:]}\n"
@@ -264,7 +269,7 @@ def test_restart_chaos_exactly_once(spark, tmp_path, chaos_clean_run, kill_monit
         stderr=subprocess.PIPE, text=True,
     )
     commits_dir = os.path.join(dirs[kill_monitor]["ckpt"], "commits")
-    deadline = time.time() + 300
+    deadline = time.time() + 900  # same host-phase margin as the drain legs
     killed = False
     while time.time() < deadline:
         if proc.poll() is not None:
@@ -283,13 +288,13 @@ def test_restart_chaos_exactly_once(spark, tmp_path, chaos_clean_run, kill_monit
             killed = True
             break
         time.sleep(0.05)
-    assert killed, "kill condition never reached within 5 min"
+    assert killed, "kill condition never reached within 15 min"
     proc.wait(timeout=60)
     assert proc.returncode == -signal.SIGKILL
 
     # ---- phase 2: restart from the checkpoints, drain the remainder ------
     proc2 = subprocess.run(
-        _probe_cmd(src, work), capture_output=True, text=True, timeout=600
+        _probe_cmd(src, work), capture_output=True, text=True, timeout=1800
     )
     assert proc2.returncode == 0 and "DRAINED" in proc2.stdout, (
         f"resume run failed\nstdout: {proc2.stdout[-2000:]}\n"
