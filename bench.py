@@ -28,7 +28,9 @@ can't hide work.
 
 from __future__ import annotations
 
+import glob
 import json
+import math
 import os
 import re
 import statistics
@@ -334,6 +336,52 @@ def normalized_vs_prev(times: dict[str, float], canary: dict) -> dict | None:
     }
 
 
+def prev_printed_keys() -> list[str]:
+    """Query keys printed in the LAST round's parsed one-line JSON (the
+    committed ``BENCH_r{N}.json`` with the highest N, skipping alternate-cpu
+    artifacts like ``_c8``).
+
+    The driver captures only the final ~2,000 chars of stdout, so the line
+    can never hold all per-query medians (a 121-query dict alone is ~3.6 KB
+    — rounds 4-5 proved an oversized line loses its HEAD and parses as
+    null). What it CAN do is keep the printed SET stable round-over-round:
+    every key the previous round's line contained is kept in this round's
+    line regardless of the cost cutoff, so the driver's per-query PERF
+    accounting never reports a phantom ``dropped_from_bench`` when a query
+    merely got faster (round-11 verdict: d8 improved ~2x and was counted as
+    a drop). The complete medians for every query are always in the
+    committed BENCH_DETAIL.json (``queries_median``)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    best_round, keys = -1, []
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        base = os.path.basename(path)
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", base)
+        if not m or int(m.group(1)) <= best_round:
+            continue
+        try:
+            with open(path) as f:
+                parsed = (json.load(f) or {}).get("parsed") or {}
+        except (OSError, json.JSONDecodeError):
+            continue
+        q = parsed.get("queries")
+        if isinstance(q, dict) and q:
+            best_round, keys = int(m.group(1)), list(q)
+    return keys
+
+
+def norm_geomean(norm: dict | None) -> float | None:
+    """Geomean of the canary-normalized per-query ratios vs the previous
+    committed BENCH_DETAIL (round-12 verdict item 7: a cross-round summary
+    that does not depend on matched host windows — the uniform
+    machine-speed component cancels via the CPU-canary ratio)."""
+    if not norm or not norm.get("queries"):
+        return None
+    vals = [v for v in norm["queries"].values() if isinstance(v, (int, float)) and v > 0]
+    if not vals:
+        return None
+    return round(math.exp(sum(math.log(v) for v in vals) / len(vals)), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -446,6 +494,8 @@ def main() -> None:
     # line is now compact (headline total + per-query medians + canary +
     # meta only); the bulky sweep/best/ratio detail goes to a sidecar file
     # committed to the repo.
+    norm = normalized_vs_prev(times, canary)
+    norm_geo = norm_geomean(norm)
     detail = {
         "queries_best": best,
         "sweep_median": sweep,
@@ -456,7 +506,8 @@ def main() -> None:
         "plan_drift": plan_drift,
         "meta": meta,
         "queries_median": times,
-        "normalized_vs_prev": normalized_vs_prev(times, canary),
+        "normalized_vs_prev": norm,
+        "norm_geomean_vs_prev": norm_geo,
         "total": total,
         "sf": sf,
     }
@@ -466,16 +517,25 @@ def main() -> None:
     # The driver captures only the last ~2,000 chars of stdout; a 60-query
     # medians dict alone is ~1,500 chars and round 5's full line (2,263
     # chars) lost its head and parsed as null. Emit the headline + as many
-    # per-query medians as fit (slowest first — the interesting ones),
-    # and flag truncation; the complete medians always live in
-    # BENCH_DETAIL.json (committed).
+    # per-query medians as fit, and flag truncation; the complete medians
+    # always live in BENCH_DETAIL.json (committed). Round-12 fixes
+    # (additions-only; methodology unchanged):
+    # - STABLE printed set: keys printed in the previous round's committed
+    #   line are kept regardless of the cost cutoff (drop order prefers the
+    #   cheapest key NOT in the previous line), so the driver's per-query
+    #   accounting stops seeing phantom "dropped_from_bench" entries when a
+    #   query merely drops below the cost cutoff;
+    # - line values rounded to 3 decimals (sub-ms noise anyway) so more
+    #   keys fit; BENCH_DETAIL.json keeps the 4-decimal medians;
+    # - norm_geomean_vs_prev: canary-normalized cross-round geomean (the
+    #   host-window-independent summary; null when no prev detail exists).
     def payload(qdict: dict[str, float], truncated: bool) -> str:
         return json.dumps(
             {
                 "metric": "headline_query_wall_time_total",
                 "value": total,
                 "unit": "sec",
-                "queries": qdict,
+                "queries": {n: round(v, 3) for n, v in qdict.items()},
                 "queries_truncated": truncated,
                 "n_queries": len(times),
                 "sf": sf,
@@ -483,18 +543,27 @@ def main() -> None:
                 "stat": "median",
                 "load_suspect": load_suspect,
                 "plan_drift_keys": sorted(plan_drift) if plan_drift else [],
+                "norm_geomean_vs_prev": norm_geo,
                 "canary": canary,
                 "meta": meta,
                 "detail": "BENCH_DETAIL.json",
             }
         )
 
+    must_keep = set(prev_printed_keys()) & set(times)
+    # display order: cost-descending; drop order: cheapest key outside the
+    # previous round's printed set first, previous-round keys only if the
+    # stable set alone cannot fit
     by_cost = sorted(times, key=times.get, reverse=True)
-    keep = dict(times)
+    drop_order = sorted(times, key=lambda n: (n in must_keep, times[n]))
+    dropped: set[str] = set()
+    keep = {n: times[n] for n in by_cost}
     line = payload(keep, False)
-    while len(line) > 1900 and by_cost:
-        by_cost.pop()  # drop the cheapest remaining query from the line
-        keep = {n: times[n] for n in by_cost}
+    di = 0
+    while len(line) > 1900 and di < len(drop_order):
+        dropped.add(drop_order[di])
+        di += 1
+        keep = {n: times[n] for n in by_cost if n not in dropped}
         line = payload(keep, True)
     print(line)
     spark.stop()

@@ -1544,16 +1544,40 @@ def triangle_close_edges(
     broadcast only under a measured-count + bytes budget
     (:func:`maybe_broadcast`), else plain equi-joins AQE plans from
     runtime stats; wedges never materialize — only the O(#triangles)
-    closed output."""
+    closed output.
+
+    Round-12 shape (guide §2.3/§2.4 — one materialization and one close
+    join removed):
+
+    - ``n_nodes`` and the canonical edge count come from ONE aggregate
+      over the materialized degree table (Σdeg = 2·|edges|) instead of
+      two separate count jobs;
+    - degree-1 endpoints are pruned from the orientation join's degree
+      sides — an edge with a degree-1 endpoint closes no triangle (all
+      three corners of a triangle have degree ≥ 2), so the inner joins
+      drop those edges before the adjacency build and close ever see
+      them. ``deg`` itself stays the FULL table for callers;
+    - the oriented edge list is no longer checkpointed or counted: it
+      is consumed exactly once (the adjacency groupBy), and the close's
+      edge stream is re-derived from the adjacency table itself —
+      ``explode(nbrs)`` regenerates each oriented edge with its u-side
+      neighbor array already attached, deleting the u-side close join
+      (one shuffle on the non-broadcast path, one broadcast build on
+      the broadcast path)."""
     deg = (
         canon.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
         .transform(reliable_checkpoint)
     )
-    n_nodes = deg.count()  # cheap: counts the materialized checkpoint
-    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
-    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    stats = deg.agg(
+        F.count("*").alias("n"), F.sum("deg").alias("sd")
+    ).first()  # one job over the materialized checkpoint
+    n_nodes = int(stats["n"] or 0)
+    n_edges = int(stats["sd"] or 0) // 2  # Σdeg counts every edge twice
+    deg2 = deg.filter(F.col("deg") >= 2)
+    da = deg2.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg2.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
     # two-long rows ≈ 32 B each; bytes budget caps the hint well below the
     # row cap on big graphs (round-8 fix: row count alone under-gates)
     da = maybe_broadcast(da, n_nodes, 32, limit_rows=broadcast_limit_rows)
@@ -1571,45 +1595,45 @@ def triangle_close_edges(
             .alias("e")
         )
         .select("e.u", "e.v")
-        .transform(reliable_checkpoint)
     )
-    n_edges = oriented.count()
     adj = (
         oriented.groupBy("u")
         .agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
         .transform(reliable_checkpoint)
     )
-    na = adj.select(F.col("u").alias("_ju"), F.col("nbrs").alias("_nu"))
-    nv = adj.select(F.col("u").alias("_jv"), F.col("nbrs").alias("_nv"))
-    # the adjacency payload scales with TOTAL NEIGHBOR ENTRIES (= n_edges),
+    # the adjacency payload scales with TOTAL NEIGHBOR ENTRIES (≤ n_edges),
     # not adjacency rows: 5M oriented edges ≈ hundreds of MB of arrays.
-    # Gate the hint on entry bytes (~24 B/entry), not row count alone.
+    # Gate the hint on entry bytes (~24 B/entry), not row count alone;
+    # n_edges (the pre-pruning canonical count) upper-bounds the entries.
+    nv = adj.select(F.col("u").alias("_jv"), F.col("nbrs").alias("_nv"))
     will_broadcast = (
         n_edges <= broadcast_limit_rows
         and n_edges * 24 <= BROADCAST_BYTES_BUDGET
     )
-    na = maybe_broadcast(na, n_edges, 24, limit_rows=broadcast_limit_rows)
     nv = maybe_broadcast(nv, n_edges, 24, limit_rows=broadcast_limit_rows)
-    close_in = oriented
+    close_in = adj
     spread = env_int(TRI_CLOSE_SPREAD_ENV, 1)
     if will_broadcast and spread:
         # On the broadcast path the close inherits the checkpoint's
         # byte-coalesced partitioning (AQE sizes for ~64 MB of BYTES, but
         # the intersection close is CPU-bound per row — measured at sf0.1
-        # the 2.8 s close ran on 10 of 32 cores). Spread the small edge
-        # table to full parallelism first; a round-robin pass over a
-        # byte-small table costs far less than the idle cores. On the
-        # non-broadcast path the close's own join shuffle already fans
-        # out to spark.sql.shuffle.partitions — nothing to fix there.
+        # the 2.8 s close ran on 10 of 32 cores). Spread the adjacency
+        # table (each neighbor array moves ONCE, before the explode) to
+        # full parallelism first; a round-robin pass over a byte-small
+        # table costs far less than the idle cores. On the non-broadcast
+        # path the close's own join shuffle already fans out to
+        # spark.sql.shuffle.partitions — nothing to fix there.
         par = (
             spread
             if spread > 1
-            else oriented.sparkSession.sparkContext.defaultParallelism
+            else adj.sparkSession.sparkContext.defaultParallelism
         )
-        close_in = oriented.repartition(par)
+        close_in = adj.repartition(par)
+    left = close_in.select(
+        "u", F.col("nbrs").alias("_nu"), F.explode("nbrs").alias("v")
+    )
     tri_edges = (
-        close_in.join(na, close_in["u"] == na["_ju"], "inner")
-        .join(nv, close_in["v"] == nv["_jv"], "inner")
+        left.join(nv, left["v"] == nv["_jv"], "inner")
         .select("u", "v", F.array_intersect("_nu", "_nv").alias("common"))
         .filter(F.size("common") > 0)
     )
@@ -1816,8 +1840,28 @@ def adamic_adar(
         # measured-count + bytes budget — so the big adjacency shuffles
         # exactly once (the degree groupBy); above the budget each join
         # falls back to a plain shuffle AQE plans from runtime stats.
+        fcol = focus.columns[0]
+        f = focus.select(F.col(fcol).alias("fu"))
+        legs_raw = reliable_checkpoint(
+            sym.join(F.broadcast(f), sym["n"] == F.col("fu")).select("z", "fu")
+        )
+        n_legs = legs_raw.count()  # measured on the materialized checkpoint
+        # Degree weights are only ever read for wedge-CENTER nodes (legs'
+        # z values — wt is consumed solely by `legs = wt ⋈ legs_raw`), so
+        # pre-filter the full adjacency with a broadcast semi-join on the
+        # distinct centers BEFORE the degree groupBy (guide §3.2 — the
+        # PySpark approximation of Bloom pre-filtering): the grouped
+        # shuffle then carries only Σ_{z∈centers} deg(z) rows instead of
+        # all 2m. deg(z) itself is still the node's FULL graph degree —
+        # the filter drops other z groups, never rows within a group.
+        # Above the broadcast budget the join stays a plain equi-join on z
+        # whose output partitioning the groupBy reuses (no extra shuffle).
+        zset = maybe_broadcast(
+            legs_raw.select("z").distinct(), n_legs, 8
+        )
         wt = (
-            sym.groupBy("z")
+            sym.join(zset, "z")
+            .groupBy("z")
             .agg(F.count("*").alias("deg"))
             .filter((F.col("deg") >= 2) & (F.col("deg") <= hub_cap))
             .select(
@@ -1827,12 +1871,6 @@ def adamic_adar(
                 ).cast("long").alias("w"),
             )
         )
-        fcol = focus.columns[0]
-        f = focus.select(F.col(fcol).alias("fu"))
-        legs_raw = reliable_checkpoint(
-            sym.join(F.broadcast(f), sym["n"] == F.col("fu")).select("z", "fu")
-        )
-        n_legs = legs_raw.count()  # measured on the materialized checkpoint
         legs = wt.join(maybe_broadcast(legs_raw, n_legs, 16), "z")
         wedges = (
             sym.select("z", F.col("n").alias("v"))

@@ -218,6 +218,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     _seed: DataFrame | None = None,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """IVF coarse quantization: every vector joins the cell of its nearest
     seed vector (sampled coarse quantizer — the first ``n_cells`` vectors by
@@ -228,6 +229,12 @@ def ivf_assign(
     projection and picks the argmax with ``array_max`` — zero shuffle on the
     corpus side (round 2 ranked through a ``Window.partitionBy(vec_id)``,
     which shuffled N·K rows). Output: ``vec_id, cell_id``.
+
+    ``keep`` names extra input columns carried through unchanged — the
+    assignment is map-side, so a consumer that needs the vector alongside
+    its cell (semantic dedup) rides the same projection instead of
+    re-joining the corpus on ``vec_id`` afterwards (guide §2.4: that join
+    was a removable corpus-scale shuffle of both sides).
     """
     best = F.element_at(
         _probe_cells(F.col("_seeds"), F.col(vec_col), 1, F.col("_vnrm")), 1
@@ -238,7 +245,11 @@ def ivf_assign(
     return (
         vectors.withColumn("_vnrm", _norm(F.col(vec_col)))
         .crossJoin(seed)
-        .select(F.col(id_col).alias("vec_id"), best["cell_id"].alias("cell_id"))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            best["cell_id"].alias("cell_id"),
+            *[F.col(c) for c in keep],
+        )
     )
 
 
@@ -807,12 +818,14 @@ def semantic_dedup(
     production K (10³+) swap the assign stage for the v12-style
     Arrow/BLAS ``mapInPandas`` seam (one GEMM per partition against the
     broadcast seed matrix); the dataflow around it is unchanged."""
-    assign = ivf_assign(vectors, n_cells, id_col, vec_col)
+    # cell ids ride the map-side assign projection itself (keep=) — the old
+    # ``vectors ⋈ assign`` on vec_id re-joined the corpus with a projection
+    # of itself, a corpus-scale shuffle of BOTH sides that carried the full
+    # vectors (guide §2.4 "remove shuffles outright"); the cell_id
+    # expression is unchanged, so assignments are bit-identical
     v = (
-        vectors.select(
-            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_vec")
-        )
-        .join(assign, "vec_id")
+        ivf_assign(vectors, n_cells, id_col, vec_col, keep=(vec_col,))
+        .select("vec_id", "cell_id", F.col(vec_col).alias("_vec"))
         .withColumn("_nrm", _norm(F.col("_vec"), dim))
     )
     a = v.select(

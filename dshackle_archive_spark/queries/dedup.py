@@ -491,9 +491,20 @@ def d9_minhash_error_audit(spark: SparkSession, sf: str) -> DataFrame:
             F.concat(F.col("text"), F.lit(" zz")).alias("text"),
         )
     )
-    sh = shingles(corpus, n=3)
-    sigs = minhash_signatures(sh, num_hashes=16, token_col="shingle")
-    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    # Materialize the shared intermediates ONCE (optimization round 12,
+    # guide §1.2 "don't compute things you throw away" / §5 lineage cuts):
+    # unmaterialized, the scan→normalize→shingle→distinct lineage executed
+    # ~7x in this query's final plan (banded self-join 2x, signature
+    # broadcasts 2x, jaccard_for_pairs token/size sides 3x) — every pass
+    # repeating the shingle DISTINCT shuffle. All three tables are bounded
+    # by the query's own doc_id<100 corpus cap, not corpus-scaled.
+    sh = reliable_checkpoint(shingles(corpus, n=3))
+    sigs = reliable_checkpoint(
+        minhash_signatures(sh, num_hashes=16, token_col="shingle")
+    )
+    pairs = reliable_checkpoint(
+        lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    )
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("_sa"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("_sb"))
     matches = F.aggregate(

@@ -1946,3 +1946,74 @@ def test_pagerank_broadcast_and_shuffle_paths_agree(spark):
     a = {r["node"]: round(r["pr"], 9) for r in fast.collect()}
     b = {r["node"]: round(r["pr"], 9) for r in slow.collect()}
     assert a == b and len(a) == 38
+
+
+def test_triangle_close_edges_pendant_pruning_is_lossless(spark):
+    """Round-12 internals: degree-1 endpoints are pruned from the
+    orientation join before the adjacency build (an edge with a degree-1
+    endpoint can close no triangle). The enumeration must be IDENTICAL to
+    running on the graph with those edges physically removed, the full
+    per-node counts must match the naive formulation, and the returned
+    degree table must still cover the pendant (degree-1) nodes."""
+    import itertools
+    import random
+
+    rng = random.Random(23)
+    core = {tuple(sorted(rng.sample(range(20), 2))) for _ in range(70)}
+    # hang pendant leaves off core nodes: ids 100+ appear in exactly 1 edge
+    pendants = {(n, 100 + i) for i, n in enumerate(range(0, 20, 2))}
+    edges = sorted(core | pendants)
+    e = spark.createDataFrame(edges, "a long, b long")
+    deg, tri = D.triangle_close_edges(e)
+    # degree table covers EVERY node, including the degree-1 leaves
+    got_deg = {r["node"]: r["deg"] for r in deg.collect()}
+    want_deg: dict[int, int] = {}
+    for a, b in edges:
+        want_deg[a] = want_deg.get(a, 0) + 1
+        want_deg[b] = want_deg.get(b, 0) + 1
+    assert got_deg == want_deg
+    assert any(v == 1 for v in got_deg.values())  # pendants really exist
+    # naive per-edge closing counts over the FULL graph
+    eset = set(edges)
+    naive = {
+        (x, y): sum(
+            1
+            for z in range(120)
+            if tuple(sorted((x, z))) in eset and tuple(sorted((y, z))) in eset
+        )
+        for x, y in edges
+    }
+    naive_total = sum(naive.values()) // 3
+    got_rows = tri.collect()
+    got_total = sum(len(r["common"]) for r in got_rows)
+    assert got_total == naive_total > 0
+    # per-node counts match the naive count (pendants close nothing)
+    got_nodes = {
+        r["node"]: r["triangles"]
+        for r in D.triangle_counts(e, src="a", dst="b", canonical=True).collect()
+    }
+    want_nodes: dict[int, int] = {}
+    for (x, y, z) in itertools.combinations(sorted(want_deg), 3):
+        if (
+            tuple(sorted((x, y))) in eset
+            and tuple(sorted((x, z))) in eset
+            and tuple(sorted((y, z))) in eset
+        ):
+            for n in (x, y, z):
+                want_nodes[n] = want_nodes.get(n, 0) + 1
+    assert got_nodes == want_nodes
+
+
+def test_ivf_assign_keep_columns_ride_the_projection(spark, sf_dir):
+    """Round-12 internals (semantic_dedup shuffle removal): ``keep=``
+    carries input columns through the map-side assign — same cell ids as
+    the bare call, the kept column intact, and still zero shuffle."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bare = {r["vec_id"]: r["cell_id"] for r in S.ivf_assign(emb, 16).collect()}
+    kept = S.ivf_assign(emb, 16, keep=("embedding",))
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan, plan
+    rows = kept.collect()
+    assert {r["vec_id"]: r["cell_id"] for r in rows} == bare
+    want_emb = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    assert all(list(r["embedding"]) == want_emb[r["vec_id"]] for r in rows)

@@ -38,10 +38,13 @@ HEAVY = [
     "v15_recall_curve",
 ]
 
-pytestmark = pytest.mark.skipif(
-    os.environ.get("SPARK_GRAFT_SKIP_SLOW") == "1",
-    reason="slow local-cluster smoke disabled via SPARK_GRAFT_SKIP_SLOW",
-)
+pytestmark = [
+    pytest.mark.slow,  # subprocess executor JVMs + 900-1800 s timeouts
+    pytest.mark.skipif(
+        os.environ.get("SPARK_GRAFT_SKIP_SLOW") == "1",
+        reason="slow local-cluster smoke disabled via SPARK_GRAFT_SKIP_SLOW",
+    ),
+]
 
 
 @pytest.fixture(scope="module")

@@ -16,6 +16,13 @@ from dshackle_archive_spark.streaming.stream_plan import (
     stream_batch,
 )
 
+import pytest
+
+# micro-batch streaming semantics: dozens of real StreamingQuery runs with
+# poll sleeps and awaitTermination(120) bounds — minutes of wall clock, so
+# slow-tier (the fast tier keeps all value/plan gates; see pytest.ini)
+pytestmark = pytest.mark.slow
+
 B = (DataKind.BLOCKS,)
 POLICY = FetchPolicy(parallel=4)
 

@@ -26,10 +26,13 @@ import os
 
 import pytest
 
-pytestmark = pytest.mark.skipif(
-    os.environ.get("SPARK_GRAFT_SKIP_SLOW") == "1",
-    reason="slow streaming soak disabled via SPARK_GRAFT_SKIP_SLOW",
-)
+pytestmark = [
+    pytest.mark.slow,  # soak + restart-chaos probes, 600-1800 s timeouts
+    pytest.mark.skipif(
+        os.environ.get("SPARK_GRAFT_SKIP_SLOW") == "1",
+        reason="slow streaming soak disabled via SPARK_GRAFT_SKIP_SLOW",
+    ),
+]
 
 N_BATCHES = 70  # x3 concurrent monitors = 210 micro-batches driven
 DOCS_PER_BATCH = 5
