@@ -123,7 +123,10 @@ def d3_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.dedup import jaccard_pairs, shingles
 
     docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
-    sh = shingles(docs, n=3)
+    # materialized once (optimization round 12): the posting join scans its
+    # token input 4-5x (df cap, semi filter, sizes, both join sides) and
+    # each scan re-ran the scan→shingle→DISTINCT lineage
+    sh = reliable_checkpoint(shingles(docs, n=3))
     out = jaccard_pairs(sh, threshold=0.02, token_col="shingle")
     return out.withColumn("jaccard", F.round("jaccard", 6))
 
@@ -976,9 +979,17 @@ def d15_lsh_band_tuning(spark: SparkSession, sf: str) -> DataFrame:
             F.concat(F.col("text"), F.lit(" zz")).alias("text"),
         )
     )
-    sh = shingles(corpus, n=3)
-    sigs = minhash_signatures(sh, num_hashes=16, token_col="shingle")
-    truth = (
+    # Materialize the shared intermediates ONCE (optimization round 12 —
+    # the d9 fix): unmaterialized, the scan→shingle→distinct lineage
+    # re-executed ~9x here (three band configs × two sides of each banded
+    # self-join all rebuild sigs→sh; truth's posting join reads sh 3x and
+    # is itself re-read by all three configs). All three tables are
+    # bounded by the query's own doc_id<100 corpus cap.
+    sh = reliable_checkpoint(shingles(corpus, n=3))
+    sigs = reliable_checkpoint(
+        minhash_signatures(sh, num_hashes=16, token_col="shingle")
+    )
+    truth = reliable_checkpoint(
         jaccard_pairs(sh, threshold=0.5, token_col="shingle", max_token_df=None)
         .select("doc_a", "doc_b")
         .withColumn("in_truth", F.lit(1))
@@ -1688,7 +1699,12 @@ def d21_neardup_cap_audit(spark: SparkSession, sf: str) -> DataFrame:
         .select((F.col("i") + 200000).alias("doc_id"), "text")
     )
     corpus = docs.filter(F.col("doc_id") < 100).select("doc_id", "text").unionByName(spike)
-    pairs = jaccard_pairs(shingles(corpus, n=3), threshold=0.02, token_col="shingle")
+    # shingles materialized once (optimization round 12, the d3 fix)
+    pairs = jaccard_pairs(
+        reliable_checkpoint(shingles(corpus, n=3)),
+        threshold=0.02,
+        token_col="shingle",
+    )
     ranked = neighbor_rank(pairs.select("doc_a", "doc_b", "jaccard"))
     is_spike = (
         ((F.col("doc_a") == 0) | (F.col("doc_a") >= 200000))

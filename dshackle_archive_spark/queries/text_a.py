@@ -14,6 +14,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 
+from ..core.checkpoint import reliable_checkpoint
 from ._registry import _t, query
 
 
@@ -647,7 +648,10 @@ def x23_containment_neardup(spark: SparkSession, sf: str) -> DataFrame:
             F.concat_ws(" ", half).alias("text"),
         )
     )
-    sh = shingles(corpus, n=3)
+    # materialized once (optimization round 12): containment_pairs scans
+    # its token input 4-5x (df cap, semi filter, sizes, both join sides)
+    # and each scan re-ran the scan→shingle→DISTINCT lineage
+    sh = reliable_checkpoint(shingles(corpus, n=3))
     return containment_pairs(sh, threshold=0.5, token_col="shingle")
 
 
@@ -1115,7 +1119,14 @@ def x26_source_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("token") != "")
     )
-    sc = tok.groupBy("source", "token").agg(F.count("*").alias("c"))
+    # materialized once (optimization round 12, guide §5): the count table
+    # feeds FOUR consumers (per-source totals, global token totals, the
+    # corpus total, and the scored join itself) and each re-executed the
+    # corpus explode + groupBy; the table itself is vocabulary×sources
+    # sized, not corpus sized
+    sc = reliable_checkpoint(
+        tok.groupBy("source", "token").agg(F.count("*").alias("c"))
+    )
     stot = sc.groupBy("source").agg(F.sum("c").alias("n_s"))
     gtot = sc.groupBy("token").agg(F.sum("c").alias("g"))
     n = sc.groupBy().agg(F.sum("c").alias("total"))
@@ -1266,6 +1277,11 @@ def x28_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = _t(spark, sf, "documents")
     toks = docs.select(F.split(normalized_text("text"), " ").alias("_t"))
+    # NOTE (optimization round 12, negative result): checkpointing the
+    # unigram/bigram count tables here measured 1.35x SLOWER at sf0.1
+    # over 7 interleaved old/new session pairs — at bench scale the
+    # re-executed explodes are cheaper than the materialization jobs.
+    # Reverted (kept where it measured faster: x26, x36; d9/d15/x30).
     uni = (
         toks.select(F.explode("_t").alias("w"))
         .filter(F.col("w") != "")
@@ -1397,7 +1413,11 @@ def x29_hybrid_rrf_retrieval(spark: SparkSession, sf: str) -> DataFrame:
     docs = _t(spark, sf, "documents")
     emb = _t(spark, sf, "embeddings")
 
-    tok = tokens(docs)
+    # one materialized token table (optimization round 12, guide §5): the
+    # scan→normalize→explode→DISTINCT lineage fed three consumers (sizes,
+    # the broadcast query side, the intersection's corpus side) and
+    # re-executed — including its shuffle — per consumer
+    tok = reliable_checkpoint(tokens(docs))
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
     qtok = tok.filter(F.col("doc_id") < 3).select(
         F.col("doc_id").alias("query_id"), "token"
@@ -1524,9 +1544,16 @@ def x30_lsh_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
             F.concat(F.col("text"), F.lit(" zz")).alias("text"),
         )
     )
-    sh = shingles(corpus, n=3)
+    # Materialize the shared shingle/signature tables ONCE (optimization
+    # round 12 — the d9 fix): unmaterialized, the scan→shingle→distinct
+    # lineage re-executed ~6x (banded self-join 2x via sigs, posting-join
+    # truth 3x). Both tables are bounded by the query's own doc_id<100
+    # corpus cap.
+    sh = reliable_checkpoint(shingles(corpus, n=3))
     pred = lsh_candidate_pairs(
-        minhash_signatures(sh, num_hashes=16, token_col="shingle"),
+        reliable_checkpoint(
+            minhash_signatures(sh, num_hashes=16, token_col="shingle")
+        ),
         bands=4,
         rows_per_band=4,
     ).withColumn("in_pred", F.lit(1))
@@ -1609,6 +1636,13 @@ def x31_bigram_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     docs = _t(spark, sf, "documents")
     toks = docs.select("doc_id", F.split(normalized_text("text"), " ").alias("_t"))
     model_toks = toks.filter(F.col("doc_id") % 2 == 0)
+    # NOTE (optimization round 12, negative result): checkpointing this
+    # vocabulary-sized unigram table (it feeds 3 consumers that each
+    # re-run the model-half explode) measured 1.12x SLOWER at sf0.1 over
+    # 7 interleaved old/new session pairs — the materialization job costs
+    # more than the saved re-executions at bench scale. Reverted; see
+    # OPTIMIZATION_r12.md §7 (x26/x36, where the same fix measured
+    # 0.84x/0.87x, keep it).
     uni = (
         model_toks.select(F.explode("_t").alias("w"))
         .filter(F.col("w") != "")

@@ -14,6 +14,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 
+from ..core.checkpoint import reliable_checkpoint
 from ._registry import _t, query
 
 
@@ -93,6 +94,13 @@ def x33_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("bucket"),
         )
     )
+    # NOTE (optimization round 12, negative result): reducing the three
+    # corpus explodes to ONE materialized per-(doc, lang, bucket) count
+    # table measured 1.29x SLOWER at sf0.1 over 7 interleaved old/new
+    # session pairs — the old bucket counts reduce map-side to 256 rows
+    # (near-free shuffles), while the fused table shuffles docs×256 rows
+    # AND pays a checkpoint. Reverted; the explodes stay cheaper than the
+    # materialization until scans dominate (far above bench scale).
     bt = tok.filter(F.col("lang") == "en").groupBy("bucket").agg(
         F.count("*").alias("ct")
     )
@@ -379,8 +387,14 @@ def x36_kneser_ney_scores(spark: SparkSession, sf: str) -> DataFrame:
             F.try_element_at("_t", F.col("_i") + 1).alias("wb"),
         ).filter((F.col("wa") != "") & (F.col("wb") != ""))
 
-    model = bigrams(toks.filter(F.col("doc_id") % 2 == 0)).groupBy("wa", "wb").agg(
-        F.count("*").alias("c12")
+    # materialized once (optimization round 12, guide §5): the bigram
+    # model table feeds FOUR consumers (left/right context tables, the
+    # corpus total, and the scored-side broadcast) and each re-ran the
+    # model-half corpus explode + groupBy; bigram-vocabulary-sized
+    model = reliable_checkpoint(
+        bigrams(toks.filter(F.col("doc_id") % 2 == 0)).groupBy("wa", "wb").agg(
+            F.count("*").alias("c12")
+        )
     )
     left_ctx = model.groupBy("wa").agg(
         F.sum("c12").alias("c1"), F.count("*").alias("n1f")

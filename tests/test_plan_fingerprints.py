@@ -157,22 +157,22 @@ def _suite_sf_dir() -> str:
 
 
 @pytest.fixture(scope="module")
-def fingerprints_twice(spark):
-    """Two independent full-registry fingerprint passes on one session —
-    shared by the match gate (uses the first) and the determinism check
-    (compares both), so the double-pass is paid once per suite run."""
-    sf_dir = _suite_sf_dir()
-    return current_fingerprints(spark, sf_dir), current_fingerprints(spark, sf_dir)
+def fingerprints_once(spark):
+    """One full-registry fingerprint pass per suite run — the match gate's
+    input. (Through round 11 this fixture computed TWO passes so the
+    determinism check rode along; that doubled the most expensive fixture
+    of the default tier, so the second pass now lives in the slow-marked
+    determinism test itself.)"""
+    return current_fingerprints(spark, _suite_sf_dir())
 
 
-def test_plan_shapes_match_committed_fingerprints(fingerprints_twice):
+def test_plan_shapes_match_committed_fingerprints(fingerprints_once):
     table = _table_for(_suite_sf_dir())
     if table is None or not os.path.exists(table):
         pytest.skip(f"no committed fingerprint table for {_suite_sf_dir()}")
     with open(table) as f:
         want = json.load(f)
-    got = fingerprints_twice[0]
-    diffs = fingerprint_diff(want, got)
+    diffs = fingerprint_diff(want, fingerprints_once)
     assert not diffs, (
         "physical plan shape changed — if INTENTIONAL, regenerate with "
         "`python tests/test_plan_fingerprints.py --regen` (add `--sf 0.1` "
@@ -181,13 +181,14 @@ def test_plan_shapes_match_committed_fingerprints(fingerprints_twice):
     )
 
 
-def test_regen_is_deterministic(fingerprints_twice):
+@pytest.mark.slow  # a second full-registry pass exists only to check rendering determinism
+def test_regen_is_deterministic(spark, fingerprints_once):
     """Round-9 verdict task 8: the gate itself must not rot — if plan
     RENDERING ever becomes nondeterministic (unstable ids leaking into the
     counted node names, registry iteration order, release interference),
     every --regen would churn the committed table and the gate degrades to
     noise. Two back-to-back full passes must serialize byte-identically."""
-    a, b = fingerprints_twice
+    a, b = fingerprints_once, current_fingerprints(spark, _suite_sf_dir())
     assert json.dumps(a, sort_keys=True) == json.dumps(b, sort_keys=True), {
         k: (a.get(k), b.get(k)) for k in set(a) | set(b) if a.get(k) != b.get(k)
     }
